@@ -1,0 +1,199 @@
+package graft
+
+/**
+ * DuckDB-dialect oracle SQL for SparkEntry.queries. The WITH-prelude
+ * mirrors [[Demo]] and the graft.etl operators 1:1 (note: DuckDB
+ * regexp_replace needs the 'g' flag to match Spark's replace-all default,
+ * and single-quoted literals do not process backslashes).
+ */
+object OracleSql {
+
+  private val stopRe =
+    """\b(PTY|LTD|LIMITED|PROPRIETARY|AUSTRALIAN|AUSTRALIA|HOLDINGS|GROUP|SERVICES|CORPORATION|CORP|INC|CO|THE|AND|OF)\b"""
+
+  /** normalize_company_name emulation over a SQL expression. */
+  private def norm(e: String): String =
+    raw"""trim(regexp_replace(regexp_replace(regexp_replace(upper(coalesce($e,'')),'[^\w\s]',' ','g'),'$stopRe',' ','g'),'\s+',' ','g'))"""
+
+  /** ABN checksum (utils.py:270-300) as explicit arithmetic. */
+  private def abnChecksum(e: String): String = {
+    val weights = Seq(10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+    val terms = weights.zipWithIndex.map { case (w, i) =>
+      val d = s"CAST(substr($e,${i + 1},1) AS INT)"
+      if (i == 0) s"($d - 1) * $w" else s"$d * $w"
+    }.mkString(" + ")
+    s"(len($e) = 11 AND ($terms) % 89 = 0)"
+  }
+
+  private def jaccardToks(e: String): String =
+    s"list_distinct(list_filter(string_split(lower($e), ' '), x -> x <> ''))"
+
+  /** Shared WITH-prelude: demo raw frames + cleaned sides + match + golden.
+    * Table names (part, lineitem, ...) are registered by the driver over
+    * the same parquet dir. */
+  val prelude: String = raw"""WITH
+cc_raw AS (
+  SELECT 'https://www.' || replace(p_name, ' ', '') || CAST(p_partkey AS VARCHAR) || '.com.au' AS crawl_url,
+         'Welcome to ' || p_name || ' Pty Ltd' AS company_name,
+         CASE p_type WHEN 'ECONOMY' THEN 'finance' WHEN 'PROMO' THEN 'tech'
+              WHEN 'STANDARD' THEN 'retail shop' WHEN 'LARGE' THEN 'mining'
+              WHEN 'MEDIUM' THEN 'transport' ELSE 'farm' END AS industry
+  FROM part WHERE p_partkey % 2 = 0),
+cc_c1 AS (
+  SELECT crawl_url, industry,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           trim(regexp_replace(company_name, '\s+', ' ', 'g')),
+           '(?i)^welcome to\s+', '', 'g'), '(?i)^about\s+', '', 'g'),
+           '(?i)^home\s*[-–]\s*', '', 'g'), '(?i)\s*[-–]\s*home$$', '', 'g'),
+           '(?i)\s*\|\s*official.*$$', '', 'g')) AS cn
+  FROM cc_raw),
+cc_c2 AS (
+  SELECT crawl_url, industry,
+         CASE WHEN len(cn) BETWEEN 2 AND 200 THEN cn END AS clean_name
+  FROM cc_c1),
+cc_c3 AS (
+  SELECT crawl_url, industry, clean_name, ${norm("clean_name")} AS normalized_name,
+         lower(regexp_replace(regexp_extract(crawl_url, '://([^/?#]+)', 1), '^www\.', '', 'g')) AS domain
+  FROM cc_c2 WHERE clean_name IS NOT NULL),
+cc_clean AS (
+  SELECT crawl_url, clean_name, normalized_name,
+         CASE industry WHEN 'finance' THEN 'Financial Services'
+              WHEN 'tech' THEN 'Information Technology'
+              WHEN 'retail shop' THEN 'Retail' WHEN 'mining' THEN 'Mining & Resources'
+              WHEN 'transport' THEN 'Transport & Logistics' ELSE 'Agriculture' END AS industry_std,
+         domain, ends_with(domain, '.au') AS is_au_domain,
+         lower(substr(normalized_name, 1, 4)) AS block_key
+  FROM cc_c3 WHERE normalized_name <> ''
+  QUALIFY row_number() OVER (PARTITION BY normalized_name ORDER BY crawl_url) = 1),
+abr_raw AS (
+  SELECT CAST(10000000000 + p_partkey * 97 AS VARCHAR) AS abn,
+         p_name || CASE WHEN p_partkey % 7 = 0 THEN ' trading pty ltd' ELSE ' pty ltd' END AS entity_name,
+         ['PRV','PUB','TRT','PNR'][(p_partkey % 4) + 1] AS entity_type,
+         CASE p_partkey % 3 WHEN 0 THEN 'active' WHEN 1 THEN 'Registered' ELSE 'CANCELLED' END AS entity_status,
+         ['NSW','VIC','QLD','SA','WA','TAS','NT','ACT'][(p_size % 8) + 1] AS state,
+         CAST(2000 + p_size AS VARCHAR) AS postcode,
+         CASE p_partkey % 3
+           WHEN 0 THEN strftime(DATE '1990-01-01' + CAST(p_partkey % 9000 AS INT), '%Y%m%d')
+           WHEN 1 THEN strftime(DATE '1990-01-01' + CAST(p_partkey % 9000 AS INT), '%Y-%m-%d')
+           ELSE strftime(DATE '1990-01-01' + CAST(p_partkey % 9000 AS INT), '%d/%m/%Y') END AS start_date
+  FROM part WHERE p_partkey % 2 = 1),
+abr_c1 AS (
+  SELECT *,
+         CASE WHEN len(regexp_replace(abn, '\D', '', 'g')) = 11
+              THEN regexp_replace(abn, '\D', '', 'g') END AS abn_clean,
+         substr(trim(regexp_replace(trim(regexp_replace(entity_name, '\s+', ' ', 'g')),
+           '(?i)\s+AS\s+TRUSTEE.*$$', '', 'g')), 1, 200) AS en
+  FROM abr_raw),
+abr_c2 AS (
+  SELECT *, CASE WHEN en <> '' THEN en END AS clean_name,
+         ${norm("en")} AS normalized_name
+  FROM abr_c1),
+abr_clean AS (
+  SELECT abn_clean, ${abnChecksum("abn_clean")} AS is_valid_abn,
+         clean_name, normalized_name,
+         CASE entity_type WHEN 'PRV' THEN 'Private Company' WHEN 'PUB' THEN 'Public Company'
+              WHEN 'TRT' THEN 'Trust' ELSE 'Partnership' END AS entity_type_desc,
+         CASE WHEN lower(trim(entity_status)) LIKE '%active%'
+                OR lower(trim(entity_status)) LIKE '%registered%' THEN 'Active'
+              WHEN lower(trim(entity_status)) LIKE '%cancel%'
+                OR lower(trim(entity_status)) LIKE '%deregistered%' THEN 'Cancelled'
+              END AS status_std,
+         state AS state_std,
+         regexp_extract(postcode, '\b(\d{4})\b', 1) AS postcode_std,
+         CAST(coalesce(try_strptime(start_date, '%Y%m%d'),
+                       try_strptime(start_date, '%Y-%m-%d'),
+                       try_strptime(start_date, '%d/%m/%Y')) AS DATE) AS start_date_parsed,
+         lower(substr(normalized_name, 1, 4)) AS block_key
+  FROM abr_c2
+  WHERE abn_clean IS NOT NULL AND clean_name IS NOT NULL AND normalized_name <> ''
+  QUALIFY row_number() OVER (PARTITION BY abn_clean ORDER BY entity_name) = 1),
+cand AS (
+  SELECT w.crawl_url, w.clean_name AS crawl_name, a.abn_clean AS abn,
+         a.clean_name AS abr_name,
+         CAST(len(list_intersect(w.tw, a.ta)) AS DOUBLE) /
+           (len(w.tw) + len(a.ta) - len(list_intersect(w.tw, a.ta))) AS fuzzy_score
+  FROM (SELECT *, ${jaccardToks("normalized_name")} AS tw FROM cc_clean) w
+  JOIN (SELECT *, ${jaccardToks("normalized_name")} AS ta FROM abr_clean) a USING (block_key)),
+match AS (
+  SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score,
+         CAST(NULL AS DOUBLE) AS llm_score, fuzzy_score AS final_score,
+         'fuzzy' AS match_method
+  FROM cand WHERE fuzzy_score >= 0.6
+  QUALIFY row_number() OVER (PARTITION BY crawl_url ORDER BY fuzzy_score DESC, abn) = 1),
+mjoin AS (
+  SELECT m.*, w.industry_std, w.domain, w.is_au_domain,
+         a.entity_type_desc, a.status_std, a.state_std, a.postcode_std, a.start_date_parsed
+  FROM match m
+  LEFT JOIN cc_clean w USING (crawl_url)
+  LEFT JOIN abr_clean a ON m.abn = a.abn_clean
+  WHERE m.final_score >= 0.6),
+best AS (
+  SELECT * FROM mjoin
+  QUALIFY row_number() OVER (PARTITION BY abn ORDER BY final_score DESC, crawl_url) = 1),
+dim AS (
+  SELECT abn, coalesce(abr_name, crawl_name) AS company_name,
+         CASE WHEN crawl_name <> abr_name THEN crawl_name END AS trading_name,
+         entity_type_desc, status_std AS entity_status, state_std AS state,
+         postcode_std AS postcode, industry_std AS industry, domain,
+         crawl_url AS website_url, final_score AS match_confidence_score,
+         'MATCHED' AS data_source
+  FROM best
+  UNION ALL
+  SELECT abn_clean, clean_name, CAST(NULL AS VARCHAR), entity_type_desc,
+         status_std, state_std, postcode_std, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 1.0, 'ABR_ONLY'
+  FROM abr_clean
+  WHERE status_std = 'Active' AND abn_clean NOT IN (SELECT abn FROM best))
+"""
+
+  val cleanWeb: String = prelude +
+    """SELECT crawl_url, clean_name, normalized_name, industry_std, domain, is_au_domain, block_key
+FROM cc_clean ORDER BY crawl_url"""
+
+  val cleanAbr: String = prelude +
+    """SELECT abn_clean, is_valid_abn, clean_name, normalized_name, entity_type_desc,
+       status_std, state_std, postcode_std, start_date_parsed, block_key
+FROM abr_clean ORDER BY abn_clean"""
+
+  val entityMatch: String = prelude +
+    """SELECT * FROM match ORDER BY crawl_url"""
+
+  val goldenDim: String = prelude +
+    """SELECT * FROM dim ORDER BY abn"""
+
+  val matchStats: String = prelude + """SELECT
+  w.total_web_companies, w.distinct_domains, w.au_domain_count,
+  a.total_abr_entities, a.active_entities, a.states_covered,
+  m.total_matches, m.high_confidence_matches, m.avg_match_score,
+  m.min_match_score, m.max_match_score,
+  CASE WHEN w.total_web_companies = 0 THEN NULL
+       ELSE round(m.total_matches * 100.0 / w.total_web_companies, 4) END AS match_rate_pct,
+  CASE WHEN m.total_matches = 0 THEN NULL
+       ELSE round(m.high_confidence_matches * 100.0 / m.total_matches, 4) END AS high_conf_rate_pct
+FROM
+  (SELECT count(*) AS total_web_companies, count(DISTINCT domain) AS distinct_domains,
+          CAST(count(*) FILTER (WHERE is_au_domain) AS BIGINT) AS au_domain_count
+   FROM cc_clean) w,
+  (SELECT count(*) AS total_abr_entities,
+          CAST(count(*) FILTER (WHERE status_std = 'Active') AS BIGINT) AS active_entities,
+          count(DISTINCT state_std) AS states_covered
+   FROM abr_clean) a,
+  (SELECT count(*) AS total_matches,
+          CAST(count(*) FILTER (WHERE final_score >= 0.9) AS BIGINT) AS high_confidence_matches,
+          round(avg(final_score), 4) AS avg_match_score,
+          round(min(final_score), 4) AS min_match_score,
+          round(max(final_score), 4) AS max_match_score
+   FROM match) m"""
+
+  val matchesByState: String = prelude +
+    """SELECT state_std AS state, count(*) AS match_count
+FROM mjoin GROUP BY 1 ORDER BY match_count DESC, state NULLS FIRST"""
+
+  val q1Agg: String = """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+}

@@ -1,13 +1,79 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each query binds a generic graft.etl / graft.functions operator to the
+  * test tables; [[OracleSql]] holds the DuckDB-equivalent SQL. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Demo match config: threshold 0.6 so jaccard scores of 2/3 (the
+    * "trading" name variants) enter the result alongside exact matches. */
+  private val demoCfg = MatchConfig(fuzzyThreshold = 0.6)
+
+  private def webClean(s: SparkSession, dir: String): DataFrame =
+    Clean.web(Demo.ccRaw(s, dir))
+  private def abrClean(s: SparkSession, dir: String): DataFrame =
+    Clean.abr(Demo.abrRaw(s, dir))
+  private def matchDf(s: SparkSession, dir: String): DataFrame =
+    Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens, demoCfg)
+  private def matchedDf(s: SparkSession, dir: String): DataFrame =
+    Golden.matchedCompanies(matchDf(s, dir), webClean(s, dir),
+      abrClean(s, dir), minScore = 0.6)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    matchDf(spark, "/root/testdata/sf0.001").orderBy("crawl_url")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2/2.5/2.7: projection+filter chains, native expressions, dedup
+    "etl_clean_web" -> ((s, dir) =>
+      webClean(s, dir).select("crawl_url", "clean_name", "normalized_name",
+        "industry_std", "domain", "is_au_domain", "block_key")
+        .orderBy("crawl_url")),
+    "etl_clean_abr" -> ((s, dir) =>
+      abrClean(s, dir).select("abn_clean", "is_valid_abn", "clean_name",
+        "normalized_name", "entity_type_desc", "status_std", "state_std",
+        "postcode_std", "start_date_parsed", "block_key")
+        .orderBy("abn_clean")),
+    // §2.3 J1-J3 + §2.5 W2: blocked join + jaccard + argmax
+    "etl_match" -> ((s, dir) => matchDf(s, dir).orderBy("crawl_url")),
+    // Same spine with the token_sort_ratio kernel (F19) — not ANSI-SQL
+    // expressible, so no oracle (driver records rows-only).
+    "etl_match_tokensort" -> ((s, dir) =>
+      Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
+        demoCfg).orderBy("crawl_url")),
+    // §2.3 J4/J5 + §2.6 U2 + §2.7 F22-F24: golden-record dim
+    "etl_golden_dim" -> ((s, dir) =>
+      Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir))
+        .orderBy("abn")),
+    // §2.4 A4/A9 + §2.3 J7: singleton aggregates cross-joined
+    "etl_match_stats" -> ((s, dir) =>
+      Stats.matchStatistics(webClean(s, dir), abrClean(s, dir),
+        matchDf(s, dir))),
+    // §2.4 A5: group-by state counts
+    "etl_match_by_state" -> ((s, dir) =>
+      Stats.matchesByState(matchedDf(s, dir))),
+    // §2.4 A1-A2 baseline: classic scan+agg over lineitem
+    "q1_agg" -> ((s, dir) =>
+      Demo.table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "etl_clean_web" -> OracleSql.cleanWeb,
+    "etl_clean_abr" -> OracleSql.cleanAbr,
+    "etl_match" -> OracleSql.entityMatch,
+    "etl_golden_dim" -> OracleSql.goldenDim,
+    "etl_match_stats" -> OracleSql.matchStats,
+    "etl_match_by_state" -> OracleSql.matchesByState,
+    "q1_agg" -> OracleSql.q1Agg)
 }

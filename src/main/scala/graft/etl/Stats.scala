@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Match-statistics mart — fct_match_statistics
+ * (reference: dbt/models/marts/fct_match_statistics.sql) plus the loader's
+ * get_match_statistics queries (src/load/upsert_logic.py:291-329).
+ *
+ * Three singleton aggregates cross-joined 1×1×1, exactly the dbt shape;
+ * each is a single HashAggregate with map-side partials.
+ */
+object Stats {
+
+  /** One-row summary: counts, conditional counts, distinct domains,
+    * score min/avg/max, match-rate percentages
+    * (fct_match_statistics.sql:13-95). All ratios rounded to 4 places so
+    * results are engine-portable. */
+  def matchStatistics(web: DataFrame, abr: DataFrame,
+      matches: DataFrame, highConf: Double = 0.90): DataFrame = {
+    val webStats = web.agg(
+      count(lit(1)).as("total_web_companies"),
+      countDistinct(col("domain")).as("distinct_domains"),
+      sum(when(col("is_au_domain"), 1).otherwise(0)).as("au_domain_count"))
+    val abrStats = abr.agg(
+      count(lit(1)).as("total_abr_entities"),
+      sum(when(col("status_std") === "Active", 1).otherwise(0))
+        .as("active_entities"),
+      countDistinct(col("state_std")).as("states_covered"))
+    val matchStats = matches.agg(
+      count(lit(1)).as("total_matches"),
+      sum(when(col("final_score") >= highConf, 1).otherwise(0))
+        .as("high_confidence_matches"),
+      round(avg(col("final_score")), 4).as("avg_match_score"),
+      round(min(col("final_score")), 4).as("min_match_score"),
+      round(max(col("final_score")), 4).as("max_match_score"))
+    webStats.crossJoin(abrStats).crossJoin(matchStats)
+      .withColumn("match_rate_pct",
+        when(col("total_web_companies") === 0, lit(null))
+          .otherwise(round(col("total_matches") * lit(100.0) /
+            col("total_web_companies"), 4)))
+      .withColumn("high_conf_rate_pct",
+        when(col("total_matches") === 0, lit(null))
+          .otherwise(round(col("high_confidence_matches") * lit(100.0) /
+            col("total_matches"), 4)))
+  }
+
+  /** Per-state match counts, descending (fct_match_statistics.sql:43-50;
+    * upsert_logic.py:317-328). */
+  def matchesByState(matched: DataFrame): DataFrame =
+    matched.groupBy(col("state_std").as("state"))
+      .agg(count(lit(1)).as("match_count"))
+      .orderBy(desc("match_count"), asc_nulls_first("state"))
+
+  /** Per-method stats (upsert_logic.py:304-314). */
+  def matchesByMethod(matches: DataFrame): DataFrame =
+    matches.groupBy("match_method")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("final_score")), 4).as("avg_score"))
+      .orderBy("match_method")
+
+  /** State→count as a single JSON object column — the
+    * jsonb_object_agg shape (fct_match_statistics.sql:85-89). Sorted map
+    * entries so the JSON string is deterministic. */
+  def stateBreakdownJson(matched: DataFrame): DataFrame =
+    matched.filter(col("state_std").isNotNull)
+      .groupBy(col("state_std").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(to_json(map_from_entries(array_sort(
+        collect_list(struct(col("state"), col("cnt"))))))
+        .as("state_breakdown"))
+}
