@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
  */
 object Demo {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Nanosecond parquet timestamps are read as long (see GraftSession's
+    // nanosAsLong); convert to micros-precision timestamps.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Synthetic raw web-company records from even partkeys
     * (shape: Schemas.webCompaniesRaw). */

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's recommended defaults — the Spark-native
+ * analogue of the reference's spark_session.py:99-250 (AQE + partition
+ * coalescing on, tuned shuffle partitions, Kryo). Also tolerates
+ * nanosecond parquet timestamps (read as long, converted by sources).
+ */
+object GraftSession {
+
+  /** Apply engine defaults to a builder; caller still picks master/app. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (driver harness contract). */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val s = configure(SparkSession.builder().master(s"local[$cpus]")
+      .appName(appName), shufflePartitions = cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -189,6 +189,40 @@ FROM
     """SELECT state_std AS state, count(*) AS match_count
 FROM mjoin GROUP BY 1 ORDER BY match_count DESC, state NULLS FIRST"""
 
+  val revenueBySegment: String = """SELECT c_mktsegment,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val top3OrdersPerCustomer: String = """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) t
+WHERE rank <= 3 ORDER BY o_custkey, rank"""
+
+  val customersWithoutOrders: String = """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey"""
+
+  val latestEventPerUser: String = """SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id"""
+
+  val eventsJsonHourly: String = """SELECT event_type,
+  date_trunc('hour', ts) AS hour,
+  count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, hour
+ORDER BY event_type, hour"""
+
+  val unionDistinctNames: String = """SELECT c_name AS name FROM customer
+UNION SELECT s_name AS name FROM supplier ORDER BY name"""
+
+  val topkOrdersGlobal: String = """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
   val q1Agg: String = """SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,

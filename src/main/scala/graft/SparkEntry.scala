@@ -1,6 +1,7 @@
 package graft
 
 import graft.etl._
+import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +58,53 @@ object SparkEntry {
     // §2.4 A5: group-by state counts
     "etl_match_by_state" -> ((s, dir) =>
       Stats.matchesByState(matchedDf(s, dir))),
+    // §2.3 J4 + §2.4 A5: join + group-by aggregation
+    "agg_revenue_by_segment" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .join(Demo.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment")),
+    // §2.5 W2/W6: top-k per group window
+    "window_top3_orders" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        Demo.table(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
+        .orderBy("o_custkey", "rank")),
+    // §2.3 J5/J6: anti join (customers with no pending orders)
+    "anti_customers_no_orders" -> ((s, dir) =>
+      Relational.without(Demo.table(s, dir, "customer"),
+        Demo.table(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    // §2.5 W2/W4: argmax dedup (latest event per user)
+    "latest_event_per_user" -> ((s, dir) =>
+      Relational.latestPerKey(
+        Demo.table(s, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        Seq("user_id"), "ts", "event_id")
+        .orderBy("user_id")),
+    // §1.2 JSON map + §2.4: JSON extraction + time-bucketed agg
+    "events_json_hourly" -> ((s, dir) =>
+      Demo.table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type", "hour")),
+    // §2.6 U1/U2: union distinct
+    "union_distinct_names" -> ((s, dir) =>
+      Demo.table(s, dir, "customer").select(col("c_name").as("name"))
+        .union(Demo.table(s, dir, "supplier").select(col("s_name").as("name")))
+        .distinct().orderBy("name")),
+    // §2.5 W5/W6: global top-k (TakeOrderedAndProject)
+    "topk_orders_global" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -75,5 +123,12 @@ object SparkEntry {
     "etl_golden_dim" -> OracleSql.goldenDim,
     "etl_match_stats" -> OracleSql.matchStats,
     "etl_match_by_state" -> OracleSql.matchesByState,
+    "agg_revenue_by_segment" -> OracleSql.revenueBySegment,
+    "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
+    "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
+    "latest_event_per_user" -> OracleSql.latestEventPerUser,
+    "events_json_hourly" -> OracleSql.eventsJsonHourly,
+    "union_distinct_names" -> OracleSql.unionDistinctNames,
+    "topk_orders_global" -> OracleSql.topkOrdersGlobal,
     "q1_agg" -> OracleSql.q1Agg)
 }
