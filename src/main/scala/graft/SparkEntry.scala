@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.{DedupOracles, TextDedup}
 import graft.etl._
 import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -105,6 +106,26 @@ object SparkEntry {
       Demo.table(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)),
+    // Training-data ops: exact dedup (hash-groupBy on digest)
+    "dedup_exact" -> ((s, dir) =>
+      TextDedup.exactGroups(Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("text_hash")),
+    // Training-data ops: exact n-gram Jaccard near-dup pairs
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(Demo.table(s, dir, "documents"),
+        "text", "doc_id").orderBy("doc_a", "doc_b")),
+    // Training-data ops: MinHash-LSH banded candidates + exact verify
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
+        "text", "doc_id").orderBy("doc_a", "doc_b")),
+    // Training-data ops: SimHash fingerprints
+    "dedup_simhash" -> ((s, dir) =>
+      TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // Training-data ops: SimHash near-dup pairs (chunk-bucketed Hamming)
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_a", "doc_b")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -130,5 +151,10 @@ object SparkEntry {
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,
+    "dedup_exact" -> DedupOracles.exact,
+    "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
+    "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
+    "dedup_simhash" -> DedupOracles.simhash,
+    "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "q1_agg" -> OracleSql.q1Agg)
 }

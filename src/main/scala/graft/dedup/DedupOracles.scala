@@ -1,0 +1,86 @@
+package graft.dedup
+
+/** DuckDB oracle SQL mirroring [[TextDedup]] (shared md5-prefix hash, same
+  * permutation/banding arithmetic — verified value-identical to Spark's
+  * `conv(substr(md5(x),1,15),16,10)`). */
+object DedupOracles {
+
+  private val toks =
+    raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+
+  /** 3-gram shingle list (distinct), empty-safe. */
+  private val shCte = raw"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                 for i in range(1, len(toks) - 1)])
+              ELSE [] END AS s
+       FROM t)"""
+
+  private def hashOf(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT) % 1000000007"
+
+  val exact: String = """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1 ORDER BY 1"""
+
+  val ngramPairs: String = s"""WITH $shCte,
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+
+  /** minhash value for permutation i over the hs list column. */
+  private def mh(i: Int): String =
+    s"list_min(list_transform(hs, h -> ((${2 * i + 1} * h + ${i * i + 7}) % 1000000007)))"
+
+  /** band signature b = join of 4 minhash values. */
+  private def bandSig(b: Int): String =
+    (0 until 4).map(r => s"CAST(${mh(4 * b + r)} AS VARCHAR)")
+      .mkString(" || '-' || ")
+
+  val minhashLshPairs: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $shCte,
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+sig AS (SELECT doc_id, s, list_transform(s, x -> ${hashOf("x")}) AS hs FROM shf),
+bands AS (
+$bandSelects),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+v AS (SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+      FROM cand c
+      JOIN shf sa ON sa.doc_id = c.doc_a
+      JOIN shf sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashCte = s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
+tok AS (SELECT doc_id, ${hashOf("tk")} AS h
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM tt)),
+bitsum AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tok, range(0, 60) r(j) GROUP BY doc_id, r.j),
+sim AS (SELECT doc_id,
+          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bitsum GROUP BY doc_id)"""
+
+  val simhash: String = s"""WITH $simhashCte
+SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
+
+  val simhashPairs: String = s"""WITH $simhashCte,
+chunks AS (SELECT doc_id, simhash, r.c, (simhash >> (15 * r.c)) & 32767 AS chunk
+           FROM sim, range(0, 4) r(c))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY doc_a, doc_b"""
+}

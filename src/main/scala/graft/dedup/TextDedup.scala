@@ -1,0 +1,198 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale text deduplication operators — the training-data-pipeline
+ * extension of the engine (exact, n-gram Jaccard, MinHash-LSH, SimHash).
+ *
+ * Everything is built from codegen'd built-in expressions over a shared
+ * deterministic hash (`conv(substr(md5(x),1,15),16,10) % p`) so results
+ * are reproducible across engines and runs.
+ *
+ * Scale design (the 100 TB story):
+ *  - Signatures (minhash/simhash) are computed per-document inside one
+ *    projection with higher-order array functions — no explode, no
+ *    shuffle, no UDF. Cost is linear in corpus size, embarrassingly
+ *    parallel across partitions.
+ *  - Candidate generation shuffles only (key, doc_id) pairs: LSH band
+ *    signatures for minhash, 15-bit chunks for simhash, shingles for the
+ *    exact-Jaccard inverted index. The O(n²) all-pairs comparison never
+ *    materializes; only same-bucket pairs are joined.
+ *  - Exact dedup is one hash aggregation on a text digest (no raw-text
+ *    shuffle: md5 is computed map-side, 16 bytes/row cross the wire).
+ */
+object TextDedup {
+
+  /** Large prime modulus for the shared shingle/token hash. */
+  val P = 1000000007L
+
+  /** Lowercased whitespace tokens of a text column. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** Distinct word n-gram shingles. Documents with fewer than n tokens
+    * yield an empty array. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic 60-bit hash of a string column, reduced mod P. */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups by content digest: one row per distinct text
+    * with the group size and the smallest id as keeper
+    * (hash-groupBy; only the 32-char digest shuffles). */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  // --------------------------------------------------- n-gram Jaccard pairs
+
+  /**
+   * All document pairs with n-gram Jaccard similarity ≥ threshold, via a
+   * shingle inverted index: explode distinct shingles, self-join on the
+   * shingle, count common shingles per pair, compute
+   * |∩| / (|A|+|B|−|∩|). Exact (no approximation); the LSH variant below
+   * trades exactness for a smaller candidate set.
+   */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Persisted: the shingle transform is interpreted (higher-order
+    // function) and feeds three consumers (index + two size joins).
+    val withSh = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val inv = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "nsh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nsh_b"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** MinHash signature (numPerms values) from an array of PRE-HASHED
+    * shingles: sig[i] = min over hashes h of ((2i+1)·h + i²+7) mod P.
+    * Takes hashes (not strings) so the md5 pass runs once per shingle,
+    * not once per permutation — Catalyst does not CSE across lambda
+    * bodies, so inlining the hash here would cost numPerms× md5 calls. */
+  def minhashSignature(hashArr: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(hashArr,
+        h => ((lit(2) * i + 1) * h + i * i + lit(7)) % P)))
+
+  /**
+   * Near-duplicate pairs via MinHash-LSH banding: documents sharing any
+   * band of the signature become candidates; candidates are verified with
+   * the exact shingle Jaccard. With numPerms=32, bandRows=4 (8 bands) the
+   * S-curve crosses ~0.5 at j≈0.77 — tuned for threshold 0.8.
+   */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerms % bandRows == 0, "bandRows must divide numPerms")
+    val numBands = numPerms / bandRows
+    // The signature relation is persisted: it feeds both sides of the
+    // band self-join plus the verification joins (4 consumers), and the
+    // signature expression is a higher-order array transform that runs
+    // interpreted (no whole-stage codegen) — recomputing it 4× dominated
+    // the runtime before this. Production LSH pipelines materialize
+    // signatures for the same reason; one row per document, so the
+    // footprint is tiny relative to the corpus.
+    val withSh = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // hs as its own column: one md5 pass per shingle, reused by all
+      // permutations (Catalyst does not CSE across lambda bodies).
+      .withColumn("hs", transform(col("sh"), s => strHash(s)))
+      .withColumn("sig", minhashSignature(col("hs"), numPerms))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (band_id, band_signature, doc_id) — the only shuffled relation.
+    val bands = withSh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band_id"),
+            concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
+              .as("band_sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with the exact shingle Jaccard.
+    val shSets = withSh.select(col("doc_id"), col("sh"))
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /**
+   * 60-bit SimHash per document over term-frequency-weighted token hashes
+   * (bit j of the fingerprint is 1 iff the occurrence-weighted vote for
+   * bit j is positive — the classic Charikar construction).
+   * Computed via explode(token)×explode(bit) + two aggregations — all
+   * built-ins, shuffles (doc_id, j) keyed rows.
+   */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", strHash(col("t")))
+    tok.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  /**
+   * Document pairs with SimHash Hamming distance ≤ maxDist, bucketed by
+   * 15-bit fingerprint chunks (pigeonhole: any pair within Hamming 3 of a
+   * 60-bit hash shares at least one of 4 chunks — exact recall for
+   * maxDist ≤ numChunks−1).
+   */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("(simhash >> (15 * c)) & 32767"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}
