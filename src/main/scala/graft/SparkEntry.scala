@@ -1,8 +1,10 @@
 package graft
 
 import graft.dedup.{DedupOracles, TextDedup}
+import graft.embeddings.EmbeddingOps
 import graft.etl._
 import graft.operators.Relational
+import graft.text.{TextAnalysis, TextOracles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +128,30 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
+    // Training-data ops: token/quality/langid/fingerprint analysis
+    "text_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // Training-data ops: embedding near-dup pairs (exact cosine)
+    "embedding_cosine_pairs" -> ((s, dir) =>
+      EmbeddingOps.cosinePairs(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+    // Training-data ops: exact ANN top-k (brute force baseline)
+    "ann_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      EmbeddingOps.bruteForceTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Training-data ops: SRP-LSH bucketed near-neighbour pairs (the
+    // scale path; approximate — no SQL oracle, rows-only check; recall
+    // vs the exact pairs is asserted in EmbeddingSpec)
+    "ann_lsh_pairs" -> ((s, dir) =>
+      EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.45)
+        .orderBy("id_a", "id_b")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -156,5 +182,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
+    "text_analysis" -> TextOracles.analysis,
+    "embedding_cosine_pairs" -> TextOracles.cosinePairs,
+    "ann_topk" -> TextOracles.annTopK,
     "q1_agg" -> OracleSql.q1Agg)
 }

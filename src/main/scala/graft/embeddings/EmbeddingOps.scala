@@ -1,0 +1,148 @@
+package graft.embeddings
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Similarity search over embedding columns (`array<float>`) — the
+ * training-data-pipeline extension: near-duplicate detection by cosine,
+ * brute-force exact top-k, and a hyperplane-LSH bucketed variant for the
+ * scale path.
+ *
+ * All math is double-precision with left-to-right folds (deterministic,
+ * engine-portable). Scores are rounded to 4 decimals at the output
+ * boundary so results are reproducible across engines.
+ *
+ * Scale design: brute-force pairs are O(n²) and exist as the correctness
+ * baseline; at corpus scale use [[lshBuckets]]-based candidates (linear
+ * signatures + bucket-local joins, the SRP-LSH construction) or an IVF
+ * layout (partition by coarse centroid) — both keep the pairwise work
+ * bucket-local. The per-vector signature/norm relation is persisted, one
+ * row per vector.
+ */
+object EmbeddingOps {
+
+  /** Number of query vectors used by the demo ANN query (vec_id < this). */
+  val DemoQueryCount = 20
+
+  /** Element-wise left-to-right dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Vectors with id, double-cast embedding and precomputed norm,
+    * persisted (the norm fold is an interpreted higher-order expression
+    * with multiple plan consumers). */
+  private def prepared(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /**
+   * All vector pairs with cosine ≥ threshold (embedding near-duplicate
+   * detection). Exact O(n²) — the correctness baseline; thresholding on
+   * the rounded score keeps the result engine-portable.
+   */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val p = prepared(df, vecCol, idCol)
+    val a = p.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /**
+   * Exact top-k nearest neighbours (by cosine) of each query vector
+   * against the corpus. Brute force: |Q|×|C| scored pairs, per-query
+   * window for the top k. Use a small query set against a large corpus;
+   * for corpus×corpus at scale, go through LSH/IVF candidates instead.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = prepared(corpus, vecCol, idCol)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 4))
+    graft.operators.Relational.topKPerGroup(
+      scored.select("query_id", "neighbor_id", "cosine"),
+      Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
+  /**
+   * Deterministic random-hyperplane matrix for one hash table:
+   * numPlanes × dim components in [-1, 1), derived from md5 of "t:p:d" —
+   * reproducible everywhere.
+   */
+  def hyperplanes(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$table:$p:$d".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 2000L - 1000L) / 1000.0
+    }
+
+  /** SRP-LSH bucket id of one hash table: one sign bit per hyperplane. */
+  def lshBucket(v: Column, table: Int, numPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(table, numPlanes, dim)
+    (0 until numPlanes).map { p =>
+      val plane = typedlit(planes(p).toSeq)
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** (vec_id, table, bucket) assignments across numTables hash tables —
+    * OR-amplified SRP-LSH (a pair collides if it shares a bucket in ANY
+    * table; more tables → higher recall, linearly more candidates). */
+  def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, numTables: Int, dim: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val buckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("table"), lshBucket(v, t, numPlanes, dim).as("bucket"))): _*)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        explode(buckets).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /**
+   * Approximate near-neighbour pairs: vectors sharing any (table, bucket)
+   * cell, verified by exact cosine ≥ threshold. Bucket-local joins only —
+   * the scale path for corpus×corpus similarity. Defaults (8 planes × 12
+   * tables) give ~50% per-table-miss amplified to high recall for
+   * cosine ≳ 0.7 pairs and usable recall in the 0.45 band.
+   */
+  def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val b = lshBuckets(df, vecCol, idCol, numPlanes, numTables, dim)
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("nrm", norm(col("v")))
+      .select("vec_id", "table", "bucket", "v", "nrm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a2 = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b2 = b.select(col("table"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a2.join(b2, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

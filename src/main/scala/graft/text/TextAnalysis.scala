@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines: token counting, quality
+ * scoring, heuristic language identification, and document
+ * fingerprinting. Pure built-in expressions (codegen'd, pushdown-safe).
+ */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, single digits, or single
+    * non-alphanumeric marks — a cheap proxy for tokenizer cost. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  /** Punctuation-to-character ratio (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") /
+        length(c))
+
+  /** Common-English stopwords used by the quality heuristic. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "from", "it", "this")
+
+  /** Fraction of tokens that are stopwords (signal of natural prose). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_intersect_count(toks)).cast("double") / size(toks))
+  }
+  private def array_intersect_count(toks: Column): Column =
+    filter(toks, t => t.isInCollection(Stopwords))
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards texts in a reasonable
+   * length band, with some stopword usage and sane word lengths, and
+   * penalizes punctuation soup — the shape of the reference's validity
+   * heuristics (clean_commoncrawl.py length bounds) extended to a
+   * graded score. Rounded to 4 decimals.
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val wordScore = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctPenalty = least(punctRatio(c) * 5.0, lit(1.0))
+    round((lenScore * 0.3 + stopScore * 0.3 + wordScore * 0.4) *
+      (lit(1.0) - punctPenalty * 0.5), 4)
+  }
+
+  /** Marker words per language for the n-gram/keyword language-ID
+    * heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  /** Heuristic language ID: the language whose marker words cover the
+    * most tokens; ties resolve in LangMarkers order; no hits → "und". */
+  def languageId(c: Column): Column = {
+    val toks = tokens(c)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("hits"),
+        lit(LangMarkers.size - LangMarkers.indexWhere(_._1 == lang)).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set — a
+    * canonical-form digest that collides exactly for bag-of-words
+    * duplicates (word-order/duplication-insensitive). */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Full analysis projection over a document frame. */
+  def analyze(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
+      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
+      qualityScore(col(textCol)).as("quality_score"),
+      languageId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.embeddings.EmbeddingOps
+
+/** DuckDB oracle SQL mirroring [[TextAnalysis]] and
+  * [[graft.embeddings.EmbeddingOps]]. Folds are written with
+  * list_reduce (left-to-right, acc seeded by the first element — IEEE
+  * equivalent to Spark's aggregate with 0.0 seed). */
+object TextOracles {
+
+  private val toks =
+    raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("[", ",", "]")
+
+  private val langHits = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+    s"len(list_filter(toks, t -> list_contains(${inList(markers)}, t))) AS ${lang}_h"
+  }.mkString(",\n  ")
+
+  val analysis: String = raw"""WITH t AS (
+  SELECT doc_id, text, $toks AS toks FROM documents),
+s AS (SELECT doc_id, text, toks,
+  len(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+  CASE WHEN len(text) = 0 THEN 0.0
+       ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text) END AS pr,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, t -> list_contains(${inList(TextAnalysis.Stopwords)}, t))) AS DOUBLE) / len(toks) END AS sr,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a + b) AS DOUBLE) / len(toks) END AS ml,
+  $langHits
+  FROM t),
+q AS (SELECT *,
+  least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS len_score,
+  least(sr * 5.0, 1.0) AS stop_score,
+  CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+  least(pr * 5.0, 1.0) AS punct_pen
+  FROM s)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+  round(pr, 4) AS punct_ratio,
+  round(sr, 4) AS stopword_ratio,
+  round((len_score * 0.3 + stop_score * 0.3 + word_score * 0.4) * (1.0 - punct_pen * 0.5), 4) AS quality_score,
+  CASE WHEN greatest(en_h, es_h, de_h, fr_h, zh_h) > 0 THEN
+    CASE WHEN en_h >= greatest(es_h, de_h, fr_h, zh_h) THEN 'en'
+         WHEN es_h >= greatest(de_h, fr_h, zh_h) THEN 'es'
+         WHEN de_h >= greatest(fr_h, zh_h) THEN 'de'
+         WHEN fr_h >= zh_h THEN 'fr' ELSE 'zh' END
+    ELSE 'und' END AS lang_pred,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM q ORDER BY doc_id"""
+
+  private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+      FROM e)"""
+
+  private val dotAB =
+    "list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x,y) -> x + y)"
+
+  val cosinePairs: String = s"""WITH $normCte
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round($dotAB / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round($dotAB / (a.nrm * b.nrm), 4) >= 0.45
+ORDER BY id_a, id_b"""
+
+  val annTopK: String = s"""WITH $normCte,
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round($dotAB / (a.nrm * b.nrm), 4) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount})
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+}

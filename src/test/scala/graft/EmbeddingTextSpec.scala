@@ -1,0 +1,80 @@
+package graft
+
+import graft.embeddings.EmbeddingOps
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class EmbeddingTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Demo.table(spark, sf(), "embeddings")
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0))
+      .toDF("a", "b", "want")
+    val got = df.select(
+      round(EmbeddingOps.cosine($"a".cast("array<double>"),
+        $"b".cast("array<double>")), 6).as("got"), $"want").collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("LSH pairs recall vs exact cosine pairs at threshold 0.45") {
+    val exact = EmbeddingOps.cosinePairs(emb, "embedding", "vec_id", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = EmbeddingOps.lshCosinePairs(emb, "embedding", "vec_id", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh.diff(exact)}")
+    // OR-amplified SRP-LSH is approximate; require non-trivial recall in
+    // the 0.45 band and report the number
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      info(f"LSH recall at 0.45: $recall%.2f (${lsh.size}/${exact.size})")
+      assert(recall >= 0.25, f"recall $recall%.2f too low")
+    }
+    // exact duplicates must always collide (identical sign patterns)
+    val base = emb.select("vec_id", "embedding")
+    val twin = base.limit(1).select(lit(9999L).as("vec_id"), col("embedding"))
+    val dupPairs = EmbeddingOps.lshCosinePairs(base.unionByName(twin),
+      "embedding", "vec_id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.exists(_._2 == 9999L))
+  }
+
+  test("ann topk: rank 1 neighbour of a vector's twin is the twin") {
+    val base = emb.select("vec_id", "embedding")
+    val twin = base.limit(1).select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twin)
+    val top = EmbeddingOps.bruteForceTopK(
+      corpus.filter($"vec_id" === 9999L), corpus, "embedding", "vec_id", 1)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+  }
+
+  test("text analysis: sane ranges and deterministic fingerprint") {
+    val a = TextAnalysis.analyze(
+      Demo.table(spark, sf(), "documents"), "text", "doc_id").collect()
+    assert(a.nonEmpty)
+    assert(a.forall { r =>
+      val q = r.getAs[Double]("quality_score"); q >= 0.0 && q <= 1.0 })
+    assert(a.forall(_.getAs[String]("fingerprint").length == 32))
+    // word-order-insensitive fingerprint
+    val fp = TextAnalysis.analyze(
+      Seq((1L, "b a c"), (2L, "a b c c")).toDF("doc_id", "text"),
+      "text", "doc_id").select("fingerprint").as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+
+  test("language id: marker-based prediction") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and a dog"),
+      (2L, "el perro de la casa y los gatos"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.analyze(df, "text", "doc_id")
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+}
