@@ -146,6 +146,71 @@ dim AS (
   WHERE status_std = 'Active' AND abn_clean NOT IN (SELECT abn FROM best))
 """
 
+  /** CTEs for the LLM-rescue demo (threshold 0.75, band [0.60,0.75),
+    * deterministic stub scorer = 1.0 iff upper(abr) contains first 4 of
+    * upper(crawl), weights 0.7/0.3 — SparkEntry.DemoLlm / llmCfg). */
+  private val llmCtes: String = raw""",
+high75 AS (
+  SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score,
+         CAST(NULL AS DOUBLE) AS llm_score, fuzzy_score AS final_score,
+         'fuzzy' AS match_method
+  FROM cand WHERE fuzzy_score >= 0.75
+  QUALIFY row_number() OVER (PARTITION BY crawl_url ORDER BY fuzzy_score DESC, abn) = 1),
+band AS (
+  SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score
+  FROM cand WHERE fuzzy_score >= 0.60 AND fuzzy_score < 0.75
+  QUALIFY row_number() OVER (PARTITION BY crawl_url ORDER BY fuzzy_score DESC, abn) = 1),
+rescued AS (
+  SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score, llm_score,
+         CAST(0.7 AS DOUBLE) * fuzzy_score + CAST(0.3 AS DOUBLE) * llm_score AS final_score,
+         'fuzzy+llm' AS match_method
+  FROM (SELECT *, CASE WHEN contains(upper(abr_name), substr(upper(crawl_name), 1, 4))
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS llm_score
+        FROM band)
+  WHERE CAST(0.7 AS DOUBLE) * fuzzy_score + CAST(0.3 AS DOUBLE) * llm_score >= 0.75),
+match_llm AS (SELECT * FROM high75 UNION ALL SELECT * FROM rescued),
+merge_ex AS (
+  SELECT abn_clean, clean_name, status_std, state_std, postcode_std FROM abr_clean),
+merge_inc AS (
+  SELECT abn_clean, clean_name, 'Cancelled' AS status_std, state_std,
+         CAST(NULL AS VARCHAR) AS postcode_std
+  FROM merge_ex WHERE ends_with(abn_clean, '7'))
+"""
+
+  val entityMatchLlm: String = prelude + llmCtes +
+    """SELECT * FROM match_llm ORDER BY crawl_url"""
+
+  val matchesByMethod: String = prelude + llmCtes +
+    """SELECT match_method, count(*) AS n, round(avg(final_score), 4) AS avg_score
+FROM match_llm GROUP BY match_method ORDER BY match_method"""
+
+  val mergeUpsert: String = prelude + llmCtes +
+    """SELECT * FROM merge_inc
+UNION ALL
+SELECT * FROM merge_ex WHERE abn_clean NOT IN (SELECT abn_clean FROM merge_inc)
+ORDER BY abn_clean"""
+
+  val mergePatch: String = prelude + llmCtes +
+    """SELECT abn_clean,
+  coalesce(i.clean_name, e.clean_name) AS clean_name,
+  coalesce(i.status_std, e.status_std) AS status_std,
+  coalesce(i.state_std, e.state_std) AS state_std,
+  coalesce(i.postcode_std, e.postcode_std) AS postcode_std
+FROM merge_ex e FULL JOIN merge_inc i USING (abn_clean)
+ORDER BY abn_clean"""
+
+  val qualityReport: String = prelude + """SELECT
+  (SELECT count(*) FROM (SELECT abn FROM dim GROUP BY abn HAVING count(*) > 1)) AS duplicate_abns,
+  count(*) FILTER (WHERE match_confidence_score IS NULL
+                     OR match_confidence_score < 0 OR match_confidence_score > 1) AS invalid_confidence,
+  count(*) FILTER (WHERE entity_status IS NOT NULL
+                     AND entity_status NOT IN ('Active','Cancelled')) AS bad_status,
+  count(*) FILTER (WHERE state IS NOT NULL
+                     AND state NOT IN ('NSW','VIC','QLD','SA','WA','TAS','NT','ACT')) AS bad_state,
+  count(*) FILTER (WHERE data_source IS NOT NULL
+                     AND data_source NOT IN ('MATCHED','ABR_ONLY','MERGED','WEB_ONLY')) AS bad_source
+FROM dim"""
+
   val cleanWeb: String = prelude +
     """SELECT crawl_url, clean_name, normalized_name, industry_std, domain, is_au_domain, block_key
 FROM cc_clean ORDER BY crawl_url"""

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{DedupOracles, TextDedup}
 import graft.embeddings.EmbeddingOps
 import graft.etl._
-import graft.operators.Relational
+import graft.operators.{Merge, Relational}
 import graft.text.{TextAnalysis, TextOracles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +26,37 @@ object SparkEntry {
   private def matchedDf(s: SparkSession, dir: String): DataFrame =
     Golden.matchedCompanies(matchDf(s, dir), webClean(s, dir),
       abrClean(s, dir), minScore = 0.6)
+
+  /** Deterministic stand-in for the LLM scorer in the demo query — a pure
+    * function of the pair (SQL-expressible so the rescue path is
+    * oracle-checked; the reference's real scorer is externally-called and
+    * its unavailable-fallback returns a constant 0.5,
+    * llm_matcher.py:92-99). */
+  private object DemoLlm extends LlmScorer {
+    def score(crawlName: String, abrName: String): Double =
+      if (crawlName != null && abrName != null &&
+        abrName.toUpperCase.contains(crawlName.toUpperCase.take(4))) 1.0
+      else 0.0
+  }
+
+  private val llmCfg = MatchConfig(fuzzyThreshold = 0.75,
+    llmMinScore = 0.60, llmMaxScore = 0.75, useLlm = true)
+
+  private def matchLlmDf(s: SparkSession, dir: String): DataFrame =
+    Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens,
+      llmCfg, DemoLlm)
+
+  /** Merge demo: existing = cleaned ABR snapshot; incoming = the ABNs
+    * ending in 7 with a status change and a null postcode (exercises both
+    * whole-row upsert and column-precedence patch). */
+  private def mergeSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ex = abrClean(s, dir).select("abn_clean", "clean_name",
+      "status_std", "state_std", "postcode_std")
+    val inc = ex.filter(col("abn_clean").endsWith("7"))
+      .withColumn("status_std", lit("Cancelled"))
+      .withColumn("postcode_std", lit(null).cast("string"))
+    (ex, inc)
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -50,6 +81,24 @@ object SparkEntry {
     "etl_match_tokensort" -> ((s, dir) =>
       Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
         demoCfg).orderBy("crawl_url")),
+    // §2.8 L1/L2: uncertain-band LLM rescue (deterministic stub scorer)
+    "etl_match_llm" -> ((s, dir) => matchLlmDf(s, dir).orderBy("crawl_url")),
+    // §2.4 A6: per-method stats over the two-method match output
+    "etl_match_by_method" -> ((s, dir) =>
+      Stats.matchesByMethod(matchLlmDf(s, dir))),
+    // §2.1 S8: whole-row upsert by key
+    "merge_upsert" -> ((s, dir) => {
+      val (ex, inc) = mergeSides(s, dir)
+      Merge.upsert(ex, inc, Seq("abn_clean")).orderBy("abn_clean")
+    }),
+    // §2.1 S8 + §2.7 F22: column-precedence patch merge
+    "merge_patch" -> ((s, dir) => {
+      val (ex, inc) = mergeSides(s, dir)
+      Merge.patch(ex, inc, Seq("abn_clean")).orderBy("abn_clean")
+    }),
+    // §5 dbt data-quality layer as one report row
+    "etl_quality_report" -> ((s, dir) =>
+      Quality.report(Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir)))),
     // §2.3 J4/J5 + §2.6 U2 + §2.7 F22-F24: golden-record dim
     "etl_golden_dim" -> ((s, dir) =>
       Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir))
@@ -167,6 +216,11 @@ object SparkEntry {
     "etl_clean_web" -> OracleSql.cleanWeb,
     "etl_clean_abr" -> OracleSql.cleanAbr,
     "etl_match" -> OracleSql.entityMatch,
+    "etl_match_llm" -> OracleSql.entityMatchLlm,
+    "etl_match_by_method" -> OracleSql.matchesByMethod,
+    "merge_upsert" -> OracleSql.mergeUpsert,
+    "merge_patch" -> OracleSql.mergePatch,
+    "etl_quality_report" -> OracleSql.qualityReport,
     "etl_golden_dim" -> OracleSql.goldenDim,
     "etl_match_stats" -> OracleSql.matchStats,
     "etl_match_by_state" -> OracleSql.matchesByState,

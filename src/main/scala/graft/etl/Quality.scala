@@ -42,6 +42,31 @@ object Quality {
     df.filter(col(column).isNotNull &&
       (col(column) < lo || col(column) > hi))
 
+  /** All dim_companies checks as ONE one-row DataFrame (a single job:
+    * one row-level aggregate + the duplicate-key sub-aggregate), instead
+    * of dimChecks' six actions — and oracle-checkable. */
+  def report(dim: DataFrame): DataFrame = {
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    val rowLevel = dim.agg(
+      cnt(col("match_confidence_score").isNull ||
+        col("match_confidence_score") < 0.0 ||
+        col("match_confidence_score") > 1.0).as("invalid_confidence"),
+      cnt(col("entity_status").isNotNull &&
+        !col("entity_status").isInCollection(Seq("Active", "Cancelled")))
+        .as("bad_status"),
+      cnt(col("state").isNotNull &&
+        !col("state").isInCollection(graft.functions.Text.ValidStates))
+        .as("bad_state"),
+      cnt(col("data_source").isNotNull && !col("data_source")
+        .isInCollection(Seq("MATCHED", "ABR_ONLY", "MERGED", "WEB_ONLY")))
+        .as("bad_source"))
+    val dups = dim.groupBy("abn").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("duplicate_abns"))
+    dups.crossJoin(rowLevel)
+  }
+
   /** Run all dim_companies checks; returns (checkName → violationCount). */
   def dimChecks(dim: DataFrame): Map[String, Long] = Map(
     "no_duplicate_abns" -> duplicateAbns(dim).count(),
