@@ -211,6 +211,54 @@ ORDER BY abn_clean"""
                      AND data_source NOT IN ('MATCHED','ABR_ONLY','MERGED','WEB_ONLY')) AS bad_source
 FROM dim"""
 
+  /** ANSI-expressible subset of the F26 feature vector over the demo
+    * candidate pairs (SparkEntry.featurePairs / Features.all). */
+  val matchFeaturesAnsi: String = prelude + raw""",
+fpairs AS (
+  SELECT w.crawl_url, w.clean_name AS crawl_name, w.industry_std,
+         w.normalized_name AS wnorm,
+         a.abn_clean AS abn, a.clean_name AS abr_name, a.entity_type_desc,
+         a.state_std, a.postcode_std, a.normalized_name AS anorm,
+         CASE WHEN substr(a.abn_clean, 11, 1) = '3' THEN NULL
+              ELSE 'Our head office is in ' || lower(a.state_std) ||
+                   ' postcode ' || a.postcode_std END AS raw_text
+  FROM cc_clean w JOIN abr_clean a USING (block_key))
+SELECT crawl_url, abn,
+  CAST(CASE WHEN crawl_name IS NOT NULL AND abr_name IS NOT NULL
+             AND crawl_name <> '' AND abr_name <> ''
+             AND wnorm = anorm THEN 1.0 ELSE 0.0 END AS DOUBLE) AS name_exact_match,
+  CAST(CASE WHEN crawl_name IS NOT NULL AND abr_name IS NOT NULL
+             AND crawl_name <> '' AND abr_name <> ''
+             AND wnorm = anorm THEN 1.0 ELSE 0.0 END AS DOUBLE) AS normalized_exact,
+  CAST(CASE WHEN crawl_url IS NOT NULL AND abr_name IS NOT NULL
+             AND crawl_url <> '' AND abr_name <> ''
+             AND len(list_filter(string_split_regex(lower(anorm), '\s+'),
+                   p -> len(p) >= 4 AND contains(
+                     lower(regexp_replace(regexp_extract(crawl_url, '://([^/?#]+)', 1), '^www\.', '', 'g')), p))) > 0
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS domain_contains_name,
+  CAST(CASE WHEN raw_text IS NOT NULL AND raw_text <> ''
+             AND state_std IS NOT NULL AND state_std <> ''
+             AND (CASE upper(state_std)
+                  WHEN 'NSW' THEN contains(lower(raw_text),'nsw') OR contains(lower(raw_text),'new south wales') OR contains(lower(raw_text),'sydney')
+                  WHEN 'VIC' THEN contains(lower(raw_text),'vic') OR contains(lower(raw_text),'victoria') OR contains(lower(raw_text),'melbourne')
+                  WHEN 'QLD' THEN contains(lower(raw_text),'qld') OR contains(lower(raw_text),'queensland') OR contains(lower(raw_text),'brisbane')
+                  WHEN 'SA'  THEN contains(lower(raw_text),'south australia') OR contains(lower(raw_text),'adelaide')
+                  WHEN 'WA'  THEN contains(lower(raw_text),'western australia') OR contains(lower(raw_text),'perth')
+                  WHEN 'TAS' THEN contains(lower(raw_text),'tasmania') OR contains(lower(raw_text),'hobart')
+                  WHEN 'NT'  THEN contains(lower(raw_text),'northern territory') OR contains(lower(raw_text),'darwin')
+                  WHEN 'ACT' THEN contains(lower(raw_text),'act') OR contains(lower(raw_text),'canberra') OR contains(lower(raw_text),'australian capital')
+                  ELSE contains(lower(raw_text), lower(state_std)) END)
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS state_mentioned,
+  CAST(CASE WHEN raw_text IS NOT NULL AND raw_text <> ''
+             AND postcode_std IS NOT NULL AND postcode_std <> ''
+             AND contains(raw_text, postcode_std)
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS postcode_mentioned,
+  CAST(CASE WHEN industry_std IS NOT NULL AND industry_std <> ''
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS industry_present,
+  CAST(CASE WHEN entity_type_desc IN ('PRV','PUB','Private Company','Public Company')
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS is_company
+FROM fpairs ORDER BY crawl_url, abn"""
+
   val cleanWeb: String = prelude +
     """SELECT crawl_url, clean_name, normalized_name, industry_std, domain, is_au_domain, block_key
 FROM cc_clean ORDER BY crawl_url"""

@@ -58,6 +58,33 @@ object SparkEntry {
     (ex, inc)
   }
 
+  /** Candidate pairs for the F26 feature demo: blocked join with a
+    * synthesized page text mentioning the ABR state/postcode for two
+    * thirds of pairs (exercises location features both ways). */
+  private def featurePairs(s: SparkSession, dir: String): DataFrame = {
+    val web = webClean(s, dir).select(col("crawl_url"),
+      col("clean_name").as("crawl_name"), col("industry_std"), col("block_key"))
+    val abr = abrClean(s, dir).select(col("abn_clean").as("abn"),
+      col("clean_name").as("abr_name"), col("entity_type_desc"),
+      col("state_std"), col("postcode_std"), col("block_key"))
+    web.join(abr, "block_key")
+      .withColumn("raw_text",
+        when(substring(col("abn"), 11, 1) === "3", lit(null).cast("string"))
+          .otherwise(concat(lit("Our head office is in "),
+            lower(col("state_std")), lit(" postcode "), col("postcode_std"))))
+  }
+
+  private def withFeatures(pairs: DataFrame): DataFrame = {
+    val feats = graft.functions.Features.all(
+      col("crawl_name"), col("abr_name"), col("crawl_url"), col("raw_text"),
+      col("state_std"), col("postcode_std"), col("industry_std"),
+      col("entity_type_desc"))
+    pairs.select(Seq(col("crawl_url"), col("abn")) ++
+      feats.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("match_probability",
+        graft.functions.Features.matchProbability(col))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     matchDf(spark, "/root/testdata/sf0.001").orderBy("crawl_url")
@@ -81,6 +108,18 @@ object SparkEntry {
     "etl_match_tokensort" -> ((s, dir) =>
       Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
         demoCfg).orderBy("crawl_url")),
+    // §2.7 F26: full 12-feature vector + weighted probability (RapidFuzz
+    // kernels not ANSI-expressible → rows-only check; FeaturesSpec covers
+    // values, match_features_ansi oracles the built-in subset)
+    "match_features" -> ((s, dir) =>
+      withFeatures(featurePairs(s, dir)).orderBy("crawl_url", "abn")),
+    // §2.7 F26 subset with a DuckDB oracle
+    "match_features_ansi" -> ((s, dir) =>
+      withFeatures(featurePairs(s, dir))
+        .select("crawl_url", "abn", "name_exact_match", "normalized_exact",
+          "domain_contains_name", "state_mentioned", "postcode_mentioned",
+          "industry_present", "is_company")
+        .orderBy("crawl_url", "abn")),
     // §2.8 L1/L2: uncertain-band LLM rescue (deterministic stub scorer)
     "etl_match_llm" -> ((s, dir) => matchLlmDf(s, dir).orderBy("crawl_url")),
     // §2.4 A6: per-method stats over the two-method match output
@@ -217,6 +256,7 @@ object SparkEntry {
     "etl_clean_abr" -> OracleSql.cleanAbr,
     "etl_match" -> OracleSql.entityMatch,
     "etl_match_llm" -> OracleSql.entityMatchLlm,
+    "match_features_ansi" -> OracleSql.matchFeaturesAnsi,
     "etl_match_by_method" -> OracleSql.matchesByMethod,
     "merge_upsert" -> OracleSql.mergeUpsert,
     "merge_patch" -> OracleSql.mergePatch,
