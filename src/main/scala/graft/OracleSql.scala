@@ -259,6 +259,21 @@ SELECT crawl_url, abn,
         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS is_company
 FROM fpairs ORDER BY crawl_url, abn"""
 
+  /** Multimodal demo payload is encode(text) and the documents corpus is
+    * pure ASCII (verified at sf0.01/0.1), so DuckDB's VARCHAR md5/substr
+    * mirror Spark's byte-level ops exactly. */
+  val multimodalMeta: String = """SELECT doc_id,
+  octet_length(encode(text)) AS byte_len,
+  md5(text) AS md5,
+  upper(hex(substr(text, 1, 4))) AS magic
+FROM documents ORDER BY doc_id"""
+
+  val multimodalFrames: String = """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM documents, unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS t(i)
+WHERE i % 4 = 0
+ORDER BY doc_id, frame_idx"""
+
   val cleanWeb: String = prelude +
     """SELECT crawl_url, clean_name, normalized_name, industry_std, domain, is_au_domain, block_key
 FROM cc_clean ORDER BY crawl_url"""

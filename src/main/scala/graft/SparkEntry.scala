@@ -240,6 +240,31 @@ object SparkEntry {
       EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // Training-data ops: multimodal binary metadata (payload = encoded
+    // text; in production this is the image/audio/video bytes column)
+    "multimodal_meta" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          graft.multimodal.Multimodal.metadata(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+          col("m.md5").as("md5"), col("m.magic").as("magic"))
+        .orderBy("doc_id")),
+    // Training-data ops: video/audio frame sampling (every 4th 64-byte
+    // frame) with per-frame digests
+    "multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameRows(
+        Demo.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload", "doc_id").orderBy("doc_id", "frame_idx")),
+    // Training-data ops: stubbed decode via typed mapPartitions (codec is
+    // a deterministic fake — no SQL oracle, rows-only; MultimodalSpec
+    // asserts determinism and shape)
+    "multimodal_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeImagesStub(
+        Demo.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload", "doc_id").toDF().orderBy("id")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -277,6 +302,8 @@ object SparkEntry {
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,
+    "multimodal_meta" -> OracleSql.multimodalMeta,
+    "multimodal_frames" -> OracleSql.multimodalFrames,
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,
     "ann_topk" -> TextOracles.annTopK,
     "q1_agg" -> OracleSql.q1Agg)

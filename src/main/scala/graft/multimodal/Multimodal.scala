@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Stub decode output — deterministic fake dimensions/stats derived from
+  * the header bytes (no imaging codecs in this environment). */
+case class DecodedMedia(
+    id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    brightness: Double)
+
+/**
+ * Multimodal column handling for training-data pipelines: image/audio/
+ * video payloads ride as opaque `binary` columns with typed metadata, so
+ * they shuffle/partition like any other column and Parquet stores them
+ * page-compressed.
+ *
+ * Design for 100 TB: metadata and frame-sampling are pure Column
+ * expressions (codegen, no serialization boundary); only the codec-bound
+ * decode step drops to typed `mapPartitions`, which is the Scala analogue
+ * of `mapInPandas` — batch-iterator in, batch-iterator out, one invocation
+ * per partition, constant memory. The decode kernel here is a clearly
+ * marked STUB (this container has no imaging libraries); the plumbing —
+ * schema, encoders, partition-parallel iteration — is real and tested.
+ */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload: byte length, content
+    * digest (dedup/caching key), and the 4-byte magic prefix as hex
+    * (format sniffing: JPEG FFD8FFE0, PNG 89504E47, ...). */
+  def metadata(bin: Column): Column = struct(
+    length(bin).cast("long").as("byte_len"),
+    md5(bin).as("md5"),
+    hex(substring(bin, 1, 4)).as("magic"))
+
+  /** Fixed-size frame slices of a binary payload, keeping every
+    * `every`-th frame — the frame-sampling pattern for video/audio
+    * payloads, as an expression (array of {frame_idx, bytes} structs).
+    * The last frame may be short. */
+  def sampleFrames(bin: Column, frameSize: Int, every: Int): Column = {
+    val nFrames = ceil(length(bin).cast("double") / frameSize).cast("int")
+    val idx = filter(
+      when(nFrames > 0, sequence(lit(0), nFrames - 1))
+        .otherwise(array().cast("array<int>")),
+      i => i % every === 0)
+    transform(idx, i => struct(
+      i.as("frame_idx"),
+      substring_index_bytes(bin, i, frameSize).as("bytes")))
+  }
+
+  private def substring_index_bytes(bin: Column, i: Column, size: Int): Column =
+    bin.substr(i * size + 1, lit(size))
+
+  /** Explode sampled frames to one row per kept frame with a digest —
+    * the shuffle-able unit for downstream frame-level work. */
+  def frameRows(df: DataFrame, binCol: String, idCol: String,
+      frameSize: Int = 64, every: Int = 4): DataFrame =
+    df.select(col(idCol),
+      explode(sampleFrames(col(binCol), frameSize, every)).as("f"))
+      .select(col(idCol), col("f.frame_idx").as("frame_idx"),
+        md5(col("f.bytes")).as("frame_md5"))
+
+  /**
+   * Decode media payloads via typed mapPartitions (the mapInPandas-shaped
+   * batch path).
+   *
+   * STUB KERNEL: real image decoding (JPEG/PNG via javax.imageio or a
+   * native codec) is unavailable in this container, so dimensions are a
+   * deterministic function of the header bytes and brightness is the mean
+   * of the first 256 bytes. Swap `decodeOne` for a real codec without
+   * touching the plumbing.
+   */
+  def decodeImagesStub(df: DataFrame, binCol: String,
+      idCol: String): Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
+  }
+
+  private[multimodal] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    // ??? real codec goes here — deterministic fake below
+    val h = java.util.Arrays.hashCode(b.take(16))
+    val head = b.take(256)
+    val brightness =
+      if (head.isEmpty) 0.0
+      else head.map(x => (x & 0xff).toDouble).sum / head.length / 255.0
+    DecodedMedia(
+      id = id,
+      width = 64 + math.floorMod(h, 1024),
+      height = 64 + math.floorMod(h >> 10, 1024),
+      channels = 3,
+      brightness = brightness)
+  }
+}
