@@ -233,6 +233,15 @@ object SparkEntry {
         "embedding", "vec_id", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // Training-data ops: IVF approximate top-k (map-side centroid
+    // assignment, nprobe cell probing, exact re-score inside cells)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      EmbeddingOps.ivfTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // Training-data ops: SRP-LSH bucketed near-neighbour pairs (the
     // scale path; approximate — no SQL oracle, rows-only check; recall
     // vs the exact pairs is asserted in EmbeddingSpec)
@@ -306,5 +315,6 @@ object SparkEntry {
     "multimodal_frames" -> OracleSql.multimodalFrames,
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,
     "ann_topk" -> TextOracles.annTopK,
+    "ann_ivf_topk" -> TextOracles.annIvfTopK,
     "q1_agg" -> OracleSql.q1Agg)
 }

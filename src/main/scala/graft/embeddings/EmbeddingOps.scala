@@ -126,6 +126,74 @@ object EmbeddingOps {
    * tables) give ~50% per-table-miss amplified to high recall for
    * cosine ≳ 0.7 pairs and usable recall in the 0.45 band.
    */
+  // ───────────────────────────── IVF ─────────────────────────────
+
+  /** Coarse centroids for IVF: the vectors with id < nlist, collected to
+    * the driver (nlist × dim doubles — a few KB; broadcast as literals).
+    * Deterministic stand-in for trained centroids: production would run
+    * sampled k-means (e.g. MLlib) and feed the result in here — the
+    * assignment/probe/search machinery is identical. */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int): Array[(Long, Array[Double], Double)] =
+    corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }
+      .sortBy(_._1)
+
+  /** Per-row array of {cos, -cid} structs vs every centroid — evaluated
+    * map-side with the centroids inlined as literals (no join, no
+    * shuffle: the classic IVF assignment pass). */
+  private def centroidScores(v: Column,
+      cents: Array[(Long, Array[Double], Double)]): Column = {
+    val nv = norm(v)
+    array(cents.map { case (cid, cv, cn) =>
+      struct((dot(v, typedlit(cv.toSeq)) / (nv * lit(cn))).as("cos"),
+        lit(-cid).as("negid"))
+    }: _*)
+  }
+
+  /** Nearest-centroid id (ties → smallest centroid id). */
+  def ivfAssignment(v: Column,
+      cents: Array[(Long, Array[Double], Double)]): Column =
+    -array_max(centroidScores(v, cents)).getField("negid")
+
+  /** The nprobe nearest centroid ids for a query vector. */
+  def ivfProbes(v: Column, cents: Array[(Long, Array[Double], Double)],
+      nprobe: Int): Column =
+    transform(slice(reverse(array_sort(centroidScores(v, cents))), 1, nprobe),
+      s => -s.getField("negid"))
+
+  /**
+   * IVF approximate top-k: corpus partitioned by nearest centroid
+   * (map-side assignment), queries probe their nprobe nearest cells, and
+   * exact cosine runs only inside probed cells. The shuffle is on
+   * cluster id — at 100 TB the corpus-side assignment can be written
+   * bucketed-by-cluster once and reused across query batches.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, vecCol, idCol, nlist)
+    val assigned = prepared(corpus, vecCol, idCol)
+      .withColumn("cluster", ivfAssignment(col("v"), cents))
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val probing = prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(ivfProbes(col("v"), cents, nprobe)).as("cluster"))
+    val scored = probing.join(assigned, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+          .as("cosine"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
       dim: Int = 64): DataFrame = {

@@ -76,4 +76,36 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val dotNC =
+    "list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]), (x,y) -> x + y)"
+
+  /** Mirrors EmbeddingOps.ivfTopK with nlist=8, nprobe=2, k=5: centroids
+    * are vectors with id < 8; assignment/probing by cosine with ties to
+    * the smallest centroid id; exact re-score inside probed cells. */
+  val annIvfTopK: String = s"""WITH $normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster, v AS nv, nrm AS nn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+  WHERE rn <= 2),
+cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
+               (x,y) -> x + y) / (qn * nn), 4) AS cosine
+  FROM probes JOIN assign USING (cluster)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
 }

@@ -54,6 +54,29 @@ class EmbeddingTextSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cosine") == 1.0)
   }
 
+  test("IVF topk: correct re-scores, high recall vs brute force") {
+    val queries = emb.filter($"vec_id" < EmbeddingOps.DemoQueryCount)
+    val ivf = EmbeddingOps.ivfTopK(queries, emb, "embedding", "vec_id",
+      k = 5, nlist = 8, nprobe = 2).collect()
+    val brute = EmbeddingOps.bruteForceTopK(queries, emb, "embedding",
+      "vec_id", k = 5).collect()
+    assert(ivf.nonEmpty)
+    // IVF cosine for a pair must equal the exact cosine (same scoring)
+    val bruteScores = brute.map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      bruteScores.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(r.getDouble(2) === c)
+      }
+    }
+    // recall@5: fraction of brute-force top-5 pairs recovered by IVF
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(r =>
+      ivfPairs.contains((r.getLong(0), r.getLong(1)))).toDouble / brute.length
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
   test("text analysis: sane ranges and deterministic fingerprint") {
     val a = TextAnalysis.analyze(
       Demo.table(spark, sf(), "documents"), "text", "doc_id").collect()
