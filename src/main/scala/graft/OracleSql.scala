@@ -337,6 +337,26 @@ ORDER BY c_custkey"""
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id"""
 
+  /** Gap-based sessionization (30-min gap), mirroring
+    * Streams.Batch.sessionize: a row starts a new session when its
+    * millisecond gap to the previous event of the same user exceeds the
+    * threshold; session ids are running sums of the start flags. */
+  val sessionizeEvents: String = """WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY key, session_start"""
+
   val eventsJsonHourly: String = """SELECT event_type,
   date_trunc('hour', ts) AS hour,
   count(*) AS n,

@@ -179,6 +179,13 @@ object SparkEntry {
           .select("user_id", "event_id", "ts", "event_type", "value"),
         Seq("user_id"), "ts", "event_id")
         .orderBy("user_id")),
+    // §2.10 extension: gap-based sessionization (batch twin of the
+    // streaming flatMapGroupsWithState sessionizer; 30-minute gap)
+    "sessionize_events" -> ((s, dir) =>
+      graft.streaming.Streams.Batch.sessionize(
+        Demo.table(s, dir, "events").select("user_id", "ts", "value"),
+        "user_id", "ts", "value", gapMs = 1800000L)
+        .orderBy("key", "session_start")),
     // §1.2 JSON map + §2.4: JSON extraction + time-bucketed agg
     "events_json_hourly" -> ((s, dir) =>
       Demo.table(s, dir, "events")
@@ -302,6 +309,7 @@ object SparkEntry {
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
+    "sessionize_events" -> OracleSql.sessionizeEvents,
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,

@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over MemoryStream micro-batches. */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming dedup within watermark drops re-sent ids") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts"), "id", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2026-01-01 10:00:00")),
+        (2L, ts("2026-01-01 10:00:10")), (1L, ts("2026-01-01 10:00:20")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2026-01-01 10:01:00")),
+        (3L, ts("2026-01-01 10:01:30")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts aggregate by event-time window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val counts = Streams.windowedCounts(
+      input.toDF().toDF("etype", "ts", "value"),
+      "ts", "etype", "value", window = "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_out").outputMode("complete").start()
+    try {
+      input.addData(
+        ("click", ts("2026-01-01 10:05:00"), 1.0),
+        ("click", ts("2026-01-01 10:55:00"), 2.0),
+        ("click", ts("2026-01-01 11:05:00"), 4.0),
+        ("view", ts("2026-01-01 10:10:00"), 8.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .orderBy("etype", "window_start").collect()
+      assert(out.length === 3)
+      val clicks10 = out.head
+      assert(clicks10.getAs[Long]("n") === 2 &&
+        clicks10.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes a session on in-batch gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = Streams.sessionize(
+      input.toDS().withWatermark("_2", "5 minutes"), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // burst 1 (2 events, 30s apart) … 10min silence … burst 2
+      input.addData(
+        ("u1", ts("2026-01-01 10:00:00"), 1.0),
+        ("u1", ts("2026-01-01 10:00:30"), 2.0),
+        ("u1", ts("2026-01-01 10:10:00"), 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+      assert(out.length === 1) // first burst closed by the gap
+      val s = out.head
+      assert(s.getAs[String]("key") === "u1")
+      assert(s.getAs[Long]("n_events") === 2 &&
+        s.getAs[Double]("sum_value") === 3.0)
+      assert(s.getAs[Timestamp]("session_end") === ts("2026-01-01 10:00:30"))
+    } finally q.stop()
+  }
+
+  test("batch sessionize: gap splits, rollups correct") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", ts("2026-01-01 10:00:00"), 1.0),
+      ("u1", ts("2026-01-01 10:00:30"), 2.0),
+      ("u1", ts("2026-01-01 10:10:00"), 4.0),
+      ("u2", ts("2026-01-01 09:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = Streams.Batch.sessionize(df, "user_id", "ts", "value", 60000L)
+      .orderBy("key", "session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 2 &&
+      out(0).getAs[Double]("sum_value") === 3.0)
+    assert(out(1).getAs[Long]("n_events") === 1 &&
+      out(1).getAs[Double]("sum_value") === 4.0)
+    assert(out(2).getAs[String]("key") === "u2")
+  }
+}
