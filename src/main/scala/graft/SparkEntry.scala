@@ -17,15 +17,29 @@ object SparkEntry {
     * "trading" name variants) enter the result alongside exact matches. */
   private val demoCfg = MatchConfig(fuzzyThreshold = 0.6)
 
+  /** The cleaned/matched demo frames feed many queries (and appear 2-4×
+    * inside single query trees); persist once per (session, dir). The
+    * frames are small (the cleaned sides of the demo workload), and
+    * Spark's cache matches by analyzed plan, so every consumer hits the
+    * same entry. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def cachedFrame(s: SparkSession, dir: String, tag: String)(
+      f: => DataFrame): DataFrame =
+    frameCache.computeIfAbsent((s, dir, tag), _ =>
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def webClean(s: SparkSession, dir: String): DataFrame =
-    Clean.web(Demo.ccRaw(s, dir))
+    cachedFrame(s, dir, "web")(Clean.web(Demo.ccRaw(s, dir)))
   private def abrClean(s: SparkSession, dir: String): DataFrame =
-    Clean.abr(Demo.abrRaw(s, dir))
+    cachedFrame(s, dir, "abr")(Clean.abr(Demo.abrRaw(s, dir)))
   private def matchDf(s: SparkSession, dir: String): DataFrame =
-    Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens, demoCfg)
+    cachedFrame(s, dir, "match")(
+      Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens, demoCfg))
   private def matchedDf(s: SparkSession, dir: String): DataFrame =
-    Golden.matchedCompanies(matchDf(s, dir), webClean(s, dir),
-      abrClean(s, dir), minScore = 0.6)
+    cachedFrame(s, dir, "matched")(
+      Golden.matchedCompanies(matchDf(s, dir), webClean(s, dir),
+        abrClean(s, dir), minScore = 0.6))
 
   /** Deterministic stand-in for the LLM scorer in the demo query — a pure
     * function of the pair (SQL-expressible so the rescue path is

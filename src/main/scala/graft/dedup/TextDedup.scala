@@ -95,11 +95,11 @@ object TextDedup {
     * shingles: sig[i] = min over hashes h of ((2i+1)·h + i²+7) mod P.
     * Takes hashes (not strings) so the md5 pass runs once per shingle,
     * not once per permutation — Catalyst does not CSE across lambda
-    * bodies, so inlining the hash here would cost numPerms× md5 calls. */
+    * bodies, so inlining the hash here would cost numPerms× md5 calls.
+    * Codegen'd JVM loop (VectorAdapters.minhashSig), identical values to
+    * the nested transform/array_min formulation it replaces. */
   def minhashSignature(hashArr: Column, numPerms: Int): Column =
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(hashArr,
-        h => ((lit(2) * i + 1) * h + i * i + lit(7)) % P)))
+    graft.functions.GraftFunctions.minhash_sig(hashArr, numPerms)
 
   /**
    * Near-duplicate pairs via MinHash-LSH banding: documents sharing any
