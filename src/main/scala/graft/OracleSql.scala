@@ -313,6 +313,14 @@ FROM
           round(max(final_score), 4) AS max_match_score
    FROM match) m"""
 
+  /** jsonb_object_agg shape (fct_match_statistics.sql:85-89): build the
+    * {"STATE":count,...} string with deterministic (sorted) key order to
+    * match Spark's to_json(map_from_entries(array_sort(...))). */
+  val stateBreakdownJson: String = prelude +
+    """SELECT '{' || string_agg('"' || state_std || '":' || cnt, ',' ORDER BY state_std) || '}' AS state_breakdown
+FROM (SELECT state_std, count(*) AS cnt FROM mjoin
+      WHERE state_std IS NOT NULL GROUP BY state_std)"""
+
   val matchesByState: String = prelude +
     """SELECT state_std AS state, count(*) AS match_count
 FROM mjoin GROUP BY 1 ORDER BY match_count DESC, state NULLS FIRST"""

@@ -163,6 +163,9 @@ object SparkEntry {
     // §2.4 A5: group-by state counts
     "etl_match_by_state" -> ((s, dir) =>
       Stats.matchesByState(matchedDf(s, dir))),
+    // §2.4 A8: map-building aggregate → one JSON object column
+    "etl_state_breakdown_json" -> ((s, dir) =>
+      Stats.stateBreakdownJson(matchedDf(s, dir))),
     // §2.3 J4 + §2.4 A5: join + group-by aggregation
     "agg_revenue_by_segment" -> ((s, dir) =>
       Demo.table(s, dir, "orders")
@@ -319,6 +322,7 @@ object SparkEntry {
     "etl_golden_dim" -> OracleSql.goldenDim,
     "etl_match_stats" -> OracleSql.matchStats,
     "etl_match_by_state" -> OracleSql.matchesByState,
+    "etl_state_breakdown_json" -> OracleSql.stateBreakdownJson,
     "agg_revenue_by_segment" -> OracleSql.revenueBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
