@@ -23,12 +23,15 @@ sh AS (SELECT doc_id,
   val exact: String = """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Jaccard over HASHED shingle sets (same md5-based hash as Spark, so
+    * any collision is identical on both engines). */
   val ngramPairs: String = s"""WITH $shCte,
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.s) > 0 AND len(b.s) > 0)
+        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+          (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      WHERE len(a.hs) > 0 AND len(b.hs) > 0)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 
   /** minhash value for permutation i over the hs list column. */
@@ -46,7 +49,7 @@ SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""
       .mkString("\nUNION ALL\n")
     s"""WITH $shCte,
 shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-sig AS (SELECT doc_id, s, list_transform(s, x -> ${hashOf("x")}) AS hs FROM shf),
+sig AS (SELECT doc_id, s, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM shf),
 bands AS (
 $bandSelects),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -54,11 +57,11 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            ON a.band_id = b.band_id AND a.band_sig = b.band_sig
           AND a.doc_id < b.doc_id),
 v AS (SELECT c.doc_a, c.doc_b,
-        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
       FROM cand c
-      JOIN shf sa ON sa.doc_id = c.doc_a
-      JOIN shf sb ON sb.doc_id = c.doc_b)
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
   }
 

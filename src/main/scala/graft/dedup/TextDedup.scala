@@ -66,15 +66,20 @@ object TextDedup {
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Persisted: the shingle transform is interpreted (higher-order
-    // function) and feeds three consumers (index + two size joins).
+    // The inverted index carries the 60-bit shingle HASH, not the shingle
+    // string: 8-byte shuffle keys and long-vs-long join comparisons.
+    // Jaccard is over hashed-shingle sets — the oracle hashes with the
+    // same md5-based function, so any collision is identical on both
+    // engines. Persisted: the shingle transform is interpreted
+    // (higher-order function) and feeds three consumers.
     val withSh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
+        array_distinct(transform(shingles(col(textCol), n),
+          s => strHash(s))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
-    val inv = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = withSh.select(col("doc_id"), size(col("hs")).as("nsh"))
+    val inv = withSh.select(col("doc_id"), explode(col("hs")).as("h"))
     val pairs = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -124,7 +129,9 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       // hs as its own column: one md5 pass per shingle, reused by all
       // permutations (Catalyst does not CSE across lambda bodies).
-      .withColumn("hs", transform(col("sh"), s => strHash(s)))
+      // Distinct so the verification intersect runs on hash SETS (the
+      // signature min is unaffected by duplicates).
+      .withColumn("hs", array_distinct(transform(col("sh"), s => strHash(s))))
       .withColumn("sig", minhashSignature(col("hs"), numPerms))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (band_id, band_signature, doc_id) — the only shuffled relation.
@@ -140,11 +147,12 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with the exact shingle Jaccard.
-    val shSets = withSh.select(col("doc_id"), col("sh"))
+    // Verify candidates with the exact hashed-shingle Jaccard (long-array
+    // intersect; the oracle hashes identically).
+    val shSets = withSh.select(col("doc_id"), col("hs"))
     cand
-      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
