@@ -24,8 +24,18 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    info(s"warehouse: $warehouse")
+    // Drop stale table dirs from previous test JVMs: the in-memory
+    // metastore forgets the table but the warehouse directory survives,
+    // and saveAsTable refuses an existing unmanaged location.
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, t)
+      if (dir.exists())
+        scala.reflect.io.Directory(
+          new scala.reflect.io.File(dir).jfile).deleteRecursively()
+    }
     Bucketing.writeBucketed(
       Demo.table(spark, sf(), "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice"),

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{AbnKernel, SimilarityKernel, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests promised by SURVEY §5: normalization idempotence, ABN
+  * checksum vs an independently-computed table, similarity bounds. */
+class TextPropertySpec extends SparkSpec {
+
+  /** Deterministic property driver: n samples from a seeded generator. */
+  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      g.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b))(t => f(t._1, t._2))
+
+  private val nameGen: Gen[String] = for {
+    words <- Gen.listOfN(4, Gen.oneOf("ACME", "pty", "LTD", "Trading",
+      "&", "Group", "Ltd.", "the", "Söme", "2000", "co"))
+    sep <- Gen.oneOf(" ", "  ", " - ")
+  } yield words.mkString(sep)
+
+  private def normalize(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("x").select(Text.normalizeName(col("x"))).collect()
+      .head.getString(0)
+  }
+
+  test("normalizeName is idempotent (F1)") {
+    forAll(nameGen) { s =>
+      val once = normalize(s)
+      assert(normalize(once) === once)
+    }
+  }
+
+  test("blockKey is a ≤n-char lowercase prefix of the normalized name (F5)") {
+    import spark.implicits._
+    forAll(nameGen) { s =>
+      val r = Seq(s).toDF("x")
+        .select(Text.normalizeName(col("x")).as("n"))
+        .select(col("n"), Text.blockKey(col("n")).as("b"))
+        .collect().head
+      val b = r.getString(1)
+      assert(b.length <= 4)
+      assert(b === r.getString(0).toLowerCase.take(4))
+    }
+  }
+
+  test("ABN checksum matches independent arithmetic (F10)") {
+    val weights = Seq(10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+    def expected(abn: String): Boolean =
+      abn.length == 11 && abn.forall(_.isDigit) && {
+        val ds = abn.map(_ - '0').toArray
+        ds(0) -= 1
+        ds.zip(weights).map { case (d, w) => d * w }.sum % 89 == 0
+      }
+    forAll(Gen.listOfN(11, Gen.numChar).map(_.mkString)) { abn =>
+      assert(AbnKernel.isValid(UTF8String.fromString(abn)) === expected(abn))
+    }
+    // the known-valid ABN from the reference tests (test_parsing.py:51-53)
+    assert(AbnKernel.isValid(UTF8String.fromString("51824753556")))
+  }
+
+  test("similarity kernels bounded in [0,1] and reflexive (F19)") {
+    forAll2(nameGen, nameGen) { (a, b) =>
+      for (f <- Seq[(String, String) => Double](
+        SimilarityKernel.tokenSortRatio, SimilarityKernel.ratio,
+        SimilarityKernel.tokenSetRatio, SimilarityKernel.partialRatio)) {
+        val v = f(a, b)
+        assert(v >= 0.0 && v <= 1.0)
+        assert(f(a, a) === 1.0)
+      }
+    }
+  }
+}
