@@ -20,9 +20,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized from SPARK_GRAFT_CPUS (driver harness contract). */
+  /** Local session sized from SPARK_GRAFT_CPUS (driver harness contract),
+    * defaulting to all available cores (local[32] on the target box). */
   def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val s = configure(SparkSession.builder().master(s"local[$cpus]")
       .appName(appName), shufflePartitions = cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

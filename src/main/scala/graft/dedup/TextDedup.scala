@@ -73,8 +73,7 @@ object TextDedup {
     // engines. Persisted: the shingle transform is interpreted
     // (higher-order function) and feeds three consumers.
     val withSh = docs.select(col(idCol).as("doc_id"),
-        array_distinct(transform(shingles(col(textCol), n),
-          s => strHash(s))).as("hs"))
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = withSh.select(col("doc_id"), size(col("hs")).as("nsh"))
     val inv = withSh.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -125,13 +124,8 @@ object TextDedup {
     // signatures for the same reason; one row per document, so the
     // footprint is tiny relative to the corpus.
     val withSh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      // hs as its own column: one md5 pass per shingle, reused by all
-      // permutations (Catalyst does not CSE across lambda bodies).
-      // Distinct so the verification intersect runs on hash SETS (the
-      // signature min is unaffected by duplicates).
-      .withColumn("hs", array_distinct(transform(col("sh"), s => strHash(s))))
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignature(col("hs"), numPerms))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (band_id, band_signature, doc_id) — the only shuffled relation.

@@ -54,6 +54,45 @@ object VectorAdapters extends Serializable {
     math.sqrt(s)
   }
 
+  /** Distinct hashed word n-gram shingles of a text, in first-occurrence
+    * order — one JVM pass replacing the interpreted
+    * `array_distinct(transform(shingles(text), md5-hash))` chain.
+    * Hash = value of the first 15 hex digits of md5(shingle) mod P,
+    * identical to `conv(substr(md5(x),1,15),16,10) % P`. */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return ArrayData.toArrayData(Array.empty[Long])
+    val toks = text.toString.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return ArrayData.toArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      seen.add(v % 1000000007L)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** MinHash signature over pre-hashed shingles:
     * sig[i] = min_h ((2i+1)·h + i² + 7) mod P  (P = TextDedup.P). */
   def minhashSig(hashes: ArrayData, numPerms: Int): ArrayData = {
@@ -164,6 +203,14 @@ object GraftFunctions {
   def l2_norm(a: Column): Column =
     col(StaticInvoke(VectorAdapters.getClass, DoubleType, "norm",
       Seq(expr(a)), inputTypes = Seq(DoubleArray),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd distinct hashed n-gram shingles of a text column. */
+  def hashed_shingles(text: Column, n: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "hashedShingles",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n))),
+      inputTypes = Seq(StringType, IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd MinHash signature from pre-hashed shingles. */

@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} found extra ${lsh.diff(exact)}")
   }
 
+  test("hashed-shingle kernel equals the expression chain") {
+    import org.apache.spark.sql.functions._
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.hashed_shingles(col("text"), 3).as("hs"))
+    val viaExprs = docs.select(col("doc_id"),
+      array_distinct(transform(TextDedup.shingles(col("text"), 3),
+        s => TextDedup.strHash(s))).as("hs"))
+    val k = viaKernel.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+    val e = viaExprs.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+    assert(k.toSeq === e.toSeq) // same values, same order
+  }
+
   test("simhash: identical text → identical fingerprint; hamming 0 pairs found") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("doc_id", "text")
