@@ -160,22 +160,17 @@ object TextDedup {
    * 60-bit SimHash per document over term-frequency-weighted token hashes
    * (bit j of the fingerprint is 1 iff the occurrence-weighted vote for
    * bit j is positive — the classic Charikar construction).
-   * Computed via explode(token)×explode(bit) + two aggregations — all
-   * built-ins, shuffles (doc_id, j) keyed rows.
+   * One codegen'd per-document kernel pass, zero shuffle — an earlier
+   * formulation exploded tokens × 60 bit rows through two aggregations,
+   * which is 60·|tokens| shuffled rows (wrong shape at corpus scale).
    */
-  def simhash(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", strHash(col("t")))
-    tok.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      // token-less documents have no fingerprint (the aggregation
+      // formulation — and the oracle — produce no row for them)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.simhash60(col(textCol)).as("simhash"))
 
   /**
    * Document pairs with SimHash Hamming distance ≤ maxDist, bucketed by

@@ -93,6 +93,43 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** 60-bit SimHash (Charikar) of a text: occurrence-weighted bit votes
+    * over the md5-prefix token hashes — one per-document pass, no
+    * shuffle (the expression formulation exploded tokens × 60 bit rows).
+    * Bit j of the result is 1 iff Σ_tokens (±1 by bit j of hash) > 0. */
+  def simhash60(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.toString.toLowerCase.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        md.reset()
+        val d = md.digest(toks(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+        val h = v % 1000000007L
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** MinHash signature over pre-hashed shingles:
     * sig[i] = min_h ((2i+1)·h + i² + 7) mod P  (P = TextDedup.P). */
   def minhashSig(hashes: ArrayData, numPerms: Int): ArrayData = {
@@ -211,6 +248,12 @@ object GraftFunctions {
       ArrayType(LongType, containsNull = false), "hashedShingles",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n))),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd 60-bit SimHash of a text column. */
+  def simhash60(text: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "simhash60",
+      Seq(expr(text)), inputTypes = Seq(StringType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd MinHash signature from pre-hashed shingles. */
