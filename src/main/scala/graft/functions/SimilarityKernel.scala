@@ -100,15 +100,54 @@ object SimilarityKernel extends Serializable {
     if (s1 == null || s2 == null || s1.isEmpty || s2.isEmpty) return 0.0
     val (shorter, longer) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
     if (shorter.length == longer.length) return indelSimilarity(shorter, longer)
-    var best = 0.0
+    val m = shorter.length
+    if (m > 64) {
+      // rare long-name fallback: per-window DP
+      var best = 0.0
+      var i = 0
+      val n = longer.length - m
+      while (i <= n && best < 1.0) {
+        val sim = indelSimilarity(shorter, longer.substring(i, i + m))
+        if (sim > best) best = sim
+        i += 1
+      }
+      return best
+    }
+    // Bit-parallel fast path: the pattern (shorter) is constant across
+    // windows, so its match-mask table is built ONCE; each window is
+    // scanned in place (no substring allocation, no per-window HashMap).
+    val masks = new java.util.HashMap[Character, java.lang.Long](m * 2)
+    var p = 0
+    while (p < m) {
+      val c = Character.valueOf(shorter.charAt(p))
+      val prev = masks.get(c)
+      masks.put(c, java.lang.Long.valueOf(
+        (if (prev == null) 0L else prev.longValue()) | (1L << p)))
+      p += 1
+    }
+    val full = if (m == 64) -1L else (1L << m) - 1
+    var bestLcs = 0
     var i = 0
-    val n = longer.length - shorter.length
-    while (i <= n && best < 1.0) {
-      val sim = indelSimilarity(shorter, longer.substring(i, i + shorter.length))
-      if (sim > best) best = sim
+    val n = longer.length - m
+    while (i <= n && bestLcs < m) {
+      var s = full
+      var j = i
+      val end = i + m
+      while (j < end) {
+        val mk = masks.get(Character.valueOf(longer.charAt(j)))
+        if (mk != null) {
+          val u = s & mk.longValue()
+          s = (s + u) | (s - u)
+        }
+        j += 1
+      }
+      val lcs = m - java.lang.Long.bitCount(s & full)
+      if (lcs > bestLcs) bestLcs = lcs
       i += 1
     }
-    best
+    // max over windows of indelSimilarity, computed from the best LCS
+    // (monotone); same float expression as indelSimilarity for bit parity
+    1.0 - (2 * (m - bestLcs)).toDouble / (2 * m)
   }
 
   // ---------------------------------------------------------------- internals

@@ -100,6 +100,21 @@ class SimilarityKernelSpec extends AnyFunSuite {
     assert(K.partialRatio("ACME", "XXACMEXX") == 1.0)
   }
 
+  test("partial_ratio fast path equals naive per-window max (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    def naive(s1: String, s2: String): Double = {
+      val (sh, lo) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
+      if (sh.length == lo.length) K.indelSimilarity(sh, lo)
+      else (0 to lo.length - sh.length)
+        .map(i => K.indelSimilarity(sh, lo.substring(i, i + sh.length))).max
+    }
+    for (_ <- 1 to 300) {
+      val a = (1 to 1 + rnd.nextInt(20)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val b = (1 to 1 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      assert(K.partialRatio(a, b) === naive(a, b), s"a=$a b=$b")
+    }
+  }
+
   test("ABN checksum (reference utils.py:270-300, test_parsing.py:48-67)") {
     assert(AbnKernel.isValidString("51824753556"))
     assert(AbnKernel.isValidString("51 824 753 556")) // spaced input ok
