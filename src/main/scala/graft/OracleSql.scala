@@ -365,6 +365,14 @@ SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
 FROM s GROUP BY user_id, sid
 ORDER BY key, session_start"""
 
+  /** DuckDB's native ASOF LEFT JOIN oracles Relational.asofJoin. */
+  val asofPurchaseClick: String = """SELECT p.event_id, p.user_id, p.ts, p.value,
+  c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id"""
+
   val eventsJsonHourly: String = """SELECT event_type,
   date_trunc('hour', ts) AS hour,
   count(*) AS n,

@@ -196,6 +196,19 @@ object SparkEntry {
           .select("user_id", "event_id", "ts", "event_type", "value"),
         Seq("user_id"), "ts", "event_id")
         .orderBy("user_id")),
+    // Time-series extension: as-of join (purchase ← latest click at or
+    // before it, per user) via the union+window formulation
+    "asof_purchase_click" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events")
+      Relational.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
+        .orderBy("event_id")
+    }),
     // §2.10 extension: gap-based sessionization (batch twin of the
     // streaming flatMapGroupsWithState sessionizer; 30-minute gap)
     "sessionize_events" -> ((s, dir) =>
@@ -328,6 +341,7 @@ object SparkEntry {
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
     "sessionize_events" -> OracleSql.sessionizeEvents,
+    "asof_purchase_click" -> OracleSql.asofPurchaseClick,
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,

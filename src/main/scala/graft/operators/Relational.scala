@@ -50,4 +50,48 @@ object Relational {
       leftKey: String, rightKey: String): DataFrame =
     left.join(right.select(col(rightKey)).distinct(),
       left(leftKey) === col(rightKey), "left_anti")
+
+  /**
+   * Left as-of join: each left row gets the right row with the largest
+   * `rightTs` ≤ its `leftTs` (strictly < when allowExact=false) within
+   * the same key group; no match → nulls. Right non-key columns are
+   * appended (rename them before the call to avoid collisions).
+   *
+   * Implementation is the union + ordered-window formulation: tag the two
+   * sides, sort each key group once by (ts, side), and carry the latest
+   * right payload forward with last(ignoreNulls). ONE shuffle on the key
+   * and one per-partition sort — the scalable shape for time-series
+   * enrichment, vs. a range-condition join which Spark executes as a
+   * per-key cross product. Right rows sharing an exact (key, ts) must be
+   * unique per key+ts for deterministic output (true for event streams
+   * with high-resolution timestamps).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      allowExact: Boolean = true): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(keys.contains)
+    val leftSide = if (allowExact) 1 else 0
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_ts"), lit(leftSide).as("_side"),
+        struct(left.columns.map(col): _*).as("_lv"),
+        lit(null).cast(right.select(
+          struct(rightPayloadCols.map(col): _*)).schema.head.dataType)
+          .as("_rv")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast(left.schema(leftTs).dataType).as("_ts"),
+        lit(1 - leftSide).as("_side"),
+        lit(null).cast(left.select(
+          struct(left.columns.map(col): _*)).schema.head.dataType).as("_lv"),
+        struct(rightPayloadCols.map(col): _*).as("_rv")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === leftSide && col("_lv").isNotNull)
+      .select(left.columns.map(c => col(s"_lv.$c").as(c)) ++
+        rightPayloadCols.map(c => col(s"_asof.$c").as(c)): _*)
+  }
 }
