@@ -373,6 +373,30 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id"""
 
+  /** Events joined into their containing session interval
+    * (Relational.rangeJoin over Streams.Batch.sessionize output). */
+  val rangeJoinEventSessions: String = """WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid)
+SELECT ev.event_id, ev.user_id, ev.ts,
+       sx.session_start, sx.session_end, sx.n_events
+FROM events ev
+JOIN sess sx ON ev.user_id = sx.user_id
+  AND ev.ts BETWEEN sx.session_start AND sx.session_end
+ORDER BY ev.event_id"""
+
   val eventsJsonHourly: String = """SELECT event_type,
   date_trunc('hour', ts) AS hour,
   count(*) AS n,

@@ -209,6 +209,19 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
         .orderBy("event_id")
     }),
+    // Time-series extension: banded range join — events into their
+    // containing session interval
+    "range_join_event_sessions" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events").select("event_id", "user_id", "ts")
+      val sess = graft.streaming.Streams.Batch.sessionize(
+        Demo.table(s, dir, "events").select("user_id", "ts", "value"),
+        "user_id", "ts", "value", gapMs = 1800000L)
+        .withColumnRenamed("key", "user_id")
+        .select("user_id", "session_start", "session_end", "n_events")
+      Relational.rangeJoin(ev, sess, Seq("user_id"), "ts",
+        "session_start", "session_end", bucketSeconds = 3600)
+        .orderBy("event_id")
+    }),
     // §2.10 extension: gap-based sessionization (batch twin of the
     // streaming flatMapGroupsWithState sessionizer; 30-minute gap)
     "sessionize_events" -> ((s, dir) =>
@@ -342,6 +355,7 @@ object SparkEntry {
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
     "sessionize_events" -> OracleSql.sessionizeEvents,
     "asof_purchase_click" -> OracleSql.asofPurchaseClick,
+    "range_join_event_sessions" -> OracleSql.rangeJoinEventSessions,
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,

@@ -66,6 +66,33 @@ object Relational {
    * unique per key+ts for deterministic output (true for event streams
    * with high-resolution timestamps).
    */
+  /**
+   * Range (interval-containment) join: left rows paired with right rows
+   * whose [startCol, endCol] interval contains the left `tsCol`, equi on
+   * `keys`.
+   *
+   * Implementation: right intervals are exploded into coarse time buckets
+   * of `bucketSeconds` and the join runs equi on (keys, bucket) before the
+   * exact containment filter — a banded range join. Spark executes a raw
+   * `l.ts BETWEEN r.s AND r.e` predicate as a per-key nested loop
+   * (BroadcastNestedLoopJoin at worst); bucketing restores a hash join
+   * whose fan-out is bounded by interval_length / bucketSeconds + 1.
+   * Pick bucketSeconds near the typical interval length.
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 3600): DataFrame = {
+    val b = lit(bucketSeconds)
+    val lb = left.withColumn("_bucket",
+      floor(unix_timestamp(col(tsCol)) / b))
+    val rb = right.withColumn("_bucket",
+      explode(sequence(floor(unix_timestamp(col(startCol)) / b),
+        floor(unix_timestamp(col(endCol)) / b))))
+    lb.join(rb, keys :+ "_bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bucket")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       allowExact: Boolean = true): DataFrame = {

@@ -41,6 +41,25 @@ class AsofSpec extends SparkSpec {
       ("C", 50L, None))) // key with no right rows
   }
 
+  test("range join: bucketed result equals the naive BETWEEN join") {
+    val ev = Demo.table(spark, sf(), "events")
+      .select("event_id", "user_id", "ts")
+    val sess = graft.streaming.Streams.Batch.sessionize(
+      Demo.table(spark, sf(), "events").select("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapMs = 1800000L)
+      .withColumnRenamed("key", "user_id")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val banded = Relational.rangeJoin(ev, sess, Seq("user_id"), "ts",
+      "session_start", "session_end", bucketSeconds = 600)
+    val naive = ev.join(sess, Seq("user_id"))
+      .filter(col("ts") >= col("session_start") &&
+        col("ts") <= col("session_end"))
+    assert(banded.count() === naive.count())
+    assert(banded.count() === ev.count()) // sessions partition the events
+    assert(banded.select(banded.columns.map(col): _*)
+      .exceptAll(naive.select(banded.columns.map(col): _*)).count() === 0)
+  }
+
   test("strict as-of excludes the exact-timestamp quote") {
     val out = Relational.asofJoin(trades, quotes, Seq("sym"), "tts", "qts",
       allowExact = false)
