@@ -81,6 +81,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream-sink")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val input = MemoryStream[(Long, Timestamp)]
+    def start() = Streams.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts"), "id", "ts", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData((1L, ts("2026-01-01 10:00:00")),
+      (2L, ts("2026-01-01 10:00:05")), (1L, ts("2026-01-01 10:00:06")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint; dedup state survives (id 2 re-sent)
+    val q2 = start()
+    input.addData((2L, ts("2026-01-01 10:00:30")),
+      (3L, ts("2026-01-01 10:00:40")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out)
+    assert(result.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionize: gap splits, rollups correct") {
     import spark.implicits._
     val df = Seq(
