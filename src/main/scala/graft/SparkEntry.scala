@@ -324,6 +324,11 @@ object SparkEntry {
         Demo.table(s, dir, "documents")
           .withColumn("payload", encode(col("text"), "UTF-8")),
         "payload", "doc_id").toDF().orderBy("id")),
+    // Training-data ops: one-pass per-column dataset profile (approx
+    // distinct is HLL-based — no SQL oracle, rows-only; StatsProfileSpec
+    // asserts exact metrics and HLL error bounds)
+    "profile_documents" -> ((s, dir) =>
+      Stats.profile(Demo.table(s, dir, "documents")).orderBy("column")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")

@@ -60,6 +60,39 @@ object Stats {
         round(avg(col("final_score")), 4).as("avg_score"))
       .orderBy("match_method")
 
+  /** Per-column dataset profile in ONE aggregation pass: row count,
+    * non-null count, approximate distinct (HLL++, rsd 5%), min/max as
+    * strings, mean for numeric columns. The profiling sweep a
+    * training-data pipeline runs before using a new source — one job
+    * regardless of column count (each metric is a map-side partial
+    * aggregate; no per-column scans). Approximate distinct is the scale
+    * choice: exact countDistinct per column would add one shuffle each. */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    val aggs = targets.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+        approx_count_distinct(col(c), 0.05).as(s"_dst_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"),
+        (if (numeric(c)) round(avg(col(c)), 4) else lit(null).cast("double"))
+          .as(s"_avg_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val entries = array(targets.map(c => struct(
+      lit(c).as("column"),
+      col("_rows").as("n_rows"),
+      col(s"_cnt_$c").as("n_non_null"),
+      col(s"_dst_$c").as("approx_distinct"),
+      col(s"_min_$c").as("min_value"),
+      col(s"_max_$c").as("max_value"),
+      col(s"_avg_$c").as("mean"))): _*)
+    one.select(explode(entries).as("p")).select("p.*")
+  }
+
   /** State→count as a single JSON object column — the
     * jsonb_object_agg shape (fct_match_statistics.sql:85-89). Sorted map
     * entries so the JSON string is deterministic. */
