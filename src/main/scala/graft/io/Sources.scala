@@ -253,7 +253,7 @@ object Sources {
 
     def pathStr: String = path.mkString("/")
 
-    while (r.hasNext) {
+    def parseLoop(): Unit = while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           val tag = local(r.getLocalName)
@@ -308,6 +308,11 @@ object Sources {
         case _ => ()
       }
     }
+    // Malformed/truncated XML yields the parsed prefix instead of failing
+    // the task, like the reference's ET.ParseError handler
+    // (parse_abr.py:87-91 logs and returns what was generated so far).
+    try parseLoop()
+    catch { case _: javax.xml.stream.XMLStreamException => () }
     r.close()
     out.iterator
   }

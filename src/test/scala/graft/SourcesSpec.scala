@@ -149,6 +149,13 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(fb.start_date === "2018-03-15") // dd/MM/yyyy
   }
 
+  test("ABR XML truncated mid-document yields parsed prefix") {
+    val cut = abrXml.substring(0, abrXml.indexOf("<ABR>\n  <ABN status=\"ACT\" ABNStatusFromDate=\"15/03/2018\"") + 30)
+    val recs = Sources.parseAbrStream(new ByteArrayInputStream(
+      cut.getBytes(StandardCharsets.UTF_8))).toList
+    assert(recs.map(_.abn) === List("51824753556", "12345678901"))
+  }
+
   test("abrEntities DataFrame end-to-end over a file") {
     val dir = new File("target/tmp/abr"); dir.mkdirs()
     val f = new File(dir, "abr1.xml")
