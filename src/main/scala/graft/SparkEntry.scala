@@ -258,6 +258,16 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id").orderBy("doc_a", "doc_b")),
+    // Training-data ops: near-dup pairs → dedup clusters (connected
+    // components by min-label propagation; keeper = min doc id)
+    "dedup_components" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "text", "doc_id")
+      graft.dedup.ConnectedComponents.label(
+        docs.select("doc_id"), pairs, "doc_a", "doc_b")
+        .withColumn("is_keeper", col("component") === col("node"))
+        .orderBy("node")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -367,6 +377,7 @@ object SparkEntry {
     "dedup_exact" -> DedupOracles.exact,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
+    "dedup_components" -> DedupOracles.components,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list by iterative
+ * min-label propagation — the step that turns pairwise near-duplicate
+ * matches into dedup CLUSTERS (keep one representative per component).
+ *
+ * Each iteration joins the current labels across edges (both directions)
+ * and takes the minimum seen label per node; fixpoint when no label
+ * changes. Iterations needed ≈ graph diameter; near-dup graphs are
+ * overwhelmingly tiny cliques/chains, so 3-5 rounds converge in practice
+ * and `maxIter` bounds pathological chains. Each round is one
+ * shuffle-join + one aggregation over (node, label) pairs — no driver
+ * materialization, and intermediate label relations are persisted and
+ * released round-to-round (the standard large-graph-on-DataFrames loop;
+ * for billion-edge graphs swap in large-star/small-star, same skeleton).
+ */
+object ConnectedComponents {
+
+  /** Label every node (from `nodes`, one column) with the minimum node id
+    * reachable through `edges` (aCol, bCol). Output: (node, component);
+    * isolated nodes label themselves. */
+  def label(nodes: DataFrame, edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val nodeCol = nodes.columns.head
+    // symmetric edge list
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(nodeCol).as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // neighbor labels: for each node u, the labels of its neighbors v
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("component"))
+      val next = labels.select(col("node"), col("component"))
+        .unionByName(viaNeighbors)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "_old"), "node")
+        .filter(col("component") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -65,7 +65,20 @@ v AS (SELECT c.doc_a, c.doc_b,
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
   }
 
-  private val simhashCte = s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
+  /** Connected components of the MinHash near-dup graph via a recursive
+    * reachability CTE; component = min reachable doc id. */
+  val components: String = s"""WITH RECURSIVE
+pairs AS ($minhashLshPairs),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node, min(comp) AS component, min(comp) = node AS is_keeper
+FROM walk GROUP BY node ORDER BY node"""
+
+  private val simhashCte =s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
 tok AS (SELECT doc_id, ${hashOf("tk")} AS h
         FROM (SELECT doc_id, unnest(toks) AS tk FROM tt)),
 bitsum AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s

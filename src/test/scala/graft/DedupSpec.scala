@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} found extra ${lsh.diff(exact)}")
   }
 
+  test("connected components: chain, clique, isolated node") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, clique 4-5-6 (all pairs), isolated 7
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val labels = graft.dedup.ConnectedComponents
+      .label(nodes, edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
