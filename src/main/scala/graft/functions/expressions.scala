@@ -93,6 +93,24 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** Rabin-Karp polynomial rolling hash of a text's UTF-8 bytes
+    * (base 257 mod 1_000_000_007): a content fingerprint computable
+    * incrementally over streams/chunks — the complement of the
+    * token-set fingerprint in TextAnalysis (which is order-insensitive;
+    * this one is order-sensitive). */
+  def rollingHash(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val bytes = text.getBytes
+    val P = 1000000007L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 257 + (bytes(i) & 0xff)) % P
+      i += 1
+    }
+    h
+  }
+
   /** 60-bit SimHash (Charikar) of a text: occurrence-weighted bit votes
     * over the md5-prefix token hashes — one per-document pass, no
     * shuffle (the expression formulation exploded tokens × 60 bit rows).
@@ -248,6 +266,12 @@ object GraftFunctions {
       ArrayType(LongType, containsNull = false), "hashedShingles",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n))),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd Rabin-Karp rolling-hash fingerprint of a text column. */
+  def rolling_hash(text: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "rollingHash",
+      Seq(expr(text)), inputTypes = Seq(StringType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd 60-bit SimHash of a text column. */

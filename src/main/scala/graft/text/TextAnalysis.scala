@@ -104,5 +104,7 @@ object TextAnalysis {
       round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
       qualityScore(col(textCol)).as("quality_score"),
       languageId(col(textCol)).as("lang_pred"),
-      fingerprint(col(textCol)).as("fingerprint"))
+      fingerprint(col(textCol)).as("fingerprint"),
+      graft.functions.GraftFunctions.rolling_hash(col(textCol))
+        .as("rolling_fp"))
 }

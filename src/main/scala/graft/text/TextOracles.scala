@@ -48,7 +48,11 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
          WHEN de_h >= greatest(fr_h, zh_h) THEN 'de'
          WHEN fr_h >= zh_h THEN 'fr' ELSE 'zh' END
     ELSE 'und' END AS lang_pred,
-  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+  CASE WHEN len(text) = 0 THEN 0
+       ELSE list_reduce(list_transform(range(1, len(text) + 1),
+              i -> ord(substr(text, CAST(i AS BIGINT), 1))),
+            (a,b) -> (CAST(a AS BIGINT) * 257 + b) % 1000000007) END AS rolling_fp
 FROM q ORDER BY doc_id"""
 
   private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
