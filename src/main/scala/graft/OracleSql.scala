@@ -331,7 +331,21 @@ FROM mjoin GROUP BY 1 ORDER BY match_count DESC, state NULLS FIRST"""
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
-  val top3OrdersPerCustomer: String = """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  val rollupRevenue: String = """SELECT c_mktsegment AS segment, o_orderstatus AS status,
+  count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+ORDER BY segment NULLS FIRST, status NULLS FIRST"""
+
+  val quantilesPriceBySegment: String = """SELECT c_mktsegment,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val top3OrdersPerCustomer: String ="""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders) t

@@ -176,6 +176,29 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
             .as("revenue"))
         .orderBy("c_mktsegment")),
+    // Beyond-reference analytics: ROLLUP hierarchy aggregate
+    "rollup_revenue" -> ((s, dir) => {
+      val rolled = Demo.table(s, dir, "orders")
+        .join(Demo.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("revenue"))
+      rolled.orderBy(asc_nulls_first("segment"), asc_nulls_first("status"))
+    }),
+    // Beyond-reference analytics: exact interpolated quantiles per group
+    "quantiles_price_by_segment" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .join(Demo.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("c_mktsegment")),
     // §2.5 W2/W6: top-k per group window
     "window_top3_orders" -> ((s, dir) =>
       Relational.topKPerGroup(
@@ -365,6 +388,8 @@ object SparkEntry {
     "etl_match_by_state" -> OracleSql.matchesByState,
     "etl_state_breakdown_json" -> OracleSql.stateBreakdownJson,
     "agg_revenue_by_segment" -> OracleSql.revenueBySegment,
+    "rollup_revenue" -> OracleSql.rollupRevenue,
+    "quantiles_price_by_segment" -> OracleSql.quantilesPriceBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
