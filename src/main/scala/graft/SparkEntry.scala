@@ -57,8 +57,22 @@ object SparkEntry {
     llmMinScore = 0.60, llmMaxScore = 0.75, useLlm = true)
 
   private def matchLlmDf(s: SparkSession, dir: String): DataFrame =
-    Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens,
-      llmCfg, DemoLlm)
+    cachedFrame(s, dir, "match_llm")(
+      Match.run(webClean(s, dir), abrClean(s, dir), Match.JaccardTokens,
+        llmCfg, DemoLlm))
+
+  private def dimDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "dim")(
+      Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir)))
+
+  /** MinHash-LSH near-dup pairs over `documents`, shared by the pairs
+    * query and the connected-components clustering (the pair generation —
+    * band join + exact verify — is the expensive part; the output is a
+    * few rows per thousand documents). */
+  private def lshPairsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "lsh_pairs")(
+      TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
+        "text", "doc_id"))
 
   /** Merge demo: existing = cleaned ABR snapshot; incoming = the ABNs
     * ending in 7 with a status change and a null postcode (exercises both
@@ -151,11 +165,9 @@ object SparkEntry {
     }),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
-      Quality.report(Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir)))),
+      Quality.report(dimDf(s, dir))),
     // §2.3 J4/J5 + §2.6 U2 + §2.7 F22-F24: golden-record dim
-    "etl_golden_dim" -> ((s, dir) =>
-      Golden.dimCompanies(matchedDf(s, dir), abrClean(s, dir))
-        .orderBy("abn")),
+    "etl_golden_dim" -> ((s, dir) => dimDf(s, dir).orderBy("abn")),
     // §2.4 A4/A9 + §2.3 J7: singleton aggregates cross-joined
     "etl_match_stats" -> ((s, dir) =>
       Stats.matchStatistics(webClean(s, dir), abrClean(s, dir),
@@ -279,15 +291,13 @@ object SparkEntry {
         "text", "doc_id").orderBy("doc_a", "doc_b")),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
     "dedup_minhash_lsh" -> ((s, dir) =>
-      TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
-        "text", "doc_id").orderBy("doc_a", "doc_b")),
+      lshPairsDf(s, dir).orderBy("doc_a", "doc_b")),
     // Training-data ops: near-dup pairs → dedup clusters (connected
     // components by min-label propagation; keeper = min doc id)
     "dedup_components" -> ((s, dir) => {
       val docs = Demo.table(s, dir, "documents")
-      val pairs = TextDedup.minhashLshPairs(docs, "text", "doc_id")
       graft.dedup.ConnectedComponents.label(
-        docs.select("doc_id"), pairs, "doc_a", "doc_b")
+        docs.select("doc_id"), lshPairsDf(s, dir), "doc_a", "doc_b")
         .withColumn("is_keeper", col("component") === col("node"))
         .orderBy("node")
     }),

@@ -31,25 +31,33 @@ object ConnectedComponents {
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(nodeCol).as("node"))
+    var persisted = nodes.select(col(nodeCol).as("node"))
       .distinct()
       .withColumn("component", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // neighbor labels: for each node u, the labels of its neighbors v
+      // neighbor labels: for each node u, the labels of its neighbors v.
+      // The node's own row is tagged so the aggregation can emit both the
+      // new label (min over self + neighbors) and the old one (the self
+      // row) in a single pass — the convergence check then needs no
+      // second join against the previous labels.
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
-        .select(col("u").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
+        .select(col("u").as("node"), col("component"), lit(false).as("self"))
+      val step = labels
+        .select(col("node"), col("component"), lit(true).as("self"))
         .unionByName(viaNeighbors)
-        .groupBy("node").agg(min(col("component")).as("component"))
+        .groupBy("node").agg(
+          min(col("component")).as("component"),
+          min(when(col("self"), col("component"))).as("_old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("component", "_old"), "node")
-        .filter(col("component") =!= col("_old")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("component") =!= col("_old")).count()
+      persisted.unpersist()
+      persisted = step
+      labels = step.select("node", "component")
       i += 1
     }
     sym.unpersist()

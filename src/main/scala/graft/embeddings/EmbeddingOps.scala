@@ -200,20 +200,34 @@ object EmbeddingOps {
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
       dim: Int = 64): DataFrame = {
+    // Candidates first, score once: the bucket self-join carries only
+    // (table, bucket, id) rows, duplicate collisions (a pair can share a
+    // bucket in up to numTables tables) are dropped on the 2-long id pair
+    // BEFORE the vectors are fetched, and the 64-dim dot runs exactly
+    // once per distinct candidate. The earlier formulation dragged both
+    // vectors through the join and scored every collision (~numTables×
+    // redundant dots, and a distinct over float payloads).
+    // persisted: three longs per (vector, table) row, and the signature
+    // computation (numPlanes × numTables hyperplane dots per vector)
+    // feeds both sides of the self-join
     val b = lshBuckets(df, vecCol, idCol, numPlanes, numTables, dim)
-      .withColumn("v", asDouble(col("embedding")))
-      .withColumn("nrm", norm(col("v")))
-      .select("vec_id", "table", "bucket", "v", "nrm")
+      .select("vec_id", "table", "bucket")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a2 = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b2 = b.select(col("table"), col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a2.join(b2, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+    val cand = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val p = prepared(df, vecCol, idCol)
+    cand
+      .join(p.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(p.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }
