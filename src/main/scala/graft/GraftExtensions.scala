@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "dot_product"),
       exprs => expr(GraftFunctions.dot_product(col(exprs(0)), col(exprs(1))))))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName,
+        "heavy_hitters"),
+      exprs => graft.functions.HeavyHitters(exprs(0), exprs(1))
+        .toAggregateExpression()))
   }
 }

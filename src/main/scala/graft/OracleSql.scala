@@ -338,6 +338,79 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
 ORDER BY segment NULLS FIRST, status NULLS FIRST"""
 
+  val cubeRevenue: String = """SELECT c_mktsegment AS segment, o_orderstatus AS status,
+  count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+ORDER BY segment NULLS FIRST, status NULLS FIRST"""
+
+  val pivotStatusBySegment: String = """SELECT c_mktsegment AS segment,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY segment"""
+
+  val movingAvgDailyRevenue: String = """WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec
+  FROM orders GROUP BY o_orderdate)
+SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+  round(CAST(sum(rev_dec) OVER w7 AS DOUBLE) / count(*) OVER w7, 4) AS ma7,
+  CAST(sum(rev_dec) OVER wc AS DOUBLE) AS cum_revenue
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wc AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+ORDER BY day"""
+
+  val setIntersectCustomers: String = """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey"""
+
+  val setExceptNations: String = """SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey"""
+
+  val tokenFreqTop50: String = raw"""SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 50"""
+
+  val windowPercentiles: String = """SELECT c_custkey, c_mktsegment,
+  round(percent_rank() OVER w, 6) AS pr,
+  round(cume_dist() OVER w, 6) AS cd,
+  CAST(ntile(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey"""
+
+  val statsCorrLineitem: String = """SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  round(stddev_samp(l_quantity), 4) AS sd_qty,
+  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val collectNamesBySegment: String = """SELECT c_mktsegment AS segment,
+  count(*) AS n,
+  string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer GROUP BY c_mktsegment ORDER BY segment"""
+
+  /** Exact-regime oracle for the Misra-Gries aggregate: with k larger
+    * than the distinct-item count no decrement fires, so the sketch IS
+    * the exact group-by count. */
+  val heavyHittersEvents: String = """SELECT event_type AS item, count(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, item"""
+
+  val revenueByMonth: String = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY month ORDER BY month"""
+
   val quantilesPriceBySegment: String = """SELECT c_mktsegment,
   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,

@@ -200,6 +200,128 @@ object SparkEntry {
             .as("revenue"))
       rolled.orderBy(asc_nulls_first("segment"), asc_nulls_first("status"))
     }),
+    // Beyond-reference analytics: CUBE over (segment, status) — all four
+    // grouping sets in one pass (partial-agg friendly: Expand + one
+    // shuffle, not four scans)
+    "cube_revenue" -> ((s, dir) => {
+      val cubed = Demo.table(s, dir, "orders")
+        .join(Demo.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("revenue"))
+      cubed.orderBy(asc_nulls_first("segment"), asc_nulls_first("status"))
+    }),
+    // Beyond-reference analytics: PIVOT (status categories → columns);
+    // coalesce(0) because Spark's pivot yields null for empty cells where
+    // a conditional count yields 0
+    "pivot_status_by_segment" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .join(Demo.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("segment"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("segment")),
+    // Beyond-reference analytics: window FRAMES — 7-day moving average
+    // and running cumulative sum over the daily revenue series. Sums stay
+    // exact decimals inside the frame; the single float division at the
+    // end keeps the result engine-portable.
+    "moving_avg_daily_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Demo.table(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("rev_dec"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.select(col("day"),
+          col("rev_dec").cast("double").as("revenue"),
+          round(sum(col("rev_dec")).over(w7).cast("double") /
+            count(lit(1)).over(w7), 4).as("ma7"),
+          sum(col("rev_dec")).over(wCum).cast("double").as("cum_revenue"))
+        .orderBy("day")
+    }),
+    // §2.6 set ops beyond union: INTERSECT (customers with both a
+    // finished and an open order)
+    "set_intersect_customers" -> ((s, dir) => {
+      val o = Demo.table(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+    // §2.6 set ops beyond union: EXCEPT (nations with customers but no
+    // suppliers)
+    "set_except_nations" -> ((s, dir) =>
+      Demo.table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(Demo.table(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+    // Lateral/explode: corpus token frequencies, deterministic top-50
+    "token_freq_top50" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .select(explode(TextDedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(50)),
+    // §2.5 ranking windows: percent_rank / cume_dist / ntile (tiebroken
+    // ORDER BY so peer groups are single-row and values engine-portable)
+    "window_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Demo.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("c_custkey")
+    }),
+    // §2.4 statistical aggregates: correlation / stddev / covariance /
+    // regression slope per group
+    "stats_corr_lineitem" -> ((s, dir) =>
+      Demo.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("cov_qty_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"))
+        .orderBy("l_returnflag")),
+    // §2.4 A8 variant: ordered string aggregation (collect_list +
+    // array_sort ≡ string_agg ORDER BY)
+    "collect_names_by_segment" -> ((s, dir) =>
+      Demo.table(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",")
+            .as("names"))
+        .orderBy("segment")),
+    // Custom Catalyst aggregate: Misra-Gries heavy hitters (k=16 > 5
+    // distinct event types → exact regime, oracle-checkable; the
+    // approximate-regime guarantees are asserted in HeavyHittersSpec)
+    "heavy_hitters_events" -> ((s, dir) =>
+      Demo.table(s, dir, "events")
+        .agg(graft.functions.GraftFunctions
+          .heavy_hitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.n").as("n"))
+        .orderBy(desc("n"), asc("item"))),
+    // §2.7 date formatting + monthly rollup
+    "revenue_by_month" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("month")),
     // Beyond-reference analytics: exact interpolated quantiles per group
     "quantiles_price_by_segment" -> ((s, dir) =>
       Demo.table(s, dir, "orders")
@@ -399,6 +521,17 @@ object SparkEntry {
     "etl_state_breakdown_json" -> OracleSql.stateBreakdownJson,
     "agg_revenue_by_segment" -> OracleSql.revenueBySegment,
     "rollup_revenue" -> OracleSql.rollupRevenue,
+    "cube_revenue" -> OracleSql.cubeRevenue,
+    "pivot_status_by_segment" -> OracleSql.pivotStatusBySegment,
+    "moving_avg_daily_revenue" -> OracleSql.movingAvgDailyRevenue,
+    "set_intersect_customers" -> OracleSql.setIntersectCustomers,
+    "set_except_nations" -> OracleSql.setExceptNations,
+    "token_freq_top50" -> OracleSql.tokenFreqTop50,
+    "window_percentiles" -> OracleSql.windowPercentiles,
+    "stats_corr_lineitem" -> OracleSql.statsCorrLineitem,
+    "collect_names_by_segment" -> OracleSql.collectNamesBySegment,
+    "revenue_by_month" -> OracleSql.revenueByMonth,
+    "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
     "quantiles_price_by_segment" -> OracleSql.quantilesPriceBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,

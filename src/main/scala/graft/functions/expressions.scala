@@ -288,6 +288,13 @@ object GraftFunctions {
       inputTypes = Seq(ArrayType(LongType), IntegerType),
       propagateNull = true, returnNullable = false))
 
+  /** Misra-Gries heavy-hitters aggregate: at most k counters, mergeable,
+    * exact when the distinct-item count stays ≤ k (see [[HeavyHitters]]). */
+  def heavy_hitters(c: Column, k: Int): Column =
+    col(HeavyHitters(expr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
   /** Register the custom functions for Spark SQL usage. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -295,5 +302,8 @@ object GraftFunctions {
       exprs => AbnValid(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("token_sort_ratio",
       exprs => expr(token_sort_ratio(col(exprs(0)), col(exprs(1)))), "built-in")
+    reg.createOrReplaceTempFunction("heavy_hitters",
+      exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
 }
