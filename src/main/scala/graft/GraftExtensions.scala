@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "heavy_hitters"),
       exprs => graft.functions.HeavyHitters(exprs(0), exprs(1))
         .toAggregateExpression()))
+    // whole-operator custom plan: native as-of join (plans.AsofJoinPlan)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -366,6 +366,20 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
         .orderBy("event_id")
     }),
+    // Same as-of semantics through the NATIVE custom operator
+    // (plans.AsofJoinPlan → AsofJoinExec sort-merge scan): one shuffle
+    // per side, no union row expansion — same DuckDB ASOF JOIN oracle
+    "asof_native_purchase_click" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events")
+      graft.plans.AsofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
+        .orderBy("event_id")
+    }),
     // Time-series extension: banded range join — events into their
     // containing session interval
     "range_join_event_sessions" -> ((s, dir) => {
@@ -538,6 +552,7 @@ object SparkEntry {
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
     "sessionize_events" -> OracleSql.sessionizeEvents,
     "asof_purchase_click" -> OracleSql.asofPurchaseClick,
+    "asof_native_purchase_click" -> OracleSql.asofPurchaseClick,
     "range_join_event_sessions" -> OracleSql.rangeJoinEventSessions,
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,

@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+
+/**
+ * Native left AS-OF join — the whole-operator custom-plan path of the
+ * engine (logical node + planner strategy + physical operator), for the
+ * time-series enrichment the reference does with driver-side pandas
+ * lookups and Spark lacks as a built-in (DuckDB: `ASOF JOIN`).
+ *
+ * Semantics: every left row is paired with the right row having the
+ * largest `rightTs` ≤ its `leftTs` (strictly `<` when `allowExact`
+ * is false) within the same key group; no match → nulls. Output columns
+ * are `left.output ++ right payload` (right columns minus its keys).
+ *
+ * Physical execution is a sort-merge scan: both sides hash-partitioned
+ * on the keys (`ClusteredDistribution`, so EnsureRequirements
+ * co-partitions them) and sorted by (keys, ts); one forward pass per
+ * partition carries the latest matching right row per key. ONE shuffle
+ * per side, no row expansion, no window machinery — compared to the
+ * union+window formulation ([[graft.operators.Relational.asofJoin]])
+ * it avoids unioning the sides into a doubled sort and the
+ * null-padded payload columns. At 100 TB both sides stream through
+ * executors at O(partition) memory: state is a single buffered row.
+ */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    allowExact: Boolean) extends BinaryNode {
+
+  /** Right payload = right columns minus its join keys, nullable (no
+    * match → nulls, as in a left outer join). */
+  val rightPayload: Seq[Attribute] =
+    right.output.filterNot(a => rightKeys.exists(_.exprId == a.exprId))
+      .map(_.withNullability(true))
+
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. Injected per-session via
+  * `spark.experimental.extraStrategies` ([[AsofJoin.apply]]) or
+  * cluster-wide via `graft.GraftExtensions`. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsofJoinPlan =>
+      AsofJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+        j.rightKeys, j.leftTs, j.rightTs, j.allowExact, j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    allowExact: Boolean,
+    override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  /** Left rows pass through in their sorted order, on their partitioning. */
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val allowExactLocal = allowExact
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTsBound = BindReferences.bindReference[Expression](leftTs, left.output)
+      val rTsBound = BindReferences.bindReference[Expression](rightTs, right.output)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+      val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+        .asInstanceOf[Ordering[Any]]
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(right.output.size)
+      val outProj = UnsafeProjection.create(output, left.output ++ right.output)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = advanceRight()
+        private var lastMatch: InternalRow = _ // latest right row ≤ left ts
+        private var lastMatchKey: UnsafeRow = _
+        private def advanceRight(): InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTsVal = lTsBound.eval(l)
+          // null timestamps sort first and never participate in the
+          // inequality: a null left ts matches nothing, a null right ts
+          // is skipped
+          var scanning = rHead != null && lTsVal != null
+          while (scanning) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) {
+              rHead = advanceRight() // right key group already passed
+            } else if (c == 0) {
+              val rTsVal = rTsBound.eval(rHead)
+              if (rTsVal == null) {
+                rHead = advanceRight() // unusable right row
+              } else if ({ val tc = tsOrd.compare(rTsVal, lTsVal)
+                  tc < 0 || (allowExactLocal && tc == 0) }) {
+                // candidate: remember and look for a later one
+                lastMatch = rHead.copy()
+                lastMatchKey = lKey.copy()
+                rHead = advanceRight()
+              } else scanning = false // right ts beyond left row
+            } else scanning = false // right key group ahead of left
+            if (rHead == null) scanning = false
+          }
+          val matched = lTsVal != null && lastMatch != null &&
+            lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0
+          outProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-facing API for the native as-of join. */
+object AsofJoin {
+
+  /** Ensure the planner strategy is installed on this session
+    * (idempotent; cluster deployments get it via GraftExtensions). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+  /**
+   * Native as-of join of two DataFrames on equal `keys`, pairing each
+   * left row with the latest right row at-or-before (`allowExact`) its
+   * timestamp. Right key columns are dropped from the output (they equal
+   * the left ones); rename right payload columns beforehand on collision.
+   */
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      allowExact: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "asof join requires at least one equi key")
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side so a self-join (both sides derived from the
+    // same source) cannot carry duplicate expression ids into the plan.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(rAnalyzed.output.map(a =>
+      Alias(a, a.name)()), rAnalyzed)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    val node = AsofJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs), allowExact)
+    DatasetBridge.ofRows(spark, node)
+  }
+}

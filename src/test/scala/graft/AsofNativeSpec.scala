@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.{AsofJoin, AsofJoinExec}
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class AsofNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def purchases = Demo.table(spark, sf(), "events")
+    .filter(col("event_type") === "purchase")
+    .select("event_id", "user_id", "ts", "value")
+  private def clicks = Demo.table(spark, sf(), "events")
+    .filter(col("event_type") === "click")
+    .select(col("user_id"), col("ts").as("click_ts"),
+      col("value").as("click_value"))
+
+  test("native as-of join equals the union+window formulation on testdata") {
+    val native = AsofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .orderBy("event_id").collect()
+    val viaWindow = Relational.asofJoin(purchases, clicks,
+      Seq("user_id"), "ts", "click_ts").orderBy("event_id").collect()
+    assert(native.length == viaWindow.length)
+    assert(native.map(_.toString).toSeq == viaWindow.map(_.toString).toSeq)
+  }
+
+  test("physical plan is AsofJoinExec with one shuffle per side") {
+    val df = AsofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+    df.collect() // materialize so AQE finalizes the plan
+    // AQE wraps finished stages in leaf QueryStageExec nodes; flatten
+    // through them to see the whole physical tree
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
+      s"no AsofJoinExec in:\n${df.queryExecution.executedPlan}")
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles")
+  }
+
+  test("unmatched left rows null-pad; allowExact toggles boundary rows") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1"))
+      .toDF("k", "rts", "rv")
+    val exact = AsofJoin(l, r, Seq("k"), "ts", "rts").orderBy("ts", "k")
+      .collect().map(x => (x.getLong(0), x.getString(2), x.get(4))).toSeq
+    assert(exact == Seq(
+      (2L, "c", null), (1L, "a", "r10"), (1L, "b", "r15")))
+    val strict = AsofJoin(l, r, Seq("k"), "ts", "rts", allowExact = false)
+      .orderBy("ts", "k")
+      .collect().map(x => (x.getLong(0), x.getString(2), x.get(4))).toSeq
+    assert(strict == Seq(
+      (2L, "c", null), (1L, "a", null), (1L, "b", "r15")))
+  }
+
+  test("self-join sides with shared lineage do not collide") {
+    val base = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)).toDF("k", "ts", "v")
+    val out = AsofJoin(base,
+      base.select(col("k"), col("ts").as("rts"), col("v").as("rv")),
+      Seq("k"), "ts", "rts")
+    assert(out.columns.toSeq == Seq("k", "ts", "v", "rts", "rv"))
+    assert(out.count() == 2)
+  }
+}
