@@ -103,11 +103,15 @@ object SparkEntry {
   }
 
   private def withFeatures(pairs: DataFrame): DataFrame = {
-    val feats = graft.functions.Features.all(
+    import graft.functions.Features
+    // fused ratio kernel evaluated once per pair in its own projection
+    val staged = Features.withNameRatios(pairs,
+      col("crawl_name"), col("abr_name"))
+    val feats = Features.all(
       col("crawl_name"), col("abr_name"), col("crawl_url"), col("raw_text"),
       col("state_std"), col("postcode_std"), col("industry_std"),
-      col("entity_type_desc"))
-    pairs.select(Seq(col("crawl_url"), col("abn")) ++
+      col("entity_type_desc"), ratios = Some(col(Features.RatiosCol)))
+    staged.select(Seq(col("crawl_url"), col("abn")) ++
       feats.map { case (n, c) => c.as(n) }: _*)
       .withColumn("match_probability",
         graft.functions.Features.matchProbability(col))

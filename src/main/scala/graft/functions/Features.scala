@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
 object Features {
 
   /** Name-similarity block (feature_engineering.py:75-117). Null/empty
-    * names zero the whole block, as in the reference. */
-  def nameFeatures(name1: Column, name2: Column): Seq[(String, Column)] = {
+    * names zero the whole block, as in the reference.
+    *
+    * `ratios` may be a PRE-PROJECTED `name_ratios(name1, name2)` column
+    * (see [[withNameRatios]]): the four ratio features then read array
+    * slots of one kernel evaluation. Passing the raw expression instead
+    * would re-run the kernel per feature — each guard is a `when()`
+    * branch, and codegen's subexpression elimination does not extract
+    * subtrees that are only conditionally evaluated. */
+  def nameFeatures(name1: Column, name2: Column,
+      ratios: Option[Column] = None): Seq[(String, Column)] = {
     val bothPresent = name1.isNotNull && name2.isNotNull &&
       name1 =!= "" && name2 =!= ""
     def guarded(c: Column): Column =
@@ -26,13 +34,14 @@ object Features {
     val exact = guarded(
       when(Text.normalizeName(name1) === Text.normalizeName(name2), 1.0)
         .otherwise(0.0))
+    val r = ratios.getOrElse(GraftFunctions.name_ratios(name1, name2))
     Seq(
       "name_exact_match" -> exact,
       "normalized_exact" -> exact,
-      "name_fuzzy_ratio" -> guarded(GraftFunctions.indel_ratio(name1, name2)),
-      "name_token_sort" -> guarded(GraftFunctions.token_sort_ratio(name1, name2)),
-      "name_token_set" -> guarded(GraftFunctions.token_set_ratio(name1, name2)),
-      "name_partial_ratio" -> guarded(GraftFunctions.partial_ratio(name1, name2)))
+      "name_fuzzy_ratio" -> guarded(r.getItem(0)),
+      "name_token_sort" -> guarded(r.getItem(1)),
+      "name_token_set" -> guarded(r.getItem(2)),
+      "name_partial_ratio" -> guarded(r.getItem(3)))
   }
 
   /** Domain block (feature_engineering.py:119-155): does the URL's domain
@@ -94,11 +103,21 @@ object Features {
       "PRV", "PUB", "Private Company", "Public Company"), 1.0)
       .otherwise(lit(0.0)))
 
+  /** Column name used by [[withNameRatios]] for the fused ratio array. */
+  val RatiosCol = "_name_ratios"
+
+  /** Pre-project the fused four-ratio kernel column so the feature
+    * projection evaluates it once per row. */
+  def withNameRatios(df: org.apache.spark.sql.DataFrame,
+      name1: Column, name2: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn(RatiosCol, GraftFunctions.name_ratios(name1, name2))
+
   /** The full 12-feature vector as named columns. */
   def all(companyName: Column, entityName: Column, url: Column,
       rawText: Column, state: Column, postcode: Column,
-      industry: Column, entityType: Column): Seq[(String, Column)] =
-    nameFeatures(companyName, entityName) ++
+      industry: Column, entityType: Column,
+      ratios: Option[Column] = None): Seq[(String, Column)] =
+    nameFeatures(companyName, entityName, ratios) ++
       domainFeatures(url, entityName) ++
       locationFeatures(rawText, state, postcode) ++
       industryFeatures(industry, entityType)

@@ -79,8 +79,35 @@ object SimilarityKernel extends Serializable {
     * the max (reference: feature_engineering.py token_set feature). */
   def tokenSetRatio(s1: String, s2: String): Double = {
     if (s1 == null || s2 == null) return 0.0
-    val t1 = s1.split("\\s+").filter(_.nonEmpty).toSet
-    val t2 = s2.split("\\s+").filter(_.nonEmpty).toSet
+    tokenSetFromSets(s1.split("\\s+").filter(_.nonEmpty).toSet,
+      s2.split("\\s+").filter(_.nonEmpty).toSet)
+  }
+
+  /**
+   * All four name-similarity ratios in one pass —
+   * [ratio, token_sort_ratio, token_set_ratio, partial_ratio] — sharing
+   * the whitespace tokenization the individual kernels each redo.
+   * Value-identical to calling the four kernels separately (asserted in
+   * SimilarityKernelSpec); exists because the feature projection
+   * evaluates all four per candidate pair.
+   */
+  def nameRatios(s1: String, s2: String): Array[Double] = {
+    if (s1 == null || s2 == null) return Array(0.0, 0.0, 0.0, 0.0)
+    val fuzzy = if (s1.isEmpty || s2.isEmpty) 0.0 else indelSimilarity(s1, s2)
+    val t1 = s1.split("\\s+").filter(_.nonEmpty)
+    val t2 = s2.split("\\s+").filter(_.nonEmpty)
+    val sorted1 = { val a = t1.clone()
+      java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]]); a.mkString(" ") }
+    val sorted2 = { val a = t2.clone()
+      java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]]); a.mkString(" ") }
+    val tokenSort = if (sorted1.isEmpty || sorted2.isEmpty) 0.0
+      else indelSimilarity(sorted1, sorted2)
+    val tokenSet = tokenSetFromSets(t1.toSet, t2.toSet)
+    val partial = partialRatio(s1, s2)
+    Array(fuzzy, tokenSort, tokenSet, partial)
+  }
+
+  private def tokenSetFromSets(t1: Set[String], t2: Set[String]): Double = {
     if (t1.isEmpty || t2.isEmpty) return 0.0
     val inter = (t1 intersect t2).toArray.sorted.mkString(" ")
     val d1 = (t1 diff t2).toArray.sorted.mkString(" ")

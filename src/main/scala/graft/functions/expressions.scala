@@ -25,6 +25,9 @@ object SimilarityAdapters extends Serializable {
     SimilarityKernel.partialRatio(str(s1), str(s2))
   def indelDistance(s1: UTF8String, s2: UTF8String): Int =
     SimilarityKernel.indelDistance(str(s1), str(s2))
+  def nameRatios(s1: UTF8String, s2: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      SimilarityKernel.nameRatios(str(s1), str(s2)))
   @inline private def str(s: UTF8String): String = if (s == null) null else s.toString
 }
 
@@ -242,6 +245,11 @@ object GraftFunctions {
   /** InDel edit distance (insert/delete only). */
   def indel_distance(c1: Column, c2: Column): Column =
     invoke2("indelDistance", c1, c2, IntegerType)
+
+  /** All four name ratios in one fused kernel pass:
+    * [indel, token_sort, token_set, partial]. */
+  def name_ratios(c1: Column, c2: Column): Column =
+    invoke2("nameRatios", c1, c2, ArrayType(DoubleType, containsNull = false))
 
   /** ABN checksum validity; false for null (utils.py:270-300). */
   def abn_valid(c: Column): Column = col(AbnValid(expr(c)))

@@ -124,4 +124,21 @@ class SimilarityKernelSpec extends AnyFunSuite {
     assert(!AbnKernel.isValidString(""))
     assert(!AbnKernel.isValidString(null))
   }
+
+  test("fused nameRatios equals the four individual kernels (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd xy"
+    def randStr(): String = {
+      val n = rnd.nextInt(80)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val cases = Seq(("", ""), ("a b", ""), (null, "x"), ("acme pty ltd", "pty acme ltd")) ++
+      (1 to 300).map(_ => (randStr(), randStr()))
+    cases.foreach { case (s1, s2) =>
+      val fused = K.nameRatios(s1, s2).toSeq
+      val want = Seq(K.ratio(s1, s2), K.tokenSortRatio(s1, s2),
+        K.tokenSetRatio(s1, s2), K.partialRatio(s1, s2))
+      assert(fused == want, s"nameRatios('$s1','$s2')")
+    }
+  }
 }
