@@ -111,6 +111,32 @@ object Streams {
       }
   }
 
+  /**
+   * Stream-stream interval join: each left event paired with right
+   * events of the same key whose timestamp falls in
+   * `[leftTs - lookback, leftTs]` — the streaming enrichment shape
+   * (e.g. purchases joined to the clicks that preceded them).
+   *
+   * Both sides carry watermarks and the join condition bounds the time
+   * range in both directions, so the state store can evict: left rows
+   * age out once the right watermark passes `leftTs`, right rows once
+   * the left watermark passes `rightTs + lookback`. An unbounded
+   * condition would grow state forever — the classic stream-join pitfall.
+   * Right key/ts columns must be pre-renamed to avoid collisions.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, leftTs: String, rightTs: String,
+      lookback: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(keyCol) === col(rightKeyCol) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(rightKeyCol)
+  }
+
   /** Batch-mode equivalents of the streaming ops, for parity testing and
     * backfill: same semantics, runnable over a static frame. */
   object Batch {

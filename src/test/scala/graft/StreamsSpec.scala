@@ -130,4 +130,28 @@ class StreamsSpec extends SparkSpec {
       out(1).getAs[Double]("sum_value") === 4.0)
     assert(out(2).getAs[String]("key") === "u2")
   }
+
+  test("stream-stream interval join pairs events within the lookback") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      clicks.toDF().toDF("c_user", "click_ts", "click_value"),
+      "user_id", "c_user", "ts", "click_ts", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),  // within 30m of purchase
+        (1L, ts("2026-01-01 09:00:00"), 2.0),  // too old
+        (2L, ts("2026-01-01 10:20:00"), 3.0))  // other user
+      purchases.addData((1L, ts("2026-01-01 10:15:00"), 50.0))
+      q.processAllAvailable()
+      val out = spark.table("ij_out").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Double]("click_value") === 1.0)
+    } finally q.stop()
+  }
 }
