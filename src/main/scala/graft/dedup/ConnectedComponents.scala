@@ -31,7 +31,15 @@ object ConnectedComponents {
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var persisted = nodes.select(col(nodeCol).as("node"))
+    // Only nodes touching an edge can ever change label: iterate over
+    // those, and union the (overwhelmingly more numerous) isolated nodes
+    // back in at the end with their own id. In a near-duplicate graph
+    // edge-touched nodes are a few percent of the corpus — keeping the
+    // rest inside the loop would multiply every per-iteration shuffle by
+    // corpus/edge_nodes for rows whose label provably never moves.
+    val allNodes = nodes.select(col(nodeCol).as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var persisted = sym.select(col("u").as("node"))
       .distinct()
       .withColumn("component", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -61,6 +69,9 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
-    labels
+    val isolated = allNodes
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    labels.unionByName(isolated)
   }
 }
