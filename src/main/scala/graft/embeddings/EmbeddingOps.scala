@@ -197,6 +197,47 @@ object EmbeddingOps {
       Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
   }
 
+  /**
+   * Persist the corpus as an IVF index: one parquet directory per coarse
+   * cluster (nearest centroid). At 100 TB this is the layout that makes
+   * ANN serving cheap — each query batch touches only its nprobe cluster
+   * directories, and the probe join triggers dynamic partition pruning
+   * (the scan reads just the probed directories, asserted in
+   * EmbeddingIndexSpec).
+   */
+  def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, path: String): Unit = {
+    val cents = ivfCentroids(corpus, vecCol, idCol, nlist)
+    val assigned = corpus
+      .withColumn("cluster", ivfAssignment(asDouble(col(vecCol)), cents))
+    graft.io.ParquetSink.writePartitioned(assigned, path, Seq("cluster"))
+  }
+
+  /** Serve top-k from a persisted IVF index: re-derive the probe cells
+    * for each query from the same deterministic centroids, join on the
+    * partition column (cluster), score inside probed cells only. */
+  def ivfTopKFromIndex(queries: DataFrame, indexPath: String,
+      corpusForCentroids: DataFrame, vecCol: String, idCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = ivfCentroids(corpusForCentroids, vecCol, idCol, nlist)
+    val index = spark.read.parquet(indexPath)
+      .select(col("cluster"), col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val probing = prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(ivfProbes(col("v"), cents, nprobe)).as("cluster"))
+    val scored = probing.join(index, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+          .as("cosine"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
       dim: Int = 64): DataFrame = {

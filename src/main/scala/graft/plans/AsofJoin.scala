@@ -100,7 +100,12 @@ case class AsofJoinExec(
         .asInstanceOf[Ordering[Any]]
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(right.output.size)
-      val outProj = UnsafeProjection.create(output, left.output ++ right.output)
+      // Bind against nullability-RELAXED right attributes: unmatched left
+      // rows pair with an all-null row, and binding against the child's
+      // original non-nullable primitives would compile the null checks
+      // away (emitting 0 instead of null).
+      val outProj = UnsafeProjection.create(output,
+        left.output ++ right.output.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = advanceRight()

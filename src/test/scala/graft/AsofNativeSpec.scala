@@ -50,9 +50,11 @@ class AsofNativeSpec extends SparkSpec {
     val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1"))
       .toDF("k", "rts", "rv")
     val exact = AsofJoin(l, r, Seq("k"), "ts", "rts").orderBy("ts", "k")
-      .collect().map(x => (x.getLong(0), x.getString(2), x.get(4))).toSeq
+      .collect().map(x => (x.getLong(0), x.getString(2), x.get(3), x.get(4)))
+      .toSeq
+    // both the primitive rts and the string rv must null-pad on no-match
     assert(exact == Seq(
-      (2L, "c", null), (1L, "a", "r10"), (1L, "b", "r15")))
+      (2L, "c", null, null), (1L, "a", 10L, "r10"), (1L, "b", 15L, "r15")))
     val strict = AsofJoin(l, r, Seq("k"), "ts", "rts", allowExact = false)
       .orderBy("ts", "k")
       .collect().map(x => (x.getLong(0), x.getString(2), x.get(4))).toSeq
@@ -67,5 +69,27 @@ class AsofNativeSpec extends SparkSpec {
       Seq("k"), "ts", "rts")
     assert(out.columns.toSeq == Seq("k", "ts", "v", "rts", "rv"))
     assert(out.count() == 2)
+  }
+
+  test("property: native equals union+window on seeded random data") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val l = (1 to 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+        .toDF("k", "ts", "lid")
+      // right ts unique per key (documented determinism precondition)
+      val r = rnd.shuffle((0 until 8).flatMap(k =>
+        rnd.shuffle((0 until 1000).toList).take(50).map(t =>
+          (k.toLong, t.toLong, s"p$k-$t"))))
+        .toDF("k", "rts", "payload")
+      val native = AsofJoin(l, r, Seq("k"), "ts", "rts")
+        .orderBy("lid").collect().map(_.toString).toSeq
+      val window = Relational.asofJoin(l,
+        r.select(col("k"), col("rts"), col("payload")),
+        Seq("k"), "ts", "rts").orderBy("lid")
+        .select("k", "ts", "lid", "rts", "payload")
+        .collect().map(_.toString).toSeq
+      assert(native == window, s"round $round diverged")
+    }
   }
 }
