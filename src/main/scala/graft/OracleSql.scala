@@ -406,6 +406,20 @@ FROM customer GROUP BY c_mktsegment ORDER BY segment"""
   val heavyHittersEvents: String = """SELECT event_type AS item, count(*) AS n
 FROM events GROUP BY event_type ORDER BY n DESC, item"""
 
+  /** Same md5-prefix hash bucket as Sampling.bucket. */
+  private val sampleBucket =
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"
+
+  val sampleDocuments: String = s"""SELECT doc_id FROM documents
+WHERE $sampleBucket < 1000 ORDER BY doc_id"""
+
+  val splitDocuments: String = s"""SELECT CASE
+    WHEN $sampleBucket < 8000 THEN 'train'
+    WHEN $sampleBucket < 9000 THEN 'val'
+    WHEN $sampleBucket < 10000 THEN 'test'
+    ELSE 'holdout' END AS split, count(*) AS n
+FROM documents GROUP BY split ORDER BY split"""
+
   val revenueByMonth: String = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
   count(*) AS n,
   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue

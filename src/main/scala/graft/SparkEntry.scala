@@ -512,6 +512,20 @@ object SparkEntry {
     // asserts exact metrics and HLL error bounds)
     "profile_documents" -> ((s, dir) =>
       Stats.profile(Demo.table(s, dir, "documents")).orderBy("column")),
+    // Training-data ops: deterministic hash-bucket sampling (stable
+    // across engines/partitionings — RNG sampling is not)
+    "sample_documents" -> ((s, dir) =>
+      graft.operators.Sampling.sampled(
+        Demo.table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", fraction = 0.10)
+        .select("doc_id").orderBy("doc_id")),
+    // Training-data ops: deterministic train/val/test split sizes
+    "split_documents" -> ((s, dir) =>
+      graft.operators.Sampling.split(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        "doc_id", trainFrac = 0.8, valFrac = 0.1, testFrac = 0.1)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -550,6 +564,8 @@ object SparkEntry {
     "collect_names_by_segment" -> OracleSql.collectNamesBySegment,
     "revenue_by_month" -> OracleSql.revenueByMonth,
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
+    "sample_documents" -> OracleSql.sampleDocuments,
+    "split_documents" -> OracleSql.splitDocuments,
     "quantiles_price_by_segment" -> OracleSql.quantilesPriceBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic content-hash sampling and splitting — the reproducible
+ * alternative to RNG sampling for training-data pipelines: membership is
+ * a pure function of the key, so samples are stable across runs,
+ * engines, cluster sizes and re-partitioning (Spark's `sample()` is
+ * seed-stable only for a fixed partitioning). Map-side only — no
+ * shuffle, no state; at 100 TB a split is a free filter pushed to the
+ * scan boundary.
+ *
+ * The hash is the engine's shared md5-prefix construction
+ * (`conv(substr(md5(key),1,15),16,10)`, cf. TextDedup.strHash) bucketed
+ * mod 10000, so a DuckDB oracle reproduces membership bit-for-bit.
+ */
+object Sampling {
+
+  /** Hash bucket in [0, 10000) for a key column — 0.01% grain. */
+  def bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000
+
+  /** Deterministic sample: rows whose key hashes below `fraction`. */
+  def sampled(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(bucket(col(keyCol)) < (fraction * 10000).toLong)
+
+  /**
+   * Deterministic train/validation/test split by key hash: adds a
+   * `split` column ("train" / "val" / "test") from cumulative fraction
+   * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is
+   * labelled "holdout".
+   */
+  def split(df: DataFrame, keyCol: String, trainFrac: Double,
+      valFrac: Double, testFrac: Double): DataFrame = {
+    require(trainFrac + valFrac + testFrac <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
+    val b = bucket(col(keyCol))
+    val t1 = (trainFrac * 10000).toLong
+    val t2 = ((trainFrac + valFrac) * 10000).toLong
+    val t3 = ((trainFrac + valFrac + testFrac) * 10000).toLong
+    df.withColumn("split",
+      when(b < t1, "train")
+        .when(b < t2, "val")
+        .when(b < t3, "test")
+        .otherwise("holdout"))
+  }
+}
