@@ -38,7 +38,8 @@ case class AsofJoinPlan(
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    allowExact: Boolean) extends BinaryNode {
+    allowExact: Boolean,
+    forward: Boolean = false) extends BinaryNode {
 
   /** Right payload = right columns minus its join keys, nullable (no
     * match → nulls, as in a left outer join). */
@@ -60,7 +61,8 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofJoinPlan =>
       AsofJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
-        j.rightKeys, j.leftTs, j.rightTs, j.allowExact, j.output) :: Nil
+        j.rightKeys, j.leftTs, j.rightTs, j.allowExact, j.forward,
+        j.output) :: Nil
     case _ => Nil
   }
 }
@@ -73,22 +75,33 @@ case class AsofJoinExec(
     leftTs: Attribute,
     rightTs: Attribute,
     allowExact: Boolean,
+    forward: Boolean,
     override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  /** Forward mode scans time DESCENDING so "latest right at-or-before"
+    * becomes "earliest right at-or-after" with the identical merge. */
+  private def tsDir: SortDirection = if (forward) Descending else Ascending
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
 
   /** Left rows pass through in their sorted order, on their partitioning. */
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val allowExactLocal = allowExact
+    val forwardLocal = forward
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -96,8 +109,9 @@ case class AsofJoinExec(
       val rTsBound = BindReferences.bindReference[Expression](rightTs, right.output)
       val keyOrd: Ordering[InternalRow] =
         RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
-      val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      val naturalTsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
         .asInstanceOf[Ordering[Any]]
+      val tsOrd = if (forwardLocal) naturalTsOrd.reverse else naturalTsOrd
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(right.output.size)
       // Bind against nullability-RELAXED right attributes: unmatched left
@@ -144,6 +158,7 @@ case class AsofJoinExec(
           }
           val matched = lTsVal != null && lastMatch != null &&
             lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0
+          numOutputRows += 1
           outProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
@@ -168,12 +183,14 @@ object AsofJoin {
   /**
    * Native as-of join of two DataFrames on equal `keys`, pairing each
    * left row with the latest right row at-or-before (`allowExact`) its
-   * timestamp. Right key columns are dropped from the output (they equal
-   * the left ones); rename right payload columns beforehand on collision.
+   * timestamp — or, with `forward = true`, the earliest right row
+   * at-or-after it (pandas merge_asof direction="forward"). Right key
+   * columns are dropped from the output (they equal the left ones);
+   * rename right payload columns beforehand on collision.
    */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      allowExact: Boolean = true): DataFrame = {
+      allowExact: Boolean = true, forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one equi key")
     val spark = left.sparkSession
     install(spark)
@@ -189,7 +206,7 @@ object AsofJoin {
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
     val node = AsofJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs), allowExact)
+      attr(lPlan, leftTs), attr(rPlan, rightTs), allowExact, forward)
     DatasetBridge.ofRows(spark, node)
   }
 }

@@ -92,4 +92,30 @@ class AsofNativeSpec extends SparkSpec {
       assert(native == window, s"round $round diverged")
     }
   }
+
+  test("forward direction: earliest right at-or-after; negation duality") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, 12L, "r12"), (1L, 25L, "r25")).toDF("k", "rts", "rv")
+    val fwd = AsofJoin(l, r, Seq("k"), "ts", "rts", forward = true)
+      .orderBy("ts").collect().map(x => (x.getString(2), x.get(4))).toSeq
+    assert(fwd == Seq(("a", "r12"), ("b", "r25"), ("c", null)))
+    // duality: forward(ts) == backward(-ts) on seeded random data
+    val rnd = new scala.util.Random(23)
+    val lr = (1 to 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val rr = (0 until 5).flatMap(k =>
+      rnd.shuffle((0 until 500).toList).take(40).map(t =>
+        (k.toLong, t.toLong, s"p$k-$t"))).toDF("k", "rts", "payload")
+    val forward = AsofJoin(lr, rr, Seq("k"), "ts", "rts", forward = true)
+      .orderBy("lid")
+      .select("lid", "payload").collect().map(_.toString).toSeq
+    val negBackward = AsofJoin(
+      lr.withColumn("ts", -col("ts")), rr.withColumn("rts", -col("rts")),
+      Seq("k"), "ts", "rts")
+      .orderBy("lid")
+      .select("lid", "payload").collect().map(_.toString).toSeq
+    assert(forward == negBackward)
+  }
 }
