@@ -25,11 +25,18 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
  * on the keys (`ClusteredDistribution`, so EnsureRequirements
  * co-partitions them) and sorted by (keys, ts); one forward pass per
  * partition carries the latest matching right row per key. ONE shuffle
- * per side, no row expansion, no window machinery — compared to the
- * union+window formulation ([[graft.operators.Relational.asofJoin]])
- * it avoids unioning the sides into a doubled sort and the
- * null-padded payload columns. At 100 TB both sides stream through
- * executors at O(partition) memory: state is a single buffered row.
+ * per side, no row expansion, no window machinery.
+ *
+ * Measured against the union+window formulation
+ * ([[graft.operators.Relational.asofJoin]]) at 800 K events with
+ * 12-column payloads (local[32], full materialization): single-node
+ * parity (within ~30% either way). The structural difference shows at
+ * cluster scale: the union form sorts BOTH sides in one combined buffer
+ * per task (null-padded to the union schema), while this operator sorts
+ * each side separately — two smaller sorts with proportionally lower
+ * spill pressure — and keeps O(1) merge state. Caveat: the custom node
+ * is opaque to Catalyst column pruning; project away unused columns
+ * BEFORE joining (the bound API does not do it for you).
  */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -107,8 +114,14 @@ case class AsofJoinExec(
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val lTsBound = BindReferences.bindReference[Expression](leftTs, left.output)
       val rTsBound = BindReferences.bindReference[Expression](rightTs, right.output)
+      // codegen'd comparator over the projected key rows (the interpreted
+      // natural ordering costs a per-field dispatch on every comparison
+      // in the merge hot loop)
       val keyOrd: Ordering[InternalRow] =
-        RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+        org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+          .generate(leftKeys.zipWithIndex.map { case (a, i) =>
+            SortOrder(BoundReference(i, a.dataType, a.nullable), Ascending)
+          })
       val naturalTsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
         .asInstanceOf[Ordering[Any]]
       val tsOrd = if (forwardLocal) naturalTsOrd.reverse else naturalTsOrd

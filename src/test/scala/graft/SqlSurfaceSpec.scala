@@ -29,4 +29,39 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sql.toSeq === dsl.toSeq)
   }
+
+  test("GraftExtensions installs functions and the as-of strategy") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists
+    // getOrCreate returns the active session (ignoring new configs), so
+    // clear it to force a genuinely new session on the same SparkContext.
+    // The `spark.sql.extensions=graft.GraftExtensions` string form is a
+    // static conf read at SparkContext creation — not settable on a
+    // shared test context — so inject through the equivalent
+    // withExtensions builder hook (the same SparkSessionExtensions path).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-test")
+        .withExtensions(e => new GraftExtensions()(e))
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT abn_valid('51824753556') AS v, " +
+          "heavy_hitters(x, 4) AS hh FROM VALUES ('a'), ('a'), ('b') t(x) " +
+          "GROUP BY 1").collect().head
+      assert(r.getBoolean(0))
+      assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+        == Seq("a", "b"))
+      // planner strategy arrives without any graft API call
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsofJoinStrategy))
+    } finally {
+      // do NOT stop s2 — it shares the JVM-wide SparkContext
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
