@@ -40,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression()))
     // whole-operator custom plan: native as-of join (plans.AsofJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsofJoinColumns)
   }
 }

@@ -466,6 +466,15 @@ SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
 FROM s GROUP BY user_id, sid
 ORDER BY key, session_start"""
 
+  /** Forward as-of: DuckDB ASOF with the reversed inequality picks the
+    * earliest right timestamp at-or-after each left row. */
+  val asofForwardPurchaseClick: String = """SELECT p.event_id, p.user_id, p.ts, p.value,
+  c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id"""
+
   /** DuckDB's native ASOF LEFT JOIN oracles Relational.asofJoin. */
   val asofPurchaseClick: String = """SELECT p.event_id, p.user_id, p.ts, p.value,
   c.ts AS click_ts, c.value AS click_value

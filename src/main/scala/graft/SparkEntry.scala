@@ -384,6 +384,20 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
         .orderBy("event_id")
     }),
+    // Forward as-of through the native operator (earliest click at or
+    // after each purchase); DuckDB ASOF JOIN with the reversed inequality
+    "asof_forward_purchase_click" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events")
+      graft.plans.AsofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+        forward = true)
+        .orderBy("event_id")
+    }),
     // Time-series extension: banded range join — events into their
     // containing session interval
     "range_join_event_sessions" -> ((s, dir) => {
@@ -573,6 +587,7 @@ object SparkEntry {
     "sessionize_events" -> OracleSql.sessionizeEvents,
     "asof_purchase_click" -> OracleSql.asofPurchaseClick,
     "asof_native_purchase_click" -> OracleSql.asofPurchaseClick,
+    "asof_forward_purchase_click" -> OracleSql.asofForwardPurchaseClick,
     "range_join_event_sessions" -> OracleSql.rangeJoinEventSessions,
     "events_json_hourly" -> OracleSql.eventsJsonHourly,
     "union_distinct_names" -> OracleSql.unionDistinctNames,

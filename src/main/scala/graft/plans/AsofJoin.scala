@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.DatasetBridge
@@ -34,9 +35,10 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
  * cluster scale: the union form sorts BOTH sides in one combined buffer
  * per task (null-padded to the union schema), while this operator sorts
  * each side separately — two smaller sorts with proportionally lower
- * spill pressure — and keeps O(1) merge state. Caveat: the custom node
- * is opaque to Catalyst column pruning; project away unused columns
- * BEFORE joining (the bound API does not do it for you).
+ * spill pressure — and keeps O(1) merge state. Catalyst's built-in
+ * ColumnPruning is blind to the custom node, so [[PruneAsofJoinColumns]]
+ * pushes projections into the children (asserted on ReadSchema in
+ * AsofNativeSpec).
  */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -59,6 +61,32 @@ case class AsofJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Column pruning for [[AsofJoinPlan]]: Catalyst's ColumnPruning rule
+ * does not know the custom node, so a `Project` above it would
+ * otherwise leave both children reading every column. Pushes pruned
+ * Projects into the children, keeping the join keys, timestamps and
+ * whatever the parent references; attribute identities are preserved so
+ * the parent needs no rewrite. Registered alongside the strategy.
+ */
+object PruneAsofJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, j: AsofJoinPlan) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys) ++ AttributeSet(j.rightKeys) ++
+        AttributeSet(Seq(j.leftTs, j.rightTs))
+      val keepL = j.left.output.filter(needed.contains)
+      val keepR = j.right.output.filter(needed.contains)
+      if (keepL.size == j.left.output.size &&
+          keepR.size == j.right.output.size) p
+      else p.copy(child = j.copy(
+        left = if (keepL.size == j.left.output.size) j.left
+          else Project(keepL, j.left),
+        right = if (keepR.size == j.right.output.size) j.right
+          else Project(keepR, j.right)))
+  }
 }
 
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. Injected per-session via
@@ -186,12 +214,17 @@ case class AsofJoinExec(
 /** DataFrame-facing API for the native as-of join. */
 object AsofJoin {
 
-  /** Ensure the planner strategy is installed on this session
-    * (idempotent; cluster deployments get it via GraftExtensions). */
-  def install(spark: SparkSession): Unit =
+  /** Ensure the planner strategy and pruning rule are installed on this
+    * session (idempotent; cluster deployments get both via
+    * GraftExtensions). */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsofJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsofJoinColumns
+  }
 
   /**
    * Native as-of join of two DataFrames on equal `keys`, pairing each

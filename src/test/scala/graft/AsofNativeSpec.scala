@@ -118,4 +118,20 @@ class AsofNativeSpec extends SparkSpec {
       .select("lid", "payload").collect().map(_.toString).toSeq
     assert(forward == negBackward)
   }
+
+  test("pruning rule narrows child scans to referenced columns") {
+    val df = AsofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .select("event_id", "click_value")
+    df.collect()
+    // (AQE prints the initial and final plan, so each scan appears twice)
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema"))
+      .map(_.dropWhile(_ != '+')).toSeq.distinct
+    assert(scans.size == 2, s"expected 2 scans:\n${scans.mkString("\n")}")
+    // purchases side: event_id,user_id,ts survive; its `value` payload is
+    // unreferenced and must be pruned from the parquet read
+    val leftScan = scans.find(_.contains("event_id")).get
+    assert(!leftScan.contains("value"), s"left scan not pruned: $leftScan")
+    assert(df.collect().length > 0)
+  }
 }
