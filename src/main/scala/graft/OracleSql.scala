@@ -442,6 +442,23 @@ WHERE rank <= 3 ORDER BY o_custkey, rank"""
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 ORDER BY c_custkey"""
 
+  val semiCustomersPending: String = """SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey"""
+
+  val fullouterNationCounts: String = """WITH c AS (
+  SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1),
+s AS (
+  SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(nk_c, nk_s) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON nk_c = nk_s
+ORDER BY nationkey"""
+
+  val levenshteinNames: String = """SELECT c_custkey, c_name,
+  levenshtein(c_name, reverse(c_name)) AS lev
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""
+
   val latestEventPerUser: String = """SELECT user_id, event_id, ts, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id"""

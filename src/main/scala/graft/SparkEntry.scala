@@ -350,6 +350,33 @@ object SparkEntry {
         Demo.table(s, dir, "orders").filter(col("o_orderstatus") === "P"),
         "c_custkey", "o_custkey")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
+    // §2.3 semi join: customers WITH a pending order
+    "semi_customers_pending" -> ((s, dir) =>
+      Demo.table(s, dir, "customer")
+        .join(Demo.table(s, dir, "orders")
+            .filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    // §2.3 full outer join: per-nation customer vs supplier counts
+    "fullouter_nation_counts" -> ((s, dir) => {
+      val c = Demo.table(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Demo.table(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+    // §2.7 edit distance: built-in levenshtein between name pairs
+    "levenshtein_names" -> ((s, dir) =>
+      Demo.table(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), reverse(col("c_name"))).as("lev"))
+        .orderBy("c_custkey")),
     // §2.5 W2/W4: argmax dedup (latest event per user)
     "latest_event_per_user" -> ((s, dir) =>
       Relational.latestPerKey(
@@ -583,6 +610,9 @@ object SparkEntry {
     "quantiles_price_by_segment" -> OracleSql.quantilesPriceBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,
     "anti_customers_no_orders" -> OracleSql.customersWithoutOrders,
+    "semi_customers_pending" -> OracleSql.semiCustomersPending,
+    "fullouter_nation_counts" -> OracleSql.fullouterNationCounts,
+    "levenshtein_names" -> OracleSql.levenshteinNames,
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
     "sessionize_events" -> OracleSql.sessionizeEvents,
     "asof_purchase_click" -> OracleSql.asofPurchaseClick,
