@@ -482,6 +482,16 @@ object SparkEntry {
         .withColumn("is_keeper", col("component") === col("node"))
         .orderBy("node")
     }),
+    // Training-data ops: the dedup END STATE — the corpus with one
+    // keeper (min doc id) per near-duplicate cluster
+    "dedup_corpus" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      graft.dedup.ConnectedComponents.label(
+        docs.select("doc_id"), lshPairsDf(s, dir), "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -626,6 +636,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
+    "dedup_corpus" -> DedupOracles.corpusKeepers,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -62,7 +62,9 @@ object ConnectedComponents {
           min(col("component")).as("component"),
           min(when(col("self"), col("component"))).as("_old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = step.filter(col("component") =!= col("_old")).count()
+      // limit-1 existence check: cheaper than a full count, and the
+      // persisted step is materialized by next iteration's consumers
+      changed = if (step.filter(col("component") =!= col("_old")).isEmpty) 0 else 1
       persisted.unpersist()
       persisted = step
       labels = step.select("node", "component")

@@ -78,6 +78,11 @@ walk(node, comp) AS (
 SELECT node, min(comp) AS component, min(comp) = node AS is_keeper
 FROM walk GROUP BY node ORDER BY node"""
 
+  /** Keeper-only corpus: the dedup end state — one representative
+    * (min doc id) per near-duplicate component. */
+  val corpusKeepers: String =
+    s"""SELECT node AS doc_id FROM ($components) WHERE is_keeper ORDER BY doc_id"""
+
   private val simhashCte =s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
 tok AS (SELECT doc_id, ${hashOf("tk")} AS h
         FROM (SELECT doc_id, unnest(toks) AS tk FROM tt)),

@@ -57,6 +57,54 @@ final class MisraGriesSketch(val k: Int) extends Serializable {
       offer(e.getKey, e.getValue.longValue())
     }
   }
+
+  /** Top-n surviving counters as strings, (count desc, item asc). */
+  def top(n: Int): Seq[(String, Long)] = {
+    val all = new Array[(String, Long)](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      all(i) = (e.getKey.toString, e.getValue.longValue()); i += 1
+    }
+    all.sortBy { case (item, c) => (-c, item) }.take(n).toSeq
+  }
+}
+
+object MisraGriesSketch {
+
+  def serialize(b: MisraGriesSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k)
+    out.writeInt(b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(e.getValue.longValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): MisraGriesSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sketch = new MisraGriesSketch(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      sketch.counts.put(UTF8String.fromBytes(buf),
+        java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    sketch
+  }
 }
 
 /**
@@ -119,38 +167,11 @@ case class HeavyHitters(
     })
   }
 
-  override def serialize(b: MisraGriesSketch): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.k)
-    out.writeInt(b.counts.size)
-    val it = b.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val bytes = e.getKey.getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
-      out.writeLong(e.getValue.longValue())
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: MisraGriesSketch): Array[Byte] =
+    MisraGriesSketch.serialize(b)
 
-  override def deserialize(bytes: Array[Byte]): MisraGriesSketch = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val sketch = new MisraGriesSketch(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val buf = new Array[Byte](len)
-      in.readFully(buf)
-      sketch.counts.put(UTF8String.fromBytes(buf),
-        java.lang.Long.valueOf(in.readLong()))
-      i += 1
-    }
-    sketch
-  }
+  override def deserialize(bytes: Array[Byte]): MisraGriesSketch =
+    MisraGriesSketch.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): HeavyHitters =
     copy(mutableAggBufferOffset = offset)

@@ -137,6 +137,37 @@ object Streams {
       .drop(rightKeyCol)
   }
 
+  /**
+   * Running heavy hitters per key group via mapGroupsWithState: each
+   * micro-batch folds its items into a bounded Misra-Gries sketch
+   * (the same [[graft.functions.MisraGriesSketch]] the batch aggregate
+   * uses) and emits the current top items. State per key is at most k
+   * counters — a streaming top-k whose state size never grows with the
+   * stream. Input columns (by position): group key, item.
+   */
+  def runningHeavyHitters(events: Dataset[(String, String)], k: Int,
+      topN: Int): Dataset[(String, Seq[(String, Long)])] = {
+    implicit val outEnc: Encoder[(String, Seq[(String, Long)])] =
+      Encoders.product[(String, Seq[(String, Long)])]
+    implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    events.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[Array[Byte], (String, Seq[(String, Long)])](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption
+            .map(graft.functions.MisraGriesSketch.deserialize)
+            .getOrElse(new graft.functions.MisraGriesSketch(k))
+          rows.foreach { case (_, item) =>
+            if (item != null)
+              sketch.offer(
+                org.apache.spark.unsafe.types.UTF8String.fromString(item), 1L)
+          }
+          state.update(graft.functions.MisraGriesSketch.serialize(sketch))
+          key -> sketch.top(topN)
+      }
+  }
+
   /** Batch-mode equivalents of the streaming ops, for parity testing and
     * backfill: same semantics, runnable over a static frame. */
   object Batch {

@@ -154,4 +154,25 @@ class StreamsSpec extends SparkSpec {
       assert(out.head.getAs[Double]("click_value") === 1.0)
     } finally q.stop()
   }
+
+  test("running heavy hitters keep bounded state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val hh = Streams.runningHeavyHitters(input.toDS(), k = 4, topN = 2)
+      .toDF("key", "top")
+    val q = hh.writeStream.format("memory")
+      .queryName("hh_out").outputMode("update").start()
+    try {
+      input.addData(("g", "a"), ("g", "a"), ("g", "b"))
+      q.processAllAvailable()
+      input.addData(("g", "a"), ("g", "c"), ("g", "c"), ("g", "c"))
+      q.processAllAvailable()
+      // latest update row for g: a=3, c=3 merged across batches
+      val latest = spark.table("hh_out").collect().last
+      val top = latest.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(top == Seq(("a", 3L), ("c", 3L)))
+    } finally q.stop()
+  }
 }
