@@ -1,0 +1,58 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import graft.io.Sources
+import org.apache.spark.sql.functions._
+
+/** The WET DataSource V2 provider: spark.read.format("wet"). */
+class WetDataSourceSpec extends SparkSpec {
+
+  private def gz(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(s.getBytes(StandardCharsets.UTF_8)); g.close()
+    bos.toByteArray
+  }
+
+  private def wetFile(name: String, nRecords: Int): File = {
+    val text = (0 until nRecords).map { i =>
+      s"""WARC/1.0
+         |WARC-Type: conversion
+         |WARC-Target-URI: https://site$i-$name.com.au/
+         |Content-Length: 100
+         |
+         |Body text for record $i of $name with enough filler to matter.
+         |""".stripMargin
+    }.mkString
+    val dir = new File("target/tmp/wetds"); dir.mkdirs()
+    val f = new File(dir, s"$name.warc.wet.gz")
+    val os = new FileOutputStream(f)
+    os.write(gz(text)); os.close()
+    f
+  }
+
+  test("format(\"wet\") reads a directory, one partition per file") {
+    wetFile("a", 3); wetFile("b", 2)
+    val df = spark.read.format("wet").load("target/tmp/wetds")
+    assert(df.columns.toSeq == Seq("source_file", "url", "content"))
+    assert(df.count() == 5)
+    assert(df.rdd.getNumPartitions == 2)
+    // parity with the RDD-based reader
+    val viaRdd = Sources.wetRecords(spark, "target/tmp/wetds/*.gz")
+      .select("url").collect().map(_.getString(0)).sorted
+    val viaV2 = df.select("url").collect().map(_.getString(0)).sorted
+    assert(viaV2.toSeq == viaRdd.toSeq)
+  }
+
+  test("column pruning reaches the scan") {
+    wetFile("c", 2)
+    val df = spark.read.format("wet").load("target/tmp/wetds")
+      .select("url")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("columns=url"), s"scan not pruned:\n$scan")
+    assert(df.collect().forall(_.getString(0).startsWith("https://")))
+  }
+}
