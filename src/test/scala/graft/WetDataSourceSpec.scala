@@ -17,7 +17,13 @@ class WetDataSourceSpec extends SparkSpec {
     bos.toByteArray
   }
 
-  private def wetFile(name: String, nRecords: Int): File = {
+  private def freshDir(): File = {
+    val d = java.nio.file.Files.createTempDirectory("graft-wetds").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def wetFile(dir: File, name: String, nRecords: Int): File = {
     val text = (0 until nRecords).map { i =>
       s"""WARC/1.0
          |WARC-Type: conversion
@@ -27,7 +33,6 @@ class WetDataSourceSpec extends SparkSpec {
          |Body text for record $i of $name with enough filler to matter.
          |""".stripMargin
     }.mkString
-    val dir = new File("target/tmp/wetds"); dir.mkdirs()
     val f = new File(dir, s"$name.warc.wet.gz")
     val os = new FileOutputStream(f)
     os.write(gz(text)); os.close()
@@ -35,21 +40,23 @@ class WetDataSourceSpec extends SparkSpec {
   }
 
   test("format(\"wet\") reads a directory, one partition per file") {
-    wetFile("a", 3); wetFile("b", 2)
-    val df = spark.read.format("wet").load("target/tmp/wetds")
+    val dir = freshDir()
+    wetFile(dir, "a", 3); wetFile(dir, "b", 2)
+    val df = spark.read.format("wet").load(dir.getAbsolutePath)
     assert(df.columns.toSeq == Seq("source_file", "url", "content"))
     assert(df.count() == 5)
     assert(df.rdd.getNumPartitions == 2)
     // parity with the RDD-based reader
-    val viaRdd = Sources.wetRecords(spark, "target/tmp/wetds/*.gz")
+    val viaRdd = Sources.wetRecords(spark, dir.getAbsolutePath + "/*.gz")
       .select("url").collect().map(_.getString(0)).sorted
     val viaV2 = df.select("url").collect().map(_.getString(0)).sorted
     assert(viaV2.toSeq == viaRdd.toSeq)
   }
 
   test("column pruning reaches the scan") {
-    wetFile("c", 2)
-    val df = spark.read.format("wet").load("target/tmp/wetds")
+    val dir = freshDir()
+    wetFile(dir, "c", 2)
+    val df = spark.read.format("wet").load(dir.getAbsolutePath)
       .select("url")
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("columns=url"), s"scan not pruned:\n$scan")
