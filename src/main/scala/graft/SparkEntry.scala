@@ -74,6 +74,15 @@ object SparkEntry {
       TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id"))
 
+  /** Connected-component labels over the near-dup pairs, shared by the
+    * clustering query and the keeper-only corpus query (the iterative
+    * label-propagation loop is the expensive part). */
+  private def ccLabelsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "cc_labels")(
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        lshPairsDf(s, dir), "doc_a", "doc_b"))
+
   /** Merge demo: existing = cleaned ABR snapshot; incoming = the ABNs
     * ending in 7 with a status change and a null postcode (exercises both
     * whole-row upsert and column-precedence patch). */
@@ -475,23 +484,17 @@ object SparkEntry {
       lshPairsDf(s, dir).orderBy("doc_a", "doc_b")),
     // Training-data ops: near-dup pairs → dedup clusters (connected
     // components by min-label propagation; keeper = min doc id)
-    "dedup_components" -> ((s, dir) => {
-      val docs = Demo.table(s, dir, "documents")
-      graft.dedup.ConnectedComponents.label(
-        docs.select("doc_id"), lshPairsDf(s, dir), "doc_a", "doc_b")
+    "dedup_components" -> ((s, dir) =>
+      ccLabelsDf(s, dir)
         .withColumn("is_keeper", col("component") === col("node"))
-        .orderBy("node")
-    }),
+        .orderBy("node")),
     // Training-data ops: the dedup END STATE — the corpus with one
     // keeper (min doc id) per near-duplicate cluster
-    "dedup_corpus" -> ((s, dir) => {
-      val docs = Demo.table(s, dir, "documents")
-      graft.dedup.ConnectedComponents.label(
-        docs.select("doc_id"), lshPairsDf(s, dir), "doc_a", "doc_b")
+    "dedup_corpus" -> ((s, dir) =>
+      ccLabelsDf(s, dir)
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
