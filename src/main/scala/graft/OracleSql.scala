@@ -364,6 +364,31 @@ WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
        wc AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 ORDER BY day"""
 
+  val resampleDailyRevenue: String = """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+    INTERVAL 1 DAY)) AS DATE) AS day)
+SELECT cal.day,
+  last_value(daily.revenue IGNORE NULLS) OVER (
+    ORDER BY cal.day ROWS UNBOUNDED PRECEDING) AS revenue_filled,
+  daily.revenue IS NULL AS is_gap
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+ORDER BY cal.day"""
+
+  val unpivotStatusCounts: String = """WITH wide AS (
+  SELECT o_orderpriority AS priority,
+    count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+    count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+    count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+  FROM orders GROUP BY 1)
+SELECT priority, status, n
+FROM wide UNPIVOT (n FOR status IN ("F", "O", "P"))
+ORDER BY priority, status"""
+
   val setIntersectCustomers: String = """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -261,6 +261,40 @@ object SparkEntry {
           sum(col("rev_dec")).over(wCum).cast("double").as("cum_revenue"))
         .orderBy("day")
     }),
+    // Time-series resample: explicit day calendar (sequence over the
+    // min/max span) left-joined to daily revenue, gaps forward-filled
+    // with the last observed value (classic training-feature fill)
+    "resample_daily_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Demo.table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+          .as("revenue"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val calendar = span.select(
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      calendar.join(daily, Seq("day"), "left")
+        .withColumn("revenue_filled",
+          last(col("revenue"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("revenue").isNull)
+        .select("day", "revenue_filled", "is_gap")
+        .orderBy("day")
+    }),
+    // UNPIVOT/melt: wide per-status counts back to long form
+    "unpivot_status_counts" -> ((s, dir) => {
+      val wide = Demo.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"), coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+      wide.unpivot(Array(col("priority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("priority", "status")
+    }),
     // §2.6 set ops beyond union: INTERSECT (customers with both a
     // finished and an open order)
     "set_intersect_customers" -> ((s, dir) => {
@@ -611,6 +645,8 @@ object SparkEntry {
     "pivot_status_by_segment" -> OracleSql.pivotStatusBySegment,
     "moving_avg_daily_revenue" -> OracleSql.movingAvgDailyRevenue,
     "set_intersect_customers" -> OracleSql.setIntersectCustomers,
+    "resample_daily_revenue" -> OracleSql.resampleDailyRevenue,
+    "unpivot_status_counts" -> OracleSql.unpivotStatusCounts,
     "set_except_nations" -> OracleSql.setExceptNations,
     "token_freq_top50" -> OracleSql.tokenFreqTop50,
     "window_percentiles" -> OracleSql.windowPercentiles,
