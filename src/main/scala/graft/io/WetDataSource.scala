@@ -73,9 +73,13 @@ private[io] class WetScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.isFile)
-      else fs.globStatus(p).filter(_.isFile)
+    // glob first (a literal path globs to itself), then expand directories
+    // one level — handles load(dir), load(file) and load(dir/*.gz)
+    val globbed = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = globbed.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile)
+      else Array(s)
+    }
     files.map(f => WetInputPartition(f.getPath.toString): InputPartition)
   }
 

@@ -62,4 +62,15 @@ class WetDataSourceSpec extends SparkSpec {
     assert(scan.contains("columns=url"), s"scan not pruned:\n$scan")
     assert(df.collect().forall(_.getString(0).startsWith("https://")))
   }
+
+  test("glob patterns and single-file paths both resolve") {
+    val dir = freshDir()
+    wetFile(dir, "d", 2); wetFile(dir, "e", 1)
+    val viaGlob = spark.read.format("wet")
+      .load(dir.getAbsolutePath + "/*.wet.gz")
+    assert(viaGlob.count() == 3)
+    val viaFile = spark.read.format("wet")
+      .load(new File(dir, "d.warc.wet.gz").getAbsolutePath)
+    assert(viaFile.count() == 2)
+  }
 }
