@@ -58,6 +58,9 @@ case class AsofJoinPlan(
 
   override def output: Seq[Attribute] = left.output ++ rightPayload
 
+  /** Exactly one output row per left row (left outer semantics). */
+  override def maxRows: Option[Long] = left.maxRows
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
