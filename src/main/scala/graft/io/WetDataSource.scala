@@ -1,5 +1,6 @@
 package graft.io
 
+import java.io.InputStream
 import java.util
 
 import org.apache.hadoop.conf.Configuration
@@ -14,61 +15,57 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * DataSource V2 provider for WET (WARC text-conversion) archives:
- * `spark.read.format("wet").load(path)` — the catalog-integrated form of
- * [[Sources.wetRecords]] (reference ingest: src/ingest/parse_commoncrawl
- * .py:85-122).
- *
- * Scale shape: one input partition per .wet.gz file (gzip is not
- * splittable; Common Crawl ships ~90k files per crawl, so a large
- * cluster parallelizes across files naturally), streaming decode with
- * constant memory per file, truncation-tolerant for partial
- * Range-request downloads. Implements `SupportsPushDownRequiredColumns`
- * so a projection of (url) never materializes content strings into rows.
+ * DataSource V2 plumbing shared by the engine's file-per-partition
+ * sources: one input partition per (non-splittable) archive file,
+ * streaming decode with constant memory, and
+ * `SupportsPushDownRequiredColumns` so projections never materialize
+ * unused columns. Parallelism at Common Crawl / bulk-register scale
+ * comes from file count (~90k WET files per crawl).
  */
-class WetDataSource extends TableProvider with DataSourceRegister {
-  override def shortName(): String = "wet"
+private[io] abstract class StreamFileSource
+  extends TableProvider with DataSourceRegister with Serializable {
+
+  /** Full schema of the source. */
+  def sourceSchema: StructType
+  /** Parse one file's stream into records projected to `columns`. */
+  def read(file: String, in: InputStream,
+      columns: Array[String]): Iterator[InternalRow]
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WetDataSource.Schema
+    sourceSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new WetTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      s"${shortName()} source requires a path: " +
+        s"""spark.read.format("${shortName()}").load(path)""")
+    val self = this
+    new Table with SupportsRead {
+      override def name(): String = s"${self.shortName()}:$path"
+      override def schema(): StructType = sourceSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new StreamFileScanBuilder(self, path)
+    }
+  }
 }
 
-object WetDataSource {
-  val Schema: StructType = StructType(Seq(
-    StructField("source_file", StringType),
-    StructField("url", StringType),
-    StructField("content", StringType)))
-}
-
-private[io] class WetTable(path: String) extends Table with SupportsRead {
-  require(path != null && path.nonEmpty,
-    "wet source requires a path: spark.read.format(\"wet\").load(path)")
-  override def name(): String = s"wet:$path"
-  override def schema(): StructType = WetDataSource.Schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WetScanBuilder(path)
-}
-
-private[io] class WetScanBuilder(path: String)
+private[io] class StreamFileScanBuilder(src: StreamFileSource, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = WetDataSource.Schema
+  private var required: StructType = src.sourceSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WetScan(path, required)
+  override def build(): Scan = new StreamFileScan(src, path, required)
 }
 
-private[io] class WetScan(path: String, required: StructType)
-  extends Scan with Batch {
+private[io] class StreamFileScan(src: StreamFileSource, path: String,
+    required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WetScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+    s"${src.shortName()}Scan(path=$path, columns=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -80,34 +77,79 @@ private[io] class WetScan(path: String, required: StructType)
       if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile)
       else Array(s)
     }
-    files.map(f => WetInputPartition(f.getPath.toString): InputPartition)
+    files.map(f => StreamFilePartition(f.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WetReaderFactory(required.fieldNames)
+    new StreamFileReaderFactory(src, required.fieldNames)
 }
 
-private[io] case class WetInputPartition(file: String) extends InputPartition
+private[io] case class StreamFilePartition(file: String) extends InputPartition
 
-private[io] class WetReaderFactory(columns: Array[String])
-  extends PartitionReaderFactory {
+private[io] class StreamFileReaderFactory(src: StreamFileSource,
+    columns: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[WetInputPartition].file
+    val file = partition.asInstanceOf[StreamFilePartition].file
     new PartitionReader[InternalRow] {
       private val fs = new Path(file).getFileSystem(new Configuration())
       private val stream = fs.open(new Path(file))
-      private val it = Sources.parseWetStream(file, stream)
-      private var cur: WetRecord = _
-      override def next(): Boolean = {
+      private val it = src.read(file, stream, columns)
+      private var cur: InternalRow = _
+      override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
-      }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(columns.toSeq.map {
-          case "source_file" => UTF8String.fromString(cur.source_file)
-          case "url" => UTF8String.fromString(cur.url)
-          case "content" => UTF8String.fromString(cur.content)
-        })
+      override def get(): InternalRow = cur
       override def close(): Unit = stream.close()
     }
   }
+}
+
+/** `spark.read.format("wet").load(path)` — WET (WARC text-conversion)
+  * archives via [[Sources.parseWetStream]] (truncation-tolerant gzip). */
+class WetDataSource extends StreamFileSource {
+  override def shortName(): String = "wet"
+  override def sourceSchema: StructType = WetDataSource.Schema
+  override def read(file: String, in: InputStream,
+      columns: Array[String]): Iterator[InternalRow] =
+    Sources.parseWetStream(file, in).map { r =>
+      InternalRow.fromSeq(columns.toSeq.map {
+        case "source_file" => UTF8String.fromString(r.source_file)
+        case "url" => UTF8String.fromString(r.url)
+        case "content" => UTF8String.fromString(r.content)
+      })
+    }
+}
+
+object WetDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("source_file", StringType),
+    StructField("url", StringType),
+    StructField("content", StringType)))
+}
+
+/** `spark.read.format("abr-xml").load(path)` — ABR bulk-extract XML via
+  * the streaming StAX parser [[Sources.parseAbrStream]]. */
+class AbrXmlDataSource extends StreamFileSource {
+  override def shortName(): String = "abr-xml"
+  override def sourceSchema: StructType = AbrXmlDataSource.Schema
+  override def read(file: String, in: InputStream,
+      columns: Array[String]): Iterator[InternalRow] =
+    Sources.parseAbrStream(in).map { r =>
+      InternalRow.fromSeq(columns.toSeq.map { c =>
+        UTF8String.fromString(c match {
+          case "abn" => r.abn
+          case "entity_name" => r.entity_name
+          case "entity_type" => r.entity_type
+          case "entity_status" => r.entity_status
+          case "state" => r.state
+          case "postcode" => r.postcode
+          case "start_date" => r.start_date
+        })
+      })
+    }
+}
+
+object AbrXmlDataSource {
+  val Schema: StructType = StructType(
+    Seq("abn", "entity_name", "entity_type", "entity_status", "state",
+      "postcode", "start_date").map(StructField(_, StringType)))
 }

@@ -73,4 +73,41 @@ class WetDataSourceSpec extends SparkSpec {
       .load(new File(dir, "d.warc.wet.gz").getAbsolutePath)
     assert(viaFile.count() == 2)
   }
+
+  test("format(\"abr-xml\") parses bulk-extract XML with pruning") {
+    val dir = freshDir()
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<Transfer>
+        |<ABR>
+        |  <ABN status="ACT" ABNStatusFromDate="20200101">51824753556</ABN>
+        |  <EntityType><EntityTypeInd>PRV</EntityTypeInd></EntityType>
+        |  <MainEntity>
+        |    <NonIndividualName><NonIndividualNameText>ACME PTY LTD</NonIndividualNameText></NonIndividualName>
+        |    <BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000</Postcode></AddressDetails></BusinessAddress>
+        |  </MainEntity>
+        |</ABR>
+        |<ABR>
+        |  <ABN status="CAN" ABNStatusFromDate="20190615">12345678901</ABN>
+        |  <MainEntity><NonIndividualName><NonIndividualNameText>OTHER CO</NonIndividualNameText></NonIndividualName></MainEntity>
+        |</ABR>
+        |</Transfer>
+        |""".stripMargin
+    val f = new File(dir, "extract.xml")
+    val os = new FileOutputStream(f)
+    os.write(xml.getBytes(StandardCharsets.UTF_8)); os.close()
+    val df = spark.read.format("abr-xml").load(dir.getAbsolutePath)
+    assert(df.columns.length == 7)
+    val rows = df.orderBy("abn").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[String]("abn") == "51824753556")
+    assert(rows(1).getAs[String]("entity_name") == "ACME PTY LTD")
+    assert(rows(1).getAs[String]("state") == "NSW")
+    val pruned = df.select("abn")
+    assert(pruned.queryExecution.executedPlan.toString.contains("columns=abn"))
+    // parity with the RDD-based reader
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      Sources.abrEntities(spark, dir.getAbsolutePath + "/*.xml")
+        .select("abn").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
