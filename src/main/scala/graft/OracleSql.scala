@@ -405,6 +405,12 @@ FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
 WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 50"""
 
+  val zscoreAcctbal: String = """SELECT c_custkey, c_mktsegment,
+  round((c_acctbal - avg(c_acctbal) OVER w) /
+        stddev_samp(c_acctbal) OVER w, 4) AS z
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment)
+ORDER BY c_custkey"""
+
   val windowPercentiles: String = """SELECT c_custkey, c_mktsegment,
   round(percent_rank() OVER w, 6) AS pr,
   round(cume_dist() OVER w, 6) AS cd,

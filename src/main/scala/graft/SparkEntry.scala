@@ -537,6 +537,39 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
+    // Training-data ops: Gopher-style repetition quality signals
+    // (duplicate-line and duplicate-3-gram fractions, mean word length —
+    // the classic corpus-filter rules)
+    "quality_repetition" -> ((s, dir) => {
+      val toks = TextDedup.tokens(col("text"))
+      val lines = filter(split(col("text"), "\n"), x => trim(x) =!= "")
+      val total3 = greatest(size(toks) - 2, lit(0))
+      Demo.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(lines).as("n_lines"),
+          round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+            nullif(size(lines), lit(0)).cast("double"), 6)
+            .as("dup_line_frac"),
+          round(lit(1.0) -
+            size(graft.functions.GraftFunctions.hashed_shingles(col("text"), 3))
+              .cast("double") / nullif(total3, lit(0)).cast("double"), 6)
+            .as("dup_3gram_frac"),
+          round(aggregate(toks, lit(0L), (a, x) => a + length(x))
+            .cast("double") / nullif(size(toks), lit(0)).cast("double"), 6)
+            .as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+    // ML preprocessing: per-segment z-score normalization via window
+    // aggregates (one pass, no self-join)
+    "zscore_acctbal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+      Demo.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round((col("c_acctbal") - avg(col("c_acctbal")).over(w)) /
+            stddev_samp(col("c_acctbal")).over(w), 4).as("z"))
+        .orderBy("c_custkey")
+    }),
     // Training-data ops: token/quality/langid/fingerprint analysis
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -679,6 +712,8 @@ object SparkEntry {
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,
+    "quality_repetition" -> DedupOracles.qualityRepetition,
+    "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_frames" -> OracleSql.multimodalFrames,
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,

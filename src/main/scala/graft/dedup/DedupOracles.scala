@@ -34,6 +34,24 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE len(a.hs) > 0 AND len(b.hs) > 0)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 
+  /** Gopher-style repetition quality signals, mirroring the
+    * quality_repetition query (same hashed-shingle distinct count). */
+  val qualityRepetition: String = s"""WITH $shCte,
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
+lns AS (SELECT doc_id,
+          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+        FROM documents)
+SELECT t.doc_id,
+  len(ls) AS n_lines,
+  round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / nullif(len(ls), 0), 6)
+    AS dup_line_frac,
+  round(1.0 - CAST(len(hs) AS DOUBLE) /
+    nullif(greatest(len(toks) - 2, 0), 0), 6) AS dup_3gram_frac,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) /
+    nullif(len(toks), 0), 6) AS mean_word_len
+FROM t JOIN hsh USING (doc_id) JOIN lns USING (doc_id)
+ORDER BY t.doc_id"""
+
   /** minhash value for permutation i over the hs list column. */
   private def mh(i: Int): String =
     s"list_min(list_transform(hs, h -> ((${2 * i + 1} * h + ${i * i + 7}) % 1000000007)))"
