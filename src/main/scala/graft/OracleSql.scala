@@ -451,6 +451,12 @@ WHERE $sampleBucket < 1000 ORDER BY doc_id"""
     ELSE 'holdout' END AS split, count(*) AS n
 FROM documents GROUP BY split ORDER BY split"""
 
+  val sampleStratified: String = """SELECT c_mktsegment AS segment, count(*) AS n
+FROM customer
+WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
+      < (CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END)
+GROUP BY segment ORDER BY segment"""
+
   val revenueByMonth: String = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
   count(*) AS n,
   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue

@@ -640,6 +640,16 @@ object SparkEntry {
         Demo.table(s, dir, "documents").select("doc_id", "text"),
         "doc_id", fraction = 0.10)
         .select("doc_id").orderBy("doc_id")),
+    // Training-data ops: deterministic stratified sampling (per-class
+    // fractions — corpus rebalancing); sizes per stratum
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratified(
+        Demo.table(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey", "c_mktsegment",
+        fractions = Map("BUILDING" -> 0.40), defaultFraction = 0.10)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment")),
     // Training-data ops: deterministic train/val/test split sizes
     "split_documents" -> ((s, dir) =>
       graft.operators.Sampling.split(
@@ -688,6 +698,7 @@ object SparkEntry {
     "revenue_by_month" -> OracleSql.revenueByMonth,
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
     "sample_documents" -> OracleSql.sampleDocuments,
+    "sample_stratified" -> OracleSql.sampleStratified,
     "split_documents" -> OracleSql.splitDocuments,
     "quantiles_price_by_segment" -> OracleSql.quantilesPriceBySegment,
     "window_top3_orders" -> OracleSql.top3OrdersPerCustomer,

@@ -28,6 +28,22 @@ object Sampling {
     df.filter(bucket(col(keyCol)) < (fraction * 10000).toLong)
 
   /**
+   * Deterministic stratified sample: a per-stratum fraction (e.g. keep
+   * 40% of one language, 10% of the rest — corpus rebalancing).
+   * Membership is still a pure function of the key, so strata stay
+   * consistent across runs and engines.
+   */
+  def stratified(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < (frac * 10000).cast("long"))
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

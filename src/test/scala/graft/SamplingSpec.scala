@@ -31,4 +31,21 @@ class SamplingSpec extends SparkSpec {
     // each doc appears exactly once with exactly one label
     assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("stratified: per-stratum rates honored, default applies elsewhere") {
+    val cust = Demo.table(spark, sf(), "customer")
+      .select("c_custkey", "c_mktsegment")
+    val out = Sampling.stratified(cust, "c_custkey", "c_mktsegment",
+      Map("BUILDING" -> 0.5), defaultFraction = 0.05)
+    val byStratum = out.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = cust.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bRate = byStratum("BUILDING").toDouble / totals("BUILDING")
+    assert(math.abs(bRate - 0.5) < 0.15, s"BUILDING rate $bRate")
+    totals.keys.filter(_ != "BUILDING").foreach { s =>
+      val r = byStratum.getOrElse(s, 0L).toDouble / totals(s)
+      assert(r < 0.2, s"stratum $s rate $r")
+    }
+  }
 }
