@@ -4,21 +4,68 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
- * Connected components over an undirected edge list by iterative
- * min-label propagation — the step that turns pairwise near-duplicate
- * matches into dedup CLUSTERS (keep one representative per component).
+ * Connected components over an undirected edge list — the step that turns
+ * pairwise near-duplicate matches into dedup CLUSTERS (keep one
+ * representative per component).
  *
- * Each iteration joins the current labels across edges (both directions)
- * and takes the minimum seen label per node; fixpoint when no label
- * changes. Iterations needed ≈ graph diameter; near-dup graphs are
- * overwhelmingly tiny cliques/chains, so 3-5 rounds converge in practice
- * and `maxIter` bounds pathological chains. Each round is one
- * shuffle-join + one aggregation over (node, label) pairs — no driver
- * materialization, and intermediate label relations are persisted and
- * released round-to-round (the standard large-graph-on-DataFrames loop;
- * for billion-edge graphs swap in large-star/small-star, same skeleton).
+ * Implementation: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+ * rewires edges toward the per-neighborhood minimum:
+ *
+ *   - large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+ *   - small-star(u): over edges oriented u > v, m = min(N(u));
+ *     emit (v, m) for all v ∈ N(u) plus (u, m)
+ *
+ * The edge set converges to a star forest rooted at each component's
+ * minimum node id in O(log² n) rounds (vs graph-diameter rounds for plain
+ * min-label propagation), and every round is edge-proportional work:
+ * a hash aggregation for the per-node minimum, a co-partitioned join to
+ * rewire, and a distinct. High-degree nodes are exactly what large-star
+ * flattens, so skew self-heals instead of accumulating. Each round is
+ * localCheckpoint'ed: lineage (and optimizer time) stays O(1) per round
+ * instead of growing with the iteration count.
+ *
+ * Only edge-touched nodes enter the loop; isolated nodes (the vast
+ * majority in a near-duplicate corpus) are unioned back at the end with
+ * their own id as label — keeping them inside the loop would multiply
+ * every shuffle by corpus/edge_nodes for rows whose label never moves.
  */
 object ConnectedComponents {
+
+  /** min(N(u) ∪ {u}) per node over the symmetrized edge list, then rewire
+    * every strictly-larger neighbor to that minimum. Output edges are
+    * oriented (big, small). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Over edges oriented u > v: attach every small neighbor (and u
+    * itself) to the minimum small neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = or.groupBy("u").agg(min("v").as("m"))
+    or.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (edge count, order-free fingerprint) — equal signatures on the
+    * distinct edge set mean the round was a fixpoint. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   /** Label every node (from `nodes`, one column) with the minimum node id
     * reachable through `edges` (aCol, bCol). Output: (node, component);
@@ -26,54 +73,33 @@ object ConnectedComponents {
   def label(nodes: DataFrame, edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val nodeCol = nodes.columns.head
-    // symmetric edge list
-    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Only nodes touching an edge can ever change label: iterate over
-    // those, and union the (overwhelmingly more numerous) isolated nodes
-    // back in at the end with their own id. In a near-duplicate graph
-    // edge-touched nodes are a few percent of the corpus — keeping the
-    // rest inside the loop would multiply every per-iteration shuffle by
-    // corpus/edge_nodes for rows whose label provably never moves.
     val allNodes = nodes.select(col(nodeCol).as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var persisted = sym.select(col("u").as("node"))
+
+    var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct()
-      .withColumn("component", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
-    var changed = 1L
+      .localCheckpoint() // eager: truncate lineage before the loop
+    var sig = signature(e)
+    var converged = sig._1 == 0L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // neighbor labels: for each node u, the labels of its neighbors v.
-      // The node's own row is tagged so the aggregation can emit both the
-      // new label (min over self + neighbors) and the old one (the self
-      // row) in a single pass — the convergence check then needs no
-      // second join against the previous labels.
-      val viaNeighbors = sym
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .select(col("u").as("node"), col("component"), lit(false).as("self"))
-      val step = labels
-        .select(col("node"), col("component"), lit(true).as("self"))
-        .unionByName(viaNeighbors)
-        .groupBy("node").agg(
-          min(col("component")).as("component"),
-          min(when(col("self"), col("component"))).as("_old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // limit-1 existence check: cheaper than a full count, and the
-      // persisted step is materialized by next iteration's consumers
-      changed = if (step.filter(col("component") =!= col("_old")).isEmpty) 0 else 1
-      persisted.unpersist()
-      persisted = step
-      labels = step.select("node", "component")
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
       i += 1
     }
-    sym.unpersist()
+    // converged star forest: children point at the component root (the
+    // minimum id); roots appear only on the small side.
+    val touched = e.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
     val isolated = allNodes
-      .join(labels.select("node"), Seq("node"), "left_anti")
+      .join(touched.select("node"), Seq("node"), "left_anti")
       .withColumn("component", col("node"))
-    labels.unionByName(isolated)
+    touched.unionByName(isolated)
   }
 }

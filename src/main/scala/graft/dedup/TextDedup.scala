@@ -59,13 +59,22 @@ object TextDedup {
 
   /**
    * All document pairs with n-gram Jaccard similarity ≥ threshold, via a
-   * shingle inverted index: explode distinct shingles, self-join on the
-   * shingle, count common shingles per pair, compute
-   * |∩| / (|A|+|B|−|∩|). Exact (no approximation); the LSH variant below
-   * trades exactness for a smaller candidate set.
+   * shingle inverted index: explode distinct shingles, drop stop-shingles
+   * over the document-frequency cap, self-join on the shingle to generate
+   * candidate pairs, then verify each candidate on the FULL shingle sets
+   * (|∩| / (|A|+|B|−|∩|) via array_intersect — reported similarity is
+   * exact regardless of the cap).
+   *
+   * The df cap is the 100 TB guard: the inverted-index self-join is
+   * quadratic in per-shingle document frequency, so one boilerplate
+   * shingle appearing in 1% of a 10 B-doc corpus would alone emit ~10¹⁴
+   * candidate pairs. Capping df (standard IR practice) bounds per-key
+   * fan-out; a true near-dup pair is lost only if EVERY shingle it shares
+   * is a stop-shingle, which a threshold ≥ 0.5 pair essentially never is.
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
     // The inverted index carries the 60-bit shingle HASH, not the shingle
     // string: 8-byte shuffle keys and long-vs-long join comparisons.
     // Jaccard is over hashed-shingle sets — the oracle hashes with the
@@ -75,20 +84,33 @@ object TextDedup {
     val withSh = docs.select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = withSh.select(col("doc_id"), size(col("hs")).as("nsh"))
     val inv = withSh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    // Effective cap = max(floor, frac·ndocs), computed in-plan (the corpus
+    // count broadcasts as a 1-row side — no driver action). The floor
+    // keeps small corpora cap-free; the fraction is what matters at scale.
+    val ndocs = withSh.agg(count(lit(1)).as("ndocs"))
+    val keep = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .where(col("df") <= greatest(lit(maxDfFloor),
+        ceil(col("ndocs") * maxDfFrac)))
+      .select("h")
+    // Candidate generation on the capped index only; df-capped `inv` is
+    // already hash-partitioned by h for the self-join (exchange reuse).
+    val capped = inv.join(keep, "h")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "nsh_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nsh_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification on full shingle sets (same shape as the LSH
+    // variant below; candidates are deduped before the array fetch).
+    val shSets = withSh.select(col("doc_id"), col("hs"))
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
-        (col("nsh_a") + col("nsh_b") - col("common")))
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -240,7 +240,7 @@ object EmbeddingOps {
 
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Long = 10000L): DataFrame = {
     // Candidates first, score once: the bucket self-join carries only
     // (table, bucket, id) rows, duplicate collisions (a pair can share a
     // bucket in up to numTables tables) are dropped on the 2-long id pair
@@ -254,8 +254,18 @@ object EmbeddingOps {
     val b = lshBuckets(df, vecCol, idCol, numPlanes, numTables, dim)
       .select("vec_id", "table", "bucket")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      .join(b.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+    // Bucket-size cap: a degenerate cell (zero-vector pileups, all-ones
+    // sign patterns) reintroduces quadratic pairs through the self-join —
+    // standard LSH practice skips cells over a population bound. A pair
+    // losing one hot cell still collides in any of the other
+    // numTables−1 tables, so recall degrades gracefully.
+    val keep = b.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("cell_n"))
+      .where(col("cell_n") <= maxBucket)
+      .select("table", "bucket")
+    val bc = b.join(keep, Seq("table", "bucket"))
+    val cand = bc.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bc.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -28,6 +28,58 @@ class DedupSpec extends SparkSpec {
     assert(p.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("ngram pairs: df cap prunes stop-shingle candidates, keeps true pairs") {
+    // 30 docs all sharing one boilerplate 3-gram ("shared header line"),
+    // otherwise unique; docs 1 and 2 are near-identical. With a low
+    // threshold a boilerplate-only pair WOULD pass verification if it
+    // ever became a candidate — so its absence proves the candidate was
+    // pruned by the df cap, not by the score filter.
+    val docs = (1L to 30L).map { i =>
+      val uniq = if (i == 2L) "unique body 1 alpha7 gamma" // near-dup of doc 1
+        else s"unique body $i alpha${i * 7} beta${i * 13}"
+      (i, s"shared header line $uniq")
+    }.toDF("doc_id", "text")
+    val capped = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.01, maxDfFrac = 0.0, maxDfFloor = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.01, maxDfFrac = 1.0, maxDfFloor = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: every pair shares the hot shingles → quadratic candidates
+    assert(uncapped.size == 30 * 29 / 2)
+    // capped: only the genuinely near-identical pair survives, and its
+    // reported jaccard is still computed on the FULL shingle sets
+    assert(capped == Set((1L, 2L)))
+    val j = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.01, maxDfFrac = 0.0, maxDfFloor = 5L)
+      .filter(col("doc_a") === 1L).select("jaccard").head().getDouble(0)
+    val jFull = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.01, maxDfFrac = 1.0, maxDfFloor = 1000L)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("jaccard").head().getDouble(0)
+    assert(j == jFull)
+  }
+
+  test("lsh cosine pairs: bucket cap prunes degenerate cells") {
+    // 40 identical vectors pile into the same cell of every table; two
+    // distinct near-dup vectors sit elsewhere. A small cap drops the
+    // degenerate cell but keeps the normal pair.
+    val dim = 8
+    val hot = Seq.fill(dim)(1.0f)
+    val a = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
+    val b = a.updated(7, -0.9f)
+    val rows = (1L to 40L).map(i => (i, hot)) ++ Seq((100L, a), (101L, b))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = graft.embeddings.EmbeddingOps.lshCosinePairs(
+        df, "embedding", "vec_id", threshold = 0.9, dim = dim, maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    val uncapped = graft.embeddings.EmbeddingOps.lshCosinePairs(
+        df, "embedding", "vec_id", threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1)
+  }
+
   test("minhash LSH recall equals exact jaccard pairs on testdata") {
     val exact = TextDedup.ngramJaccardPairs(docs, "text", "doc_id")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
