@@ -607,8 +607,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // Training-data ops: SRP-LSH bucketed near-neighbour pairs (the
-    // scale path; approximate — no SQL oracle, rows-only check; recall
-    // vs the exact pairs is asserted in EmbeddingSpec)
+    // scale path; oracled by regenerating the deterministic md5-derived
+    // hyperplanes into DuckDB SQL — TextOracles.lshPairs)
     "ann_lsh_pairs" -> ((s, dir) =>
       EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.45)
@@ -643,6 +643,11 @@ object SparkEntry {
     // asserts exact metrics and HLL error bounds)
     "profile_documents" -> ((s, dir) =>
       Stats.profile(Demo.table(s, dir, "documents")).orderBy("column")),
+    // The oracle-able subset of the profile: same single-pass plan minus
+    // the HLL column, hash-checked against DuckDB
+    "profile_documents_exact" -> ((s, dir) =>
+      Stats.profile(Demo.table(s, dir, "documents"))
+        .drop("approx_distinct").orderBy("column")),
     // Training-data ops: deterministic hash-bucket sampling (stable
     // across engines/partitionings — RNG sampling is not)
     "sample_documents" -> ((s, dir) =>
@@ -740,5 +745,7 @@ object SparkEntry {
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,
     "ann_topk" -> TextOracles.annTopK,
     "ann_ivf_topk" -> TextOracles.annIvfTopK,
+    "ann_lsh_pairs" -> TextOracles.lshPairs(),
+    "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

@@ -81,6 +81,49 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors EmbeddingOps.lshCosinePairs: the hyperplane components are
+    * the same deterministic md5-derived doubles (emitted via Java's
+    * shortest-round-trip toString, which DuckDB's correctly-rounded
+    * parser reads back to identical bits), bucket bits use the same
+    * left-to-right dot fold, and the bucket-population cap and
+    * candidates-first shape are reproduced in SQL. */
+  def lshPairs(threshold: Double = 0.45, numPlanes: Int = 8,
+      numTables: Int = 12, dim: Int = 64, maxBucket: Long = 10000L): String = {
+    val perTable = (0 until numTables).map { t =>
+      val planes = EmbeddingOps.hyperplanes(t, numPlanes, dim)
+      val bits = (0 until numPlanes).map { p =>
+        val plane = planes(p).map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce(list_transform(list_zip(v, $plane), z -> z[1] * z[2]), (x,y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $normCte,
+b AS (
+$perTable),
+keep AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING count(*) <= $maxBucket),
+bc AS (SELECT b.vec_id, b.tbl, b.bucket FROM b JOIN keep USING (tbl, bucket)),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM bc x JOIN bc y USING (tbl, bucket) WHERE x.vec_id < y.vec_id)
+SELECT id_a, id_b, round($dotAB / (a.nrm * b.nrm), 4) AS cosine
+FROM cand JOIN n a ON cand.id_a = a.vec_id JOIN n b ON cand.id_b = b.vec_id
+WHERE round($dotAB / (a.nrm * b.nrm), 4) >= $threshold
+ORDER BY id_a, id_b"""
+  }
+
+  /** Mirrors Stats.profile minus the HLL approx-distinct column: per
+    * column of `documents`, exact count / non-null / min / max (cast to
+    * varchar) / mean (numeric columns only). */
+  val profileExact: String = {
+    val numeric = Set("doc_id", "n_chars")
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    cols.map { c =>
+      val mean = if (numeric(c)) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_non_null,
+         |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value,
+         |  $mean AS mean FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+  }
+
   private val dotNC =
     "list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]), (x,y) -> x + y)"
 
