@@ -630,14 +630,21 @@ object SparkEntry {
         Demo.table(s, dir, "documents")
           .withColumn("payload", encode(col("text"), "UTF-8")),
         "payload", "doc_id").orderBy("doc_id", "frame_idx")),
-    // Training-data ops: stubbed decode via typed mapPartitions (codec is
-    // a deterministic fake — no SQL oracle, rows-only; MultimodalSpec
-    // asserts determinism and shape)
-    "multimodal_decode" -> ((s, dir) =>
-      graft.multimodal.Multimodal.decodeImagesStub(
-        Demo.table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "payload", "doc_id").toDF().orderBy("id")),
+    // Training-data ops: image decode via typed mapPartitions. Payloads
+    // are REAL 24-bpp BMPs synthesized from the text (no image column in
+    // the testdata), decoded by the pure-JVM BMP parser — width/height/
+    // brightness come from parsed header + pixel bytes. No SQL oracle
+    // (rows-only); MultimodalSpec asserts fixture dimensions/brightness.
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Demo.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, graft.multimodal.Multimodal.syntheticBmp(id, t))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodeImages(payloads, "payload", "doc_id")
+        .toDF().orderBy("id")
+    }),
     // Training-data ops: one-pass per-column dataset profile (approx
     // distinct is HLL-based — no SQL oracle, rows-only; StatsProfileSpec
     // asserts exact metrics and HLL error bounds)

@@ -3,8 +3,8 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Stub decode output — deterministic fake dimensions/stats derived from
-  * the header bytes (no imaging codecs in this environment). */
+/** Decode output: real header/pixel-derived values for BMP/PPM payloads,
+  * deterministic fake for formats with no pure-JVM codec here. */
 case class DecodedMedia(
     id: Long,
     width: Int,
@@ -65,15 +65,14 @@ object Multimodal {
 
   /**
    * Decode media payloads via typed mapPartitions (the mapInPandas-shaped
-   * batch path).
-   *
-   * STUB KERNEL: real image decoding (JPEG/PNG via javax.imageio or a
-   * native codec) is unavailable in this container, so dimensions are a
-   * deterministic function of the header bytes and brightness is the mean
-   * of the first 256 bytes. Swap `decodeOne` for a real codec without
-   * touching the plumbing.
+   * batch path). BMP (24/32-bpp) and binary PPM payloads are decoded for
+   * REAL — dimensions from the parsed header, brightness from the pixel
+   * bytes ([[Bmp]]/[[Ppm]], pure JVM). Formats needing a codec library
+   * (JPEG/PNG/...) fall back to the deterministic stub below — this
+   * container has no imaging libraries; swap the fallback for a real
+   * codec without touching the plumbing.
    */
-  def decodeImagesStub(df: DataFrame, binCol: String,
+  def decodeImages(df: DataFrame, binCol: String,
       idCol: String): Dataset[DecodedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -82,9 +81,22 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
 
+  /** Former name of [[decodeImages]], kept for source compatibility. */
+  def decodeImagesStub(df: DataFrame, binCol: String,
+      idCol: String): Dataset[DecodedMedia] = decodeImages(df, binCol, idCol)
+
   private[multimodal] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
-    // ??? real codec goes here — deterministic fake below
+    Bmp.decode(b).orElse(Ppm.decode(b)) match {
+      case Some(r) =>
+        DecodedMedia(id, r.width, r.height, r.channels, r.brightness)
+      case None => fallbackStub(id, b)
+    }
+  }
+
+  /** STUB for codec-bound formats: deterministic fake dimensions from the
+    * header bytes, brightness = mean of the first 256 bytes. */
+  private def fallbackStub(id: Long, b: Array[Byte]): DecodedMedia = {
     val h = java.util.Arrays.hashCode(b.take(16))
     val head = b.take(256)
     val brightness =
@@ -96,5 +108,22 @@ object Multimodal {
       height = 64 + math.floorMod(h >> 10, 1024),
       channels = 3,
       brightness = brightness)
+  }
+
+  /** Deterministic real-BMP payload from a document: text bytes become
+    * the pixel data of a 16-wide 24-bpp image (padded with the doc id).
+    * The demo's stand-in for an actual image column — the ENCODER and the
+    * decode path are both real; only the pixel content is synthetic. */
+  def syntheticBmp(id: Long, text: String): Array[Byte] = {
+    val t = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    val width = 16
+    val height = math.max(1, math.min(64, (t.length + width * 3 - 1) / (width * 3)))
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = if (i < t.length) t(i) else ((id + i) % 251).toByte
+      i += 1
+    }
+    Bmp.encode(width, height, rgb)
   }
 }

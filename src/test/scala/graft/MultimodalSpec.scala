@@ -34,6 +34,51 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).forall(_ % 4 == 0))
   }
 
+  test("bmp codec: known fixture decodes to exact dims and brightness") {
+    import graft.multimodal.{Bmp, Ppm}
+    // 2×2 image: black, white, mid-gray, pure red (top-down RGB)
+    val rgb = Array[Byte](
+      0, 0, 0, -1, -1, -1, // (0,0) black, (1,0) white (255 = -1 as byte)
+      127, 127, 127, -1, 0, 0) // (0,1) gray 127, (1,1) red
+    val bmp = Bmp.decode(Bmp.encode(2, 2, rgb)).get
+    assert(bmp.width == 2 && bmp.height == 2 && bmp.channels == 3)
+    val expected = (0.0 + 255.0 + 127.0 + 255.0 / 3) / 4 / 255.0
+    assert(math.abs(bmp.brightness - expected) < 1e-12)
+    // width 3 exercises row padding (9-byte rows padded to 12)
+    val rgb3 = Array.fill[Byte](3 * 2 * 3)(60)
+    val padded = Bmp.decode(Bmp.encode(3, 2, rgb3)).get
+    assert(padded.width == 3 && padded.height == 2)
+    assert(math.abs(padded.brightness - 60.0 / 255.0) < 1e-12)
+    // PPM round-trip with a comment in the header
+    val ppmBytes = Ppm.encode(2, 1, Array[Byte](10, 20, 30, 40, 50, 60))
+    val ppm = Ppm.decode(ppmBytes).get
+    assert(ppm.width == 2 && ppm.height == 1 && ppm.channels == 3)
+    assert(math.abs(ppm.brightness - (20.0 + 50.0) / 2 / 255.0) < 1e-12)
+  }
+
+  test("decodeImages: real BMP payloads through the typed partition path") {
+    import spark.implicits._
+    val rgb = Array.fill[Byte](4 * 4 * 3)(100)
+    val payloads = Seq(
+      (1L, graft.multimodal.Bmp.encode(4, 4, rgb)),
+      (2L, "not an image at all".getBytes("UTF-8"))) // → stub fallback
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(payloads, "payload", "doc_id")
+      .collect().sortBy(_.id)
+    assert(out(0).width == 4 && out(0).height == 4 && out(0).channels == 3)
+    assert(math.abs(out(0).brightness - 100.0 / 255.0) < 1e-12)
+    assert(out(1).width >= 64) // fallback stub dims, clearly not 4×4
+  }
+
+  test("syntheticBmp: deterministic real BMP whose pixels are the text") {
+    val b = Multimodal.syntheticBmp(7L, "x" * (16 * 3 * 2)) // exactly 2 rows
+    val r = graft.multimodal.Bmp.decode(b).get
+    assert(r.width == 16 && r.height == 2 && r.channels == 3)
+    assert(math.abs(r.brightness - 'x'.toInt / 255.0) < 1e-12)
+    assert(Multimodal.syntheticBmp(7L, "abc").toSeq ===
+      Multimodal.syntheticBmp(7L, "abc").toSeq)
+  }
+
   test("decode stub: deterministic, partition-parallel, typed output") {
     val out = Multimodal.decodeImagesStub(
       docs.repartition(3), "payload", "doc_id")
