@@ -208,8 +208,17 @@ ORDER BY abn_clean"""
   count(*) FILTER (WHERE state IS NOT NULL
                      AND state NOT IN ('NSW','VIC','QLD','SA','WA','TAS','NT','ACT')) AS bad_state,
   count(*) FILTER (WHERE data_source IS NOT NULL
-                     AND data_source NOT IN ('MATCHED','ABR_ONLY','MERGED','WEB_ONLY')) AS bad_source
-FROM dim"""
+                     AND data_source NOT IN ('MATCHED','ABR_ONLY','MERGED','WEB_ONLY')) AS bad_source,
+  f.source, f.max_loaded_at, f.age_hours, f.freshness_status
+FROM dim CROSS JOIN (
+  SELECT 'events' AS source, max(ts) AS max_loaded_at,
+         (floor(epoch(TIMESTAMP '2026-01-01 00:00:00')) - floor(epoch(max(ts)))) / 3600.0 AS age_hours,
+         CASE WHEN max(ts) IS NULL THEN 'error'
+              WHEN (floor(epoch(TIMESTAMP '2026-01-01 00:00:00')) - floor(epoch(max(ts)))) / 3600.0 > 48 THEN 'error'
+              WHEN (floor(epoch(TIMESTAMP '2026-01-01 00:00:00')) - floor(epoch(max(ts)))) / 3600.0 > 24 THEN 'warn'
+              ELSE 'pass' END AS freshness_status
+  FROM events) f
+GROUP BY f.source, f.max_loaded_at, f.age_hours, f.freshness_status"""
 
   /** ANSI-expressible subset of the F26 feature vector over the demo
     * candidate pairs (SparkEntry.featurePairs / Features.all). */

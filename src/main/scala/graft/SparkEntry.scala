@@ -188,7 +188,12 @@ object SparkEntry {
     }),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
-      Quality.report(dimDf(s, dir))),
+      // dbt-style checks + a source-freshness line over the events feed
+      // (fixed as-of instant so the age — and the oracle hash — is
+      // deterministic; production passes the default current_timestamp)
+      Quality.report(dimDf(s, dir)).crossJoin(
+        Quality.sourceFreshness(Demo.table(s, dir, "events"), "ts", "events",
+          asOf = to_timestamp(lit("2026-01-01 00:00:00"))))),
     // §2.3 J4/J5 + §2.6 U2 + §2.7 F22-F24: golden-record dim
     "etl_golden_dim" -> ((s, dir) => dimDf(s, dir).orderBy("abn")),
     // §2.4 A4/A9 + §2.3 J7: singleton aggregates cross-joined

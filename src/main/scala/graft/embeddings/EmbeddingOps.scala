@@ -133,9 +133,9 @@ object EmbeddingOps {
 
   /** Coarse centroids for IVF: the vectors with id < nlist, collected to
     * the driver (nlist × dim doubles — a few KB; broadcast as literals).
-    * Deterministic stand-in for trained centroids: production would run
-    * sampled k-means (e.g. MLlib) and feed the result in here — the
-    * assignment/probe/search machinery is identical. */
+    * Deterministic stand-in kept as the demo/oracle default (expressible
+    * in SQL); [[kmeansCentroids]] is the trained alternative — pass its
+    * result via the `centroids` parameter of ivfTopK/writeIvfIndex. */
   def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       nlist: Int): Array[(Long, Array[Double], Double)] =
     corpus.filter(col(idCol) < nlist)
@@ -146,6 +146,92 @@ object EmbeddingOps {
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }
       .sortBy(_._1)
+
+  /**
+   * Trained coarse centroids for IVF: deterministic sample-based
+   * spherical k-means (the standard way IVF indexes are trained — e.g.
+   * faiss trains on a bounded sample, not the full corpus). The sample is
+   * the first `sampleSize` vectors in md5(id) order — stable across
+   * partitionings and engines — and Lloyd iterations run sequentially on
+   * the driver over that sample (≤ sampleSize·dim doubles), so the
+   * result is bit-deterministic: no RNG, no parallel-reduction float
+   * reordering. Assignment is by cosine with ties to the smallest
+   * centroid id (same rule as [[ivfAssignment]]); empty clusters keep
+   * their previous centroid. Output shape matches [[ivfCentroids]], so it
+   * drops into ivfTopK / writeIvfIndex unchanged.
+   */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iters: Int = 10,
+      sampleSize: Int = 4096): Array[(Long, Array[Double], Double)] = {
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("hk", md5(col("id").cast("string")))
+      .orderBy("hk", "id")
+      .limit(sampleSize)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist, s"need ≥ $nlist sample vectors")
+    val dim = sample.head.length
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]): Double = math.max(math.sqrt(dotv(a, a)), 1e-12)
+    // Greedy farthest-point init (deterministic k-means++ analogue):
+    // start from the first hash-ordered vector, then repeatedly seed the
+    // sample vector with the lowest maximum cosine to the seeds so far —
+    // spread seeds cover the direction space instead of collapsing into
+    // whatever the first nlist hash-ordered vectors happened to be.
+    val sn = sample.map(nrm)
+    val seeds = new Array[Int](nlist)
+    seeds(0) = 0
+    val maxCos = Array.tabulate(sample.length) { j =>
+      dotv(sample(j), sample(0)) / (sn(j) * sn(0))
+    }
+    var s = 1
+    while (s < nlist) {
+      var far = 0; var farScore = Double.PositiveInfinity
+      var j = 0
+      while (j < sample.length) {
+        if (maxCos(j) < farScore) { farScore = maxCos(j); far = j }
+        j += 1
+      }
+      seeds(s) = far
+      j = 0
+      while (j < sample.length) {
+        val c = dotv(sample(j), sample(far)) / (sn(j) * sn(far))
+        if (c > maxCos(j)) maxCos(j) = c
+        j += 1
+      }
+      s += 1
+    }
+    var cents = seeds.map(sample(_).clone())
+    var it = 0
+    while (it < iters) {
+      val cn = cents.map(nrm)
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnt = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          val s = dotv(v, cents(c)) / cn(c)
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnt(best) += 1
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cents(c)
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v, nrm(v)) }
+  }
 
   /** Per-row array of {cos, -cid} structs vs every centroid — evaluated
     * map-side with the centroids inlined as literals (no join, no
@@ -178,8 +264,9 @@ object EmbeddingOps {
    * bucketed-by-cluster once and reused across query batches.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
-      idCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, vecCol, idCol, nlist)
+      idCol: String, k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, idCol, nlist))
     val assigned = prepared(corpus, vecCol, idCol)
       .withColumn("cluster", ivfAssignment(col("v"), cents))
       .select(col("cluster"), col("vec_id").as("neighbor_id"),
@@ -206,8 +293,9 @@ object EmbeddingOps {
    * EmbeddingIndexSpec).
    */
   def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, path: String): Unit = {
-    val cents = ivfCentroids(corpus, vecCol, idCol, nlist)
+      nlist: Int, path: String,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): Unit = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, idCol, nlist))
     val assigned = corpus
       .withColumn("cluster", ivfAssignment(asDouble(col(vecCol)), cents))
     graft.io.ParquetSink.writePartitioned(assigned, path, Seq("cluster"))
@@ -218,9 +306,11 @@ object EmbeddingOps {
     * partition column (cluster), score inside probed cells only. */
   def ivfTopKFromIndex(queries: DataFrame, indexPath: String,
       corpusForCentroids: DataFrame, vecCol: String, idCol: String,
-      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): DataFrame = {
     val spark = queries.sparkSession
-    val cents = ivfCentroids(corpusForCentroids, vecCol, idCol, nlist)
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpusForCentroids, vecCol, idCol, nlist))
     val index = spark.read.parquet(indexPath)
       .select(col("cluster"), col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))

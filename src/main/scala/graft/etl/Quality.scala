@@ -42,6 +42,27 @@ object Quality {
     df.filter(col(column).isNotNull &&
       (col(column) < lo || col(column) > hi))
 
+  /** Source-freshness check (dbt sources.yml:27-29: `warn_after` 24 h,
+    * `error_after` 48 h on the web source's load timestamp): one row with
+    * the source name, max(timestampCol), its age in hours relative to
+    * `asOf` (default now; pass a literal for deterministic tests/oracles)
+    * and pass/warn/error. An empty or all-null timestamp column is an
+    * error, as in dbt. */
+  def sourceFreshness(df: DataFrame, timestampCol: String, source: String,
+      warnAfterHours: Double = 24.0, errorAfterHours: Double = 48.0,
+      asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame =
+    df.agg(max(col(timestampCol)).as("max_loaded_at"))
+      // whole-second difference divided once: exact integers in, one IEEE
+      // division out — engine-portable without rounding
+      .select(lit(source).as("source"), col("max_loaded_at"),
+        ((unix_timestamp(asOf) -
+          unix_timestamp(col("max_loaded_at"))) / 3600.0).as("age_hours"))
+      .withColumn("freshness_status",
+        when(col("max_loaded_at").isNull, "error")
+          .when(col("age_hours") > errorAfterHours, "error")
+          .when(col("age_hours") > warnAfterHours, "warn")
+          .otherwise("pass"))
+
   /** All dim_companies checks as ONE one-row DataFrame (a single job:
     * one row-level aggregate + the duplicate-key sub-aggregate), instead
     * of dimChecks' six actions — and oracle-checkable. */

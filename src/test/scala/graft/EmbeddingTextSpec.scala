@@ -75,6 +75,31 @@ class EmbeddingTextSpec extends SparkSpec {
       ivfPairs.contains((r.getLong(0), r.getLong(1)))).toDouble / brute.length
     info(s"IVF recall@5 = $recall")
     assert(recall >= 0.5)
+
+    // Trained k-means centroids must not lose recall vs the id<nlist
+    // stand-in, measured over the FULL corpus as queries: the demo query
+    // set (ids 0..19) CONTAINS the stand-in centroids (ids 0..7), and a
+    // query that is its own centroid probes its own cell where its
+    // neighbors pile up — a self-probing bias that inflates the stand-in
+    // to ~0.9 recall on those 8 queries while neutral queries see ~0.45.
+    // Training must also be bit-deterministic run-to-run.
+    val km = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val km2 = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id", nlist = 8)
+    assert(km.map(_._2.toSeq).toSeq === km2.map(_._2.toSeq).toSeq)
+    val bruteAll = EmbeddingOps.bruteForceTopK(emb, emb, "embedding",
+      "vec_id", k = 5).collect()
+    def recallAll(cents: Option[Array[(Long, Array[Double], Double)]]): Double = {
+      val pairs = EmbeddingOps.ivfTopK(emb, emb, "embedding", "vec_id",
+        k = 5, nlist = 8, nprobe = 2, centroids = cents).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bruteAll.count(r =>
+        pairs.contains((r.getLong(0), r.getLong(1)))).toDouble / bruteAll.length
+    }
+    val standinAll = recallAll(None)
+    val kmAll = recallAll(Some(km))
+    info(s"all-corpus recall@5: stand-in = $standinAll, kmeans = $kmAll")
+    assert(kmAll >= standinAll,
+      s"kmeans recall $kmAll < stand-in $standinAll on unbiased queries")
   }
 
   test("text analysis: sane ranges and deterministic fingerprint") {

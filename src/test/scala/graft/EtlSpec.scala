@@ -64,6 +64,31 @@ class EtlSpec extends SparkSpec {
     assert(dim.filter(col("data_source") === "ABR_ONLY").count() > 0)
   }
 
+  test("source freshness: pass/warn/error bands and null-timestamp error") {
+    import spark.implicits._
+    val asOf = to_timestamp(lit("2026-01-01 00:00:00"))
+    def status(maxTs: String): String =
+      Quality.sourceFreshness(
+        Seq(("2025-01-01 00:00:00"), (maxTs)).toDF("ts")
+          .select(to_timestamp(col("ts")).as("ts")),
+        "ts", "s", asOf = asOf)
+        .head().getAs[String]("freshness_status")
+    assert(status("2025-12-31 12:00:00") == "pass")  // 12 h old
+    assert(status("2025-12-30 12:00:00") == "warn")  // 36 h old
+    assert(status("2025-12-28 00:00:00") == "error") // 96 h old
+    val empty = Quality.sourceFreshness(
+      Seq.empty[String].toDF("ts").select(to_timestamp(col("ts")).as("ts")),
+      "ts", "s", asOf = asOf).head()
+    assert(empty.getAs[String]("freshness_status") == "error")
+    val r = Quality.sourceFreshness(
+      Seq("2025-12-31 00:00:00").toDF("ts")
+        .select(to_timestamp(col("ts")).as("ts")),
+      "ts", "events", asOf = asOf).head()
+    assert(r.getAs[String]("source") == "events")
+    assert(r.getAs[Double]("age_hours") == 24.0) // boundary: 24 h = pass
+    assert(r.getAs[String]("freshness_status") == "pass")
+  }
+
   test("stats: one row, rates within [0,100]") {
     val m = Match.run(web, abr, Match.JaccardTokens, cfg)
     val st = Stats.matchStatistics(web, abr, m).collect()
