@@ -544,6 +544,21 @@ object SparkEntry {
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
+    // Training-data ops: eval-set decontamination — n-gram containment
+    // of benchmark docs (every 10th, id%10=3) inside corpus docs, and
+    // the corpus with contaminated docs dropped
+    "decontaminate_pairs" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      TextDedup.contaminationPairs(docs,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
+        .orderBy("doc_id", "bench_id")
+    }),
+    "decontaminate_corpus" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      TextDedup.decontaminate(docs,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -747,6 +762,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
     "dedup_corpus" -> DedupOracles.corpusKeepers,
+    "decontaminate_pairs" -> DedupOracles.contaminationPairs,
+    "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

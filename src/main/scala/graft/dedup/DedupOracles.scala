@@ -34,6 +34,30 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE len(a.hs) > 0 AND len(b.hs) > 0)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 
+  /** Cross-corpus contamination: exact n-gram containment of each
+    * benchmark doc (every 10th doc, id % 10 = 3) within each corpus doc —
+    * |∩| / |bench shingles| over the same hashed-shingle sets. */
+  val contaminationPairs: String = s"""WITH $shCte,
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
+bh AS (SELECT doc_id AS bench_id, hs AS bhs FROM hsh
+       WHERE doc_id % 10 = 3 AND len(hs) > 0),
+p AS (SELECT a.doc_id, b.bench_id,
+        CAST(len(list_intersect(a.hs, b.bhs)) AS DOUBLE) / len(b.bhs) AS containment
+      FROM hsh a JOIN bh b ON a.doc_id <> b.bench_id)
+SELECT doc_id, bench_id, containment FROM p
+WHERE containment >= 0.8 ORDER BY doc_id, bench_id"""
+
+  /** Decontaminated corpus: every doc id not contaminated above. */
+  val decontaminatedCorpus: String = s"""WITH $shCte,
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
+bh AS (SELECT doc_id AS bench_id, hs AS bhs FROM hsh
+       WHERE doc_id % 10 = 3 AND len(hs) > 0),
+bad AS (SELECT DISTINCT a.doc_id
+        FROM hsh a JOIN bh b ON a.doc_id <> b.bench_id
+        WHERE CAST(len(list_intersect(a.hs, b.bhs)) AS DOUBLE) / len(b.bhs) >= 0.8)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id"""
+
   /** Gopher-style repetition quality signals, mirroring the
     * quality_repetition query (same hashed-shingle distinct count). */
   val qualityRepetition: String = s"""WITH $shCte,

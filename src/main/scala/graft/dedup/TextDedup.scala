@@ -115,6 +115,65 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ----------------------------------------- cross-corpus decontamination
+
+  /**
+   * Benchmark-contamination pairs: training documents that contain a
+   * large fraction of some benchmark document's n-grams — the eval-set
+   * leak check run before LLM training. Uses CONTAINMENT
+   * |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| rather than
+   * Jaccard: a short benchmark item embedded verbatim in a long training
+   * document must still score 1.0.
+   *
+   * Same scale shape as [[ngramJaccardPairs]]: inverted-index join on
+   * 8-byte shingle hashes (corpus side df-capped against stop-shingle
+   * fan-out), candidates deduped, then exact containment on the full
+   * shingle sets. The benchmark side is tiny by nature (eval suites), so
+   * the join fan-out is bounded by benchmark shingle counts.
+   */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+    val cs = corpus.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = bench.select(col(idCol).as("bench_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
+      .filter(size(col("bhs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val invC = cs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
+    val ndocs = cs.agg(count(lit(1)).as("ndocs"))
+    val keep = invC.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .where(col("df") <= greatest(lit(maxDfFloor),
+        ceil(col("ndocs") * maxDfFrac)))
+      .select("h")
+    val cand = invC.join(keep, "h").join(invB, "h")
+      .where(col("doc_id") =!= col("bench_id"))
+      .select("doc_id", "bench_id")
+      .distinct()
+    cand
+      .join(cs, "doc_id")
+      .join(bs, "bench_id")
+      .withColumn("containment",
+        size(array_intersect(col("hs"), col("bhs"))).cast("double") /
+          size(col("bhs")))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "bench_id", "containment")
+  }
+
+  /** The decontaminated corpus: drop every document contaminated against
+    * `bench` (anti-join on the flagged ids — all other columns ride
+    * through untouched). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val bad = contaminationPairs(corpus, bench, textCol, idCol, n, threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** MinHash signature (numPerms values) from an array of PRE-HASHED

@@ -80,6 +80,25 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.size == 40 * 39 / 2 + 1)
   }
 
+  test("decontaminate: embedded benchmark text flagged, clean docs kept") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full benchmark text verbatim → containment 1.0
+      (1L, "intro words alpha beta gamma delta epsilon zeta trailing tail"),
+      // shares a couple of benchmark tokens but not its shingles
+      (2L, "alpha omega chi psi completely different words here"),
+      (3L, "nothing in common with anything benchmark related at all"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.contaminationPairs(corpus, bench, "text", "doc_id")
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    assert(pairs.head.getAs[Double]("containment") == 1.0)
+    val kept = TextDedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("minhash LSH recall equals exact jaccard pairs on testdata") {
     val exact = TextDedup.ngramJaccardPairs(docs, "text", "doc_id")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
