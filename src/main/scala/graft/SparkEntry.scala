@@ -24,10 +24,23 @@ object SparkEntry {
     * same entry. */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // NOT computeIfAbsent: building one frame recursively builds its
+  // parents through this same cache (dim → matched → match → web/abr),
+  // and a nested computeIfAbsent into the bin being computed throws
+  // IllegalStateException("Recursive update") — bin layout depends on
+  // the session's identity hash, so it surfaced only on some runs.
+  // get/putIfAbsent allows re-entry; a lost race just drops its persist.
   private def cachedFrame(s: SparkSession, dir: String, tag: String)(
-      f: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent((s, dir, tag), _ =>
-      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      f: => DataFrame): DataFrame = {
+    val key = (s, dir, tag)
+    val hit = frameCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = frameCache.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 
   private def webClean(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "web")(Clean.web(Demo.ccRaw(s, dir)))
