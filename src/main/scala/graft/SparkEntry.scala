@@ -617,6 +617,26 @@ object SparkEntry {
     "text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: PII scrub (emails/IPs/phones planted
+    // deterministically since the synthetic corpus has none; counts +
+    // redacted-text digest verify every replacement)
+    "pii_redaction" -> ((s, dir) => {
+      val withPii = Demo.table(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call +61 400 123 456"))
+            .otherwise(lit(""))))
+      TextAnalysis.piiReport(withPii, "text2", "doc_id").orderBy("doc_id")
+    }),
+    // Training-data ops: per-language corpus scale statistics
+    "corpus_token_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(Demo.table(s, dir, "documents"), "text", "lang")
+        .orderBy("lang")),
     // Training-data ops: embedding near-dup pairs (exact cosine)
     "embedding_cosine_pairs" -> ((s, dir) =>
       EmbeddingOps.cosinePairs(Demo.table(s, dir, "embeddings"),
@@ -780,6 +800,8 @@ object SparkEntry {
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,
+    "pii_redaction" -> TextOracles.piiRedaction,
+    "corpus_token_stats" -> TextOracles.corpusStats,
     "quality_repetition" -> DedupOracles.qualityRepetition,
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,

@@ -94,6 +94,51 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  // ------------------------------------------------------- PII redaction
+
+  /** Conservative PII patterns, restricted to regex features with
+    * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB
+    * oracle): character classes, bounded repetition, \b. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  val PhoneRe = """\+\d{2} \d{3} \d{3} \d{3}"""
+
+  /** Scrub emails, IPv4 addresses and international-format phone numbers
+    * from a text column — the privacy pass a training-data pipeline runs
+    * before publishing a corpus. Map-only (three codegen'd
+    * regexp_replace), order fixed email → ip → phone. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts plus the digest of the redacted text
+    * (digest instead of the full text: verifies every replacement without
+    * shipping wide strings through the comparison). */
+  def piiReport(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      md5(redactPii(col(textCol))).as("redacted_md5"))
+
+  /** Corpus-level token statistics per group column — the scale numbers
+    * (docs, chars, whitespace + BPE-ish tokens, mean doc length) a
+    * training run reports per language/source. One aggregation pass. */
+  def corpusStats(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("total_chars"),
+        sum(tokenCount(col(textCol))).as("total_tokens"),
+        sum(bpeTokenCount(col(textCol))).as("total_bpe_tokens"))
+      // exact integer sum ÷ exact count: one IEEE division, portable
+      // without rounding
+      .withColumn("mean_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+
   /** Full analysis projection over a document frame. */
   def analyze(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

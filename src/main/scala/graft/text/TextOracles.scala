@@ -55,6 +55,44 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
             (a,b) -> (CAST(a AS BIGINT) * 257 + b) % 1000000007) END AS rolling_fp
 FROM q ORDER BY doc_id"""
 
+  /** Mirrors the pii_redaction query: the same synthesized PII suffixes
+    * and the SAME regex constants (referenced from TextAnalysis, so the
+    * two engines cannot drift). DuckDB regexp_replace needs the 'g' flag
+    * to match Spark's replace-all. */
+  val piiRedaction: String = {
+    val (e, ip, ph) =
+      (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
+    s"""WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' call +61 400 123 456' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '$e')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '$ip')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(t, '$ph')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'))
+    AS redacted_md5
+FROM p ORDER BY doc_id"""
+  }
+
+  /** Mirrors TextAnalysis.corpusStats over documents grouped by lang. */
+  val corpusStats: String = raw"""WITH t AS (
+  SELECT lang, text, $toks AS toks FROM documents)
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS mean_doc_tokens
+FROM t GROUP BY lang ORDER BY lang"""
+
   private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm

@@ -116,6 +116,40 @@ class EmbeddingTextSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("pii redaction: emails, ips, phones scrubbed; clean text untouched") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or call +61 400 123 456"),
+      (2L, "server at 192.168.1.17 responded; backup at 10.0.0.1"),
+      (3L, "no personal information in this sentence at all"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.redactPii($"text").as("red"),
+      regexp_count($"text", lit(TextAnalysis.EmailRe)).as("ne"),
+      regexp_count($"text", lit(TextAnalysis.Ipv4Re)).as("ni"),
+      regexp_count($"text", lit(TextAnalysis.PhoneRe)).as("np"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("red") ==
+      "write to <EMAIL> or call <PHONE>")
+    assert(out(0).getAs[Int]("ne") == 1 && out(0).getAs[Int]("np") == 1)
+    assert(out(1).getAs[String]("red") ==
+      "server at <IP> responded; backup at <IP>")
+    assert(out(1).getAs[Int]("ni") == 2)
+    assert(out(2).getAs[String]("red") == out(2).getAs[String]("red") &&
+      !out(2).getAs[String]("red").contains("<"))
+  }
+
+  test("corpus stats: exact sums and portable mean") {
+    val df = Seq((1L, "a bb ccc", "en"), (2L, "dd ee", "en"),
+      (3L, "ff", "de")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusStats(df, "text", "lang")
+      .orderBy("lang").collect()
+    assert(r(0).getAs[Long]("n_docs") == 1 &&
+      r(0).getAs[Long]("total_tokens") == 1)
+    assert(r(1).getAs[Long]("n_docs") == 2 &&
+      r(1).getAs[Long]("total_tokens") == 5 &&
+      r(1).getAs[Double]("mean_doc_tokens") == 2.5)
+  }
+
   test("language id: marker-based prediction") {
     val df = Seq(
       (1L, "the cat sat of the mat and a dog"),

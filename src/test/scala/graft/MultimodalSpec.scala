@@ -79,6 +79,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticBmp(7L, "abc").toSeq)
   }
 
+  test("bmp codec: random-raster round-trip property") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(17)
+      val h = 1 + rnd.nextInt(9)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val dec = graft.multimodal.Bmp.decode(graft.multimodal.Bmp.encode(w, h, rgb)).get
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      val want = rgb.grouped(3)
+        .map(p => ((p(0) & 0xff) + (p(1) & 0xff) + (p(2) & 0xff)) / 3.0)
+        .sum / (w * h) / 255.0
+      assert(math.abs(dec.brightness - want) < 1e-9, s"w=$w h=$h")
+      val ppm = graft.multimodal.Ppm.decode(
+        graft.multimodal.Ppm.encode(w, h, rgb)).get
+      assert(ppm.width == w && ppm.height == h &&
+        math.abs(ppm.brightness - want) < 1e-9)
+    }
+  }
+
   test("decode stub: deterministic, partition-parallel, typed output") {
     val out = Multimodal.decodeImagesStub(
       docs.repartition(3), "payload", "doc_id")
