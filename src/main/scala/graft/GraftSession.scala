@@ -15,6 +15,9 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default-on since 3.2, pinned here because the 100 TB posture
+      // depends on it: runtime split of skewed shuffle-join partitions
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
