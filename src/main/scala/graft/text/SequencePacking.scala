@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-sequence packing: documents are concatenated in a stable
+ * order and cut into fixed token-budget sequences — the step that turns
+ * a filtered corpus into the packed rows an LLM trainer actually reads.
+ *
+ * This is the "stream packing" formulation (concatenate in order, cut
+ * every `budget` tokens, assign each document to the sequence where it
+ * starts): deterministic, one window pass, and expressible in ANSI SQL —
+ * so the assignment is oracle-checkable, unlike greedy first-fit
+ * bin-packing whose stateful scan is not.
+ *
+ * Scale design: the running sum is windowed PER SHARD (language, source,
+ * or a hash bucket) — a single global window would serialize the corpus
+ * through one partition. Real pipelines pack per output shard anyway,
+ * since each trainer data file is written independently. At 100 TB,
+ * shard by something with ≥ O(cluster cores) cardinality (e.g.
+ * `pmod(hash(id), 4096)`), not a 5-value language column.
+ */
+object SequencePacking {
+
+  /**
+   * Assign each document to its training sequence. Output, per document:
+   * shard, token count, sequence id within the shard, token offset where
+   * the document starts inside that sequence, and whether it spills over
+   * the sequence boundary (trainers either split those across sequences
+   * or mask the overflow).
+   */
+  def pack(docs: DataFrame, textCol: String, idCol: String,
+      budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // exclusive prefix sum: tokens before this doc in shard order
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start_tok DIV $budget").as("seq_id"),
+        (col("start_tok") % budget).as("seq_offset"),
+        (col("start_tok") % budget + col("n_tokens") > budget)
+          .as("spans_boundary"))
+  }
+
+  /** Per-sequence roll-up of [[pack]]: how many documents and tokens
+    * landed in each (shard, sequence) — the sanity report a packing run
+    * emits (every sequence except each shard's last should start full). */
+  def sequenceStats(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("spans_boundary")).as("has_overflow"))
+}
