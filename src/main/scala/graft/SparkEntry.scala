@@ -637,6 +637,19 @@ object SparkEntry {
     "corpus_token_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Demo.table(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+    // Training-data ops: training-sequence packing (stream formulation —
+    // per-shard prefix sum cut every 512 tokens); doc → sequence
+    // assignment with offset and boundary-spill flag
+    "pack_sequences" -> ((s, dir) =>
+      graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
+        "text", "doc_id", budget = 512, shardCol = "lang")
+        .orderBy("doc_id")),
+    // Per-sequence roll-up of the packing: docs/tokens per (shard, seq)
+    "pack_sequence_stats" -> ((s, dir) =>
+      graft.text.SequencePacking.sequenceStats(
+        graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
+          "text", "doc_id", budget = 512, shardCol = "lang"))
+        .orderBy("shard", "seq_id")),
     // Training-data ops: embedding near-dup pairs (exact cosine)
     "embedding_cosine_pairs" -> ((s, dir) =>
       EmbeddingOps.cosinePairs(Demo.table(s, dir, "embeddings"),
@@ -803,6 +816,8 @@ object SparkEntry {
     "pii_redaction" -> TextOracles.piiRedaction,
     "corpus_token_stats" -> TextOracles.corpusStats,
     "quality_repetition" -> DedupOracles.qualityRepetition,
+    "pack_sequences" -> TextOracles.packSequences,
+    "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_frames" -> OracleSql.multimodalFrames,

@@ -67,9 +67,18 @@ object ConnectedComponents {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Label every node (from `nodes`, one column) with the minimum node id
     * reachable through `edges` (aCol, bCol). Output: (node, component);
-    * isolated nodes label themselves. */
+    * isolated nodes label themselves.
+    *
+    * If the star-contraction loop hits `maxIter` before the fixpoint
+    * (needs ~log²(n) rounds; 20 covers any realistic graph), labels are
+    * APPROXIMATE upper bounds: a warning is logged and one extra
+    * pointer-jump pass compresses remaining two-level chains, but deep
+    * unconverged chains may still split one true component into several.
+    * Raise `maxIter` if the warning ever fires in production. */
   def label(nodes: DataFrame, edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val nodeCol = nodes.columns.head
@@ -94,9 +103,22 @@ object ConnectedComponents {
     }
     // converged star forest: children point at the component root (the
     // minimum id); roots appear only on the small side.
-    val touched = e.select(col("u").as("node"), col("v").as("component"))
+    var touched = e.select(col("u").as("node"), col("v").as("component"))
       .unionByName(e.select(col("v").as("node"), col("v").as("component")))
       .groupBy("node").agg(min("component").as("component"))
+    if (!converged) {
+      log.warn(s"connected components did not converge in $maxIter rounds " +
+        "(edge signature still moving) — emitted labels are upper bounds, " +
+        "compressed by one extra pointer-jump pass; raise maxIter")
+      // node -> label(label(node)): compresses any two-level chain the
+      // truncated loop left behind (roots label themselves, so the
+      // self-join is total and monotone non-increasing).
+      val parents = touched
+        .select(col("node").as("component"), col("component").as("grand"))
+      touched = touched.join(parents, Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("grand"), col("component")).as("component"))
+    }
     val isolated = allNodes
       .join(touched.select("node"), Seq("node"), "left_anti")
       .withColumn("component", col("node"))

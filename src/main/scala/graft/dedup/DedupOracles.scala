@@ -23,38 +23,61 @@ sh AS (SELECT doc_id,
   val exact: String = """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Inverted index + stop-shingle keep-list, mirroring the engine's
+    * document-frequency cap (df ≤ max(100, ceil(0.01·ndocs))): candidate
+    * pairs must share at least one KEPT shingle, exactly as
+    * `TextDedup.ngramJaccardPairs`/`contaminationPairs` cap the self-join
+    * fan-out — similarity is still computed on the FULL shingle sets. */
+  private val invKeepCtes = """inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+keep AS (SELECT h FROM inv GROUP BY h
+         HAVING count(*) <= greatest(100,
+           CAST(ceil(0.01 * (SELECT count(*) FROM hsh)) AS BIGINT)))"""
+
   /** Jaccard over HASHED shingle sets (same md5-based hash as Spark, so
-    * any collision is identical on both engines). */
+    * any collision is identical on both engines); candidates generated
+    * through the df-capped inverted index like the engine. */
   val ngramPairs: String = s"""WITH $shCte,
 hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-          (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
-      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-      WHERE len(a.hs) > 0 AND len(b.hs) > 0)
+$invKeepCtes,
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM inv a JOIN keep k ON a.h = k.h JOIN inv b ON b.h = a.h
+         WHERE a.doc_id < b.doc_id),
+p AS (SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand c
+      JOIN hsh sa ON sa.doc_id = c.doc_a
+      JOIN hsh sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 
-  /** Cross-corpus contamination: exact n-gram containment of each
-    * benchmark doc (every 10th doc, id % 10 = 3) within each corpus doc —
-    * |∩| / |bench shingles| over the same hashed-shingle sets. */
-  val contaminationPairs: String = s"""WITH $shCte,
+  /** Shared CTE chain for contamination: benchmark docs (every 10th doc,
+    * id % 10 = 3), df-capped corpus inverted index, candidate (doc, bench)
+    * pairs sharing a kept shingle, and exact containment
+    * |∩| / |bench shingles| over the full hashed-shingle sets. */
+  private val contaminationCtes = s"""$shCte,
 hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
 bh AS (SELECT doc_id AS bench_id, hs AS bhs FROM hsh
        WHERE doc_id % 10 = 3 AND len(hs) > 0),
-p AS (SELECT a.doc_id, b.bench_id,
-        CAST(len(list_intersect(a.hs, b.bhs)) AS DOUBLE) / len(b.bhs) AS containment
-      FROM hsh a JOIN bh b ON a.doc_id <> b.bench_id)
-SELECT doc_id, bench_id, containment FROM p
+$invKeepCtes,
+invb AS (SELECT bench_id, unnest(bhs) AS h FROM bh),
+cand AS (SELECT DISTINCT a.doc_id, b.bench_id
+         FROM inv a JOIN keep k ON a.h = k.h JOIN invb b ON b.h = a.h
+         WHERE a.doc_id <> b.bench_id),
+cont AS (SELECT c.doc_id, c.bench_id,
+           CAST(len(list_intersect(sa.hs, sb.bhs)) AS DOUBLE) / len(sb.bhs)
+             AS containment
+         FROM cand c
+         JOIN hsh sa ON sa.doc_id = c.doc_id
+         JOIN bh sb ON sb.bench_id = c.bench_id)"""
+
+  /** Cross-corpus contamination pairs at containment ≥ 0.8. */
+  val contaminationPairs: String = s"""WITH $contaminationCtes
+SELECT doc_id, bench_id, containment FROM cont
 WHERE containment >= 0.8 ORDER BY doc_id, bench_id"""
 
   /** Decontaminated corpus: every doc id not contaminated above. */
-  val decontaminatedCorpus: String = s"""WITH $shCte,
-hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
-bh AS (SELECT doc_id AS bench_id, hs AS bhs FROM hsh
-       WHERE doc_id % 10 = 3 AND len(hs) > 0),
-bad AS (SELECT DISTINCT a.doc_id
-        FROM hsh a JOIN bh b ON a.doc_id <> b.bench_id
-        WHERE CAST(len(list_intersect(a.hs, b.bhs)) AS DOUBLE) / len(b.bhs) >= 0.8)
+  val decontaminatedCorpus: String = s"""WITH $contaminationCtes,
+bad AS (SELECT DISTINCT doc_id FROM cont WHERE containment >= 0.8)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY doc_id"""
 

@@ -8,6 +8,12 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
 
+/** Non-retryable LLM protocol failure — 4xx statuses, missing or
+  * malformed response JSON. Falls straight through to the neutral-score
+  * fallback instead of burning the retry backoff schedule. */
+private[etl] final class LlmProtocolException(msg: String)
+  extends RuntimeException(msg)
+
 /** One LLM entity-match verdict (reference:
   * src/common/llm_matcher.py:20-26 `MatchResult`). */
 case class LlmMatchResult(isMatch: Boolean, score: Double, reason: String,
@@ -74,7 +80,11 @@ class HttpLlmScorer(cfg: LlmClientConfig) extends LlmScorer {
       return LlmMatchResult(isMatch = false, NeutralScore,
         "LLM matching not available", "low")
     try {
-      Pipeline.retry(cfg.attempts, cfg.retryBaseMs, cfg.retryMaxMs) {
+      // Retry only transient failures (connect/timeout IOException, 5xx,
+      // 429); 4xx and response-shape errors surface as
+      // LlmProtocolException and drop straight to the neutral fallback.
+      Pipeline.retry(cfg.attempts, cfg.retryBaseMs, cfg.retryMaxMs,
+        retryIf = _.isInstanceOf[java.io.IOException]) {
         parseVerdict(post(requestBody(
           userPrompt(name, url, industry, entityName, abn, state, postcode))))
       }
@@ -93,9 +103,11 @@ class HttpLlmScorer(cfg: LlmClientConfig) extends LlmScorer {
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(
-        s"LLM endpoint returned HTTP ${resp.statusCode()}")
+    val code = resp.statusCode()
+    if (code / 100 == 5 || code == 429)
+      throw new java.io.IOException(s"LLM endpoint returned HTTP $code")
+    if (code / 100 != 2) // auth/shape errors won't heal on retry
+      throw new LlmProtocolException(s"LLM endpoint returned HTTP $code")
     resp.body()
   }
 
@@ -113,17 +125,23 @@ class HttpLlmScorer(cfg: LlmClientConfig) extends LlmScorer {
     mapper.writeValueAsString(root)
   }
 
-  private def parseVerdict(responseBody: String): LlmMatchResult = {
+  private def parseVerdict(responseBody: String): LlmMatchResult = try {
     val content = mapper.readTree(responseBody)
       .path("choices").path(0).path("message").path("content")
     if (!content.isTextual)
-      throw new java.io.IOException("no choices[0].message.content in response")
+      throw new LlmProtocolException(
+        "no choices[0].message.content in response")
     val v = mapper.readTree(content.asText())
     LlmMatchResult(
       isMatch = v.path("match").asBoolean(false),
       score = v.path("score").asDouble(0.0),
       reason = v.path("reason").asText(""),
       confidence = v.path("confidence").asText("low"))
+  } catch {
+    // Jackson's parse exceptions extend IOException — rewrap so malformed
+    // bodies are not mistaken for transient network failures and retried.
+    case e: com.fasterxml.jackson.core.JacksonException =>
+      throw new LlmProtocolException(s"unparseable LLM response: ${e.getMessage}")
   }
 
   private def na(s: String): String = if (s == null || s.isEmpty) "N/A" else s

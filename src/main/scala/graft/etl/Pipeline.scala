@@ -42,15 +42,21 @@ object Pipeline {
    * (pipeline.py:76-114: 3 attempts, exponential 4-10 s). Sleep time is
    * min(base·2^attempt, maxMs). Use around driver-side IO (downloads,
    * JDBC); Spark tasks already retry internally.
+   *
+   * Only non-fatal failures matching `retryIf` are retried: fatal errors
+   * and InterruptedException always propagate immediately (backing off on
+   * an interrupt would swallow cancellation), and callers with
+   * non-transient failure modes (HTTP 4xx, parse errors) pass a predicate
+   * so those fail fast instead of burning the full backoff schedule.
    */
-  def retry[T](attempts: Int = 3, baseMs: Long = 4000,
-      maxMs: Long = 10000)(f: => T): T = {
+  def retry[T](attempts: Int = 3, baseMs: Long = 4000, maxMs: Long = 10000,
+      retryIf: Throwable => Boolean = _ => true)(f: => T): T = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return f
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) if retryIf(e) =>
           last = e
           i += 1
           if (i < attempts)

@@ -58,13 +58,19 @@ object Bmp {
     val rawHeight = buf.getInt(22)
     val bpp = buf.getShort(28).toInt
     val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || compression != 0 ||
-      (bpp != 24 && bpp != 32)) return None
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+      compression != 0 || (bpp != 24 && bpp != 32)) return None
+    // A malformed header can carry any 32-bit dataOffset (negative, or
+    // inside the header) and widths whose stride overflows Int — both must
+    // be rejected here, not discovered as ArrayIndexOutOfBounds in a task.
+    if (dataOffset < 54 || dataOffset > bytes.length) return None
     val height = math.abs(rawHeight) // negative = top-down; same pixels
     val channels = bpp / 8
-    val rowBytes = width * channels
-    val stride = (rowBytes + 3) / 4 * 4
-    if (dataOffset.toLong + stride.toLong * height > bytes.length) return None
+    val strideL = (width.toLong * channels + 3) / 4 * 4
+    // strideL <= bytes.length first, so strideL * height cannot overflow Long
+    if (strideL > bytes.length - dataOffset ||
+      strideL * height > bytes.length - dataOffset) return None
+    val stride = strideL.toInt
     var sum = 0.0
     var y = 0
     while (y < height) {

@@ -85,9 +85,14 @@ object Multimodal {
   def decodeImagesStub(df: DataFrame, binCol: String,
       idCol: String): Dataset[DecodedMedia] = decodeImages(df, binCol, idCol)
 
-  private[multimodal] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
+  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
-    Bmp.decode(b).orElse(Ppm.decode(b)) match {
+    // One corrupt blob must degrade to the stub row, not fail the task:
+    // codec bugs on adversarial headers become per-row fallbacks here.
+    val decoded =
+      try Bmp.decode(b).orElse(Ppm.decode(b))
+      catch { case scala.util.control.NonFatal(_) => None }
+    decoded match {
       case Some(r) =>
         DecodedMedia(id, r.width, r.height, r.channels, r.brightness)
       case None => fallbackStub(id, b)

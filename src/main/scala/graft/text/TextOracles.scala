@@ -93,6 +93,32 @@ SELECT lang,
   CAST(sum(len(toks)) AS DOUBLE) / count(*) AS mean_doc_tokens
 FROM t GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors SequencePacking.pack (budget 512, shard = lang): exclusive
+    * per-shard prefix sum of whitespace token counts in doc_id order, cut
+    * into fixed 512-token sequences. */
+  private val packCte = raw"""t AS (SELECT doc_id, lang AS shard,
+       CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+p AS (SELECT doc_id, shard, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_tok
+      FROM t),
+packed AS (SELECT doc_id, shard, n_tokens,
+             CAST(start_tok // 512 AS BIGINT) AS seq_id,
+             CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+             start_tok % 512 + n_tokens > 512 AS spans_boundary
+           FROM p)"""
+
+  val packSequences: String = s"""WITH $packCte
+SELECT doc_id, shard, n_tokens, seq_id, seq_offset, spans_boundary
+FROM packed ORDER BY doc_id"""
+
+  val packSequenceStats: String = s"""WITH $packCte
+SELECT shard, seq_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  max(spans_boundary) AS has_overflow
+FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id"""
+
   private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm

@@ -105,6 +105,44 @@ class LlmClientSpec extends AnyFunSuite {
     }
   }
 
+  test("4xx and malformed bodies fail fast: one request, no backoff burn") {
+    // 401: permanent auth failure — neutral fallback after exactly 1 hit
+    val authHits = new AtomicInteger(0)
+    withServer(Map("/v1/chat/completions" -> { ex =>
+      ex.getRequestBody.readAllBytes()
+      authHits.incrementAndGet()
+      respond(ex, 401, """{"error":"bad key"}""")
+    })) { base =>
+      val r = new HttpLlmScorer(cfg(base)).matchCompanies(
+        "A", null, null, "B", null, null, null)
+      assert(!r.isMatch && r.score == 0.5)
+      assert(authHits.get() == 1)
+    }
+    // non-JSON 200 body: parse error is not a transient network failure
+    val parseHits = new AtomicInteger(0)
+    withServer(Map("/v1/chat/completions" -> { ex =>
+      ex.getRequestBody.readAllBytes()
+      parseHits.incrementAndGet()
+      respond(ex, 200, "<html>definitely not json</html>")
+    })) { base =>
+      val r = new HttpLlmScorer(cfg(base)).matchCompanies(
+        "A", null, null, "B", null, null, null)
+      assert(!r.isMatch && r.score == 0.5)
+      assert(parseHits.get() == 1)
+    }
+    // 429 IS retried (rate limit heals)
+    val rlHits = new AtomicInteger(0)
+    withServer(Map("/v1/chat/completions" -> { ex =>
+      ex.getRequestBody.readAllBytes()
+      if (rlHits.incrementAndGet() == 1) respond(ex, 429, "slow down")
+      else respond(ex, 200, completion("""{"score":0.8}"""))
+    })) { base =>
+      val r = new HttpLlmScorer(cfg(base)).matchCompanies(
+        "A", null, null, "B", null, null, null)
+      assert(r.score == 0.8 && rlHits.get() == 2)
+    }
+  }
+
   test("no api key: neutral verdict without touching the network") {
     val hits = new AtomicInteger(0)
     withServer(Map("/v1/chat/completions" -> { ex =>

@@ -98,6 +98,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bmp codec: malformed headers are rejected, never thrown") {
+    import graft.multimodal.Bmp
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = Bmp.encode(4, 4, Array.fill[Byte](4 * 4 * 3)(50))
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    assert(Bmp.decode(patched(10, -4)).isEmpty) // negative dataOffset
+    assert(Bmp.decode(patched(10, 12)).isEmpty) // dataOffset inside header
+    assert(Bmp.decode(patched(10, good.length + 1)).isEmpty) // past the end
+    // width whose stride overflows Int (0x40000000 * 3 bytes/px)
+    assert(Bmp.decode(patched(18, 0x40000000)).isEmpty)
+    assert(Bmp.decode(patched(22, Int.MinValue)).isEmpty) // |height| < 0
+    // adversarial: anything starting with 'BM' must decode or return None
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](54 + rnd.nextInt(128))(rnd.nextInt(256).toByte)
+      junk(0) = 'B'.toByte; junk(1) = 'M'.toByte
+      Bmp.decode(junk) // must not throw
+    }
+  }
+
+  test("decodeOne degrades corrupt payloads to the stub, not a task failure") {
+    // a payload that passes the magic check but lies about its geometry
+    val lying = graft.multimodal.Bmp.encode(4, 4, Array.fill[Byte](48)(9))
+      .take(40) // truncated mid-header/pixels
+    val out = Multimodal.decodeOne(5L, lying)
+    assert(out.id == 5L && out.width >= 64) // stub dims, no exception
+  }
+
   test("decode stub: deterministic, partition-parallel, typed output") {
     val out = Multimodal.decodeImagesStub(
       docs.repartition(3), "payload", "doc_id")

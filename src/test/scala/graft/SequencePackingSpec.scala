@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.SequencePacking
+import org.apache.spark.sql.Row
+
+/** SequencePacking: stream-packing assignment, boundary handling, and the
+  * per-sequence roll-up invariants. */
+class SequencePackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "shard", "text")
+  }
+
+  private def packed(rows: (Long, String, String)*) =
+    SequencePacking.pack(docs(rows: _*), "text", "doc_id",
+      budget = 10, shardCol = "shard")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+
+  test("documents pack in doc_id order with exclusive prefix offsets") {
+    // token counts: 4, 4, 4 → starts 0, 4, 8 → seqs 0, 0, 0
+    val p = packed(
+      (1L, "a", "w w w w"), (2L, "a", "w w w w"), (3L, "a", "w w w w"))
+    assert(p(1L) == ((4L, 0L, 0L, false)))
+    assert(p(2L) == ((4L, 0L, 4L, false)))
+    // starts at offset 8 with 4 tokens: spills over the 10-token boundary
+    assert(p(3L) == ((4L, 0L, 8L, true)))
+  }
+
+  test("document starting exactly on a boundary opens the next sequence") {
+    // 10 + 3 tokens: doc 2 starts at offset 0 of sequence 1, no overflow
+    val p = packed((1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "a", "w w w"))
+    assert(p(1L) == ((10L, 0L, 0L, false)))
+    assert(p(2L) == ((3L, 1L, 0L, false)))
+  }
+
+  test("a document ending exactly at the boundary does not span it") {
+    // 6 + 4 tokens: doc 2 occupies offsets 6..9 — flush, not a spill
+    val p = packed((1L, "a", "w w w w w w"), (2L, "a", "w w w w"))
+    assert(p(2L) == ((4L, 0L, 6L, false)))
+  }
+
+  test("shards pack independently") {
+    val p = packed((1L, "a", Seq.fill(9)("w").mkString(" ")),
+      (2L, "b", "w w"), (3L, "a", "w w"))
+    assert(p(2L) == ((2L, 0L, 0L, false))) // shard b unaffected by shard a
+    assert(p(3L) == ((2L, 0L, 9L, true)))
+  }
+
+  test("sequenceStats rolls up docs/tokens and flags overflow sequences") {
+    val df = SequencePacking.pack(
+      docs((1L, "a", Seq.fill(8)("w").mkString(" ")), (2L, "a", "w w w"),
+        (3L, "a", "w w")),
+      "text", "doc_id", budget = 10, shardCol = "shard")
+    val stats = SequencePacking.sequenceStats(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // seq 0: docs 1 (8 toks) + 2 (starts at 8, spans) ; seq 1: doc 3
+    assert(stats(("a", 0L)) == ((2L, 11L, true)))
+    assert(stats(("a", 1L)) == ((1L, 2L, false)))
+  }
+
+  test("pack matches the engine-side oracle formulation at sf0.001") {
+    val d = Demo.table(spark, sf(), "documents")
+    val out = SequencePacking.pack(d, "text", "doc_id", 512, "lang")
+    // invariant: every sequence's docs fit 512 tokens of start offsets,
+    // and within a shard seq ids are non-decreasing in doc order
+    val bad = out.filter(org.apache.spark.sql.functions.col("seq_offset") >= 512)
+    assert(bad.count() == 0)
+    val n = out.count()
+    assert(n == d.count())
+  }
+}
