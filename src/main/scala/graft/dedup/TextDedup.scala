@@ -84,7 +84,10 @@ object TextDedup {
     val withSh = docs.select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = withSh.select(col("doc_id"), explode(col("hs")).as("h"))
+    // `sz` rides the explode so the length filter below needs no extra
+    // join/shuffle (8 bytes per index row).
+    val inv = withSh.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
     // Effective cap = max(floor, frac·ndocs), computed in-plan (the corpus
     // count broadcasts as a 1-row side — no driver action). The floor
     // keeps small corpora cap-free; the fraction is what matters at scale.
@@ -96,14 +99,44 @@ object TextDedup {
       .select("h")
     // Candidate generation on the capped index only; df-capped `inv` is
     // already hash-partitioned by h for the self-join (exchange reuse).
+    // The join carries each side's shingle-set size so the exact LENGTH
+    // FILTER applies inside the join: jaccard ≥ t forces
+    // t·|A| ≤ |B| ≤ |A|/t (|∩| ≤ min, |∪| ≥ max), so size-incompatible
+    // pairs can never pass verification — dropping them BEFORE the
+    // distinct is output-identical and cuts the candidate volume (the
+    // dominant cost: this corpus yields ~4× more raw pairs than sized
+    // ones). Standard AllPairs/PPJoin practice.
     val capped = inv.join(keep, "h")
-    val cand = capped.as("a").join(capped.as("b"),
+    // Per-doc count of shingles that SURVIVED the cap: the gap sz−kept is
+    // each doc's slack — shingles the index cannot see. 1 row/doc.
+    val keptCnt = capped.groupBy("doc_id").agg(count(lit(1)).as("kept"))
+    // Count shared kept shingles per pair instead of distinct-ing the pair
+    // explosion (same shuffle volume, but the count IS |∩ over kept|, so
+    // with the per-doc slack it yields an exact jaccard UPPER BOUND:
+    // |∩| ≤ common_kept + min(slack_a, slack_b). Only pairs whose bound
+    // clears the threshold reach the array verify — on a near-dup corpus
+    // that collapses millions of candidates to roughly the output size.
+    // When nothing is capped the bound IS the true jaccard.
+    val pairCommon = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * threshold <= col("b.sz") &&
+          col("b.sz") * threshold <= col("a.sz"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_kept"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    val cand = pairCommon
+      .join(broadcast(keptCnt.select(col("doc_id").as("doc_a"),
+        col("kept").as("kept_a"))), "doc_a")
+      .join(broadcast(keptCnt.select(col("doc_id").as("doc_b"),
+        col("kept").as("kept_b"))), "doc_b")
+      .withColumn("ub_common", col("common_kept") +
+        least(col("sz_a") - col("kept_a"), col("sz_b") - col("kept_b")))
+      .filter(col("ub_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ub_common")) >= threshold)
+      .select("doc_a", "doc_b")
     // Exact verification on full shingle sets (same shape as the LSH
-    // variant below; candidates are deduped before the array fetch).
+    // variant below; only bound-clearing candidates fetch arrays).
     val shSets = withSh.select(col("doc_id"), col("hs"))
     cand
       .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
@@ -261,16 +294,38 @@ object TextDedup {
    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 1): DataFrame = {
+    // Persisted: feeds the distinct-fingerprint candidate join AND both
+    // sides of the doc expansion below.
     val sh = simhash(docs, textCol, idCol)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate generation runs over DISTINCT fingerprints, not documents:
+    // exact/near-exact duplicate groups (the common case in a dirty
+    // corpus) share all chunks, so a doc-level chunk self-join explodes
+    // quadratically in group size (25M joined rows for 5k docs here,
+    // job-killing at corpus scale) while the fingerprint-level join stays
+    // proportional to DISTINCT fingerprints. Doc pairs are recovered
+    // afterwards by expanding each qualifying fingerprint pair through
+    // its member docs — work proportional to the OUTPUT, not the groups
+    // squared times chunks.
+    val fps = sh.select(col("simhash")).distinct()
+    val chunks = fps.select(col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(simhash >> (15 * c)) & 32767"))
-    chunks.as("a").join(chunks.as("b"),
+    // fa <= fb keeps the within-group (fa = fb, hamming 0) case.
+    val fpairs = chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash") <= col("b.simhash"))
+      .select(col("a.simhash").as("fa"), col("b.simhash").as("fb"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
+    fpairs
+      .join(sh.select(col("simhash").as("fa"), col("doc_id").as("da")), "fa")
+      .join(sh.select(col("simhash").as("fb"), col("doc_id").as("db")), "fb")
+      .where(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      // fa = fb groups emit each unordered pair in both orders
+      .distinct()
   }
 }
