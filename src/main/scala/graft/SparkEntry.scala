@@ -637,6 +637,23 @@ object SparkEntry {
     "corpus_token_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Demo.table(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+    // Retrieval: top-3 most characteristic terms per document by TF-IDF
+    "tfidf_top_terms" -> ((s, dir) =>
+      graft.text.Relevance.topTerms(Demo.table(s, dir, "documents"),
+        "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")),
+    // Retrieval: BM25 full-text scores against a probe query (postings
+    // filtered to the query's terms before any shuffle)
+    "bm25_search" -> ((s, dir) =>
+      graft.text.Relevance.bm25(Demo.table(s, dir, "documents"),
+        "text", "doc_id", query = "spark window merge")
+        .orderBy("doc_id")),
+    // Training-data ops: corpus-trained bigram LM fluency scores (the
+    // KenLM-style perplexity filter; add-0.5 smoothing)
+    "lm_doc_scores" -> ((s, dir) =>
+      graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: training-sequence packing (stream formulation —
     // per-shard prefix sum cut every 512 tokens); doc → sequence
     // assignment with offset and boundary-spill flag
@@ -818,6 +835,9 @@ object SparkEntry {
     "quality_repetition" -> DedupOracles.qualityRepetition,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
+    "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
+    "bm25_search" -> TextOracles.bm25Search,
+    "lm_doc_scores" -> TextOracles.lmDocScores,
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_frames" -> OracleSql.multimodalFrames,

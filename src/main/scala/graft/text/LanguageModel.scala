@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.dedup.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-trained bigram language model and per-document fluency scoring —
+ * the KenLM-style "does this read like the corpus" quality filter used to
+ * drop boilerplate/garbled documents before LLM training.
+ *
+ * Model: P(w₂|w₁) with add-α smoothing over the corpus's own bigram
+ * counts; a document's score is its mean log-probability per bigram
+ * (higher = more fluent w.r.t. the corpus; a perplexity filter thresholds
+ * exp(−score)).
+ *
+ * Scale design: training is two hash aggregations over the exploded
+ * bigram stream (pair counts, context counts) — the same inverted-index
+ * shape as TF-IDF; scoring joins each document's bigrams back to the
+ * count tables by key (hash joins, no driver-side model object). The
+ * corpus vocabulary size is a 1-row aggregate cross-joined into the
+ * plan. Per-bigram log-probs are rounded to 6 dp and summed as
+ * DECIMAL(28,6) so the document score is independent of aggregation
+ * order — bit-identical across partitionings and engines.
+ */
+object LanguageModel {
+
+  /** Exploded (doc_id, w1, w2) bigram stream over whitespace tokens;
+    * documents with fewer than 2 tokens contribute no rows. */
+  def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /**
+   * Mean smoothed bigram log-probability per document:
+   * score(d) = mean over d's bigrams of ln((c(w₁,w₂)+α)/(ctx(w₁)+α·V)).
+   * Output: doc_id, n_bigrams, lm_score (4 dp).
+   */
+  def scoreDocs(docs: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val bg = bigrams(docs, textCol, idCol)
+    val pairCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctxCnt = bg.groupBy("w1").agg(count(lit(1)).as("n"))
+    val vocab = docs
+      .select(explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("vsz"))
+    val logp = log((col("c") + alpha) / (col("n") + lit(alpha) * col("vsz")))
+    bg.join(pairCnt, Seq("w1", "w2"))
+      .join(ctxCnt, Seq("w1"))
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        round(logp, 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("lm_score"))
+  }
+}

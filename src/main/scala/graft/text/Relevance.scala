@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.dedup.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus relevance scoring — TF-IDF term weights and BM25 full-text
+ * ranking over whitespace tokens. The retrieval half of a training-data
+ * pipeline: surface the documents most relevant to a probe query
+ * (contamination triage, topical subsetting) and the terms most
+ * characteristic of each document.
+ *
+ * Scale design:
+ *  - The term index is built with one explode + two hash aggregations
+ *    (tf per (doc, term), df per term) — the same inverted-index shape as
+ *    [[TextDedup.ngramJaccardPairs]]; no windows over the corpus, no
+ *    driver-side vocabulary.
+ *  - Corpus scalars (N, avgdl) are 1-row aggregates cross-joined into the
+ *    plan (broadcast, no collect).
+ *  - BM25 evaluates only the QUERY'S terms: the df join filters the index
+ *    to a handful of terms before any scoring work, so cost is
+ *    proportional to postings of the query terms, not the corpus.
+ *  - Per-term score contributions are rounded to 6 dp and summed as
+ *    DECIMAL(28,6): decimal addition is exact and commutative, so the
+ *    per-document score is independent of partitioning/aggregation order
+ *    — bit-identical across runs and engines (double summation is not).
+ */
+object Relevance {
+
+  /** Per-(document, term) TF-IDF: raw term frequency × ln(N / df).
+    * Output: doc_id, term, tf, df, tfidf (rounded to 6 dp). */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextDedup.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
+
+  /** Top-k most characteristic terms per document by TF-IDF (ties broken
+    * by term). Output: doc_id, term, tfidf, rank. */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidf(docs, textCol, idCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+
+  /**
+   * BM25 scores of every document against a query string (Robertson
+   * k1/b, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5))). Output:
+   * doc_id, score (4 dp) — documents sharing at least one term with the
+   * query.
+   */
+  def bm25(docs: DataFrame, textCol: String, idCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "query must contain at least one token")
+    val toksArr = TextDedup.tokens(col(textCol))
+    // postings are filtered to the query's terms BEFORE any aggregation —
+    // the explode emits only query-term hits, so every downstream shuffle
+    // is proportional to those postings, not the corpus vocabulary
+    val qBase = docs.select(col(idCol).as("doc_id"), toksArr.as("toks"))
+      .select(col("doc_id"),
+        explode(filter(col("toks"), t => t.isin(qTerms: _*))).as("term"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = qBase.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus scalars in one map-only pass (no explode); avgdl as exact
+    // long sum / count — a running double mean would be order-dependent
+    val stats = docs.select(size(toksArr).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        round(contrib, 6).cast("decimal(28,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c")).cast("double"), 4).as("score"))
+  }
+}

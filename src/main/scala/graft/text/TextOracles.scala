@@ -93,6 +93,63 @@ SELECT lang,
   CAST(sum(len(toks)) AS DOUBLE) / count(*) AS mean_doc_tokens
 FROM t GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors Relevance.topTerms(k=3): tf × ln(N/df) with rank ties broken
+    * by term. */
+  val tfidfTopTerms: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+x AS (SELECT doc_id, term, tf, df,
+        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank FROM x)
+SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank"""
+
+  /** Mirrors Relevance.bm25("spark window merge", k1=1.2, b=0.75): the
+    * same literal arithmetic shape so constant folding yields identical
+    * doubles; per-term contributions summed as DECIMAL(28,6). */
+  val bm25Search: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+q AS (SELECT doc_id, dl, term FROM tok
+      WHERE term IN ('spark', 'window', 'merge')),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       FROM q GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+            CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+c AS (SELECT doc_id,
+        CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          (tf * (1.2 + 1)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6)
+          AS DECIMAL(28,6)) AS c
+      FROM tf JOIN df USING (term) CROSS JOIN stats)
+SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+FROM c GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors LanguageModel.scoreDocs(alpha=0.5): corpus-trained add-α
+    * bigram log-probs, decimal-summed per document. */
+  val lmDocScores: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2),
+cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS n FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+j AS (SELECT doc_id,
+        CAST(round(ln((c + 0.5) / (n + 0.5 * vsz)), 6)
+          AS DECIMAL(28,6)) AS lp
+      FROM bg JOIN cbg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
+FROM j GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors SequencePacking.pack (budget 512, shard = lang): exclusive
     * per-shard prefix sum of whitespace token counts in doc_id order, cut
     * into fixed 512-token sequences. */
