@@ -460,6 +460,21 @@ WHERE $sampleBucket < 1000 ORDER BY doc_id"""
     ELSE 'holdout' END AS split, count(*) AS n
 FROM documents GROUP BY split ORDER BY split"""
 
+  /** Mirrors Sampling.byMixture(en 0.5 / de 0.3 / fr 0.2, 20%): same
+    * literal arithmetic shape for the in-plan per-class rate so constant
+    * folding yields identical doubles, then the shared hash bucket. */
+  val sampleMixture: String = s"""WITH counts AS (
+  SELECT lang AS cls, count(*) AS cn FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM documents),
+r AS (SELECT d.doc_id, d.lang,
+        least(1.0, 0.2 * total *
+          (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                       WHEN 'fr' THEN 0.2 ELSE 0.0 END) / cn) AS rate
+      FROM documents d JOIN counts ON d.lang = cls CROSS JOIN tot)
+SELECT lang, count(*) AS n FROM r
+WHERE $sampleBucket < CAST(floor(rate * 10000) AS BIGINT)
+GROUP BY lang ORDER BY lang"""
+
   val sampleStratified: String = """SELECT c_mktsegment AS segment, count(*) AS n
 FROM customer
 WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)

@@ -755,6 +755,26 @@ object SparkEntry {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"))
         .orderBy("segment")),
+    // Training-data ops: deterministic corpus mixing — per-class rates
+    // derived in-plan from class counts to hit a target language mix
+    "sample_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.byMixture(
+        Demo.table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        outFraction = 0.2)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+    // Training-data ops: coarse document clustering by embedding (map-
+    // side nearest-centroid assignment, centroid literals inlined)
+    "cluster_embeddings" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      emb.select(col("vec_id"),
+        EmbeddingOps.ivfAssignment(col("embedding").cast("array<double>"),
+          cents).as("cluster"))
+        .orderBy("vec_id")
+    }),
     // Training-data ops: deterministic train/val/test split sizes
     "split_documents" -> ((s, dir) =>
       graft.operators.Sampling.split(
@@ -838,6 +858,8 @@ object SparkEntry {
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
+    "sample_mixture" -> OracleSql.sampleMixture,
+    "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_frames" -> OracleSql.multimodalFrames,

@@ -44,6 +44,38 @@ object Sampling {
   }
 
   /**
+   * Deterministic corpus MIXING: sample so the output's class mix
+   * approaches `targetShares` while keeping ~`outFraction` of the corpus
+   * — the data-mixing step that rebalances sources/languages before LLM
+   * training. Per-class rates are computed IN-PLAN from the class counts
+   * (rate_c = min(1, outFraction·N·share_c / n_c); classes without a
+   * target share are dropped), so no driver-side counting; the class
+   * count/total relations broadcast (one row per class). Membership stays
+   * a pure hash of the key — stable across runs, engines, partitionings.
+   * A target that exceeds a class's population caps at keeping the whole
+   * class (the mix then under-weights it — the standard behavior when a
+   * requested mixture is infeasible).
+   */
+  def byMixture(df: DataFrame, keyCol: String, classCol: String,
+      targetShares: Map[String, Double],
+      outFraction: Double): DataFrame = {
+    require(outFraction > 0 && outFraction <= 1, "outFraction in (0, 1]")
+    val share = targetShares.foldLeft(lit(0.0)) {
+      case (acc, (cls, s)) => when(col(classCol) === cls, lit(s)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("__n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.join(broadcast(counts), col(classCol) === col("__cls"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rate", least(lit(1.0),
+        lit(outFraction) * col("__total") * share / col("__n")))
+      .filter(bucket(col(keyCol)) <
+        floor(col("__rate") * 10000).cast("long"))
+      .drop("__cls", "__n", "__total", "__rate")
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

@@ -248,6 +248,17 @@ ORDER BY id_a, id_b"""
   private val dotNC =
     "list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]), (x,y) -> x + y)"
 
+  /** Mirrors the cluster_embeddings query: nearest id<8 centroid by
+    * cosine, ties to the smallest centroid id (same rule as
+    * EmbeddingOps.ivfAssignment). */
+  val clusterEmbeddings: String = s"""WITH $normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+a AS (SELECT n.vec_id, c.cid,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+      FROM n CROSS JOIN cents c)
+SELECT vec_id, cid AS cluster FROM a WHERE rn = 1 ORDER BY vec_id"""
+
   /** Mirrors EmbeddingOps.ivfTopK with nlist=8, nprobe=2, k=5: centroids
     * are vectors with id < 8; assignment/probing by cosine with ties to
     * the smallest centroid id; exact re-score inside probed cells. */

@@ -32,6 +32,40 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("byMixture: output mix approaches targets; untargeted classes drop") {
+    val d = Demo.table(spark, sf("sf0.01"), "documents")
+      .select("doc_id", "lang")
+    val out = Sampling.byMixture(d, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5), outFraction = 0.3)
+    val mix = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix.keySet == Set("en", "de")) // es/fr/zh have no target share
+    val n = mix.values.sum.toDouble
+    // hash-grain + rounding tolerance: each share within 15pp of target
+    assert(math.abs(mix("en") / n - 0.5) < 0.15, s"mix=$mix")
+    assert(math.abs(mix("de") / n - 0.5) < 0.15, s"mix=$mix")
+    // overall volume near outFraction of the corpus
+    assert(math.abs(n / d.count() - 0.3) < 0.1)
+    // determinism across partitionings
+    val again = Sampling.byMixture(d.repartition(9), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5), outFraction = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("byMixture: infeasible target caps at keeping the whole class") {
+    val s = spark
+    import s.implicits._
+    // class "b" has 2 rows but the target asks for far more than exists
+    val d = ((1L to 98L).map(i => (i, "a")) ++ Seq((99L, "b"), (100L, "b")))
+      .toDF("id", "cls")
+    val out = Sampling.byMixture(d, "id", "cls",
+      Map("a" -> 0.2, "b" -> 0.8), outFraction = 0.5)
+    val mix = out.groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix("b") == 2) // rate capped at 1.0: both rows kept
+  }
+
   test("stratified: per-stratum rates honored, default applies elsewhere") {
     val cust = Demo.table(spark, sf(), "customer")
       .select("c_custkey", "c_mktsegment")
