@@ -572,6 +572,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+    // Training-data ops: incremental dedup — new-batch docs (id%10=7)
+    // surviving exact + MinHash-banded near-dup checks against the
+    // existing corpus (the steady-state batch-vs-index dedup shape)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      TextDedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 7),
+        docs.filter(col("doc_id") % 10 =!= 7), "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -714,16 +724,18 @@ object SparkEntry {
           .withColumn("payload", encode(col("text"), "UTF-8")),
         "payload", "doc_id").orderBy("doc_id", "frame_idx")),
     // Training-data ops: image decode via typed mapPartitions. Payloads
-    // are REAL 24-bpp BMPs synthesized from the text (no image column in
-    // the testdata), decoded by the pure-JVM BMP parser — width/height/
-    // brightness come from parsed header + pixel bytes. No SQL oracle
-    // (rows-only); MultimodalSpec asserts fixture dimensions/brightness.
+    // are REAL images synthesized from the text (no image column in the
+    // testdata) — even ids 24-bpp BMP (pure-JVM parser), odd ids PNG
+    // (JDK javax.imageio) — width/height/brightness come from decoded
+    // rasters. No SQL oracle (rows-only); MultimodalSpec asserts fixture
+    // dimensions/brightness and BMP/PNG twin equality.
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val payloads = Demo.table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) =>
-          (id, graft.multimodal.Multimodal.syntheticBmp(id, t))
+          (id, if (id % 2 == 0) graft.multimodal.Multimodal.syntheticBmp(id, t)
+               else graft.multimodal.Multimodal.syntheticPng(id, t))
         }).toDF("doc_id", "payload")
       graft.multimodal.Multimodal.decodeImages(payloads, "payload", "doc_id")
         .toDF().orderBy("id")
@@ -847,6 +859,7 @@ object SparkEntry {
     "dedup_corpus" -> DedupOracles.corpusKeepers,
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
+    "dedup_incremental" -> DedupOracles.incrementalDedup,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

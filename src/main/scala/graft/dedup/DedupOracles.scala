@@ -130,6 +130,37 @@ v AS (SELECT c.doc_a, c.doc_b,
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
   }
 
+  /** Mirrors TextDedup.dedupAgainstCorpus with batch = (doc_id % 10 = 7),
+    * corpus = rest: batch survivors after exact-digest and banded
+    * MinHash near-dup checks against the corpus. */
+  val incrementalDedup: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $shCte,
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
+sig AS (SELECT doc_id, hs FROM hsh WHERE len(hs) > 0),
+bb AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 = 7),
+cc AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 <> 7),
+exact_dup AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cc ON bb.dg = cc.dg),
+bands AS (
+$bandSelects),
+cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+          AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+near_dup AS (SELECT DISTINCT c.bid AS doc_id
+  FROM cand c
+  JOIN hsh sa ON sa.doc_id = c.bid
+  JOIN hsh sb ON sb.doc_id = c.cid
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8)
+SELECT doc_id FROM documents WHERE doc_id % 10 = 7
+  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+ORDER BY doc_id"""
+  }
+
   /** Connected components of the MinHash near-dup graph via a recursive
     * reachability CTE; component = min reachable doc id. */
   val components: String = s"""WITH RECURSIVE

@@ -268,6 +268,66 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ---------------------------------------------------- incremental dedup
+
+  /**
+   * Incremental dedup: the documents of a NEW batch that survive against
+   * an EXISTING corpus — the steady-state form of dedup (corpora grow by
+   * crawl batches; re-running all-pairs over corpus+batch each time is
+   * quadratic in history, while batch-vs-index is linear in the batch).
+   *
+   *  - exact: batch text digests semi-joined against corpus digests;
+   *  - near: MinHash-LSH bands of the batch joined against CORPUS bands
+   *    (same banding as [[minhashLshPairs]]), candidates verified with
+   *    the exact hashed-shingle jaccard at `threshold`.
+   *
+   * Batch-internal duplicates are intentionally NOT removed here (that is
+   * [[minhashLshPairs]]/[[exactGroups]] over the batch); the corpus side
+   * (digests, bands, shingle sets) is recomputed in this demo but at
+   * scale would be a precomputed index read from parquet and appended
+   * after each batch.
+   */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, numPerms: Int = 32,
+      bandRows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(numPerms % bandRows == 0, "bandRows must divide numPerms")
+    val numBands = numPerms / bandRows
+    def sigOf(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("doc_id"), md5(col(textCol)).as("digest"),
+      graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
+    def bandsOf(sig: DataFrame): DataFrame = sig
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), numPerms))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band_id"),
+            concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
+              .as("band_sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
+    val bSig = sigOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSig = sigOf(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactDup = bSig
+      .join(cSig.select("digest"), Seq("digest"), "left_semi")
+      .select("doc_id")
+    val cand = bandsOf(bSig).as("a").join(bandsOf(cSig).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_sig") === col("b.band_sig"))
+      .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+      .distinct()
+    val nearDup = cand
+      .join(bSig.select(col("doc_id").as("bid"), col("hs").as("sh_a")), "bid")
+      .join(cSig.select(col("doc_id").as("cid"), col("hs").as("sh_b")), "cid")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")) >= threshold)
+      .select(col("bid").as("doc_id")).distinct()
+    val dupIds = exactDup.unionByName(nearDup).distinct()
+    batch.join(dupIds.withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /**

@@ -90,6 +90,52 @@ object Bmp {
   }
 }
 
+/**
+ * JDK-built-in codec path (`javax.imageio` — ships with the JRE, no
+ * external library): PNG, GIF and JPEG payloads decode for REAL —
+ * dimensions from the decoded raster, brightness from the actual pixel
+ * values. Only attempted on payloads whose magic bytes match one of
+ * those formats, so the hand-rolled BMP/PPM parsers and the labeled
+ * stub keep their behavior for everything else.
+ */
+object ImageIoCodec {
+
+  /** PNG \x89PNG, GIF87a/GIF89a, JPEG \xFF\xD8\xFF. */
+  def looksSupported(b: Array[Byte]): Boolean =
+    (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
+    (b.length >= 4 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte) ||
+    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff)
+
+  def decode(bytes: Array[Byte]): Option[Raster] = {
+    if (!looksSupported(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB, alpha ignored as non-color
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Some(Raster(w, h, img.getColorModel.getNumColorComponents,
+          sum / (w.toLong * h) / 255.0))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
 /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with `#` comments,
   * then w*h RGB triples. */
 object Ppm {

@@ -65,12 +65,14 @@ object Multimodal {
 
   /**
    * Decode media payloads via typed mapPartitions (the mapInPandas-shaped
-   * batch path). BMP (24/32-bpp) and binary PPM payloads are decoded for
-   * REAL — dimensions from the parsed header, brightness from the pixel
-   * bytes ([[Bmp]]/[[Ppm]], pure JVM). Formats needing a codec library
-   * (JPEG/PNG/...) fall back to the deterministic stub below — this
-   * container has no imaging libraries; swap the fallback for a real
-   * codec without touching the plumbing.
+   * batch path). BMP (24/32-bpp) and binary PPM payloads are decoded by
+   * the pure-JVM parsers ([[Bmp]]/[[Ppm]]); PNG/GIF/JPEG go through the
+   * JDK's built-in `javax.imageio` ([[ImageIoCodec]] — no external
+   * library). All of these are REAL: dimensions from the decoded raster,
+   * brightness from actual pixel values. Formats outside that set
+   * (WebP/video/audio codecs not in the JRE) fall back to the
+   * deterministic stub below; swap it for a codec without touching the
+   * plumbing.
    */
   def decodeImages(df: DataFrame, binCol: String,
       idCol: String): Dataset[DecodedMedia] = {
@@ -90,13 +92,36 @@ object Multimodal {
     // One corrupt blob must degrade to the stub row, not fail the task:
     // codec bugs on adversarial headers become per-row fallbacks here.
     val decoded =
-      try Bmp.decode(b).orElse(Ppm.decode(b))
+      try Bmp.decode(b).orElse(Ppm.decode(b)).orElse(ImageIoCodec.decode(b))
       catch { case scala.util.control.NonFatal(_) => None }
     decoded match {
       case Some(r) =>
         DecodedMedia(id, r.width, r.height, r.channels, r.brightness)
       case None => fallbackStub(id, b)
     }
+  }
+
+  /** Deterministic real-PNG payload from a document: the same pixel
+    * content as [[syntheticBmp]] but encoded through the JDK PNG writer —
+    * exercises the [[ImageIoCodec]] decode path end-to-end. */
+  def syntheticPng(id: Long, text: String): Array[Byte] = {
+    val t = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    val width = 16
+    val height = math.max(1, math.min(64, (t.length + width * 3 - 1) / (width * 3)))
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < width * height * 3) {
+      val v = (if (i < t.length) t(i) else ((id + i) % 251).toByte) & 0xff
+      val p = i / 3
+      val shift = 8 * (2 - i % 3) // byte order r, g, b like the BMP twin
+      img.setRGB(p % width, p / width,
+        img.getRGB(p % width, p / width) | (v << shift))
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** STUB for codec-bound formats: deterministic fake dimensions from the

@@ -107,6 +107,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} found extra ${lsh.diff(exact)}")
   }
 
+  test("incremental dedup: exact and near corpus dups drop, novel and batch-internal dups survive") {
+    val s = spark
+    import s.implicits._
+    val phrase = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearPhrase = (1 to 30).map(i => if (i == 30) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val corpus = Seq(
+      (1L, phrase),
+      (2L, "completely different corpus content here with many words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, phrase), // exact dup of corpus 1
+      (11L, nearPhrase), // near dup of corpus 1 (jaccard >> 0.8)
+      (12L, "an entirely novel document about unrelated topics entirely"),
+      (13L, "an entirely novel document about unrelated topics entirely"))
+      .toDF("doc_id", "text") // 12/13: batch-internal dups — both survive
+    val out = TextDedup.dedupAgainstCorpus(batch, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 13L))
+  }
+
   test("connected components: chain, clique, isolated node") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3, clique 4-5-6 (all pairs), isolated 7

@@ -98,6 +98,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageio codec: png/gif exact, jpeg lossy-close, twin parity") {
+    import graft.multimodal.{Bmp, ImageIoCodec}
+    // PNG fixture via the JDK writer: exact round-trip
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, 0x405060)
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val want = (0x40 + 0x50 + 0x60) / 3.0 / 255.0
+    val png = ImageIoCodec.decode(enc("png")).get
+    assert(png.width == 3 && png.height == 2 && png.channels == 3)
+    assert(math.abs(png.brightness - want) < 1e-12)
+    val gif = ImageIoCodec.decode(enc("gif")).get
+    assert(gif.width == 3 && gif.height == 2)
+    assert(math.abs(gif.brightness - want) < 1e-12)
+    val jpg = ImageIoCodec.decode(enc("jpg")).get
+    assert(jpg.width == 3 && jpg.height == 2)
+    assert(math.abs(jpg.brightness - want) < 0.05) // lossy
+    // synthetic BMP and PNG twins carry identical pixels → identical decode
+    val t = "the quick brown fox " * 5
+    val viaBmp = Bmp.decode(Multimodal.syntheticBmp(11L, t)).get
+    val viaPng = ImageIoCodec.decode(Multimodal.syntheticPng(11L, t)).get
+    assert(viaBmp.width == viaPng.width && viaBmp.height == viaPng.height)
+    assert(math.abs(viaBmp.brightness - viaPng.brightness) < 1e-12)
+    // non-image bytes: not recognized, no throw
+    assert(ImageIoCodec.decode("plain text".getBytes("UTF-8")).isEmpty)
+    // truncated PNG: magic matches but decode fails gracefully
+    assert(ImageIoCodec.decode(enc("png").take(20)).isEmpty)
+  }
+
   test("bmp codec: malformed headers are rejected, never thrown") {
     import graft.multimodal.Bmp
     import java.nio.{ByteBuffer, ByteOrder}
