@@ -174,7 +174,8 @@ object TextDedup {
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
       .filter(size(col("bhs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val invC = cs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
     val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
     val ndocs = cs.agg(count(lit(1)).as("ndocs"))
     val keep = invC.groupBy("h").agg(count(lit(1)).as("df"))
@@ -182,10 +183,24 @@ object TextDedup {
       .where(col("df") <= greatest(lit(maxDfFloor),
         ceil(col("ndocs") * maxDfFrac)))
       .select("h")
-    val cand = invC.join(keep, "h").join(invB, "h")
+    val capped = invC.join(keep, "h")
+    // Same count-bound shape as [[ngramJaccardPairs]]: count shared KEPT
+    // shingles per (doc, bench) pair instead of distinct-ing the pair
+    // explosion; |∩| ≤ common_kept + (doc's capped-away shingles), also
+    // ≤ |bench|, so only bound-clearing pairs reach the array verify.
+    val keptCnt = capped.groupBy("doc_id").agg(count(lit(1)).as("kept"))
+    val pairCommon = capped.join(invB, "h")
       .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("common_kept"), first(col("sz")).as("sz_a"))
+    val cand = pairCommon
+      .join(keptCnt, "doc_id")
+      .join(broadcast(bs.select(col("bench_id"),
+        size(col("bhs")).as("bsz"))), "bench_id")
+      .withColumn("ub", least(
+        col("common_kept") + (col("sz_a") - col("kept")), col("bsz")))
+      .filter(col("ub").cast("double") / col("bsz") >= threshold)
       .select("doc_id", "bench_id")
-      .distinct()
     cand
       .join(cs, "doc_id")
       .join(bs, "bench_id")
