@@ -59,6 +59,14 @@ object LanguageModel {
         round(logp, 6).cast("decimal(28,6)").as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("lm_score"))
+        // exact integer micro-units: engine round() on a double mean
+        // differs between engines at .00005 boundaries, so the 4-dp
+        // half-away-from-zero rounding is done in integer arithmetic
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          / 10000.0).as("lm_score"))
   }
 }

@@ -90,6 +90,9 @@ object Relevance {
       .select(col("doc_id"),
         round(contrib, 6).cast("decimal(28,6)").as("c"))
       .groupBy("doc_id")
-      .agg(round(sum(col("c")).cast("double"), 4).as("score"))
+      // round while still DECIMAL (exact HALF_UP both engines), THEN cast:
+      // rounding after a double cast differs at .00005 boundaries (Spark
+      // rounds the shortest decimal repr, DuckDB the binary value)
+      .agg(round(sum(col("c")), 4).cast("double").as("score"))
   }
 }

@@ -129,7 +129,7 @@ c AS (SELECT doc_id,
           (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6)
           AS DECIMAL(28,6)) AS c
       FROM tf JOIN df USING (term) CROSS JOIN stats)
-SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
 FROM c GROUP BY doc_id ORDER BY doc_id"""
 
   /** Mirrors LanguageModel.scoreDocs(alpha=0.5): corpus-trained add-α
@@ -145,10 +145,14 @@ v AS (SELECT count(DISTINCT tok) AS vsz
 j AS (SELECT doc_id,
         CAST(round(ln((c + 0.5) / (n + 0.5 * vsz)), 6)
           AS DECIMAL(28,6)) AS lp
-      FROM bg JOIN cbg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
-SELECT doc_id, count(*) AS n_bigrams,
-  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
-FROM j GROUP BY doc_id ORDER BY doc_id"""
+      FROM bg JOIN cbg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+j2 AS (SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_bigrams) // (200 * n_bigrams)
+        ELSE -((2 * (-s) + 100 * n_bigrams) // (200 * n_bigrams)) END)
+    / 10000.0 AS lm_score
+FROM j2 ORDER BY doc_id"""
 
   /** Mirrors SequencePacking.pack (budget 512, shard = lang): exclusive
     * per-shard prefix sum of whitespace token counts in doc_id order, cut
