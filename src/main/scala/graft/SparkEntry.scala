@@ -706,6 +706,15 @@ object SparkEntry {
       EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // Training-data ops: Johnson–Lindenstrauss random projection to 8
+    // dims (deterministic literal planes, map-side; exploded to rows for
+    // the oracle compare)
+    "embedding_projection" -> ((s, dir) =>
+      EmbeddingOps.randomProjection(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", outDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("projection")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")),
     // Training-data ops: multimodal binary metadata (payload = encoded
     // text; in production this is the image/audio/video bytes column)
     "multimodal_meta" -> ((s, dir) =>
@@ -873,6 +882,7 @@ object SparkEntry {
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "sample_mixture" -> OracleSql.sampleMixture,
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
+    "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_frames" -> OracleSql.multimodalFrames,

@@ -99,6 +99,33 @@ object EmbeddingOps {
       (java.lang.Long.parseLong(hex.take(15), 16) % 2000L - 1000L) / 1000.0
     }
 
+  /**
+   * Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+   * project each embedding onto `outDim` deterministic md5-derived
+   * hyperplanes, scaled by √(3/outDim) so pairwise distances are
+   * preserved in expectation (plane entries are uniform[-1,1) with
+   * variance 1/3 — the Achlioptas-style scaling, not the Gaussian
+   * 1/√outDim). Map-side only — the projection matrix rides the plan
+   * as literals (outDim × dim doubles, a few KB), no shuffle, no fit
+   * step, bit-reproducible everywhere. The cheap first stage before
+   * clustering/visualization at corpus scale; components rounded to 6 dp
+   * for cross-engine comparison.
+   */
+  def randomProjection(df: DataFrame, vecCol: String, idCol: String,
+      outDim: Int, table: Int = 0): DataFrame = {
+    val planes = hyperplanes(table, outDim, dims(df, vecCol))
+    val v = asDouble(col(vecCol))
+    val scale = math.sqrt(3.0 / outDim)
+    df.select(col(idCol).as("vec_id"),
+      array(planes.zipWithIndex.map { case (plane, _) =>
+        round(dot(v, typedlit(plane.toSeq)) * scale, 6)
+      }: _*).as("projection"))
+  }
+
+  /** Embedding width from the schema when declared, else from one row. */
+  private def dims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** SRP-LSH bucket id of one hash table: one sign bit per hyperplane. */
   def lshBucket(v: Column, table: Int, numPlanes: Int, dim: Int): Column = {
     val planes = hyperplanes(table, numPlanes, dim)

@@ -235,6 +235,24 @@ WHERE round($dotAB / (a.nrm * b.nrm), 4) >= $threshold
 ORDER BY id_a, id_b"""
   }
 
+  /** Mirrors EmbeddingOps.randomProjection(outDim=8): the same
+    * md5-derived hyperplanes re-emitted as SQL literals (shortest
+    * round-trip doubles), same left-fold dot, same 1/√outDim scale. */
+  def randomProjection(outDim: Int = 8, dim: Int = 64,
+      table: Int = 0): String = {
+    val planes = EmbeddingOps.hyperplanes(table, outDim, dim)
+    val scale = math.sqrt(3.0 / outDim).toString
+    val comps = planes.map { plane =>
+      val lit = plane.map(_.toString).mkString("[", ",", "]")
+      s"round(list_reduce(list_transform(list_zip(v, $lit), z -> z[1] * z[2]), (x,y) -> x + y) * $scale, 6)"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+p AS (SELECT vec_id, [$comps] AS proj FROM e)
+SELECT vec_id, unnest(${(0 until outDim).mkString("[", ",", "]")}) AS dim,
+  unnest(proj) AS value
+FROM p ORDER BY vec_id, dim"""
+  }
+
   /** Mirrors Stats.profile minus the HLL approx-distinct column: per
     * column of `documents`, exact count / non-null / min / max (cast to
     * varchar) / mean (numeric columns only). */

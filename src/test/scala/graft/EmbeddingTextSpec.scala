@@ -21,6 +21,33 @@ class EmbeddingTextSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("random projection: deterministic, JL distance preservation in aggregate") {
+    val proj = EmbeddingOps.randomProjection(emb, "embedding", "vec_id", 8)
+    val rows = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.values.forall(_.length == 8))
+    // deterministic across partitionings
+    val again = EmbeddingOps.randomProjection(emb.repartition(7),
+      "embedding", "vec_id", 8).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.keySet == again.keySet)
+    assert(rows.forall { case (k, v) => v.sameElements(again(k)) })
+    // JL property: squared distances preserved in AGGREGATE (mean ratio
+    // near 1; individual pairs vary at outDim=8)
+    val orig = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toArray.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      da = d2(orig(ids(i)), orig(ids(j))) if da > 1e-9
+    } yield d2(rows(ids(i)), rows(ids(j))) / da
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean distance ratio $mean")
+  }
+
   test("LSH pairs recall vs exact cosine pairs at threshold 0.45") {
     val exact = EmbeddingOps.cosinePairs(emb, "embedding", "vec_id", 0.45)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
