@@ -582,6 +582,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 7), "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+    // Flagship composition: the full corpus-prep chain (quality →
+    // exact dedup → MinHash component keepers → decontamination →
+    // mixture sampling → sequence packing), oracle-checked END-TO-END
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      graft.corpus.CorpusPipeline.prepare(docs,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", "lang",
+        minTokens = 10,
+        targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        outFraction = 0.5)
+        .orderBy("doc_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -869,6 +881,7 @@ object SparkEntry {
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_incremental" -> DedupOracles.incrementalDedup,
+    "corpus_pipeline" -> DedupOracles.corpusPipeline,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -1,0 +1,82 @@
+package graft.corpus
+
+import graft.dedup.{ConnectedComponents, TextDedup}
+import graft.operators.Sampling
+import graft.text.{SequencePacking, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end LLM training-corpus preparation — the composition every
+ * large-scale data pipeline runs, as one operator chain over the
+ * library's verified pieces:
+ *
+ *   1. quality filter (token-count floor),
+ *   2. exact dedup (min-id keeper per content digest),
+ *   3. near-dup dedup (MinHash-LSH pairs → connected components →
+ *      component-minimum keepers),
+ *   4. benchmark decontamination (n-gram containment, df-capped),
+ *   5. language-mixture sampling (in-plan per-class rates),
+ *   6. training-sequence packing (per-shard stream packing).
+ *
+ * Every stage is deterministic and SQL-expressible, so the WHOLE chain
+ * is oracle-checked end-to-end (one composed DuckDB query) — not just
+ * its pieces. Scale shape: stages 1-2 are map + one hash-agg; stage 3
+ * shuffles band keys and near-dup edges only; stage 4 is the capped
+ * inverted-index join; stages 5-6 are map-side filters plus one
+ * per-shard window.
+ */
+object CorpusPipeline {
+
+  /** Per-document packed output of the full chain: doc_id, shard,
+    * n_tokens, seq_id, seq_offset, spans_boundary for every surviving
+    * document. */
+  def prepare(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, langCol: String, minTokens: Int = 10,
+      targetShares: Map[String, Double], outFraction: Double = 0.5,
+      budget: Int = 512): DataFrame = {
+    val quality = docs
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+    val keepIds = quality
+      .groupBy(md5(col(textCol)).as("__dg"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = quality.join(keepIds, Seq(idCol), "left_semi")
+    val pairs = TextDedup.minhashLshPairs(exact, textCol, idCol)
+    val labels = ConnectedComponents
+      .label(exact.select(idCol), pairs, "doc_a", "doc_b")
+    val keepers = exact.join(
+      labels.filter(col("node") === col("component"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_semi")
+    val decon = TextDedup.decontaminate(keepers, bench, textCol, idCol)
+    val mixed = Sampling.byMixture(decon, idCol, langCol,
+      targetShares, outFraction)
+    SequencePacking.pack(mixed, textCol, idCol, budget, langCol)
+  }
+
+  /** Row counts after each stage — the run report a pipeline emits. */
+  def stageStats(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, langCol: String, minTokens: Int = 10,
+      targetShares: Map[String, Double],
+      outFraction: Double = 0.5): Seq[(String, Long)] = {
+    val quality = docs
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+    val keepIds = quality.groupBy(md5(col(textCol)).as("__dg"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val exact = quality.join(keepIds, Seq(idCol), "left_semi")
+    val pairs = TextDedup.minhashLshPairs(exact, textCol, idCol)
+    val labels = ConnectedComponents
+      .label(exact.select(idCol), pairs, "doc_a", "doc_b")
+    val keepers = exact.join(
+      labels.filter(col("node") === col("component"))
+        .select(col("node").as(idCol)), Seq(idCol), "left_semi")
+    val decon = TextDedup.decontaminate(keepers, bench, textCol, idCol)
+    val mixed = Sampling.byMixture(decon, idCol, langCol,
+      targetShares, outFraction)
+    Seq(
+      "input" -> docs.count(), "quality" -> quality.count(),
+      "exact_dedup" -> exact.count(), "near_dedup" -> keepers.count(),
+      "decontaminated" -> decon.count(), "mixed" -> mixed.count())
+  }
+}

@@ -179,6 +179,88 @@ FROM walk GROUP BY node ORDER BY node"""
   val corpusKeepers: String =
     s"""SELECT node AS doc_id FROM ($components) WHERE is_keeper ORDER BY doc_id"""
 
+  /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, bench =
+    * doc_id%10=3, MinHash dedup at 0.8, df-capped decontamination at
+    * 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, packing budget 512): the
+    * WHOLE corpus-prep chain composed as one SQL query, so the oracle
+    * checks the composition, not just the stages. */
+  val corpusPipeline: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
+      .mkString("\nUNION ALL\n")
+    val shingleList = raw"""CASE WHEN len(toks) >= 3
+               THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)])
+               ELSE [] END"""
+    s"""WITH RECURSIVE t0 AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+q AS (SELECT * FROM t0 WHERE len(toks) >= 10),
+ex AS (SELECT q.* FROM q
+       JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) kx
+         ON q.doc_id = kx.doc_id),
+shx AS (SELECT doc_id, $shingleList AS s FROM ex),
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM shx),
+sig AS (SELECT doc_id, hs FROM hsh WHERE len(hs) > 0),
+bands AS (
+$bandSelects),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+prs AS (SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN hsh sa ON sa.doc_id = c.doc_a
+        JOIN hsh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+              (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       UNION SELECT doc_b, doc_a FROM prs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM ex
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node),
+comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+keepers AS (SELECT ex.* FROM ex JOIN comps ON ex.doc_id = comps.node
+            WHERE comps.component = ex.doc_id),
+hk AS (SELECT h.doc_id, h.hs FROM hsh h JOIN keepers k ON h.doc_id = k.doc_id),
+bt AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 3),
+bsh AS (SELECT doc_id, $shingleList AS s FROM bt),
+bhf AS (SELECT doc_id AS bench_id, bhs FROM
+          (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS bhs FROM bsh)
+        WHERE len(bhs) > 0),
+inv AS (SELECT doc_id, unnest(hs) AS h FROM hk),
+keepl AS (SELECT h FROM inv GROUP BY h
+          HAVING count(*) <= greatest(100,
+            CAST(ceil(0.01 * (SELECT count(*) FROM keepers)) AS BIGINT))),
+invb AS (SELECT bench_id, unnest(bhs) AS h FROM bhf),
+ccand AS (SELECT DISTINCT a.doc_id, b.bench_id
+          FROM inv a JOIN keepl kk ON a.h = kk.h JOIN invb b ON b.h = a.h
+          WHERE a.doc_id <> b.bench_id),
+bad AS (SELECT DISTINCT c.doc_id
+        FROM ccand c JOIN hk sa ON sa.doc_id = c.doc_id
+        JOIN bhf sb ON sb.bench_id = c.bench_id
+        WHERE CAST(len(list_intersect(sa.hs, sb.bhs)) AS DOUBLE) / len(sb.bhs) >= 0.8),
+decon AS (SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+cnts AS (SELECT lang AS cls, count(*) AS cn FROM decon GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM decon),
+rated AS (SELECT d.doc_id, d.lang, d.toks,
+            least(1.0, 0.5 * total *
+              (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                           WHEN 'fr' THEN 0.2 ELSE 0.0 END) / cn) AS rate
+          FROM decon d JOIN cnts ON d.lang = cnts.cls CROSS JOIN tot),
+mixed AS (SELECT doc_id, lang, toks FROM rated
+          WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
+                < CAST(floor(rate * 10000) AS BIGINT)),
+pk AS (SELECT doc_id, lang AS shard, CAST(len(toks) AS BIGINT) AS n_tokens FROM mixed),
+pp AS (SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       FROM pk)
+SELECT doc_id, shard, n_tokens,
+  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+  CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+  start_tok % 512 + n_tokens > 512 AS spans_boundary
+FROM pp ORDER BY doc_id"""
+  }
+
   private val simhashCte =s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
 tok AS (SELECT doc_id, ${hashOf("tk")} AS h
         FROM (SELECT doc_id, unnest(toks) AS tk FROM tt)),

@@ -1,0 +1,65 @@
+package graft
+
+import graft.corpus.CorpusPipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus preparation: each stage drops exactly the planted
+  * offender; the composed output packs the survivors. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("each stage drops its planted offender; survivors pack") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val benchText = (100 to 130).map(i => s"eval$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en"), // keeper
+      (2L, "too short", "en"), // dropped: quality (< 10 tokens)
+      (4L, long, "en"), // dropped: exact dup of 1
+      (5L, near, "en"), // dropped: near dup of 1 (jaccard >> 0.8)
+      (6L, ("alpha beta " * 10).trim, "de"), // keeper
+      (13L, benchText, "en"), // the benchmark doc (id % 10 = 3)
+      // dropped at DECONTAMINATION, not near-dedup: the filler tokens
+      // push jaccard vs the bench doc below 0.8 while containment stays 1
+      (7L, s"intro words here and more filler tokens one two three four " +
+        s"five six seven eight nine ten $benchText", "en"),
+      (8L, ("gamma delta " * 10).trim, "fr")) // keeper
+      .toDF("doc_id", "text", "lang")
+    val bench = docs.filter(col("doc_id") % 10 === 3)
+    val stats = CorpusPipeline.stageStats(docs, bench, "text", "doc_id",
+      "lang", minTokens = 10,
+      targetShares = Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3),
+      outFraction = 1.0).toMap
+    assert(stats("input") == 8)
+    assert(stats("quality") == 7) // doc 2 out
+    assert(stats("exact_dedup") == 6) // doc 4 out
+    assert(stats("near_dedup") == 5) // doc 5 out
+    // doc 7 contains the benchmark; 13 IS the benchmark (self-pair
+    // excluded, stays unless another bench doc matches it)
+    assert(stats("decontaminated") == 4)
+    assert(stats("mixed") <= 4 && stats("mixed") > 0)
+    val packed = CorpusPipeline.prepare(docs, bench, "text", "doc_id",
+      "lang", minTokens = 10,
+      targetShares = Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3),
+      outFraction = 1.0)
+    assert(packed.count() == stats("mixed"))
+    // packing invariants on the composition output
+    assert(packed.filter(col("seq_offset") >= 512).count() == 0)
+    assert(packed.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("pipeline on testdata: stages monotonically non-increasing") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val stats = CorpusPipeline.stageStats(docs,
+      docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", "lang",
+      targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)).toMap
+    val order = Seq("input", "quality", "exact_dedup", "near_dedup",
+      "decontaminated", "mixed")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(stats(a) >= stats(b), s"$a=${stats(a)} < $b=${stats(b)}")
+    }
+    assert(stats("mixed") > 0)
+  }
+}
