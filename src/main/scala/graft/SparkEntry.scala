@@ -147,7 +147,11 @@ object SparkEntry {
   def warmupSharedFrames(s: SparkSession, dir: String): Unit =
     Seq(webClean(s, dir), abrClean(s, dir), matchDf(s, dir),
       matchedDf(s, dir), matchLlmDf(s, dir), dimDf(s, dir),
-      lshPairsDf(s, dir), ccLabelsDf(s, dir)).foreach(_.count())
+      lshPairsDf(s, dir), ccLabelsDf(s, dir),
+      cachedFrame(s, dir, "corpus_keepers") {
+        graft.corpus.CorpusPipeline.keepers(
+          Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
+      }).foreach(_.count())
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -587,9 +591,14 @@ object SparkEntry {
     // mixture sampling → sequence packing), oracle-checked END-TO-END
     "corpus_pipeline" -> ((s, dir) => {
       val docs = Demo.table(s, dir, "documents")
-      graft.corpus.CorpusPipeline.prepare(docs,
+      // the deduped keeper corpus is the pipeline's materialization
+      // point (written once, reused across mixes) — shared-frame cached
+      val keepers = cachedFrame(s, dir, "corpus_keepers") {
+        graft.corpus.CorpusPipeline.keepers(docs, "text", "doc_id",
+          minTokens = 10)
+      }
+      graft.corpus.CorpusPipeline.finishFromKeepers(keepers,
         docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", "lang",
-        minTokens = 10,
         targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
         outFraction = 0.5)
         .orderBy("doc_id")

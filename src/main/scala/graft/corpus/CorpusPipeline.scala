@@ -28,32 +28,55 @@ import org.apache.spark.sql.functions._
  */
 object CorpusPipeline {
 
-  /** Per-document packed output of the full chain: doc_id, shard,
-    * n_tokens, seq_id, seq_offset, spans_boundary for every surviving
-    * document. */
-  def prepare(docs: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, langCol: String, minTokens: Int = 10,
-      targetShares: Map[String, Double], outFraction: Double = 0.5,
-      budget: Int = 512): DataFrame = {
+  /** Stages 1-3 (quality → exact dedup → MinHash component keepers):
+    * the deduplicated corpus. This IS the pipeline's materialization
+    * point — production writes it to parquet and reuses it across
+    * training runs; callers should cache/persist the result before
+    * running several downstream mixes. */
+  def keepers(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 10): DataFrame = {
+    // exact feeds the whole near-dup join chain (bands, verify, label
+    // read-out) — without the persist the upstream recomputes per
+    // consumer and per CC-loop action.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quality = docs
       .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
     val keepIds = quality
       .groupBy(md5(col(textCol)).as("__dg"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = quality.join(keepIds, Seq(idCol), "left_semi")
+    val exact = quality.join(keepIds, Seq(idCol), "left_semi").persist(mem)
     val pairs = TextDedup.minhashLshPairs(exact, textCol, idCol)
     val labels = ConnectedComponents
       .label(exact.select(idCol), pairs, "doc_a", "doc_b")
-    val keepers = exact.join(
+    exact.join(
       labels.filter(col("node") === col("component"))
         .select(col("node").as(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** Stages 4-6 over a (possibly cached) keeper corpus: benchmark
+    * decontamination → mixture sampling → sequence packing. */
+  def finishFromKeepers(keepers: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, langCol: String,
+      targetShares: Map[String, Double], outFraction: Double = 0.5,
+      budget: Int = 512): DataFrame = {
     val decon = TextDedup.decontaminate(keepers, bench, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mixed = Sampling.byMixture(decon, idCol, langCol,
       targetShares, outFraction)
     SequencePacking.pack(mixed, textCol, idCol, budget, langCol)
   }
+
+  /** Per-document packed output of the full chain: doc_id, shard,
+    * n_tokens, seq_id, seq_offset, spans_boundary for every surviving
+    * document. */
+  def prepare(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, langCol: String, minTokens: Int = 10,
+      targetShares: Map[String, Double], outFraction: Double = 0.5,
+      budget: Int = 512): DataFrame =
+    finishFromKeepers(keepers(docs, textCol, idCol, minTokens), bench,
+      textCol, idCol, langCol, targetShares, outFraction, budget)
 
   /** Row counts after each stage — the run report a pipeline emits. */
   def stageStats(docs: DataFrame, bench: DataFrame, textCol: String,
