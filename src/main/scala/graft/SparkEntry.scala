@@ -685,6 +685,12 @@ object SparkEntry {
       graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: overlapping token-window chunking (RAG/context
+    // prep; map-only explode, windows every 48 tokens of width 64)
+    "chunk_documents" -> ((s, dir) =>
+      graft.text.Chunking.chunk(Demo.table(s, dir, "documents"),
+        "text", "doc_id", chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
     // Training-data ops: training-sequence packing (stream formulation —
     // per-shard prefix sum cut every 512 tokens); doc → sequence
     // assignment with offset and boundary-spill flag
@@ -897,6 +903,7 @@ object SparkEntry {
     "pii_redaction" -> TextOracles.piiRedaction,
     "corpus_token_stats" -> TextOracles.corpusStats,
     "quality_repetition" -> DedupOracles.qualityRepetition,
+    "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,

@@ -154,6 +154,18 @@ SELECT doc_id, n_bigrams,
     / 10000.0 AS lm_score
 FROM j2 ORDER BY doc_id"""
 
+  /** Mirrors Chunking.chunk(size=64, overlap=16 → step 48): windows via
+    * unnest(range(0, ceil(n/step))) and 1-based inclusive list slices. */
+  val chunkDocuments: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        unnest(range(0, (len(toks) + 47) // 48)) AS chunk_idx
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, chunk_idx,
+  len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS n_tokens,
+  md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx"""
+
   /** Mirrors SequencePacking.pack (budget 512, shard = lang): exclusive
     * per-shard prefix sum of whitespace token counts in doc_id order, cut
     * into fixed 512-token sequences. */

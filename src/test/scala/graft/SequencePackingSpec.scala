@@ -63,6 +63,27 @@ class SequencePackingSpec extends SparkSpec {
     assert(stats(("a", 1L)) == ((1L, 2L, false)))
   }
 
+  test("chunking: window starts, overlap, and short tails") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.text.Chunking.chunk(d, "text", "doc_id",
+      chunkSize = 4, overlap = 1) // step 3 → starts 0,3,6,9 for n=10
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.keys.count(_._1 == 1L) == 4) // ceil(10/3) = 4 windows
+    assert(out((1L, 0L)) == 4 && out((1L, 1L)) == 4 && out((1L, 2L)) == 4)
+    assert(out((1L, 3L)) == 1) // tail window: token 10 only
+    assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0L)) == 2)
+    assert(!out.keys.exists(_._1 == 3L)) // empty doc → no chunks
+    // overlap: window 1 starts at token 4 (w4..w7) — verify via md5
+    val rows = graft.text.Chunking.chunk(d, "text", "doc_id", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("w4 w5 w6 w7".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(rows((1L, 1L)) == expect)
+  }
+
   test("pack matches the engine-side oracle formulation at sf0.001") {
     val d = Demo.table(spark, sf(), "documents")
     val out = SequencePacking.pack(d, "text", "doc_id", 512, "lang")
