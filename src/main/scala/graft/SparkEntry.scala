@@ -349,18 +349,16 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("token")).limit(50)),
     // §2.5 ranking windows: percent_rank / cume_dist / ntile (tiebroken
-    // ORDER BY so peer groups are single-row and values engine-portable)
-    "window_percentiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      Demo.table(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
-          ntile(4).over(w).cast("int").as("quartile"))
-        .orderBy("c_custkey")
-    }),
+    // ORDER BY so peer groups are single-row and values engine-portable).
+    // Computed via the two-pass bucketed rank (operators.Ranks) rather
+    // than Window.partitionBy(c_mktsegment) — a 5-value partition key
+    // would funnel the table through 5 tasks at any scale.
+    "window_percentiles" -> ((s, dir) =>
+      graft.operators.Ranks.percentiles(
+        Demo.table(s, dir, "customer"), "c_mktsegment", "c_acctbal",
+        Seq("c_custkey"), floor(col("c_acctbal") / 100), 4)
+        .select("c_custkey", "c_mktsegment", "pr", "cd", "quartile")
+        .orderBy("c_custkey")),
     // §2.4 statistical aggregates: correlation / stddev / covariance /
     // regression slope per group
     "stats_corr_lineitem" -> ((s, dir) =>
@@ -633,15 +631,20 @@ object SparkEntry {
             .as("mean_word_len"))
         .orderBy("doc_id")
     }),
-    // ML preprocessing: per-segment z-score normalization via window
-    // aggregates (one pass, no self-join)
+    // ML preprocessing: per-segment z-score normalization. NOT a window
+    // over the segment key — c_mktsegment has 5 values, so a window
+    // funnels the whole table through 5 tasks at any scale. Two-pass
+    // formulation instead: one hash-agg (map-side combine) for the
+    // per-segment moments, broadcast the 5-row stats back. Identical
+    // result, scale-invariant plan.
     "zscore_acctbal" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-      Demo.table(s, dir, "customer")
+      val cust = Demo.table(s, dir, "customer")
+      val stats = cust.groupBy("c_mktsegment")
+        .agg(avg(col("c_acctbal")).as("__mu"),
+          stddev_samp(col("c_acctbal")).as("__sd"))
+      cust.join(broadcast(stats), "c_mktsegment")
         .select(col("c_custkey"), col("c_mktsegment"),
-          round((col("c_acctbal") - avg(col("c_acctbal")).over(w)) /
-            stddev_samp(col("c_acctbal")).over(w), 4).as("z"))
+          round((col("c_acctbal") - col("__mu")) / col("__sd"), 4).as("z"))
         .orderBy("c_custkey")
     }),
     // Training-data ops: token/quality/langid/fingerprint analysis

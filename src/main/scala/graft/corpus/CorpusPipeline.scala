@@ -78,28 +78,36 @@ object CorpusPipeline {
     finishFromKeepers(keepers(docs, textCol, idCol, minTokens), bench,
       textCol, idCol, langCol, targetShares, outFraction, budget)
 
-  /** Row counts after each stage — the run report a pipeline emits. */
+  /** Row counts after each stage — the run report a pipeline emits.
+    * Each stage is persisted before the six count() actions run (the
+    * CC loop alone re-executes its upstream once per round otherwise)
+    * and unpersisted on the way out. */
   def stageStats(docs: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, langCol: String, minTokens: Int = 10,
       targetShares: Map[String, Double],
       outFraction: Double = 0.5): Seq[(String, Long)] = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quality = docs
       .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+      .persist(mem)
     val keepIds = quality.groupBy(md5(col(textCol)).as("__dg"))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
-    val exact = quality.join(keepIds, Seq(idCol), "left_semi")
+    val exact = quality.join(keepIds, Seq(idCol), "left_semi").persist(mem)
     val pairs = TextDedup.minhashLshPairs(exact, textCol, idCol)
     val labels = ConnectedComponents
       .label(exact.select(idCol), pairs, "doc_a", "doc_b")
     val keepers = exact.join(
       labels.filter(col("node") === col("component"))
         .select(col("node").as(idCol)), Seq(idCol), "left_semi")
+      .persist(mem)
     val decon = TextDedup.decontaminate(keepers, bench, textCol, idCol)
+      .persist(mem)
     val mixed = Sampling.byMixture(decon, idCol, langCol,
       targetShares, outFraction)
-    Seq(
+    try Seq(
       "input" -> docs.count(), "quality" -> quality.count(),
       "exact_dedup" -> exact.count(), "near_dedup" -> keepers.count(),
       "decontaminated" -> decon.count(), "mixed" -> mixed.count())
+    finally Seq(quality, exact, keepers, decon).foreach(_.unpersist())
   }
 }

@@ -125,11 +125,16 @@ object TextDedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common_kept"),
         first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    // No broadcast() hint on keptCnt: it is one row PER DOCUMENT, so at
+    // corpus scale it is not broadcastable (the hint would force a
+    // driver collect of the whole table). The join keys on doc_a/doc_b
+    // — a shuffle hash join is the right shape, and AQE still promotes
+    // to broadcast when the table happens to be small.
     val cand = pairCommon
-      .join(broadcast(keptCnt.select(col("doc_id").as("doc_a"),
-        col("kept").as("kept_a"))), "doc_a")
-      .join(broadcast(keptCnt.select(col("doc_id").as("doc_b"),
-        col("kept").as("kept_b"))), "doc_b")
+      .join(keptCnt.select(col("doc_id").as("doc_a"),
+        col("kept").as("kept_a")), "doc_a")
+      .join(keptCnt.select(col("doc_id").as("doc_b"),
+        col("kept").as("kept_b")), "doc_b")
       .withColumn("ub_common", col("common_kept") +
         least(col("sz_a") - col("kept_a"), col("sz_b") - col("kept_b")))
       .filter(col("ub_common").cast("double") /

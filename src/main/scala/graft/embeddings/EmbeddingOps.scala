@@ -52,12 +52,21 @@ object EmbeddingOps {
 
   /**
    * All vector pairs with cosine ≥ threshold (embedding near-duplicate
-   * detection). Exact O(n²) — the correctness baseline; thresholding on
-   * the rounded score keeps the result engine-portable.
+   * detection). Exact O(n²) — the correctness baseline for
+   * [[lshCosinePairs]], DELIBERATELY small-N-only: `maxVectors` fails
+   * the run fast instead of launching an n² self-join that at corpus
+   * scale would score trillions of pairs. Thresholding on the rounded
+   * score keeps the result engine-portable.
    */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxVectors: Long = 20000L): DataFrame = {
     val p = prepared(df, vecCol, idCol)
+    val n = p.count() // also materializes the persist before the self-join
+    require(n <= maxVectors,
+      s"cosinePairs is the exact O(n²) baseline: $n vectors > " +
+        s"maxVectors=$maxVectors (~${n * n / 2} pairs). Use " +
+        "lshCosinePairs (bucketed) or ivfTopK for corpus-scale inputs, " +
+        "or raise maxVectors deliberately.")
     val a = p.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -122,9 +131,20 @@ object EmbeddingOps {
       }: _*).as("projection"))
   }
 
-  /** Embedding width from the schema when declared, else from one row. */
-  private def dims(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Embedding width. ArrayType declares no length, so the schema alone
+    * cannot carry it — callers may declare it as `dim` column metadata
+    * (checked first, no job); otherwise one row is inspected, with a
+    * clear error on empty input rather than a NoSuchElementException. */
+  private def dims(df: DataFrame, vecCol: String): Int = {
+    val md = df.schema(vecCol).metadata
+    if (md.contains("dim")) md.getLong("dim").toInt
+    else df.select(size(col(vecCol))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"cannot infer embedding width of '$vecCol': input is empty " +
+          "and no 'dim' column metadata is declared")
+    }
+  }
 
   /** SRP-LSH bucket id of one hash table: one sign bit per hyperplane. */
   def lshBucket(v: Column, table: Int, numPlanes: Int, dim: Int): Column = {

@@ -104,7 +104,9 @@ class HttpLlmScorer(cfg: LlmClientConfig) extends LlmScorer {
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     val code = resp.statusCode()
-    if (code / 100 == 5 || code == 429)
+    // 408 (request timeout) and 425 (too early) are transient like 5xx/429
+    // — give them the same retry budget a socket-level timeout would get.
+    if (code / 100 == 5 || code == 429 || code == 408 || code == 425)
       throw new java.io.IOException(s"LLM endpoint returned HTTP $code")
     if (code / 100 != 2) // auth/shape errors won't heal on retry
       throw new LlmProtocolException(s"LLM endpoint returned HTTP $code")

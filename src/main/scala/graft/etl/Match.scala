@@ -14,7 +14,13 @@ case class MatchConfig(
     llmWeight: Double = 0.3,
     blockKeyLen: Int = 4,
     useLlm: Boolean = false,
-    broadcastRight: Boolean = false)
+    broadcastRight: Boolean = false,
+    /** Hard cap on the uncertain band collected to the driver for LLM
+      * rescue. Driver-side scoring is reference parity
+      * (entity_match.py:537-538 — API calls cannot run in executors),
+      * but an unguarded collect of a 100 TB corpus's band is a driver
+      * OOM; the run fails fast with sizing guidance instead. */
+    maxLlmBand: Long = 100000L)
 
 /** Pluggable scorer for the uncertain band (reference:
   * src/common/llm_matcher.py:69-205). The default deterministic stub
@@ -119,6 +125,12 @@ object Match {
       col("fuzzy_score") >= cfg.llmMinScore &&
         col("fuzzy_score") < cfg.llmMaxScore))
       .select("crawl_url", "crawl_name", "abn", "abr_name", "fuzzy_score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCount = band.count() // guard BEFORE the collect, not after OOM
+    require(bandCount <= cfg.maxLlmBand,
+      s"LLM rescue band has $bandCount pairs > maxLlmBand=${cfg.maxLlmBand}; " +
+        "tighten [llmMinScore, llmMaxScore) or raise maxLlmBand " +
+        "(driver-side LLM scoring collects the whole band)")
     val spark = web.sparkSession
     import spark.implicits._
     val rescued = band.collect().toSeq.map { r =>
@@ -131,6 +143,7 @@ object Match {
         "fuzzy_score", "llm_score", "final_score")
       .filter(col("final_score") >= cfg.fuzzyThreshold)
       .withColumn("match_method", lit("fuzzy+llm"))
+    band.unpersist()
 
     high.unionByName(rescued)
   }

@@ -249,7 +249,7 @@ ORDER BY id_a, id_b"""
 
   /** Mirrors EmbeddingOps.randomProjection(outDim=8): the same
     * md5-derived hyperplanes re-emitted as SQL literals (shortest
-    * round-trip doubles), same left-fold dot, same 1/√outDim scale. */
+    * round-trip doubles), same left-fold dot, same √(3/outDim) Achlioptas scale. */
   def randomProjection(outDim: Int = 8, dim: Int = 64,
       table: Int = 0): String = {
     val planes = EmbeddingOps.hyperplanes(table, outDim, dim)

@@ -54,6 +54,20 @@ class EtlSpec extends SparkSpec {
     assert(m2.columns.toSeq == Schemas.matchResults.fieldNames.toSeq)
   }
 
+  test("match with LLM band: oversized band fails fast instead of collecting") {
+    val e = intercept[IllegalArgumentException] {
+      Match.run(web, abr, Match.JaccardTokens,
+        cfg.copy(useLlm = true, fuzzyThreshold = 0.7, llmMinScore = 0.0,
+          llmMaxScore = 0.7, maxLlmBand = 1L))
+    }
+    assert(e.getMessage.contains("maxLlmBand"))
+    // the default cap leaves the normal path untouched
+    val m = Match.run(web, abr, Match.JaccardTokens,
+      cfg.copy(useLlm = true, fuzzyThreshold = 0.7, llmMinScore = 0.6,
+        llmMaxScore = 0.7))
+    assert(m.columns.toSeq == Schemas.matchResults.fieldNames.toSeq)
+  }
+
   test("golden dim: no duplicate abns, quality checks pass") {
     val matched = Golden.matchedCompanies(
       Match.run(web, abr, Match.JaccardTokens, cfg), web, abr, minScore = 0.6)
