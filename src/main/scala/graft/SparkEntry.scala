@@ -707,6 +707,27 @@ object SparkEntry {
         graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
           "text", "doc_id", budget = 512, shardCol = "lang"))
         .orderBy("shard", "seq_id")),
+    // Training-data ops: vocab-driven wordpiece tokenization (greedy
+    // longest-match, codegen'd kernel; oracle is a recursive CTE over
+    // the SAME literal vocab). Map-side explode, no shuffle.
+    "tokenize_documents" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.GraftFunctions.wordpiece_tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("tpos"),
+          col("col").as("piece"))
+        .orderBy("doc_id", "tpos")),
+    // Packing on REAL tokenizer counts and hash shards: 16 doc_id-hash
+    // shards (≥ cores at scale) instead of the 5-value lang column the
+    // plain demo deliberately contrasts with, and wordpiece counts
+    // instead of the whitespace proxy.
+    "pack_sequences_bpe" -> ((s, dir) =>
+      graft.text.SequencePacking.packCounted(
+        Demo.table(s, dir, "documents")
+          .withColumn("shard16", col("doc_id") % 16),
+        size(graft.functions.GraftFunctions.wordpiece_tokens(col("text"))),
+        "doc_id", budget = 512, shardCol = "shard16")
+        .orderBy("doc_id")),
     // Training-data ops: embedding near-dup pairs (exact cosine)
     "embedding_cosine_pairs" -> ((s, dir) =>
       EmbeddingOps.cosinePairs(Demo.table(s, dir, "embeddings"),
@@ -909,6 +930,8 @@ object SparkEntry {
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
+    "tokenize_documents" -> TextOracles.tokenizeDocuments,
+    "pack_sequences_bpe" -> TextOracles.packSequencesBpe,
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,

@@ -31,6 +31,17 @@ object SimilarityAdapters extends Serializable {
   @inline private def str(s: UTF8String): String = if (s == null) null else s.toString
 }
 
+/** UTF8String/ArrayData adapter for the wordpiece tokenizer kernel —
+  * one static entry point per bound vocabulary (StaticInvoke needs a
+  * static method; the demo vocab is the library default). */
+object TokenizerAdapters extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  def wordpieceTokens(text: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.Tokenizer.tokenize(if (text == null) null else text.toString)
+        .map(UTF8String.fromString))
+}
+
 /** ArrayData-facing kernels for the embedding/minhash hot paths.
   * Semantics are bit-identical to the higher-order-function formulations
   * they replace (left-to-right 0.0-seeded folds, same modular
@@ -294,6 +305,16 @@ object GraftFunctions {
       ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(expr(hashes), expr(org.apache.spark.sql.functions.lit(numPerms))),
       inputTypes = Seq(ArrayType(LongType), IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd greedy wordpiece segmentation of a text column against
+    * [[graft.text.Tokenizer.DemoVocab]] (see Tokenizer for semantics;
+    * bind a different Vocab by adding an adapter like
+    * [[TokenizerAdapters.wordpieceTokens]]). */
+  def wordpiece_tokens(text: Column): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(StringType, containsNull = false), "wordpieceTokens",
+      Seq(expr(text)), inputTypes = Seq(StringType),
       propagateNull = true, returnNullable = false))
 
   /** Misra-Gries heavy-hitters aggregate: at most k counters, mergeable,

@@ -32,12 +32,20 @@ object SequencePacking {
    * or mask the overflow).
    */
   def pack(docs: DataFrame, textCol: String, idCol: String,
-      budget: Int, shardCol: String): DataFrame = {
+      budget: Int, shardCol: String): DataFrame =
+    packCounted(docs, TextAnalysis.tokenCount(col(textCol)), idCol,
+      budget, shardCol)
+
+  /** [[pack]] with a caller-supplied token-count expression — e.g.
+    * `size(wordpiece_tokens(text))` for real tokenizer counts instead
+    * of the whitespace proxy. */
+  def packCounted(docs: DataFrame, countExpr: org.apache.spark.sql.Column,
+      idCol: String, budget: Int, shardCol: String): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        countExpr.cast("long").as("n_tokens"))
       // exclusive prefix sum: tokens before this doc in shard order
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

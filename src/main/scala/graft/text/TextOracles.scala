@@ -192,6 +192,37 @@ SELECT shard, seq_id, count(*) AS n_docs,
   max(spans_boundary) AS has_overflow
 FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
+  /** Mirrors Tokenizer.tokenize: recursive greedy longest-match over the
+    * SAME literal vocab (the CTE is emitted by Tokenizer.oracleSegCtes
+    * from the one Vocab definition). */
+  val tokenizeDocuments: String = s"""WITH RECURSIVE
+${Tokenizer.oracleSegCtes(Tokenizer.DemoVocab)}
+SELECT doc_id,
+  row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ord) AS tpos, piece
+FROM seg WHERE piece IS NOT NULL
+ORDER BY doc_id, tpos"""
+
+  /** Mirrors SequencePacking.packCounted with wordpiece token counts and
+    * 16 hash shards (doc_id % 16) — the scale-correct shard choice the
+    * lang-sharded demo deliberately contrasts with. */
+  val packSequencesBpe: String = s"""WITH RECURSIVE
+${Tokenizer.oracleSegCtes(Tokenizer.DemoVocab)},
+cnt AS (SELECT d.doc_id, CAST(d.doc_id % 16 AS BIGINT) AS shard,
+          CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, count(*) AS n FROM seg
+          WHERE piece IS NOT NULL GROUP BY doc_id) c USING (doc_id)),
+p AS (SELECT doc_id, shard, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_tok
+      FROM cnt)
+SELECT doc_id, shard, n_tokens,
+  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+  CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+  start_tok % 512 + n_tokens > 512 AS spans_boundary
+FROM p ORDER BY doc_id"""
+
   private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
