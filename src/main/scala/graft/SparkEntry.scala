@@ -800,6 +800,27 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeImages(payloads, "payload", "doc_id")
         .toDF().orderBy("id")
     }),
+    // Training-data ops: audio decode via typed mapPartitions. Payloads
+    // are REAL RIFF/WAVE PCM synthesized from the text (no audio column
+    // in the testdata) — duration/RMS/peak/clip-fraction come from the
+    // decoded samples (pure-JVM Wav parser). No SQL oracle (rows-only);
+    // WavSpec asserts roundtrips, truncation tolerance and stats.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Demo.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, graft.multimodal.Wav.syntheticWav(id, t))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodeAudio(payloads, "payload", "doc_id")
+        .toDF()
+        .select(col("id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"),
+          round(col("duration_ms"), 3).as("duration_ms"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"),
+          round(col("clip_frac"), 6).as("clip_frac"))
+        .orderBy("id")
+    }),
     // Training-data ops: one-pass per-column dataset profile (approx
     // distinct is HLL-based — no SQL oracle, rows-only; StatsProfileSpec
     // asserts exact metrics and HLL error bounds)

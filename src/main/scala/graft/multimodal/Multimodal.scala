@@ -12,6 +12,20 @@ case class DecodedMedia(
     channels: Int,
     brightness: Double)
 
+/** Decoded-audio row: header facts + signal stats (see [[Wav]]);
+  * `decoded=false` marks payloads the parser rejected. */
+case class DecodedAudio(
+    id: Long,
+    decoded: Boolean,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    duration_ms: Double,
+    rms: Double,
+    peak: Double,
+    clip_frac: Double)
+
 /**
  * Multimodal column handling for training-data pipelines: image/audio/
  * video payloads ride as opaque `binary` columns with typed metadata, so
@@ -86,6 +100,33 @@ object Multimodal {
   /** Former name of [[decodeImages]], kept for source compatibility. */
   def decodeImagesStub(df: DataFrame, binCol: String,
       idCol: String): Dataset[DecodedMedia] = decodeImages(df, binCol, idCol)
+
+  /**
+   * Decode audio payloads via the same typed-mapPartitions shape as
+   * [[decodeImages]]: RIFF/WAVE PCM through the pure-JVM [[Wav]] parser
+   * (duration, RMS, peak, digital-clip fraction from actual samples).
+   * Non-WAV or corrupt payloads degrade per row to a zeroed row with
+   * `decoded=false` rather than failing the task.
+   */
+  def decodeAudio(df: DataFrame, binCol: String,
+      idCol: String): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info =
+          try Wav.decode(bytes)
+          catch { case scala.util.control.NonFatal(_) => None }
+        info match {
+          case Some(w) => DecodedAudio(id, decoded = true, w.sampleRate,
+            w.channels, w.bitsPerSample, w.nFrames, w.durationMs, w.rms,
+            w.peak, w.clipFrac)
+          case None =>
+            DecodedAudio(id, decoded = false, 0, 0, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+        }
+      })
+  }
 
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
