@@ -309,12 +309,27 @@ object TextDedup {
    */
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, n: Int = 3, numPerms: Int = 32,
+      bandRows: Int = 4, threshold: Double = 0.8): DataFrame =
+    dedupAgainstIndex(batch, corpusIndex(corpus, textCol, idCol, n),
+      textCol, idCol, n, numPerms, bandRows, threshold)
+
+  /** The precomputed corpus side of [[dedupAgainstIndex]]: one
+    * (doc_id, digest, hs) row per document. Production persists this to
+    * parquet once and APPENDS each accepted batch — the corpus text is
+    * never re-shingled (see [[graft.streaming.StreamingDedup]]). */
+  def corpusIndex(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = docs.select(
+    col(idCol).as("doc_id"), md5(col(textCol)).as("digest"),
+    graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
+
+  /** [[dedupAgainstCorpus]] against a PRECOMPUTED [[corpusIndex]] frame —
+    * the steady-state form: linear in the batch, reads (never rebuilds)
+    * the corpus digests/shingles. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, numPerms: Int = 32,
       bandRows: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(numPerms % bandRows == 0, "bandRows must divide numPerms")
     val numBands = numPerms / bandRows
-    def sigOf(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("doc_id"), md5(col(textCol)).as("digest"),
-      graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
     def bandsOf(sig: DataFrame): DataFrame = sig
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignature(col("hs"), numPerms))
@@ -324,9 +339,9 @@ object TextDedup {
             concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
               .as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
-    val bSig = sigOf(batch)
+    val bSig = corpusIndex(batch, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSig = sigOf(corpus)
+    val cSig = index
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactDup = bSig
       .join(cSig.select("digest"), Seq("digest"), "left_semi")

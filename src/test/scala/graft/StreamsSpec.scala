@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.Streams
+import graft.streaming.{Streams, StreamingDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,39 @@ class StreamsSpec extends SparkSpec {
       val top = latest.getSeq[org.apache.spark.sql.Row](1)
         .map(r => (r.getString(0), r.getLong(1)))
       assert(top == Seq(("a", 3L), ("c", 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup: second batch dedups against the first's index") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val (indexDir, outDir, ckDir) = (s"$dir/index", s"$dir/out", s"$dir/ck")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val nearDup = base.replace("tango", "uniform") // 1 of 20 tokens differs
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", indexDir, outDir, ckDir, threshold = 0.7)
+    try {
+      // batch 1: two copies of base (internal exact dup) + one near-dup
+      input.addData((1L, base), (2L, base), (3L, nearDup))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(outDir).collect()
+      // 2 dropped as internal exact dup of 1; 3 is batch-internal near-dup
+      // which dedupAgainstIndex intentionally does NOT remove
+      assert(b1.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L))
+      // batch 2: exact dup of base, near-dup of base, genuinely new doc
+      input.addData((10L, base), (11L, base.replace("alpha", "zulu")),
+        (12L, fresh))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L, 12L))
+      // the index grew by exactly the survivors
+      val idx = spark.read.parquet(indexDir).collect()
+      assert(idx.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L, 12L))
     } finally q.stop()
   }
 }
