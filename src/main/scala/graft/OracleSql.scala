@@ -295,6 +295,53 @@ FROM abr_clean ORDER BY abn_clean"""
   val entityMatch: String = prelude +
     """SELECT * FROM match ORDER BY crawl_url"""
 
+  /** Independent check of the F19 token_sort_ratio kernel: InDel (LCS)
+    * distance of token-sorted normalized names, computed in DuckDB as an
+    * anti-diagonal DP inside a recursive CTE (each diagonal derives
+    * elementwise from the previous two — no intra-step dependency).
+    * Bounded to an md5-bucketed ~10% of crawl urls so the O(n·m) DP
+    * stays cheap at the verify SF. Integer outputs — no float rounding;
+    * token_sort_ratio = 1 − indel/total_len. */
+  val tokensortIndel: String = {
+    val tokSort = (e: String) =>
+      raw"""coalesce(array_to_string(list_sort(list_filter(string_split_regex($e, '\s+'), x -> x <> '')), ' '), '')"""
+    prelude.replaceFirst("^WITH", "WITH RECURSIVE") + raw""",
+tsw AS (
+  SELECT crawl_url, block_key, ${tokSort("normalized_name")} AS wn
+  FROM cc_clean
+  WHERE CAST(CAST('0x' || substr(md5(crawl_url), 1, 15) AS BIGINT) % 10000 AS BIGINT) < 1000),
+tsa AS (
+  SELECT abn_clean AS abn, block_key, ${tokSort("normalized_name")} AS an
+  FROM abr_clean),
+tsp AS (
+  SELECT crawl_url, abn, wn AS a, an AS b,
+         length(wn) AS n, length(an) AS m
+  FROM tsw JOIN tsa USING (block_key)),
+lcs_dp(crawl_url, abn, a, b, n, m, d, prev2, prev1) AS (
+  SELECT crawl_url, abn, a, b, n, m, 1,
+    list_transform(range(0, n + 1), x -> 0),
+    list_transform(range(0, n + 1), x -> 0)
+  FROM tsp
+  UNION ALL
+  SELECT crawl_url, abn, a, b, n, m, d + 1, prev1,
+    list_transform(range(0, n + 1), i ->
+      CASE WHEN (d + 1 - i) < 1 OR (d + 1 - i) > m OR i < 1 THEN 0
+           ELSE greatest(
+             prev1[i],
+             prev1[i + 1],
+             prev2[i] + CASE WHEN substr(a, i, 1) = substr(b, d + 1 - i, 1)
+                             THEN 1 ELSE 0 END)
+      END)
+  FROM lcs_dp WHERE d < n + m),
+lcs AS (
+  SELECT crawl_url, abn, n, m,
+    CASE WHEN n = 0 OR m = 0 THEN 0 ELSE prev1[n + 1] END AS l
+  FROM lcs_dp WHERE d = greatest(n + m, 1))
+SELECT crawl_url, abn, CAST(n + m - 2 * l AS INT) AS indel,
+  CAST(n + m AS BIGINT) AS total_len
+FROM lcs ORDER BY crawl_url, abn"""
+  }
+
   val goldenDim: String = prelude +
     """SELECT * FROM dim ORDER BY abn"""
 

@@ -5,7 +5,7 @@ import graft.embeddings.EmbeddingOps
 import graft.etl._
 import graft.operators.{Merge, Relational}
 import graft.text.{TextAnalysis, TextOracles}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -176,6 +176,27 @@ object SparkEntry {
     "etl_match_tokensort" -> ((s, dir) =>
       Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
         demoCfg).orderBy("crawl_url")),
+    // F19 kernel vs an INDEPENDENT oracle: InDel distance of the
+    // token-sorted normalized names over an md5-bucketed 10% of the
+    // blocked pairs (bounded so the DuckDB recursive-CTE LCS stays
+    // cheap). Integer outputs (distance, total length) — exact, no
+    // float rounding; token_sort_ratio = 1 - indel/total_len.
+    "tokensort_indel" -> ((s, dir) => {
+      def ts(c: Column): Column =
+        array_join(array_sort(filter(split(c, "\\s+"), x => x =!= "")), " ")
+      val web = webClean(s, dir)
+        .filter(graft.operators.Sampling.bucket(col("crawl_url")) < 1000)
+        .select(col("crawl_url"), ts(col("normalized_name")).as("wn"),
+          col("block_key"))
+      val abr = abrClean(s, dir).select(col("abn_clean").as("abn"),
+        ts(col("normalized_name")).as("an"), col("block_key"))
+      web.join(abr, "block_key")
+        .select(col("crawl_url"), col("abn"),
+          graft.functions.GraftFunctions.indel_distance(col("wn"), col("an"))
+            .as("indel"),
+          (length(col("wn")) + length(col("an"))).cast("long").as("total_len"))
+        .orderBy("crawl_url", "abn")
+    }),
     // §2.7 F26: full 12-feature vector + weighted probability (RapidFuzz
     // kernels not ANSI-expressible → rows-only check; FeaturesSpec covers
     // values, match_features_ansi oracles the built-in subset)
@@ -890,6 +911,7 @@ object SparkEntry {
     "etl_clean_web" -> OracleSql.cleanWeb,
     "etl_clean_abr" -> OracleSql.cleanAbr,
     "etl_match" -> OracleSql.entityMatch,
+    "tokensort_indel" -> OracleSql.tokensortIndel,
     "etl_match_llm" -> OracleSql.entityMatchLlm,
     "match_features_ansi" -> OracleSql.matchFeaturesAnsi,
     "etl_match_by_method" -> OracleSql.matchesByMethod,
