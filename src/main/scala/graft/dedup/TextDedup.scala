@@ -386,9 +386,24 @@ object TextDedup {
    * 15-bit fingerprint chunks (pigeonhole: any pair within Hamming 3 of a
    * 60-bit hash shares at least one of 4 chunks — exact recall for
    * maxDist ≤ numChunks−1).
+   *
+   * Scale notes (from the 10× soak): low-entropy corpora cluster
+   * fingerprints, so some chunk values become heavy hitters and the
+   * candidate join's per-key cross product dominates. Two defenses:
+   *  - the self-join is hinted shuffle_hash — a sort-merge join buffers
+   *    each duplicate-key group and re-iterates it per left match,
+   *    which is what turned a streamable 2 G-row join into minutes;
+   *    the hash join streams it (measured 86 s → ~8 s at 50 k docs);
+   *  - `maxChunkFreq` optionally drops chunk values shared by more
+   *    fingerprints than the cap (the simhash analogue of the ngram
+   *    stop-shingle df cap). Recall caveat: a pair is lost only if
+   *    EVERY chunk it shares is capped; the exact-recall pigeonhole
+   *    guarantee holds only with the cap off. The fundamental fix at
+   *    corpus scale is Manku-style permutation tables whose bucket
+   *    width grows with log2(n) — same rule as LSH plane count.
    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxChunkFreq: Option[Long] = None): DataFrame = {
     // Persisted: feeds the distinct-fingerprint candidate join AND both
     // sides of the doc expansion below.
     val sh = simhash(docs, textCol, idCol)
@@ -403,11 +418,20 @@ object TextDedup {
     // its member docs — work proportional to the OUTPUT, not the groups
     // squared times chunks.
     val fps = sh.select(col("simhash")).distinct()
-    val chunks = fps.select(col("simhash"),
+    val chunksAll = fps.select(col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(simhash >> (15 * c)) & 32767"))
+    val chunks = maxChunkFreq match {
+      case Some(cap) =>
+        val keep = chunksAll.groupBy("c", "chunk")
+          .agg(count(lit(1)).as("__f")).where(col("__f") <= cap)
+          .select("c", "chunk")
+        chunksAll.join(keep, Seq("c", "chunk"))
+      case None => chunksAll
+    }
     // fa <= fb keeps the within-group (fa = fb, hamming 0) case.
-    val fpairs = chunks.as("a").join(chunks.as("b"),
+    // shuffle_hash: see scaladoc — SMJ buffers duplicate-key groups.
+    val fpairs = chunks.as("a").join(chunks.as("b").hint("shuffle_hash"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.simhash") <= col("b.simhash"))
       .select(col("a.simhash").as("fa"), col("b.simhash").as("fb"),

@@ -141,6 +141,17 @@ class LlmClientSpec extends AnyFunSuite {
         "A", null, null, "B", null, null, null)
       assert(r.score == 0.8 && rlHits.get() == 2)
     }
+    // 408 (request timeout) is transient like a socket timeout — retried
+    val toHits = new AtomicInteger(0)
+    withServer(Map("/v1/chat/completions" -> { ex =>
+      ex.getRequestBody.readAllBytes()
+      if (toHits.incrementAndGet() == 1) respond(ex, 408, "timeout")
+      else respond(ex, 200, completion("""{"score":0.7}"""))
+    })) { base =>
+      val r = new HttpLlmScorer(cfg(base)).matchCompanies(
+        "A", null, null, "B", null, null, null)
+      assert(r.score == 0.7 && toHits.get() == 2)
+    }
   }
 
   test("no api key: neutral verdict without touching the network") {
