@@ -842,6 +842,29 @@ object SparkEntry {
           round(col("clip_frac"), 6).as("clip_frac"))
         .orderBy("id")
     }),
+    // Oracle-checked twin of multimodal_audio: the synthetic waveform is
+    // deterministic ARITHMETIC over the text bytes, so the full
+    // encode→RIFF-parse→signal-stats path is verified value-exact against
+    // a DuckDB oracle that recomputes the same samples. Integer
+    // micro-units (floor(x·1e6+0.5) of bit-identical doubles) — exempt
+    // from round()-tie policy differences.
+    "multimodal_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Demo.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, graft.multimodal.Wav.syntheticWav(id, t))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodeAudio(payloads, "payload", "doc_id")
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("duration_ms"),
+          floor(col("rms") * 1e6 + lit(0.5)).cast("long").as("rms_e6"),
+          floor(col("peak") * 1e6 + lit(0.5)).cast("long").as("peak_e6"),
+          floor(col("clip_frac") * col("n_frames") + lit(0.5)).cast("long")
+            .as("n_clipped"))
+        .orderBy("doc_id")
+    }),
     // Training-data ops: one-pass per-column dataset profile (approx
     // distinct is HLL-based — no SQL oracle, rows-only; StatsProfileSpec
     // asserts exact metrics and HLL error bounds)
@@ -975,6 +998,7 @@ object SparkEntry {
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,
+    "multimodal_audio_stats" -> TextOracles.multimodalAudioStats,
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,

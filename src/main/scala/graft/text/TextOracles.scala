@@ -192,6 +192,39 @@ SELECT shard, seq_id, count(*) AS n_docs,
   max(spans_boundary) AS has_overflow
 FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
+  /** Mirrors the multimodal_audio_stats chain: Wav.syntheticWav's sample
+    * arithmetic recomputed over the text bytes (ASCII corpus: ord =
+    * byte), then the decoder's statistics with the SAME left-to-right
+    * float fold (list_reduce's first-element seed equals a 0.0-seeded
+    * fold exactly, so the doubles are bit-identical and the integer
+    * micro-unit floor is tie-free). */
+  val multimodalAudioStats: String = """WITH s AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) AS id, text,
+         greatest(8, least(4096, length(text))) AS n
+  FROM documents),
+smp AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n), i ->
+      CASE WHEN (id + i) % 97 = 0 THEN 32767
+           ELSE (ord(substr(text, CAST(i % length(text) AS INT) + 1, 1)) - 128) * 250
+                + CAST((id + i) % 17 AS INT)
+      END) AS samples
+  FROM s),
+st AS (
+  SELECT doc_id, n,
+    CAST(n AS DOUBLE) / 8.0 AS duration_ms,
+    sqrt(list_reduce(list_transform(samples,
+      x -> (x / 32768.0) * (x / 32768.0)), (a, b) -> a + b) / n) AS rms,
+    list_reduce(list_transform(samples, x -> abs(x / 32768.0)),
+      (a, b) -> greatest(a, b)) AS peak,
+    len(list_filter(samples, x -> x = 32767 OR x = -32768)) AS n_clipped
+  FROM smp)
+SELECT doc_id, CAST(n AS BIGINT) AS n_frames, duration_ms,
+  CAST(floor(rms * 1000000 + 0.5) AS BIGINT) AS rms_e6,
+  CAST(floor(peak * 1000000 + 0.5) AS BIGINT) AS peak_e6,
+  CAST(n_clipped AS BIGINT) AS n_clipped
+FROM st ORDER BY doc_id"""
+
   /** Mirrors Tokenizer.tokenize: recursive greedy longest-match over the
     * SAME literal vocab (the CTE is emitted by Tokenizer.oracleSegCtes
     * from the one Vocab definition). */
