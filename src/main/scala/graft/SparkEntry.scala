@@ -842,6 +842,27 @@ object SparkEntry {
           round(col("clip_frac"), 6).as("clip_frac"))
         .orderBy("id")
     }),
+    // Oracle-checked twin of multimodal_decode: synthetic BMP/PNG pixels
+    // are deterministic text-byte arithmetic, so the REAL codec path
+    // (pure-JVM BMP parse / javax.imageio PNG) is verified value-exact
+    // against a DuckDB oracle recomputing per-pixel means in each
+    // codec's decode order. Integer micro-units — tie-free.
+    "multimodal_decode_stats" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Demo.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, if (id % 2 == 0) graft.multimodal.Multimodal.syntheticBmp(id, t)
+               else graft.multimodal.Multimodal.syntheticPng(id, t))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodeImages(payloads, "payload", "doc_id")
+        .toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"),
+          floor(col("brightness") * 1e6 + lit(0.5)).cast("long")
+            .as("brightness_e6"))
+        .orderBy("doc_id")
+    }),
     // Oracle-checked twin of multimodal_audio: the synthetic waveform is
     // deterministic ARITHMETIC over the text bytes, so the full
     // encode→RIFF-parse→signal-stats path is verified value-exact against
@@ -999,6 +1020,7 @@ object SparkEntry {
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,
     "multimodal_audio_stats" -> TextOracles.multimodalAudioStats,
+    "multimodal_decode_stats" -> TextOracles.multimodalDecodeStats,
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,

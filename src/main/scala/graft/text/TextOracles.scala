@@ -225,6 +225,39 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_frames, duration_ms,
   CAST(n_clipped AS BIGINT) AS n_clipped
 FROM st ORDER BY doc_id"""
 
+  /** Mirrors the multimodal_decode_stats chain: syntheticBmp/syntheticPng
+    * pixels are the text bytes (id-padded), so the oracle recomputes the
+    * per-pixel means in each codec's DECODE ORDER — BMP file order is
+    * image rows bottom-up, PNG is top-down — and folds them with the
+    * same left-to-right float sum (bit-identical doubles, tie-free
+    * micro-unit floor). Verifies the real decoders' output values. */
+  val multimodalDecodeStats: String = {
+    def byteAt(i: String): String =
+      s"CASE WHEN $i < len THEN ord(substr(text, CAST($i + 1 AS INT), 1)) ELSE CAST((id + $i) % 251 AS INT) END"
+    s"""WITH s AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) AS id, text,
+         CAST(length(text) AS BIGINT) AS len,
+         greatest(1, least(64, (length(text) + 47) // 48)) AS h
+  FROM documents),
+v AS (
+  SELECT doc_id, h,
+    list_transform(
+      list_transform(range(0, 16 * h), k ->
+        CASE WHEN id % 2 = 0
+             THEN (h - 1 - k // 16) * 48 + (k % 16) * 3
+             ELSE k * 3 END),
+      base -> (${byteAt("base")} + ${byteAt("base + 1")} +
+               ${byteAt("base + 2")}) / 3.0) AS pv
+  FROM s),
+st AS (
+  SELECT doc_id, h,
+    list_reduce(pv, (a, b) -> a + b) / (16 * h) / 255.0 AS brightness
+  FROM v)
+SELECT doc_id, 16 AS width, CAST(h AS INT) AS height, 3 AS channels,
+  CAST(floor(brightness * 1000000 + 0.5) AS BIGINT) AS brightness_e6
+FROM st ORDER BY doc_id"""
+  }
+
   /** Mirrors Tokenizer.tokenize: recursive greedy longest-match over the
     * SAME literal vocab (the CTE is emitted by Tokenizer.oracleSegCtes
     * from the one Vocab definition). */
