@@ -630,6 +630,14 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
+    // Training-data ops: quality-weighted dedup keepers — one
+    // representative per near-dup component chosen by argmax token
+    // count (ties → min id), the keeper rule real pipelines use
+    "dedup_keep_longest" -> ((s, dir) =>
+      TextDedup.keepersByQuality(Demo.table(s, dir, "documents"),
+        "text", "doc_id",
+        size(TextDedup.tokens(col("text"))).cast("long"))
+        .orderBy("doc_id")),
     // Training-data ops: Gopher-style repetition quality signals
     // (duplicate-line and duplicate-3-gram fractions, mean word length —
     // the classic corpus-filter rules)
@@ -1004,6 +1012,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
     "dedup_corpus" -> DedupOracles.corpusKeepers,
+    "dedup_keep_longest" -> DedupOracles.keepLongest,
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_incremental" -> DedupOracles.incrementalDedup,

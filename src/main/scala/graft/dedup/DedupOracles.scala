@@ -179,6 +179,26 @@ FROM walk GROUP BY node ORDER BY node"""
   val corpusKeepers: String =
     s"""SELECT node AS doc_id FROM ($components) WHERE is_keeper ORDER BY doc_id"""
 
+  /** Mirrors TextDedup.keepersByQuality with quality = token count:
+    * per component keep the LONGEST member, ties → smallest id. */
+  val keepLongest: String = s"""WITH RECURSIVE
+pairs AS ($minhashLshPairs),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node),
+comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+scored AS (
+  SELECT c.component, d.doc_id, CAST(len($toks) AS BIGINT) AS q
+  FROM comps c JOIN documents d ON d.doc_id = c.node)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+  FROM scored) t
+WHERE rn = 1 ORDER BY doc_id"""
+
   /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, bench =
     * doc_id%10=3, MinHash dedup at 0.8, df-capped decontamination at
     * 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, packing budget 512): the

@@ -288,6 +288,27 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /**
+   * One representative per near-dup component chosen by QUALITY —
+   * argmax on `quality` (ties → smallest id) instead of the min-id
+   * keeper: what a production corpus pipeline actually keeps (the
+   * longest / cleanest member of each duplicate cluster, not an
+   * arbitrary one). Scale shape: the MinHash banding + CC labeling of
+   * [[minhashLshPairs]]/[[ConnectedComponents.label]], then ONE hash
+   * aggregation (min_by with map-side combine) over the labeled corpus
+   * — no window, no per-component sort.
+   */
+  def keepersByQuality(docs: DataFrame, textCol: String, idCol: String,
+      quality: Column): DataFrame = {
+    val pairs = minhashLshPairs(docs, textCol, idCol)
+    val labels = ConnectedComponents.label(
+      docs.select(col(idCol)), pairs, "doc_a", "doc_b")
+    docs.join(labels.withColumnRenamed("node", idCol), idCol)
+      .groupBy("component")
+      .agg(min_by(col(idCol), struct(-quality, col(idCol))).as(idCol))
+      .select(idCol)
+  }
+
   // ---------------------------------------------------- incremental dedup
 
   /**
