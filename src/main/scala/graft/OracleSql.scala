@@ -302,28 +302,30 @@ FROM abr_clean ORDER BY abn_clean"""
     * Bounded to an md5-bucketed ~10% of crawl urls so the O(n·m) DP
     * stays cheap at the verify SF. Integer outputs — no float rounding;
     * token_sort_ratio = 1 − indel/total_len. */
-  val tokensortIndel: String = {
+  private val tokensortLcsCtes: String = {
     val tokSort = (e: String) =>
       raw"""coalesce(array_to_string(list_sort(list_filter(string_split_regex($e, '\s+'), x -> x <> '')), ' '), '')"""
     prelude.replaceFirst("^WITH", "WITH RECURSIVE") + raw""",
 tsw AS (
-  SELECT crawl_url, block_key, ${tokSort("normalized_name")} AS wn
+  SELECT crawl_url, clean_name AS crawl_name, block_key,
+         ${tokSort("normalized_name")} AS wn
   FROM cc_clean
   WHERE CAST(CAST('0x' || substr(md5(crawl_url), 1, 15) AS BIGINT) % 10000 AS BIGINT) < 1000),
 tsa AS (
-  SELECT abn_clean AS abn, block_key, ${tokSort("normalized_name")} AS an
+  SELECT abn_clean AS abn, clean_name AS abr_name, block_key,
+         ${tokSort("normalized_name")} AS an
   FROM abr_clean),
 tsp AS (
-  SELECT crawl_url, abn, wn AS a, an AS b,
+  SELECT crawl_url, crawl_name, abn, abr_name, wn AS a, an AS b,
          length(wn) AS n, length(an) AS m
   FROM tsw JOIN tsa USING (block_key)),
-lcs_dp(crawl_url, abn, a, b, n, m, d, prev2, prev1) AS (
-  SELECT crawl_url, abn, a, b, n, m, 1,
+lcs_dp(crawl_url, crawl_name, abn, abr_name, a, b, n, m, d, prev2, prev1) AS (
+  SELECT crawl_url, crawl_name, abn, abr_name, a, b, n, m, 1,
     list_transform(range(0, n + 1), x -> 0),
     list_transform(range(0, n + 1), x -> 0)
   FROM tsp
   UNION ALL
-  SELECT crawl_url, abn, a, b, n, m, d + 1, prev1,
+  SELECT crawl_url, crawl_name, abn, abr_name, a, b, n, m, d + 1, prev1,
     list_transform(range(0, n + 1), i ->
       CASE WHEN (d + 1 - i) < 1 OR (d + 1 - i) > m OR i < 1 THEN 0
            ELSE greatest(
@@ -334,13 +336,32 @@ lcs_dp(crawl_url, abn, a, b, n, m, d, prev2, prev1) AS (
       END)
   FROM lcs_dp WHERE d < n + m),
 lcs AS (
-  SELECT crawl_url, abn, n, m,
+  SELECT crawl_url, crawl_name, abn, abr_name, n, m,
     CASE WHEN n = 0 OR m = 0 THEN 0 ELSE prev1[n + 1] END AS l
-  FROM lcs_dp WHERE d = greatest(n + m, 1))
+  FROM lcs_dp WHERE d = greatest(n + m, 1))"""
+  }
+
+  val tokensortIndel: String = tokensortLcsCtes + """
 SELECT crawl_url, abn, CAST(n + m - 2 * l AS INT) AS indel,
   CAST(n + m AS BIGINT) AS total_len
 FROM lcs ORDER BY crawl_url, abn"""
-  }
+
+  /** Full tokensort match spine on the sampled web side: kernel score
+    * recomputed as 1 − indel/total (bit-identical IEEE doubles — Spark's
+    * kernel evaluates the same expression), threshold 0.6, best-per-url
+    * argmax with the (score DESC, abn) tie-break, match output schema. */
+  val tokensortMatchSample: String = tokensortLcsCtes + """,
+scored AS (
+  SELECT crawl_url, crawl_name, abn, abr_name,
+    CASE WHEN n = 0 OR m = 0 THEN 0.0
+         ELSE 1.0 - CAST(n + m - 2 * l AS DOUBLE) / (n + m) END AS fuzzy_score
+  FROM lcs)
+SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score,
+       CAST(NULL AS DOUBLE) AS llm_score, fuzzy_score AS final_score,
+       'fuzzy' AS match_method
+FROM scored WHERE fuzzy_score >= 0.6
+QUALIFY row_number() OVER (PARTITION BY crawl_url ORDER BY fuzzy_score DESC, abn) = 1
+ORDER BY crawl_url"""
 
   val goldenDim: String = prelude +
     """SELECT * FROM dim ORDER BY abn"""

@@ -176,6 +176,16 @@ object SparkEntry {
     "etl_match_tokensort" -> ((s, dir) =>
       Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
         demoCfg).orderBy("crawl_url")),
+    // The FULL tokensort match spine (threshold + best-per-url argmax +
+    // output schema) on the same md5-bucketed web sample — hash-green:
+    // the oracle recomputes the kernel's 1 − indel/total doubles from
+    // the recursive-CTE LCS (bit-identical IEEE ops, no rounding).
+    "etl_match_tokensort_sample" -> ((s, dir) =>
+      Match.run(
+        webClean(s, dir)
+          .filter(graft.operators.Sampling.bucket(col("crawl_url")) < 1000),
+        abrClean(s, dir), Match.TokenSortRatio, demoCfg)
+        .orderBy("crawl_url")),
     // F19 kernel vs an INDEPENDENT oracle: InDel distance of the
     // token-sorted normalized names over an md5-bucketed 10% of the
     // blocked pairs (bounded so the DuckDB recursive-CTE LCS stays
@@ -964,6 +974,7 @@ object SparkEntry {
     "etl_clean_abr" -> OracleSql.cleanAbr,
     "etl_match" -> OracleSql.entityMatch,
     "tokensort_indel" -> OracleSql.tokensortIndel,
+    "etl_match_tokensort_sample" -> OracleSql.tokensortMatchSample,
     "etl_match_llm" -> OracleSql.entityMatchLlm,
     "match_features_ansi" -> OracleSql.matchFeaturesAnsi,
     "etl_match_by_method" -> OracleSql.matchesByMethod,

@@ -334,5 +334,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("heavy_hitters",
       exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("wordpiece_tokens",
+      exprs => expr(wordpiece_tokens(col(exprs.head))), "built-in")
   }
 }

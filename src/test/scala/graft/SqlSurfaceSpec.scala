@@ -14,6 +14,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getBoolean(0) === true)
     assert(r.getBoolean(1) === false)
     assert(r.getDouble(2) === 1.0)
+    val w = spark.sql("SELECT wordpiece_tokens('Customer window') AS p")
+      .collect().head.getSeq[String](0)
+    assert(w === Seq("cust", "##omer", "win", "##dow"))
   }
 
   test("SQL over temp views matches the DSL query") {
