@@ -645,8 +645,8 @@ object SparkEntry {
     // count (ties → min id), the keeper rule real pipelines use
     "dedup_keep_longest" -> ((s, dir) =>
       TextDedup.keepersByQuality(Demo.table(s, dir, "documents"),
-        "text", "doc_id",
-        size(TextDedup.tokens(col("text"))).cast("long"))
+        "doc_id", size(TextDedup.tokens(col("text"))).cast("long"),
+        ccLabelsDf(s, dir))
         .orderBy("doc_id")),
     // Training-data ops: Gopher-style repetition quality signals
     // (duplicate-line and duplicate-3-gram fractions, mean word length —

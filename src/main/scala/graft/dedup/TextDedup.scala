@@ -299,15 +299,20 @@ object TextDedup {
    * — no window, no per-component sort.
    */
   def keepersByQuality(docs: DataFrame, textCol: String, idCol: String,
-      quality: Column): DataFrame = {
-    val pairs = minhashLshPairs(docs, textCol, idCol)
-    val labels = ConnectedComponents.label(
-      docs.select(col(idCol)), pairs, "doc_a", "doc_b")
+      quality: Column): DataFrame =
+    keepersByQuality(docs, idCol, quality,
+      ConnectedComponents.label(docs.select(col(idCol)),
+        minhashLshPairs(docs, textCol, idCol), "doc_a", "doc_b"))
+
+  /** [[keepersByQuality]] over PRECOMPUTED component labels — pass the
+    * shared/cached label frame when several consumers need it (the CC
+    * loop is the expensive part). */
+  def keepersByQuality(docs: DataFrame, idCol: String, quality: Column,
+      labels: DataFrame): DataFrame =
     docs.join(labels.withColumnRenamed("node", idCol), idCol)
       .groupBy("component")
       .agg(min_by(col(idCol), struct(-quality, col(idCol))).as(idCol))
       .select(idCol)
-  }
 
   // ---------------------------------------------------- incremental dedup
 
