@@ -140,6 +140,31 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
   }
 
+  test("connected components: random graphs equal union-find (seeded)") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(120)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with min-id roots
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val want = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.dedup.ConnectedComponents.label(
+          (1L to n.toLong).toDF("id"), edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial (n=$n, edges=${edges.size})")
+    }
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
