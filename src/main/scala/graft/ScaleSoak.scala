@@ -43,26 +43,49 @@ object ScaleSoak {
     build(spark, src, s"$base/x1", 1)
     build(spark, src, s"$base/x$factor", factor)
 
-    def timeAll(dir: String): Map[String, Double] = Queries.map { q =>
-      // run twice; report the second (steady state: shared frames cached,
-      // codegen warm) — mirrors the bench's warmup discipline
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      q -> times.last
-    }.toMap
+    // Fingerprint of the EXECUTED (post-AQE) plan: the multiset of
+    // join/exchange/aggregate node names. Identical fingerprints at x1
+    // and x10 mean the capped-index plan SHAPE is size-invariant (AQE
+    // may legitimately flip a join strategy — that shows up as a DIFF
+    // and is reported, not hidden).
+    def planShape(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.queryExecution.executedPlan.collect {
+        case p if p.nodeName.contains("Join") ||
+          p.nodeName.contains("Exchange") ||
+          p.nodeName.contains("Aggregate") => p.nodeName
+      }.groupBy(identity).map { case (k, v) => k -> v.size }
+
+    def timeAll(dir: String): Map[String, (Double, Map[String, Int])] =
+      Queries.map { q =>
+        // run twice; report the second (steady state: shared frames
+        // cached, codegen warm) — mirrors the bench's warmup discipline
+        var shape = Map.empty[String, Int]
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          df.count()
+          shape = planShape(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> (times.last, shape)
+      }.toMap
 
     val t1 = timeAll(s"$base/x1")
     val t10 = timeAll(s"$base/x$factor")
     println("=== SOAK RESULTS (10x corpus vs 1x, steady-state seconds) ===")
     var worst = 0.0
     Queries.foreach { q =>
-      val ratio = t10(q) / math.max(t1(q), 1e-3)
+      val ratio = t10(q)._1 / math.max(t1(q)._1, 1e-3)
       worst = math.max(worst, ratio)
       val verdict = if (ratio <= 15.0) "PASS" else "WARN"
-      println(f"""{"query":"$q","x1_sec":${t1(q)}%.3f,"x10_sec":${t10(q)}%.3f,"ratio":$ratio%.2f,"verdict":"$verdict"}""")
+      val shapeNote =
+        if (t1(q)._2 == t10(q)._2) "SAME"
+        else {
+          val d1 = (t1(q)._2.toSet -- t10(q)._2.toSet).toSeq.sorted
+          val d10 = (t10(q)._2.toSet -- t1(q)._2.toSet).toSeq.sorted
+          s"DIFF x1-only=$d1 x10-only=$d10"
+        }
+      println(f"""{"query":"$q","x1_sec":${t1(q)._1}%.3f,"x10_sec":${t10(q)._1}%.3f,"ratio":$ratio%.2f,"verdict":"$verdict","plan_shape":"$shapeNote"}""")
     }
     // The fixed-parameter ann_lsh_pairs demo keeps 2^8 buckets at any n,
     // so bucket density (and candidate pairs, quadratic in density)
