@@ -121,6 +121,20 @@ object ScaleSoak {
     val (s10, r10) = shTimed(s"$base/x$factor", Some(200L))
     val (_, rExact) = shTimed(s"$base/x$factor", None)
     println(f"""{"query":"dedup_simhash_pairs_capped","x1_sec":$s1%.3f,"x10_sec":$s10%.3f,"ratio":${s10 / math.max(s1, 1e-3)}%.2f,"x10_pairs_capped":$r10,"x10_pairs_exact":$rExact,"x1_pairs_capped":$r1,"note":"maxChunkFreq=200 bounds hot-chunk fan-out"}""")
+    // The structural exact-recall fix: Manku-style wide bucket keys.
+    def wideTimed(dir: String): (Double, Long) = {
+      var rows = 0L
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = graft.dedup.TextDedup.simhashPairsWide(
+          Demo.table(spark, dir, "documents"), "text", "doc_id").count()
+        (System.nanoTime() - t0) / 1e9
+      }.last
+      (t, rows)
+    }
+    val (w1, _) = wideTimed(s"$base/x1")
+    val (w10, wr10) = wideTimed(s"$base/x$factor")
+    println(f"""{"query":"dedup_simhash_pairs_wide","x1_sec":$w1%.3f,"x10_sec":$w10%.3f,"ratio":${w10 / math.max(w1, 1e-3)}%.2f,"x10_pairs":$wr10,"note":"45-bit 3-chunk keys - exact recall, corpus-scale selectivity"}""")
     println(f"""{"metric":"soak_worst_ratio","value":$worst%.2f,"factor":$factor}""")
     spark.stop()
   }

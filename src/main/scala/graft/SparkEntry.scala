@@ -640,6 +640,14 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
+    // Manku-style wide-key simhash banding: SAME result set as
+    // dedup_simhash_pairs (the oracle is literally shared), but bucket
+    // keys are 45-bit 3-chunk combinations — exact recall with
+    // corpus-scale selectivity (see SOAK_r05.md)
+    "dedup_simhash_pairs_wide" -> ((s, dir) =>
+      TextDedup.simhashPairsWide(Demo.table(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_a", "doc_b")),
     // Training-data ops: quality-weighted dedup keepers — one
     // representative per near-dup component chosen by argmax token
     // count (ties → min id), the keeper rule real pipelines use
@@ -1024,6 +1032,7 @@ object SparkEntry {
     "dedup_components" -> DedupOracles.components,
     "dedup_corpus" -> DedupOracles.corpusKeepers,
     "dedup_keep_longest" -> DedupOracles.keepLongest,
+    "dedup_simhash_pairs_wide" -> DedupOracles.simhashPairs,
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_incremental" -> DedupOracles.incrementalDedup,

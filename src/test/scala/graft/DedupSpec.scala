@@ -165,6 +165,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("wide-key simhash banding equals chunk banding at every maxDist") {
+    for (d <- 0 to 3) {
+      val chunked = TextDedup.simhashPairs(docs, "text", "doc_id", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val wide = TextDedup.simhashPairsWide(docs, "text", "doc_id", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(wide === chunked, s"maxDist=$d")
+    }
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
