@@ -31,7 +31,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Split the guarded exact O(n²) baselines (documented correctness
+    // anchors with fail-fast size guards, NOT the scale path) out of the
+    // headline so a regression in the scale-path operators is never
+    // masked by baseline time. "total" stays the all-queries sum for
+    // round-over-round comparability.
+    val exactBaselines = Set("embedding_cosine_pairs", "ann_topk")
+    val exactSec = results.collect { case (k, v) if exactBaselines(k) => v }.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

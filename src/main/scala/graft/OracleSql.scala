@@ -302,15 +302,22 @@ FROM abr_clean ORDER BY abn_clean"""
     * Bounded to an md5-bucketed ~10% of crawl urls so the O(n·m) DP
     * stays cheap at the verify SF. Integer outputs — no float rounding;
     * token_sort_ratio = 1 − indel/total_len. */
-  private val tokensortLcsCtes: String = {
+  private def tokensortLcsCtes(sampled: Boolean): String = {
     val tokSort = (e: String) =>
       raw"""coalesce(array_to_string(list_sort(list_filter(string_split_regex($e, '\s+'), x -> x <> '')), ' '), '')"""
+    // `sampled` keeps the md5-bucketed ~10% bound where the DP cost
+    // matters (tokensort_indel's 10000-bucket arithmetic); the FULL
+    // match spine (etl_match_tokensort) runs it unbounded — at the
+    // verify SF the whole blocked candidate set is small enough for the
+    // recursive-CTE DP (round-5 verdict #5).
+    val sampleWhere = if (sampled)
+      "\n  WHERE CAST(CAST('0x' || substr(md5(crawl_url), 1, 15) AS BIGINT) % 10000 AS BIGINT) < 1000"
+    else ""
     prelude.replaceFirst("^WITH", "WITH RECURSIVE") + raw""",
 tsw AS (
   SELECT crawl_url, clean_name AS crawl_name, block_key,
          ${tokSort("normalized_name")} AS wn
-  FROM cc_clean
-  WHERE CAST(CAST('0x' || substr(md5(crawl_url), 1, 15) AS BIGINT) % 10000 AS BIGINT) < 1000),
+  FROM cc_clean$sampleWhere),
 tsa AS (
   SELECT abn_clean AS abn, clean_name AS abr_name, block_key,
          ${tokSort("normalized_name")} AS an
@@ -341,16 +348,17 @@ lcs AS (
   FROM lcs_dp WHERE d = greatest(n + m, 1))"""
   }
 
-  val tokensortIndel: String = tokensortLcsCtes + """
+  val tokensortIndel: String = tokensortLcsCtes(sampled = true) + """
 SELECT crawl_url, abn, CAST(n + m - 2 * l AS INT) AS indel,
   CAST(n + m AS BIGINT) AS total_len
 FROM lcs ORDER BY crawl_url, abn"""
 
-  /** Full tokensort match spine on the sampled web side: kernel score
-    * recomputed as 1 − indel/total (bit-identical IEEE doubles — Spark's
-    * kernel evaluates the same expression), threshold 0.6, best-per-url
-    * argmax with the (score DESC, abn) tie-break, match output schema. */
-  val tokensortMatchSample: String = tokensortLcsCtes + """,
+  /** Tokensort match spine: kernel score recomputed as 1 − indel/total
+    * (bit-identical IEEE doubles — Spark's kernel evaluates the same
+    * expression), threshold 0.6, best-per-url argmax with the
+    * (score DESC, abn) tie-break, match output schema. */
+  private def tokensortMatchSpine(sampled: Boolean): String =
+    tokensortLcsCtes(sampled) + """,
 scored AS (
   SELECT crawl_url, crawl_name, abn, abr_name,
     CASE WHEN n = 0 OR m = 0 THEN 0.0
@@ -362,6 +370,12 @@ SELECT crawl_url, crawl_name, abn, abr_name, fuzzy_score,
 FROM scored WHERE fuzzy_score >= 0.6
 QUALIFY row_number() OVER (PARTITION BY crawl_url ORDER BY fuzzy_score DESC, abn) = 1
 ORDER BY crawl_url"""
+
+  /** The md5-bucketed ~10% web-side spine (hash-green since round 5). */
+  val tokensortMatchSample: String = tokensortMatchSpine(sampled = true)
+
+  /** The FULL spine — retires etl_match_tokensort's rows-only status. */
+  val tokensortMatchFull: String = tokensortMatchSpine(sampled = false)
 
   val goldenDim: String = prelude +
     """SELECT * FROM dim ORDER BY abn"""

@@ -150,21 +150,31 @@ object ScaleSoak {
       .parquet(s"$dir/embeddings.parquet")
   }
 
-  private[graft] def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+  /** Replica id stride: derived from max(id)+1, NOT a fixed constant —
+    * a fixed 1e6 stride silently collides replicas with originals the
+    * moment the source corpus has ids ≥ 1e6, and the soak would then
+    * measure a corrupted workload. */
+  private def idStride(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).head().getLong(0) + 1L
+
+  private[graft] def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
+    val stride = idStride(docs, "doc_id")
     (0 until k).map { rep =>
       if (rep == 0) docs
       else docs
-        .withColumn("doc_id", col("doc_id") + lit(rep * 1000000L))
+        .withColumn("doc_id", col("doc_id") + lit(rep * stride))
         .withColumn("text", array_join(
           transform(split(col("text"), " "), t => concat(t, lit(s"q$rep"))),
           " "))
     }.reduce(_ unionByName _)
+  }
 
-  private[graft] def replicateEmbeddings(embs: DataFrame, k: Int): DataFrame =
+  private[graft] def replicateEmbeddings(embs: DataFrame, k: Int): DataFrame = {
+    val stride = idStride(embs, "vec_id")
     (0 until k).map { rep =>
       if (rep == 0) embs
       else embs
-        .withColumn("vec_id", col("vec_id") + lit(rep * 1000000L))
+        .withColumn("vec_id", col("vec_id") + lit(rep * stride))
         .withColumn("embedding",
           zip_with(
             col("embedding"),
@@ -175,4 +185,5 @@ object ScaleSoak {
               (conv(substring(md5(concat(lit(s"$rep:"), i)), 1, 15), 16, 10)
                 .cast("long") % 2).cast("double")).cast("float")))
     }.reduce(_ unionByName _)
+  }
 }

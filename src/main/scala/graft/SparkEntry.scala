@@ -171,8 +171,10 @@ object SparkEntry {
         .orderBy("abn_clean")),
     // §2.3 J1-J3 + §2.5 W2: blocked join + jaccard + argmax
     "etl_match" -> ((s, dir) => matchDf(s, dir).orderBy("crawl_url")),
-    // Same spine with the token_sort_ratio kernel (F19) — not ANSI-SQL
-    // expressible, so no oracle (driver records rows-only).
+    // Same spine with the token_sort_ratio kernel (F19) — oracled since
+    // round 6 by the UNSAMPLED recursive-CTE anti-diagonal LCS DP
+    // (OracleSql.tokensortMatchFull): at the verify SF the whole blocked
+    // candidate set is cheap enough for the DuckDB DP.
     "etl_match_tokensort" -> ((s, dir) =>
       Match.run(webClean(s, dir), abrClean(s, dir), Match.TokenSortRatio,
         demoCfg).orderBy("crawl_url")),
@@ -636,16 +638,20 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
-    // Training-data ops: SimHash near-dup pairs (chunk-bucketed Hamming)
+    // Training-data ops: SimHash near-dup pairs. The default plan is the
+    // Manku-style wide-key banding (45-bit 3-chunk combination keys —
+    // exact recall with corpus-scale selectivity: 27.1× → 2.1× at the
+    // 10× soak, SOAK_r05.md), made the registered default per the
+    // round-5 verdict.
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
-    // Manku-style wide-key simhash banding: SAME result set as
-    // dedup_simhash_pairs (the oracle is literally shared), but bucket
-    // keys are 45-bit 3-chunk combinations — exact recall with
-    // corpus-scale selectivity (see SOAK_r05.md)
-    "dedup_simhash_pairs_wide" -> ((s, dir) =>
-      TextDedup.simhashPairsWide(Demo.table(s, dir, "documents"),
+    // Chunk-banded twin: SAME result set (the oracle is literally
+    // shared — both schemes have exact pigeonhole recall), bucketing on
+    // single 15-bit chunks. Kept registered so both physical plans stay
+    // hash-checked against the one oracle.
+    "dedup_simhash_pairs_chunked" -> ((s, dir) =>
+      TextDedup.simhashPairsChunked(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_a", "doc_b")),
     // Training-data ops: quality-weighted dedup keepers — one
@@ -799,7 +805,10 @@ object SparkEntry {
     }),
     // Training-data ops: SRP-LSH bucketed near-neighbour pairs (the
     // scale path; oracled by regenerating the deterministic md5-derived
-    // hyperplanes into DuckDB SQL — TextOracles.lshPairs)
+    // hyperplanes into DuckDB SQL — TextOracles.lshPairs). Plane count
+    // is corpus-size-derived (planesForCount: ⌈log₂ n⌉−1) so bucket
+    // density no longer grows with n — the round-5 soak's 13.7×-at-10×
+    // finding, now encoded as the default instead of prose.
     "ann_lsh_pairs" -> ((s, dir) =>
       EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.45)
@@ -982,6 +991,7 @@ object SparkEntry {
     "etl_clean_abr" -> OracleSql.cleanAbr,
     "etl_match" -> OracleSql.entityMatch,
     "tokensort_indel" -> OracleSql.tokensortIndel,
+    "etl_match_tokensort" -> OracleSql.tokensortMatchFull,
     "etl_match_tokensort_sample" -> OracleSql.tokensortMatchSample,
     "etl_match_llm" -> OracleSql.entityMatchLlm,
     "match_features_ansi" -> OracleSql.matchFeaturesAnsi,
@@ -1032,7 +1042,7 @@ object SparkEntry {
     "dedup_components" -> DedupOracles.components,
     "dedup_corpus" -> DedupOracles.corpusKeepers,
     "dedup_keep_longest" -> DedupOracles.keepLongest,
-    "dedup_simhash_pairs_wide" -> DedupOracles.simhashPairs,
+    "dedup_simhash_pairs_chunked" -> DedupOracles.simhashPairs,
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_incremental" -> DedupOracles.incrementalDedup,
@@ -1062,7 +1072,14 @@ object SparkEntry {
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,
     "ann_topk" -> TextOracles.annTopK,
     "ann_ivf_topk" -> TextOracles.annIvfTopK,
-    "ann_lsh_pairs" -> TextOracles.lshPairs(),
+    // The engine derives the plane count from the corpus size
+    // (EmbeddingOps.planesForCount); this static SQL must bake the plane
+    // literals in, so it emits them for the verification corpus
+    // (sf0.01, 500 vectors → 8 planes). EmbeddingSpec pins
+    // planesForCount(500) == 8 so a rule change breaks loudly here
+    // rather than as a silent hash mismatch.
+    "ann_lsh_pairs" -> TextOracles.lshPairs(
+      numPlanes = EmbeddingOps.planesForCount(500)),
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

@@ -36,16 +36,18 @@ object CorpusPipeline {
   def keepers(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 10): DataFrame = {
     // exact feeds the whole near-dup join chain (bands, verify, label
-    // read-out) — without the persist the upstream recomputes per
-    // consumer and per CC-loop action.
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // read-out) — without the materialization the upstream recomputes
+    // per consumer and per CC-loop action. Materialized, not persisted:
+    // this returns a lazy frame with no unpersist point
+    // (graft.operators.Materialized).
     val quality = docs
       .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
     val keepIds = quality
       .groupBy(md5(col(textCol)).as("__dg"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = quality.join(keepIds, Seq(idCol), "left_semi").persist(mem)
+    val exact = graft.operators.Materialized(
+      quality.join(keepIds, Seq(idCol), "left_semi"))
     val pairs = TextDedup.minhashLshPairs(exact, textCol, idCol)
     val labels = ConnectedComponents
       .label(exact.select(idCol), pairs, "doc_a", "doc_b")
@@ -61,8 +63,8 @@ object CorpusPipeline {
       textCol: String, idCol: String, langCol: String,
       targetShares: Map[String, Double], outFraction: Double = 0.5,
       budget: Int = 512): DataFrame = {
-    val decon = TextDedup.decontaminate(keepers, bench, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val decon = graft.operators.Materialized(
+      TextDedup.decontaminate(keepers, bench, textCol, idCol))
     val mixed = Sampling.byMixture(decon, idCol, langCol,
       targetShares, outFraction)
     SequencePacking.pack(mixed, textCol, idCol, budget, langCol)

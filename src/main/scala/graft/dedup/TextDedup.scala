@@ -79,11 +79,11 @@ object TextDedup {
     // string: 8-byte shuffle keys and long-vs-long join comparisons.
     // Jaccard is over hashed-shingle sets — the oracle hashes with the
     // same md5-based function, so any collision is identical on both
-    // engines. Persisted: the shingle transform is interpreted
+    // engines. Materialized: the shingle transform is interpreted
     // (higher-order function) and feeds three consumers.
-    val withSh = docs.select(col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSh = graft.operators.Materialized(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
     // `sz` rides the explode so the length filter below needs no extra
     // join/shuffle (8 bytes per index row).
     val inv = withSh.select(col("doc_id"), size(col("hs")).as("sz"),
@@ -172,13 +172,13 @@ object TextDedup {
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.8,
       maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
-    val cs = corpus.select(col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bs = bench.select(col(idCol).as("bench_id"),
+    val cs = graft.operators.Materialized(
+      corpus.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
+    val bs = graft.operators.Materialized(
+      bench.select(col(idCol).as("bench_id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
-      .filter(size(col("bhs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("bhs")) > 0))
     val invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
       explode(col("hs")).as("h"))
     val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
@@ -250,18 +250,18 @@ object TextDedup {
       threshold: Double = 0.8): DataFrame = {
     require(numPerms % bandRows == 0, "bandRows must divide numPerms")
     val numBands = numPerms / bandRows
-    // The signature relation is persisted: it feeds both sides of the
+    // The signature relation is materialized: it feeds both sides of the
     // band self-join plus the verification joins (4 consumers), and the
     // signature expression is a higher-order array transform that runs
     // interpreted (no whole-stage codegen) — recomputing it 4× dominated
     // the runtime before this. Production LSH pipelines materialize
     // signatures for the same reason; one row per document, so the
     // footprint is tiny relative to the corpus.
-    val withSh = docs.select(col(idCol).as("doc_id"),
+    val withSh = graft.operators.Materialized(
+      docs.select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("sig", minhashSignature(col("hs"), numPerms))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minhashSignature(col("hs"), numPerms)))
     // (band_id, band_signature, doc_id) — the only shuffled relation.
     val bands = withSh.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(numBands - 1)),
@@ -365,10 +365,8 @@ object TextDedup {
             concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
               .as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
-    val bSig = corpusIndex(batch, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSig = index
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSig = graft.operators.Materialized(corpusIndex(batch, textCol, idCol, n))
+    val cSig = graft.operators.Materialized(index)
     val exactDup = bSig
       .join(cSig.select("digest"), Seq("digest"), "left_semi")
       .select("doc_id")
@@ -408,14 +406,33 @@ object TextDedup {
         graft.functions.GraftFunctions.simhash60(col(textCol)).as("simhash"))
 
   /**
-   * Document pairs with SimHash Hamming distance ≤ maxDist, bucketed by
-   * 15-bit fingerprint chunks (pigeonhole: any pair within Hamming 3 of a
-   * 60-bit hash shares at least one of 4 chunks — exact recall for
-   * maxDist ≤ numChunks−1).
+   * Document pairs with SimHash Hamming distance ≤ maxDist. DEFAULT plan
+   * is the Manku-style wide-key banding of [[simhashPairsWide]]: both
+   * schemes have exact pigeonhole recall and produce the IDENTICAL pair
+   * set, but the wide combination keys keep candidate selectivity on
+   * low-entropy corpora (the 10× soak measured the chunk-banded plan at
+   * 27.1× vs 2.1× wide, same output — SOAK_r05.md), so wide is what a
+   * caller should get without opting in. The chunk-banded plan remains
+   * reachable directly ([[simhashPairsChunked]]) and is selected here
+   * automatically when `maxChunkFreq` is set — the df-style chunk cap
+   * is a chunk-scheme concept the wide keys do not reproduce.
+   */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 1, maxChunkFreq: Option[Long] = None): DataFrame =
+    maxChunkFreq match {
+      case None => simhashPairsWide(docs, textCol, idCol, maxDist)
+      case some => simhashPairsChunked(docs, textCol, idCol, maxDist, some)
+    }
+
+  /**
+   * Chunk-banded simhash pairs: bucketed by 15-bit fingerprint chunks
+   * (pigeonhole: any pair within Hamming 3 of a 60-bit hash shares at
+   * least one of 4 chunks — exact recall for maxDist ≤ numChunks−1).
    *
    * Scale notes (from the 10× soak): low-entropy corpora cluster
    * fingerprints, so some chunk values become heavy hitters and the
-   * candidate join's per-key cross product dominates. Two defenses:
+   * candidate join's per-key cross product dominates — which is why
+   * [[simhashPairs]] defaults to the wide-key plan. Two defenses here:
    *  - the self-join is hinted shuffle_hash — a sort-merge join buffers
    *    each duplicate-key group and re-iterates it per left match,
    *    which is what turned a streamable 2 G-row join into minutes;
@@ -424,16 +441,14 @@ object TextDedup {
    *    fingerprints than the cap (the simhash analogue of the ngram
    *    stop-shingle df cap). Recall caveat: a pair is lost only if
    *    EVERY chunk it shares is capped; the exact-recall pigeonhole
-   *    guarantee holds only with the cap off. The fundamental fix at
-   *    corpus scale is Manku-style permutation tables whose bucket
-   *    width grows with log2(n) — same rule as LSH plane count.
+   *    guarantee holds only with the cap off.
    */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+  def simhashPairsChunked(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 1, maxChunkFreq: Option[Long] = None): DataFrame = {
-    // Persisted: feeds the distinct-fingerprint candidate join AND both
-    // sides of the doc expansion below.
-    val sh = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized (not persisted — see graft.operators.Materialized):
+    // feeds the distinct-fingerprint candidate join AND both sides of
+    // the doc expansion below.
+    val sh = graft.operators.Materialized(simhash(docs, textCol, idCol))
     // Candidate generation runs over DISTINCT fingerprints, not documents:
     // exact/near-exact duplicate groups (the common case in a dirty
     // corpus) share all chunks, so a doc-level chunk self-join explodes
@@ -494,8 +509,7 @@ object TextDedup {
   def simhashPairsWide(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3, "maxDist must be in [0, 3]")
-    val sh = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.operators.Materialized(simhash(docs, textCol, idCol))
     val fps = sh.select(col("simhash")).distinct()
     val combos = (0 to 3).combinations(4 - maxDist).toSeq.zipWithIndex
     val keyed = combos.map { case (chunkIdxs, comboId) =>

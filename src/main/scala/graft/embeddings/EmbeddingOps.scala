@@ -43,12 +43,14 @@ object EmbeddingOps {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Vectors with id, double-cast embedding and precomputed norm,
-    * persisted (the norm fold is an interpreted higher-order expression
-    * with multiple plan consumers). */
+    * materialized once for the multiple plan consumers (the norm fold
+    * feeds every scoring join). Materialized, not persisted — the
+    * operators return lazy frames with no unpersist point, see
+    * [[graft.operators.Materialized]]. */
   private def prepared(df: DataFrame, vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Materialized(
+      df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))))
 
   /**
    * All vector pairs with cosine ≥ threshold (embedding near-duplicate
@@ -375,9 +377,30 @@ object EmbeddingOps {
       Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
   }
 
+  /** Corpus-size-derived SRP plane count: P = ⌈log₂ n⌉ − 1, i.e. ~n/2
+    * buckets per table (mean occupancy ~2). Fixed plane counts go
+    * superlinear as the corpus grows — bucket population rises with n,
+    * and the bucket self-join is quadratic per bucket; the 10× soak
+    * measured fixed-8-planes at 13.7× vs 2.2× once P followed log₂ n
+    * (SOAK_r05.md finding 3). Gives 8 at the 500-vector demo corpus and
+    * 12 at its 10× replica — exactly the empirically-right values.
+    * Clamped to [4, 20]: below 4 every table degenerates to a handful of
+    * mega-buckets; above 20 (n > ~2M per partition of the LSH problem)
+    * recall decay says add tables, not planes. */
+  def planesForCount(n: Long): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt - 1))
+
+  /** `numPlanes <= 0` (the default) derives the plane count from the
+    * corpus size via [[planesForCount]] — one count() over the input
+    * (parquet counts are metadata-cheap) so the bucket space tracks the
+    * corpus instead of silently densifying as data grows. Pass an
+    * explicit positive `numPlanes` to pin the table layout (e.g. when an
+    * oracle or a persisted index must stay byte-stable across runs). */
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, numPlanes: Int = 8, numTables: Int = 12,
+      threshold: Double, numPlanes: Int = 0, numTables: Int = 12,
       dim: Int = 64, maxBucket: Long = 10000L): DataFrame = {
+    val planes = if (numPlanes > 0) numPlanes else planesForCount(df.count())
     // Candidates first, score once: the bucket self-join carries only
     // (table, bucket, id) rows, duplicate collisions (a pair can share a
     // bucket in up to numTables tables) are dropped on the 2-long id pair
@@ -385,12 +408,12 @@ object EmbeddingOps {
     // once per distinct candidate. The earlier formulation dragged both
     // vectors through the join and scored every collision (~numTables×
     // redundant dots, and a distinct over float payloads).
-    // persisted: three longs per (vector, table) row, and the signature
-    // computation (numPlanes × numTables hyperplane dots per vector)
-    // feeds both sides of the self-join
-    val b = lshBuckets(df, vecCol, idCol, numPlanes, numTables, dim)
-      .select("vec_id", "table", "bucket")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialized: three longs per (vector, table) row, and the
+    // signature computation (numPlanes × numTables hyperplane dots per
+    // vector) feeds both sides of the self-join
+    val b = graft.operators.Materialized(
+      lshBuckets(df, vecCol, idCol, planes, numTables, dim)
+        .select("vec_id", "table", "bucket"))
     // Bucket-size cap: a degenerate cell (zero-vector pileups, all-ones
     // sign patterns) reintroduces quadratic pairs through the self-join —
     // standard LSH practice skips cells over a population bound. A pair

@@ -126,24 +126,29 @@ object Match {
         col("fuzzy_score") < cfg.llmMaxScore))
       .select("crawl_url", "crawl_name", "abn", "abr_name", "fuzzy_score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCount = band.count() // guard BEFORE the collect, not after OOM
-    require(bandCount <= cfg.maxLlmBand,
-      s"LLM rescue band has $bandCount pairs > maxLlmBand=${cfg.maxLlmBand}; " +
-        "tighten [llmMinScore, llmMaxScore) or raise maxLlmBand " +
-        "(driver-side LLM scoring collects the whole band)")
-    val spark = web.sparkSession
-    import spark.implicits._
-    val rescued = band.collect().toSeq.map { r =>
-      val fuzzy = r.getAs[Double]("fuzzy_score")
-      val ls = llm.score(r.getAs[String]("crawl_name"), r.getAs[String]("abr_name"))
-      val fin = cfg.fuzzyWeight * fuzzy + cfg.llmWeight * ls
-      (r.getAs[String]("crawl_url"), r.getAs[String]("crawl_name"),
-        r.getAs[String]("abn"), r.getAs[String]("abr_name"), fuzzy, ls, fin)
-    }.toDF("crawl_url", "crawl_name", "abn", "abr_name",
-        "fuzzy_score", "llm_score", "final_score")
-      .filter(col("final_score") >= cfg.fuzzyThreshold)
-      .withColumn("match_method", lit("fuzzy+llm"))
-    band.unpersist()
+    // try/finally: a failed guard (or a failure inside collect/scoring)
+    // must not leak the cached band for the session's lifetime. After
+    // the collect the rescued rows are a LocalRelation, so unpersisting
+    // in finally cannot invalidate anything downstream.
+    val rescued = try {
+      val bandCount = band.count() // guard BEFORE the collect, not after OOM
+      require(bandCount <= cfg.maxLlmBand,
+        s"LLM rescue band has $bandCount pairs > maxLlmBand=${cfg.maxLlmBand}; " +
+          "tighten [llmMinScore, llmMaxScore) or raise maxLlmBand " +
+          "(driver-side LLM scoring collects the whole band)")
+      val spark = web.sparkSession
+      import spark.implicits._
+      band.collect().toSeq.map { r =>
+        val fuzzy = r.getAs[Double]("fuzzy_score")
+        val ls = llm.score(r.getAs[String]("crawl_name"), r.getAs[String]("abr_name"))
+        val fin = cfg.fuzzyWeight * fuzzy + cfg.llmWeight * ls
+        (r.getAs[String]("crawl_url"), r.getAs[String]("crawl_name"),
+          r.getAs[String]("abn"), r.getAs[String]("abr_name"), fuzzy, ls, fin)
+      }.toDF("crawl_url", "crawl_name", "abn", "abr_name",
+          "fuzzy_score", "llm_score", "final_score")
+        .filter(col("final_score") >= cfg.fuzzyThreshold)
+        .withColumn("match_method", lit("fuzzy+llm"))
+    } finally band.unpersist()
 
     high.unionByName(rescued)
   }

@@ -40,6 +40,16 @@ object TokenizerAdapters extends Serializable {
     ArrayData.toArrayData(
       graft.text.Tokenizer.tokenize(if (text == null) null else text.toString)
         .map(UTF8String.fromString))
+
+  /** File-loaded-vocab variant: `vocabName` is a
+    * [[graft.text.VocabRegistry]] name (a SparkContext.addFile-shipped
+    * vocab.txt), resolved to the per-JVM memoized parse. */
+  def wordpieceTokensVocab(text: UTF8String, vocabName: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.Tokenizer.tokenize(
+        if (text == null) null else text.toString,
+        graft.text.VocabRegistry.get(vocabName.toString))
+        .map(UTF8String.fromString))
 }
 
 /** ArrayData-facing kernels for the embedding/minhash hot paths.
@@ -315,6 +325,17 @@ object GraftFunctions {
     col(StaticInvoke(TokenizerAdapters.getClass,
       ArrayType(StringType, containsNull = false), "wordpieceTokens",
       Seq(expr(text)), inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** [[wordpiece_tokens]] against a FILE-LOADED vocabulary previously
+    * registered via [[graft.text.VocabRegistry.register]] — the vocab
+    * name rides the plan as a string literal; executors resolve it to
+    * their memoized local parse (no closure, still codegen'd). */
+  def wordpiece_tokens(text: Column, vocabName: String): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(StringType, containsNull = false), "wordpieceTokensVocab",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(vocabName))),
+      inputTypes = Seq(StringType, StringType),
       propagateNull = true, returnNullable = false))
 
   /** Misra-Gries heavy-hitters aggregate: at most k counters, mergeable,

@@ -62,8 +62,15 @@ object Ranks {
     // pass 2: local rank inside the (group, bucket) cell + global offset
     val local = Window.partitionBy(groupCol, "__b")
       .orderBy((orderCol +: tieCols).map(col): _*)
-    b.join(broadcast(below), Seq(groupCol, "__b"))
-      .join(broadcast(n), Seq(groupCol))
+    // No broadcast() hint: the offset table is groups × buckets and the
+    // bucket count is CALLER-controlled (an unbounded value domain with
+    // a fine bucketExpr can make it arbitrarily large), so a forced
+    // broadcast has no fail-fast guard against exceeding the driver /
+    // broadcast limit. AQE still promotes both joins to broadcast
+    // whenever the tables are actually small — same policy as the
+    // dedup keptCnt join.
+    b.join(below, Seq(groupCol, "__b"))
+      .join(n, Seq(groupCol))
       .withColumn("__rank", col("__below") + row_number().over(local))
       .drop("__b", "__below", "__c")
   }

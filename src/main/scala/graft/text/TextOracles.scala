@@ -193,20 +193,28 @@ SELECT shard, seq_id, count(*) AS n_docs,
 FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
   /** Mirrors the multimodal_audio_stats chain: Wav.syntheticWav's sample
-    * arithmetic recomputed over the text bytes (ASCII corpus: ord =
-    * byte), then the decoder's statistics with the SAME left-to-right
-    * float fold (list_reduce's first-element seed equals a 0.0-seeded
-    * fold exactly, so the doubles are bit-identical and the integer
-    * micro-unit floor is tie-free). */
+    * arithmetic recomputed over the text bytes, then the decoder's
+    * statistics with the SAME left-to-right float fold (list_reduce's
+    * first-element seed equals a 0.0-seeded fold exactly, so the doubles
+    * are bit-identical and the integer micro-unit floor is tie-free).
+    * Length semantics are BYTES (strlen = UTF-8 octet count, matching
+    * syntheticWav's getBytes), and null/empty text takes the same
+    * (id·31+i) % 251 fallback as the encoder — so the oracle no longer
+    * diverges on empty documents. Residual precondition (documented, not
+    * hit by the test corpus): non-empty text must be ASCII, since ord()
+    * reads a codepoint where the encoder reads a byte. */
   val multimodalAudioStats: String = """WITH s AS (
   SELECT doc_id, CAST(doc_id AS BIGINT) AS id, text,
-         greatest(8, least(4096, length(text))) AS n
+         CAST(strlen(coalesce(text, '')) AS BIGINT) AS tlen,
+         greatest(8, least(4096, strlen(coalesce(text, '')))) AS n
   FROM documents),
 smp AS (
   SELECT doc_id, n,
     list_transform(range(0, n), i ->
       CASE WHEN (id + i) % 97 = 0 THEN 32767
-           ELSE (ord(substr(text, CAST(i % length(text) AS INT) + 1, 1)) - 128) * 250
+           WHEN tlen = 0 THEN (CAST((id * 31 + i) % 251 AS INT) - 128) * 250
+                + CAST((id + i) % 17 AS INT)
+           ELSE (ord(substr(text, CAST(i % tlen AS INT) + 1, 1)) - 128) * 250
                 + CAST((id + i) % 17 AS INT)
       END) AS samples
   FROM s),

@@ -58,6 +58,23 @@ object Tokenizer {
     Vocab(words5 ++ words4 ++ words3 ++ chars ++ cont.map("##" + _))
   }
 
+  /** Parse a wordpiece vocabulary file — the standard `vocab.txt`
+    * layout: one piece per line, continuation pieces "##"-prefixed.
+    * Blank lines and bracketed special tokens ([CLS], [SEP], [PAD], …)
+    * are dropped: the [a-z0-9]+ pre-tokenizer can never produce them,
+    * so keeping them would only pollute the length tables. A real ~30k
+    * BERT-style vocab parses into the same length-bucketed hash tables
+    * as [[DemoVocab]] — greedy matching stays O(maxPieceLen) hash
+    * probes per cursor position regardless of vocab size. */
+  def loadVocab(path: java.nio.file.Path): Vocab = {
+    val lines = java.nio.file.Files.readAllLines(path,
+      java.nio.charset.StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    Vocab(lines.asScala.iterator.map(_.trim)
+      .filter(p => p.nonEmpty && !(p.startsWith("[") && p.endsWith("]")))
+      .toSeq)
+  }
+
   /** Greedy longest-match segmentation of one pre-token. */
   def wordPieces(word: String, v: Vocab = DemoVocab): List[String] = {
     val out = List.newBuilder[String]
@@ -97,8 +114,12 @@ object Tokenizer {
 
   // ------------------------------------------------ oracle SQL emission
 
+  // Single quotes doubled per the SQL standard: DemoVocab is [a-z0-9]
+  // only, but a caller-supplied vocab containing a quote must produce a
+  // well-formed literal, not malformed/injected oracle SQL.
   private def sqlList(items: Iterable[String]): String =
-    items.toSeq.sorted.map(s => s"'$s'").mkString("[", ",", "]")
+    items.toSeq.sorted
+      .map(s => s"'${s.replace("'", "''")}'").mkString("[", ",", "]")
 
   private def greedyCase(byLen: Map[Int, Set[String]]): String =
     byLen.keys.toSeq.sorted.reverse.map { l =>

@@ -9,4 +9,11 @@ import org.apache.spark.sql.classic
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True iff the session's CacheManager holds no entries
+    * (`sharedState` is `private[sql]`, hence the bridge). Used by
+    * CacheHygieneSpec to prove that lazy-returning operators leave no
+    * session-lifetime persisted frames behind. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -167,7 +167,7 @@ class DedupSpec extends SparkSpec {
 
   test("wide-key simhash banding equals chunk banding at every maxDist") {
     for (d <- 0 to 3) {
-      val chunked = TextDedup.simhashPairs(docs, "text", "doc_id", maxDist = d)
+      val chunked = TextDedup.simhashPairsChunked(docs, "text", "doc_id", maxDist = d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val wide = TextDedup.simhashPairsWide(docs, "text", "doc_id", maxDist = d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
