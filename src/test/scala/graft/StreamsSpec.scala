@@ -208,4 +208,79 @@ class StreamsSpec extends SparkSpec {
       assert(idx.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L, 12L))
     } finally q.stop()
   }
+
+  test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
+    // Round-5 verdict #7: kill the query, FORCE a batch replay (delete
+    // the checkpoint's last commit marker — exactly the state a crash
+    // between epoch processing and commit leaves behind), restart
+    // against the same checkpoint, and prove the parquet index and
+    // corpus hold exactly-once contents. Uses a FILE source (not
+    // MemoryStream) so offset recovery exercises the real
+    // checkpoint-restore path.
+    val dir = java.nio.file.Files.createTempDirectory("sdedup-restart")
+    val (srcDir, indexDir, outDir, ckDir) =
+      (s"$dir/src", s"$dir/index", s"$dir/out", s"$dir/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val json = rows.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/$name"),
+        json.getBytes("UTF-8"))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def startQuery(ck: String) = StreamingDedup.start(
+      spark.readStream.schema(schema).json(srcDir),
+      "text", "doc_id", indexDir, outDir, ck, threshold = 0.7)
+
+    writeBatch("b1.json", Seq((1L, base), (2L, base), (3L, fresh)))
+    val q1 = startQuery(ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L))
+
+    // Engineer the crash window: clone the checkpoint WITHOUT the
+    // newest commit marker — exactly the on-disk state a crash between
+    // epoch processing and commit leaves — and restart from the clone
+    // (a fresh path, so the JVM-wide HDFSMetadataLog cache cannot mask
+    // the missing commit; deleting in place trips its
+    // concurrent-modification guard instead of simulating a crash).
+    import scala.jdk.CollectionConverters._
+    val ck2 = s"$dir/ck2"
+    val srcRoot = java.nio.file.Paths.get(ckDir)
+    java.nio.file.Files.walk(srcRoot).iterator().asScala.toSeq.foreach { p =>
+      val dst = java.nio.file.Paths.get(ck2).resolve(srcRoot.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+    val commits = java.nio.file.Paths.get(s"$ck2/commits")
+    val newest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(newest)
+    // ... and its Hadoop ChecksumFileSystem twin: a stale .N.crc makes
+    // the replayed commit's rename fail as if the file still existed.
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling(s".${newest.getFileName}.crc"))
+
+    writeBatch("b2.json", Seq((10L, base), (12L, "zeta eta theta iota " +
+      "kappa mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega one1 two2")))
+    val q2 = startQuery(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Replayed epoch re-dedups against its OWN index rows (content-keyed
+    // idempotence), so nothing duplicates; batch 2 lands once.
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 3L, 12L), s"corpus not exactly-once: $out")
+    assert(idx === Seq(1L, 3L, 12L), s"index not exactly-once: $idx")
+  }
 }
