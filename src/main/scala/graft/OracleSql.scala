@@ -277,6 +277,22 @@ FROM fpairs ORDER BY crawl_url, abn"""
   upper(hex(substr(text, 1, 4))) AS magic
 FROM documents ORDER BY doc_id"""
 
+  /** Mirrors multimodal_video_meta: the synthetic containers' header
+    * fields are pure arithmetic over (doc_id, text byte length), so the
+    * real ISO-BMFF box-walk / RIFF-AVI header parse is verified
+    * value-exact. Duration doubles use the parser's multiply-then-
+    * divide order — bit-identical IEEE, no rounding needed. */
+  val multimodalVideoMeta: String = """SELECT doc_id,
+  TRUE AS decoded,
+  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'AVI ' END AS brand,
+  CASE WHEN doc_id % 2 = 0
+       THEN CAST(greatest(1, strlen(coalesce(text, ''))) * 25 AS DOUBLE) * 1000.0 / 600.0
+       ELSE 33333.0 * CAST(greatest(1, strlen(coalesce(text, '')) // 64) AS DOUBLE) / 1000.0
+  END AS duration_ms,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 1 + doc_id % 2 END AS INT) AS n_tracks
+FROM documents ORDER BY doc_id"""
+
   val multimodalFrames: String = """SELECT doc_id, CAST(i AS INT) AS frame_idx,
   md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
 FROM documents, unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS t(i)

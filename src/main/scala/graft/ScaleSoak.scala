@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Scale rehearsal: runs the dedup family + corpus pipeline + LSH ANN
- * over the sf0.1 corpus and a synthesized 10× corpus with IDENTICAL
- * duplicate density, and reports the runtime ratio per query — the
- * empirical "would this survive a scale-up" check behind the plan-shape
- * arguments. Rerun with `sbt "runMain graft.ScaleSoak"`; output is one
- * JSON line per query plus a PASS/WARN verdict (WARN above 15× for 10×
- * data — generous for log factors and fixed overheads).
+ * Scale rehearsal: runs the dedup family + corpus pipeline + connected
+ * components + BOTH ANN paths over the sf0.1 corpus and synthesized
+ * 10×/100× corpora with IDENTICAL duplicate density, and reports the
+ * runtime ratio and the empirical scaling exponent α (t ∝ n^α) per
+ * query — the "would this survive a scale-up" check behind the
+ * plan-shape arguments. Rerun with `sbt "runMain graft.ScaleSoak"`
+ * (`SOAK_FACTORS=1,10,100` to change the ladder); output is one JSON
+ * line per query plus a PASS/WARN verdict: WARN when α > 1.2 AND the
+ * max-factor ratio exceeds 15 (α alone over-flags tiny sub-second
+ * absolute times where fixed overheads dominate the log-log slope).
  *
  * Replica construction preserves workload density (a naive copy would
  * make every replica a near-dup of the original and explode the pair
@@ -32,22 +35,28 @@ object ScaleSoak {
 
   private val Queries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_pairs",
-    "dedup_simhash_pairs", "decontaminate_corpus", "dedup_incremental",
-    "corpus_pipeline", "ann_lsh_pairs")
+    "dedup_simhash_pairs", "dedup_corpus", "decontaminate_corpus",
+    "dedup_incremental", "corpus_pipeline", "ann_lsh_pairs",
+    "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")
     val src = sys.env.getOrElse("SOAK_SRC", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SOAK_DIR", "/tmp/graft_soak")
-    val factor = 10
-    build(spark, src, s"$base/x1", 1)
-    build(spark, src, s"$base/x$factor", factor)
+    val factors = sys.env.getOrElse("SOAK_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val fMax = factors.max
+    factors.foreach { f =>
+      val t0 = System.nanoTime()
+      build(spark, src, s"$base/x$f", f)
+      println(f"""{"build":"x$f","sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    }
 
     // Fingerprint of the EXECUTED (post-AQE) plan: the multiset of
     // join/exchange/aggregate node names. Identical fingerprints at x1
-    // and x10 mean the capped-index plan SHAPE is size-invariant (AQE
-    // may legitimately flip a join strategy — that shows up as a DIFF
-    // and is reported, not hidden).
+    // and x{max} mean the capped-index plan SHAPE is size-invariant
+    // (AQE may legitimately flip a join strategy — that shows up as a
+    // DIFF and is reported, not hidden).
     def planShape(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
       df.queryExecution.executedPlan.collect {
         case p if p.nodeName.contains("Join") ||
@@ -70,72 +79,75 @@ object ScaleSoak {
         q -> (times.last, shape)
       }.toMap
 
-    val t1 = timeAll(s"$base/x1")
-    val t10 = timeAll(s"$base/x$factor")
-    println("=== SOAK RESULTS (10x corpus vs 1x, steady-state seconds) ===")
+    val timed = factors.map(f => f -> timeAll(s"$base/x$f")).toMap
+    println(s"=== SOAK RESULTS (${fMax}x corpus vs 1x, steady-state seconds) ===")
     var worst = 0.0
     Queries.foreach { q =>
-      val ratio = t10(q)._1 / math.max(t1(q)._1, 1e-3)
-      worst = math.max(worst, ratio)
-      val verdict = if (ratio <= 15.0) "PASS" else "WARN"
+      val t1 = timed(factors.min)(q)._1
+      val tN = timed(fMax)(q)._1
+      val ratio = tN / math.max(t1, 1e-3)
+      // Empirical scaling exponent: t ∝ n^α ⇒ α = log ratio / log factor.
+      // α ≈ 1 is linear; sub-linear happens when fixed overheads dominate.
+      val alpha = math.log(math.max(ratio, 1e-3)) / math.log(fMax.toDouble)
+      worst = math.max(worst, alpha)
+      val verdict = if (alpha <= 1.2 || ratio <= 15.0) "PASS" else "WARN"
+      val s1 = timed(factors.min)(q)._2
+      val sN = timed(fMax)(q)._2
       val shapeNote =
-        if (t1(q)._2 == t10(q)._2) "SAME"
+        if (s1 == sN) "SAME"
         else {
-          val d1 = (t1(q)._2.toSet -- t10(q)._2.toSet).toSeq.sorted
-          val d10 = (t10(q)._2.toSet -- t1(q)._2.toSet).toSeq.sorted
-          s"DIFF x1-only=$d1 x10-only=$d10"
+          val d1 = (s1.toSet -- sN.toSet).toSeq.sorted
+          val dN = (sN.toSet -- s1.toSet).toSeq.sorted
+          s"DIFF x1-only=$d1 x$fMax-only=$dN"
         }
-      println(f"""{"query":"$q","x1_sec":${t1(q)._1}%.3f,"x10_sec":${t10(q)._1}%.3f,"ratio":$ratio%.2f,"verdict":"$verdict","plan_shape":"$shapeNote"}""")
+      val secs = factors.map(f =>
+        f""""x$f":${"%.3f".formatLocal(java.util.Locale.ROOT, timed(f)(q)._1)}""")
+        .mkString("{", ",", "}")
+      println(f"""{"query":"$q","secs":$secs,"ratio_x$fMax":$ratio%.2f,"alpha":$alpha%.3f,"verdict":"$verdict","plan_shape":"$shapeNote"}""")
     }
-    // The fixed-parameter ann_lsh_pairs demo keeps 2^8 buckets at any n,
-    // so bucket density (and candidate pairs, quadratic in density)
-    // grows with the corpus. Production scales planes with n — show the
-    // tuning rule restores ~linear cost: +⌈log2 factor⌉ planes at 10×.
-    def lshTimed(dir: String, planes: Int): Double =
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.embeddings.EmbeddingOps.lshCosinePairs(
-          Demo.table(spark, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.45, numPlanes = planes).count()
-        (System.nanoTime() - t0) / 1e9
-      }.last
-    val l1 = lshTimed(s"$base/x1", 8)
-    val l10 = lshTimed(s"$base/x$factor", 12)
-    println(f"""{"query":"ann_lsh_pairs_scaled_planes","x1_sec":$l1%.3f,"x10_sec":$l10%.3f,"ratio":${l10 / math.max(l1, 1e-3)}%.2f,"note":"planes 8 at x1 vs 12 at x10 - buckets scale with n"}""")
-    // Same story for simhash: this corpus's low token entropy clusters
-    // fingerprints into hot chunk values, so exact-recall banding pays
-    // sum(ca*cb) candidates. The chunk-frequency cap bounds the fan-out
-    // (recall caveat documented on the operator).
-    def shTimed(dir: String, cap: Option[Long]): (Double, Long) = {
+    // Chunk-banded simhash with the df-style cap: the APPROXIMATE
+    // configuration (the registered default is the exact wide-key plan,
+    // timed in the main loop). The cap bounds hot-chunk fan-out; pair
+    // counts vs the wide plan quantify the recall trade at each factor.
+    def chunkedTimed(dir: String, cap: Option[Long]): (Double, Long) = {
       var rows = 0L
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        rows = graft.dedup.TextDedup.simhashPairs(
+        rows = graft.dedup.TextDedup.simhashPairsChunked(
           Demo.table(spark, dir, "documents"), "text", "doc_id",
           maxChunkFreq = cap).count()
         (System.nanoTime() - t0) / 1e9
       }.last
       (t, rows)
     }
-    val (s1, r1) = shTimed(s"$base/x1", Some(200L))
-    val (s10, r10) = shTimed(s"$base/x$factor", Some(200L))
-    val (_, rExact) = shTimed(s"$base/x$factor", None)
-    println(f"""{"query":"dedup_simhash_pairs_capped","x1_sec":$s1%.3f,"x10_sec":$s10%.3f,"ratio":${s10 / math.max(s1, 1e-3)}%.2f,"x10_pairs_capped":$r10,"x10_pairs_exact":$rExact,"x1_pairs_capped":$r1,"note":"maxChunkFreq=200 bounds hot-chunk fan-out"}""")
-    // The structural exact-recall fix: Manku-style wide bucket keys.
-    def wideTimed(dir: String): (Double, Long) = {
-      var rows = 0L
-      val t = (1 to 2).map { _ =>
+    val chunked = factors.map(f => f -> chunkedTimed(s"$base/x$f", Some(200L))).toMap
+    val (_, wideMaxPairs) = {
+      val df = SparkEntry.queries("dedup_simhash_pairs")(spark, s"$base/x$fMax")
+      (0.0, df.count())
+    }
+    val cSecs = factors.map(f =>
+      f""""x$f":${"%.3f".formatLocal(java.util.Locale.ROOT, chunked(f)._1)}""")
+      .mkString("{", ",", "}")
+    val cRatio = chunked(fMax)._1 / math.max(chunked(factors.min)._1, 1e-3)
+    println(f"""{"query":"dedup_simhash_pairs_chunked_capped","secs":$cSecs,"ratio_x$fMax":$cRatio%.2f,"x${fMax}_pairs_capped":${chunked(fMax)._2},"x${fMax}_pairs_exact_wide":$wideMaxPairs,"note":"maxChunkFreq=200 bounds hot-chunk fan-out; wide plan is the exact default"}""")
+    // Fixed-plane LSH is the KNOWN superlinear failure mode the
+    // registered default no longer has (planes now scale with n).
+    // Measure it at the mid factor only — at x100 a 2^8-bucket table
+    // over 200k vectors is a deliberate quadratic we refuse to run.
+    val midF = factors.filter(f => f > factors.min && f < fMax)
+      .sorted.headOption.getOrElse(fMax)
+    def lshFixedTimed(dir: String): Double =
+      (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        rows = graft.dedup.TextDedup.simhashPairsWide(
-          Demo.table(spark, dir, "documents"), "text", "doc_id").count()
+        graft.embeddings.EmbeddingOps.lshCosinePairs(
+          Demo.table(spark, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.45, numPlanes = 8).count()
         (System.nanoTime() - t0) / 1e9
       }.last
-      (t, rows)
-    }
-    val (w1, _) = wideTimed(s"$base/x1")
-    val (w10, wr10) = wideTimed(s"$base/x$factor")
-    println(f"""{"query":"dedup_simhash_pairs_wide","x1_sec":$w1%.3f,"x10_sec":$w10%.3f,"ratio":${w10 / math.max(w1, 1e-3)}%.2f,"x10_pairs":$wr10,"note":"45-bit 3-chunk keys - exact recall, corpus-scale selectivity"}""")
-    println(f"""{"metric":"soak_worst_ratio","value":$worst%.2f,"factor":$factor}""")
+    val lf1 = lshFixedTimed(s"$base/x${factors.min}")
+    val lfM = lshFixedTimed(s"$base/x$midF")
+    println(f"""{"query":"ann_lsh_pairs_fixed8","x${factors.min}_sec":$lf1%.3f,"x${midF}_sec":$lfM%.3f,"ratio":${lfM / math.max(lf1, 1e-3)}%.2f,"note":"fixed 8 planes, x$midF only - the superlinear mode the auto default (planesForCount) removes; x$fMax deliberately not run"}""")
+    println(f"""{"metric":"soak_worst_alpha","value":$worst%.3f,"factor":$fMax}""")
     spark.stop()
   }
 

@@ -356,6 +356,15 @@ object GraftFunctions {
       exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction("wordpiece_tokens",
-      exprs => expr(wordpiece_tokens(col(exprs.head))), "built-in")
+      exprs =>
+        if (exprs.length >= 2)
+          // 2-arg SQL form: wordpiece_tokens(text, 'vocab.txt') — the
+          // vocab name must be a registered VocabRegistry entry.
+          StaticInvoke(TokenizerAdapters.getClass,
+            ArrayType(StringType, containsNull = false),
+            "wordpieceTokensVocab", exprs.take(2),
+            inputTypes = Seq(StringType, StringType),
+            propagateNull = true, returnNullable = false)
+        else expr(wordpiece_tokens(col(exprs.head))), "built-in")
   }
 }

@@ -26,6 +26,16 @@ case class DecodedAudio(
     peak: Double,
     clip_frac: Double)
 
+/** Parsed video-container row (see [[Video]]); `decoded=false` marks
+  * payloads neither container parser accepted. */
+case class DecodedVideo(
+    id: Long,
+    decoded: Boolean,
+    container: String,
+    brand: String,
+    duration_ms: Double,
+    n_tracks: Int)
+
 /**
  * Multimodal column handling for training-data pipelines: image/audio/
  * video payloads ride as opaque `binary` columns with typed metadata, so
@@ -124,6 +134,32 @@ object Multimodal {
             w.peak, w.clipFrac)
           case None =>
             DecodedAudio(id, decoded = false, 0, 0, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+        }
+      })
+  }
+
+  /**
+   * Parse video-container METADATA (MP4 box-walk / RIFF-AVI header —
+   * [[Video]]) via the same typed-mapPartitions shape: duration and
+   * track count without decoding frames, which is what corpus
+   * filtering/bucketing needs at 100 TB (frame DECODE stays behind the
+   * [[sampleFrames]]/codec boundary). Corrupt or non-video payloads
+   * degrade per row with `decoded=false`.
+   */
+  def decodeVideoMeta(df: DataFrame, binCol: String,
+      idCol: String): Dataset[DecodedVideo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta =
+          try Video.decode(bytes)
+          catch { case scala.util.control.NonFatal(_) => None }
+        meta match {
+          case Some(v) => DecodedVideo(id, decoded = true, v.container,
+            v.brand, v.durationMs, v.nTracks)
+          case None => DecodedVideo(id, decoded = false, "", "", 0.0, 0)
         }
       })
   }
