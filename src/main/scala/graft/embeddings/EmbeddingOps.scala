@@ -282,28 +282,35 @@ object EmbeddingOps {
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v, nrm(v)) }
   }
 
-  /** Per-row array of {cos, -cid} structs vs every centroid — evaluated
-    * map-side with the centroids inlined as literals (no join, no
-    * shuffle: the classic IVF assignment pass). */
-  private def centroidScores(v: Column,
-      cents: Array[(Long, Array[Double], Double)]): Column = {
-    val nv = norm(v)
-    array(cents.map { case (cid, cv, cn) =>
-      struct((dot(v, typedlit(cv.toSeq)) / (nv * lit(cn))).as("cos"),
-        lit(-cid).as("negid"))
-    }: _*)
-  }
+  /** Centroid matrix/norms/ids as three FLAT literals (row-major
+    * nlist×dim, per-centroid L2 norm, per-centroid id). Earlier form
+    * inlined one `dot(v, literal)` expression PER centroid; at
+    * nlist×dim scale the unrolled codegen blew the JVM's 64 KB method
+    * limit and Spark silently fell back to interpreted evaluation for
+    * the whole scoring stage (seen in the round-6 100× soak logs). The
+    * kernel keeps the map-side no-join/no-shuffle shape with ONE call
+    * per row and bit-identical arithmetic/tie rules. Centroid builders
+    * emit ascending-id order — required for the first-wins tie rule to
+    * equal the old (cos, −cid) struct-max. */
+  private def centLits(cents: Array[(Long, Array[Double], Double)])
+      : (Column, Column, Column) = (
+    typedlit(cents.flatMap(_._2).toSeq),
+    typedlit(cents.map(_._3).toSeq),
+    typedlit(cents.map(_._1).toSeq))
 
   /** Nearest-centroid id (ties → smallest centroid id). */
   def ivfAssignment(v: Column,
-      cents: Array[(Long, Array[Double], Double)]): Column =
-    -array_max(centroidScores(v, cents)).getField("negid")
+      cents: Array[(Long, Array[Double], Double)]): Column = {
+    val (m, n, ids) = centLits(cents)
+    graft.functions.GraftFunctions.nearest_centroid(v, m, n, ids)
+  }
 
   /** The nprobe nearest centroid ids for a query vector. */
   def ivfProbes(v: Column, cents: Array[(Long, Array[Double], Double)],
-      nprobe: Int): Column =
-    transform(slice(reverse(array_sort(centroidScores(v, cents))), 1, nprobe),
-      s => -s.getField("negid"))
+      nprobe: Int): Column = {
+    val (m, n, ids) = centLits(cents)
+    graft.functions.GraftFunctions.top_centroids(v, m, n, ids, nprobe)
+  }
 
   /**
    * IVF approximate top-k: corpus partitioned by nearest centroid

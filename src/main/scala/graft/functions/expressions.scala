@@ -78,6 +78,82 @@ object VectorAdapters extends Serializable {
     math.sqrt(s)
   }
 
+  /** Nearest centroid by cosine, ties → the EARLIEST row (centroid rows
+    * must be in ascending-id order — both centroid builders emit that).
+    * `cents` is the row-major nlist×dim flattening, `norms`/`ids` the
+    * per-centroid L2 norms and ids. One kernel call replaces nlist
+    * inlined `dot(v, literal)` expressions, whose unrolled codegen blew
+    * the 64 KB JVM method limit at nlist×dim scale and dropped the
+    * whole stage to interpreted mode (round-6 soak observation).
+    * Arithmetic is bit-identical to the expression form it replaces:
+    * left-to-right dot, left-to-right sum-of-squares norm,
+    * `dot / (nv * cn)`, and `>`-only best tracking (first wins ties =
+    * array_max over (cos, −cid) structs). */
+  def nearestCentroid(v: ArrayData, cents: ArrayData, norms: ArrayData,
+      ids: ArrayData): Long = {
+    val x = v.toDoubleArray(); val m = cents.toDoubleArray()
+    val cn = norms.toDoubleArray()
+    val nlist = cn.length
+    val dim = if (nlist == 0) 0 else m.length / nlist
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val nv = math.sqrt(s)
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0; var j = 0
+      val off = c * dim
+      val n = math.min(dim, x.length)
+      while (j < n) { d += x(j) * m(off + j); j += 1 }
+      val score = d / (nv * cn(c))
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    ids.getLong(best)
+  }
+
+  /** The `nprobe` nearest centroid ids in (cosine desc, id asc) order —
+    * same scoring/ties as [[nearestCentroid]], replacing the
+    * reverse(array_sort(array(struct…))) expression chain. */
+  def topCentroids(v: ArrayData, cents: ArrayData, norms: ArrayData,
+      ids: ArrayData, nprobe: Int): ArrayData = {
+    val x = v.toDoubleArray(); val m = cents.toDoubleArray()
+    val cn = norms.toDoubleArray()
+    val nlist = cn.length
+    val dim = if (nlist == 0) 0 else m.length / nlist
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val nv = math.sqrt(s)
+    val scores = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0; var j = 0
+      val off = c * dim
+      val n = math.min(dim, x.length)
+      while (j < n) { d += x(j) * m(off + j); j += 1 }
+      scores(c) = d / (nv * cn(c))
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nlist) {
+        if (!taken(c2) && scores(c2) > bestScore) {
+          bestScore = scores(c2); best = c2
+        }
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = ids.getLong(best)
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct hashed word n-gram shingles of a text, in first-occurrence
     * order — one JVM pass replacing the interpreted
     * `array_distinct(transform(shingles(text), md5-hash))` chain.
@@ -307,6 +383,28 @@ object GraftFunctions {
   def simhash60(text: Column): Column =
     col(StaticInvoke(VectorAdapters.getClass, LongType, "simhash60",
       Seq(expr(text)), inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd nearest-centroid assignment (see
+    * [[VectorAdapters.nearestCentroid]]); centroid matrix/norms/ids ride
+    * as three flat literals instead of nlist unrolled expressions. */
+  def nearest_centroid(v: Column, cents: Column, norms: Column,
+      ids: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "nearestCentroid",
+      Seq(expr(v), expr(cents), expr(norms), expr(ids)),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+        ArrayType(DoubleType), ArrayType(LongType)),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd nprobe-nearest centroid ids (cos desc, id asc). */
+  def top_centroids(v: Column, cents: Column, norms: Column, ids: Column,
+      nprobe: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "topCentroids",
+      Seq(expr(v), expr(cents), expr(norms), expr(ids),
+        expr(org.apache.spark.sql.functions.lit(nprobe))),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+        ArrayType(DoubleType), ArrayType(LongType), IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd MinHash signature from pre-hashed shingles. */
