@@ -159,16 +159,21 @@ object EmbeddingOps {
 
   /** (vec_id, table, bucket) assignments across numTables hash tables —
     * OR-amplified SRP-LSH (a pair collides if it shares a bucket in ANY
-    * table; more tables → higher recall, linearly more candidates). */
+    * table; more tables → higher recall, linearly more candidates).
+    * All tables are signed in ONE kernel call over a flat plane-matrix
+    * literal (numTables×numPlanes×dim doubles): the per-plane
+    * expression form unrolled to numTables×numPlanes literal dots,
+    * which at scaled plane counts risks the same 64 KB codegen
+    * fallback the centroid scoring hit in the 100× soak. Bit-identical
+    * buckets ([[lshBucket]] kept for the single-table form + specs). */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int, numTables: Int, dim: Int): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val buckets = array((0 until numTables).map(t =>
-      struct(lit(t).as("table"), lshBucket(v, t, numPlanes, dim).as("bucket"))): _*)
+    val flat = (0 until numTables)
+      .flatMap(t => hyperplanes(t, numPlanes, dim).flatten.toSeq)
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        explode(buckets).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        posexplode(graft.functions.GraftFunctions.srp_buckets(
+          asDouble(col(vecCol)), typedlit(flat), numPlanes, dim))
+          .as(Seq("table", "bucket")))
   }
 
   /**

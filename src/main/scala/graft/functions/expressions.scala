@@ -154,6 +154,37 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** SRP-LSH bucket ids for ALL hash tables in one call: `planes` is
+    * the row-major numTables×numPlanes×dim flattening (stride `dim`),
+    * bit p of table t's bucket is set iff the left-to-right dot of v
+    * with plane (t,p) is ≥ 0 — identical values to the per-plane
+    * `when(dot(v, lit) >= 0, 1<<p)` expression sum it replaces, which
+    * unrolled to numTables×numPlanes literal dots and risked the same
+    * 64 KB codegen fallback as the centroid scoring. */
+  def srpBuckets(v: ArrayData, planes: ArrayData, numPlanes: Int,
+      dim: Int): ArrayData = {
+    val x = v.toDoubleArray(); val m = planes.toDoubleArray()
+    val perTable = numPlanes * dim
+    val numTables = if (perTable == 0) 0 else m.length / perTable
+    val n = math.min(dim, x.length)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var d = 0.0; var j = 0
+        val off = t * perTable + p * dim
+        while (j < n) { d += x(j) * m(off + j); j += 1 }
+        if (d >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct hashed word n-gram shingles of a text, in first-occurrence
     * order — one JVM pass replacing the interpreted
     * `array_distinct(transform(shingles(text), md5-hash))` chain.
@@ -405,6 +436,19 @@ object GraftFunctions {
         expr(org.apache.spark.sql.functions.lit(nprobe))),
       inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
         ArrayType(DoubleType), ArrayType(LongType), IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd all-tables SRP-LSH buckets (see
+    * [[VectorAdapters.srpBuckets]]). */
+  def srp_buckets(v: Column, planes: Column, numPlanes: Int,
+      dim: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "srpBuckets",
+      Seq(expr(v), expr(planes),
+        expr(org.apache.spark.sql.functions.lit(numPlanes)),
+        expr(org.apache.spark.sql.functions.lit(dim))),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+        IntegerType, IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd MinHash signature from pre-hashed shingles. */
