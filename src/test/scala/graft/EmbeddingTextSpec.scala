@@ -186,4 +186,25 @@ class EmbeddingTextSpec extends SparkSpec {
       .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
     assert(got == Seq("en", "es", "und"))
   }
+
+  test("srpBuckets kernel equals the per-plane expression chain") {
+    // The flat-matrix kernel must sign every (table, plane) dot exactly
+    // as the unrolled when(dot(v, lit) >= 0, 1<<p) sum it replaced —
+    // the LSH oracle regenerates those per-plane dots in SQL, so any
+    // drift here is a silent hash break.
+    import org.apache.spark.sql.functions._
+    val ops = graft.embeddings.EmbeddingOps
+    val (numPlanes, numTables, dim) = (8, 12, 64)
+    val viaKernel = ops.lshBuckets(emb, "embedding", "vec_id",
+        numPlanes, numTables, dim)
+      .select("vec_id", "table", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val v = col("embedding").cast("array<double>")
+    val viaExprs = emb.select(col("vec_id"), explode(array(
+        (0 until numTables).map(t => struct(lit(t).as("table"),
+          ops.lshBucket(v, t, numPlanes, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaKernel.size == viaExprs.size && viaKernel == viaExprs)
+  }
 }
