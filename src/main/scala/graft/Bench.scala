@@ -36,7 +36,8 @@ object Bench {
     // headline so a regression in the scale-path operators is never
     // masked by baseline time. "total" stays the all-queries sum for
     // round-over-round comparability.
-    val exactBaselines = Set("embedding_cosine_pairs", "ann_topk")
+    val exactBaselines = Set("embedding_cosine_pairs", "ann_topk",
+      "ann_quantized_topk", "quantization_recall")
     val exactSec = results.collect { case (k, v) if exactBaselines(k) => v }.sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

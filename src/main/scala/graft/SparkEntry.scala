@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.{DedupOracles, TextDedup}
-import graft.embeddings.EmbeddingOps
+import graft.embeddings.{EmbeddingOps, Quantization, SemanticDedup}
 import graft.etl._
 import graft.operators.{Merge, Relational}
 import graft.text.{TextAnalysis, TextOracles}
@@ -813,6 +813,54 @@ object SparkEntry {
       EmbeddingOps.lshCosinePairs(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // Training-data ops: SemDeDup — coarse-cluster the embedding space
+    // (map-side nearest-centroid kernel), then near-dup pairs INSIDE
+    // clusters only. The tractable corpus-scale embedding dedup;
+    // embedding_cosine_pairs is the exact all-pairs baseline.
+    "semdedup_pairs" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      SemanticDedup.pairs(emb, "embedding", "vec_id", cents,
+        threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+    // Training-data ops: SemDeDup keeper verdicts — survivor per dup
+    // pair is the vector FARTHEST from its cluster centroid (lowest
+    // rounded centroid cosine, ties to the smaller id)
+    "semdedup_keepers" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      SemanticDedup.keepers(emb, "embedding", "vec_id", cents,
+        threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+    // Training-data ops: symmetric per-vector int8 quantization
+    // (map-side projection; exploded to rows so every code is
+    // value-checked against the oracle)
+    "embedding_quantize" -> ((s, dir) =>
+      Quantization.quantize(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("q")).as(Seq("dim", "qval")))
+        .orderBy("vec_id", "dim")),
+    // Training-data ops: exact top-k over the int8 codes (cosine is
+    // scale-free, so ranking needs only the codes — the 4×-smaller
+    // payload that IVF/LSH candidate joins would carry at corpus scale)
+    "ann_quantized_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      Quantization.quantizedTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Training-data ops: quantization quality report — recall@5 of the
+    // int8 top-k vs the exact float top-k + mean reconstruction error
+    "quantization_recall" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      Quantization.recallAtK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5)
+    }),
     // Training-data ops: Johnson–Lindenstrauss random projection to 8
     // dims (deterministic literal planes, map-side; exploded to rows for
     // the oracle compare)
@@ -1100,6 +1148,11 @@ object SparkEntry {
     // rather than as a silent hash mismatch.
     "ann_lsh_pairs" -> TextOracles.lshPairs(
       numPlanes = EmbeddingOps.planesForCount(500)),
+    "semdedup_pairs" -> TextOracles.semdedupPairs(),
+    "semdedup_keepers" -> TextOracles.semdedupKeepers(),
+    "embedding_quantize" -> TextOracles.embeddingQuantize(),
+    "ann_quantized_topk" -> TextOracles.annQuantizedTopK,
+    "quantization_recall" -> TextOracles.quantizationRecall,
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

@@ -47,7 +47,7 @@ object EmbeddingOps {
     * feeds every scoring join). Materialized, not persisted — the
     * operators return lazy frames with no unpersist point, see
     * [[graft.operators.Materialized]]. */
-  private def prepared(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+  private[embeddings] def prepared(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     graft.operators.Materialized(
       df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
         .withColumn("nrm", norm(col("v"))))

@@ -1,0 +1,143 @@
+package graft.embeddings
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+ * Data-efficient learning at web-scale through semantic deduplication"):
+ * cluster the embedding space coarsely, then look for near-duplicate
+ * pairs ONLY inside each cluster — the standard way to make
+ * embedding-level dedup tractable on a web-scale corpus, where the
+ * exact all-pairs comparison ([[EmbeddingOps.cosinePairs]]) is O(n²)
+ * and the reference pipeline has no embedding dedup at all.
+ *
+ * Scale design (the 100 TB story):
+ *  - Cluster assignment is MAP-SIDE: one codegen'd
+ *    nearest-centroid kernel call per row against a broadcast-literal
+ *    centroid matrix (the same flat-matrix kernel as IVF — no join, no
+ *    shuffle, no 64 KB-codegen blowup).
+ *  - The only shuffle is on `cluster`; the pairwise comparison runs
+ *    inside clusters, so total work is Σ|cluster|² instead of n².
+ *    Size the centroid count with [[nlistForCount]] (n / ~512) so the
+ *    expected per-cluster population stays constant as the corpus
+ *    grows — the same "parameters must track n" lesson the round-5/6
+ *    soaks taught for LSH planes and simhash keys.
+ *  - `maxCluster` is the degenerate-cell guard (mirrors LSH
+ *    `maxBucket`): an embedding-collapse pileup (all-zero vectors, a
+ *    dead model dimension) would otherwise reintroduce the quadratic
+ *    join through one mega-cluster. Dropping such a cluster loses only
+ *    pairs whose members ALL collapsed to the same degenerate region.
+ *
+ * Keeper rule (deterministic, engine-portable): within each near-dup
+ * pair the survivor is the vector with the LOWER rounded
+ * cosine-to-centroid — SemDeDup's "keep the example farthest from the
+ * cluster centroid" criterion, which retains the most peripheral (most
+ * informative) representative — with ties broken by the smaller id. A
+ * vector is removed iff SOME same-cluster neighbour at cosine ≥
+ * threshold dominates it under that (centroid_cos, id) order; the
+ * minimal element of every connected dup group therefore always
+ * survives, and the rule needs no iterative component computation.
+ */
+object SemanticDedup {
+
+  /** Centroid count that keeps E[|cluster|] ≈ `target` as the corpus
+    * grows: ⌈n / target⌉ clamped to [8, 65536]. The per-cluster
+    * self-join is quadratic in cluster population, so nlist must track
+    * n — a fixed nlist is the same superlinear trap as fixed LSH plane
+    * counts (SOAK_r05.md finding 3). */
+  def nlistForCount(n: Long, target: Long = 512L): Int = {
+    val t = math.max(1L, target)
+    // overflow-safe ceil-div: n + t - 1 wraps for n near Long.MaxValue
+    val clusters = n / t + (if (n % t == 0L) 0L else 1L)
+    math.max(8L, math.min(65536L, clusters)).toInt
+  }
+
+  /** Vectors with cluster id and rounded cosine-to-own-centroid.
+    * Assignment and scoring are one projection: the nearest-centroid
+    * kernel picks the cluster, a broadcast join against the nlist-row
+    * centroid relation fetches the centroid vector for the exact
+    * cosine. Output: vec_id, v, nrm, cluster, centroid_cos. */
+  private[embeddings] def assigned(df: DataFrame, vecCol: String,
+      idCol: String,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = EmbeddingOps.prepared(df, vecCol, idCol)
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+    // nlist rows of (cid, centroid, norm): always broadcastable — nlist
+    // is bounded by nlistForCount's clamp, and at 65536×64 doubles it is
+    // ~32 MB, within Spark's broadcast comfort zone.
+    val centDf = cents.toSeq.map { case (cid, cv, cn) => (cid, cv, cn) }
+      .toDF("cluster", "cv", "cn")
+    p.join(broadcast(centDf), "cluster")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        round(EmbeddingOps.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn")), 4).as("centroid_cos"))
+  }
+
+  /**
+   * Intra-cluster near-duplicate pairs: (cluster, id_a, id_b, cosine)
+   * for every same-cluster pair with exact cosine ≥ threshold. The
+   * recall contract is explicit: a pair is reported iff BOTH members
+   * land in the same (non-degenerate) cluster — the SemDeDup
+   * approximation; [[EmbeddingOps.cosinePairs]] is the exact baseline.
+   */
+  def pairs(df: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      maxCluster: Long = 100000L): DataFrame = {
+    // Materialized (RDD-owned blocks, no CacheManager entry): the
+    // assignment feeds both sides of the self-join and the cap count.
+    val a = graft.operators.Materialized(
+      assigned(df, vecCol, idCol, cents))
+    val keep = a.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+      .where(col("cluster_n") <= maxCluster)
+      .select("cluster")
+    val c = a.join(keep, "cluster")
+    c.select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(c.select(col("cluster"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(EmbeddingOps.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * Per-vector keep/remove verdict: (vec_id, cluster, centroid_cos,
+   * is_kept). A vector is removed iff some same-cluster neighbour at
+   * cosine ≥ threshold has a strictly smaller (centroid_cos, vec_id) —
+   * see the keeper rule in the object doc. Exactly one member of every
+   * mutually-similar pair survives; chains keep their minimal element.
+   */
+  def keepers(df: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      maxCluster: Long = 100000L): DataFrame = {
+    val a = graft.operators.Materialized(
+      assigned(df, vecCol, idCol, cents))
+    val keep = a.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+      .where(col("cluster_n") <= maxCluster)
+      .select("cluster")
+    val c = a.join(keep, "cluster")
+    // Dominated side of every qualifying pair; both orientations are
+    // generated by the one join (x dominated by y).
+    val removed = c.select(col("cluster"), col("vec_id").as("id_x"),
+        col("v").as("vx"), col("nrm").as("nx"),
+        col("centroid_cos").as("cc_x"))
+      .join(c.select(col("cluster"), col("vec_id").as("id_y"),
+        col("v").as("vy"), col("nrm").as("ny"),
+        col("centroid_cos").as("cc_y")), Seq("cluster"))
+      .filter(col("id_x") =!= col("id_y") &&
+        round(EmbeddingOps.dot(col("vx"), col("vy")) /
+          (col("nx") * col("ny")), 4) >= threshold &&
+        (col("cc_y") < col("cc_x") ||
+          (col("cc_y") === col("cc_x") && col("id_y") < col("id_x"))))
+      .select(col("id_x").as("vec_id"))
+      .distinct()
+    a.join(removed.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("centroid_cos"),
+        coalesce(!col("removed"), lit(true)).as("is_kept"))
+  }
+}

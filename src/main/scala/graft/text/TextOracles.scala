@@ -426,4 +426,121 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // ─────────────────── SemDeDup / int8 quantization ───────────────────
+
+  private val dotXY =
+    "list_reduce(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2]), (p,q) -> p + q)"
+
+  /** Shared SemDeDup CTE chain mirroring SemanticDedup.assigned:
+    * centroids = vectors with id < 8 (same deterministic rule as
+    * clusterEmbeddings), assignment by raw cosine with ties to the
+    * smaller centroid id, centroid_cos rounded to 4; clusters over the
+    * population cap dropped (a no-op at demo scale, mirrored for shape
+    * honesty like lshPairs' bucket cap). */
+  private def semdedupCtes(maxCluster: Long): String = s"""$normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, cid AS cluster, v, nrm, round(d / (nrm * cn), 4) AS ccos FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm, c.cn, $dotNC AS d,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+keep AS (SELECT cluster FROM asg GROUP BY cluster HAVING count(*) <= $maxCluster),
+ca AS (SELECT asg.* FROM asg JOIN keep USING (cluster))"""
+
+  /** Mirrors SemanticDedup.pairs: intra-cluster pairs at exact cosine ≥
+    * threshold (the SemDeDup recall contract — cross-cluster pairs are
+    * out of scope by design; cosinePairs is the exact baseline). */
+  def semdedupPairs(threshold: Double = 0.45,
+      maxCluster: Long = 100000L): String =
+    s"""WITH ${semdedupCtes(maxCluster)}
+SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+       round($dotXY / (x.nrm * y.nrm), 4) AS cosine
+FROM ca x JOIN ca y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round($dotXY / (x.nrm * y.nrm), 4) >= $threshold
+ORDER BY id_a, id_b"""
+
+  /** Mirrors SemanticDedup.keepers: removed iff some same-cluster
+    * neighbour at cosine ≥ threshold has a strictly smaller
+    * (centroid_cos, vec_id). */
+  def semdedupKeepers(threshold: Double = 0.45,
+      maxCluster: Long = 100000L): String =
+    s"""WITH ${semdedupCtes(maxCluster)},
+removed AS (
+  SELECT DISTINCT x.vec_id FROM ca x JOIN ca y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE round($dotXY / (x.nrm * y.nrm), 4) >= $threshold
+    AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id)))
+SELECT a.vec_id, a.cluster, a.ccos AS centroid_cos,
+       (r.vec_id IS NULL) AS is_kept
+FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
+ORDER BY a.vec_id"""
+
+  /** Shared quantization CTEs mirroring Quantization.quantize:
+    * symmetric per-vector max-abs int8 codes, HALF_UP rounding (both
+    * engines round doubles half away from zero), scale 1.0 for the
+    * all-zero vector. */
+  private val quantCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e) t),
+q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qc FROM s)"""
+
+  /** Mirrors the embedding_quantize query: one row per (vector, dim)
+    * with the int8 code — every code value-checked. */
+  def embeddingQuantize(dim: Int = 64): String = s"""WITH $quantCte
+SELECT vec_id, round(scale, 6) AS scale,
+  unnest(${(0 until dim).mkString("[", ",", "]")}) AS dim,
+  unnest(qc) AS qval
+FROM q ORDER BY vec_id, dim"""
+
+  /** Mirrors Quantization.quantizedTopK(k=5): exact top-k by cosine of
+    * the int8 CODE vectors (scales cancel in cosine). */
+  val annQuantizedTopK: String = s"""WITH $quantCte,
+d AS (SELECT vec_id, list_transform(qc, x -> CAST(x AS DOUBLE)) AS v FROM q),
+nq AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+       FROM d),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round($dotAB / (a.nrm * b.nrm), 4) AS cosine_q
+  FROM nq a JOIN nq b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount})
+SELECT query_id, neighbor_id, cosine_q, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Mirrors Quantization.recallAtK(k=5): recall@5 of the int8 top-k vs
+    * the exact float top-k (integer hit counts, one double division)
+    * plus the decimal-summed mean reconstruction error. */
+  val quantizationRecall: String = s"""WITH $quantCte,
+n AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+      FROM e),
+nq AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+       FROM (SELECT vec_id, list_transform(qc, x -> CAST(x AS DOUBLE)) AS v FROM q) d),
+exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round($dotAB / (a.nrm * b.nrm), 4) DESC, b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount}) t WHERE rank <= 5),
+quant AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round($dotAB / (a.nrm * b.nrm), 4) DESC, b.vec_id) AS rank
+  FROM nq a JOIN nq b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount}) t WHERE rank <= 5),
+hits AS (SELECT count(*) AS total_hits FROM exact JOIN quant USING (query_id, neighbor_id)),
+nqs AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact),
+err AS (SELECT round(CAST(sum(CAST(round(e, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_abs_err
+        FROM (SELECT unnest(list_transform(list_zip(s.v, q.qc),
+                z -> abs(z[1] - CAST(z[2] AS DOUBLE) * s.scale))) AS e
+              FROM s JOIN q USING (vec_id)) t)
+SELECT 5 AS k, n_queries,
+       round(CAST(total_hits AS DOUBLE) / (n_queries * 5), 4) AS recall_at_k,
+       mean_abs_err
+FROM hits CROSS JOIN nqs CROSS JOIN err"""
 }

@@ -89,6 +89,19 @@ class CacheHygieneSpec extends SparkSpec {
       EmbeddingOps.bruteForceTopK(
         emb.filter($"vec_id" < 5), emb, "embedding", "vec_id", k = 3)
     }
+    val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+    assertNoCacheEntries("SemanticDedup.pairs") {
+      graft.embeddings.SemanticDedup.pairs(
+        emb, "embedding", "vec_id", cents, threshold = 0.45)
+    }
+    assertNoCacheEntries("SemanticDedup.keepers") {
+      graft.embeddings.SemanticDedup.keepers(
+        emb, "embedding", "vec_id", cents, threshold = 0.45)
+    }
+    assertNoCacheEntries("Quantization.recallAtK") {
+      graft.embeddings.Quantization.recallAtK(
+        emb.filter($"vec_id" < 5), emb, "embedding", "vec_id", k = 3)
+    }
   }
 
   test("corpus pipeline (keepers + prepare + stageStats) leaves no cache entries") {
