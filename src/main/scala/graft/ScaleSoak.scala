@@ -37,7 +37,12 @@ object ScaleSoak {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_pairs",
     "dedup_simhash_pairs", "dedup_corpus", "decontaminate_corpus",
     "dedup_incremental", "corpus_pipeline", "ann_lsh_pairs",
-    "ann_ivf_topk")
+    "ann_ivf_topk",
+    // cluster count derives from corpus size (nlistForCount), so the
+    // within-cluster quadratic join must hold shape as n grows
+    "semdedup_pairs",
+    // brute-force over int8 codes: linear in corpus per query batch
+    "ann_quantized_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")

@@ -817,9 +817,15 @@ object SparkEntry {
     // (map-side nearest-centroid kernel), then near-dup pairs INSIDE
     // clusters only. The tractable corpus-scale embedding dedup;
     // embedding_cosine_pairs is the exact all-pairs baseline.
+    // The cluster count is corpus-size-derived (nlistForCount: n/512,
+    // floor 8) so per-cluster population — and the quadratic
+    // within-cluster join — stays bounded as data grows; the static
+    // oracle bakes in the verify corpus's value (500 vectors → 8,
+    // pinned by SemanticDedupSpec so a rule change breaks loudly).
     "semdedup_pairs" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val nlist = SemanticDedup.nlistForCount(emb.count())
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
       SemanticDedup.pairs(emb, "embedding", "vec_id", cents,
         threshold = 0.45)
         .orderBy("id_a", "id_b")
@@ -829,7 +835,8 @@ object SparkEntry {
     // rounded centroid cosine, ties to the smaller id)
     "semdedup_keepers" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val nlist = SemanticDedup.nlistForCount(emb.count())
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
       SemanticDedup.keepers(emb, "embedding", "vec_id", cents,
         threshold = 0.45)
         .orderBy("vec_id")
@@ -851,6 +858,15 @@ object SparkEntry {
       Quantization.quantizedTopK(
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Training-data ops: IVF + SQ8 (faiss-style) — coarse cells probed
+    // with the float query, asymmetric scoring against int8 codes
+    "ann_ivf_sq8_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      Quantization.ivfQuantizedTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
     // Training-data ops: quantization quality report — recall@5 of the
@@ -1152,6 +1168,7 @@ object SparkEntry {
     "semdedup_keepers" -> TextOracles.semdedupKeepers(),
     "embedding_quantize" -> TextOracles.embeddingQuantize(),
     "ann_quantized_topk" -> TextOracles.annQuantizedTopK,
+    "ann_ivf_sq8_topk" -> TextOracles.annIvfSq8TopK,
     "quantization_recall" -> TextOracles.quantizationRecall,
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)

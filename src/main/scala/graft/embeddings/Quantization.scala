@@ -31,17 +31,24 @@ import org.apache.spark.sql.functions._
  */
 object Quantization {
 
-  /** Per-vector symmetric int8 codes: (vec_id, scale, q). The all-zero
-    * vector gets scale 1.0 and an all-zero code (avoids a 0/0 NaN). */
+  private def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(x)))
+
+  /** Quantization step: maxabs/127, or 1.0 for the all-zero vector
+    * (avoids a 0/0 NaN; the codes are all zero either way). */
+  private def scaleOf(m: Column): Column =
+    when(m === 0d, lit(1d)).otherwise(m / 127d)
+
+  private def codesOf(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("int"))
+
+  /** Per-vector symmetric int8 codes: (vec_id, scale, q). */
   def quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.select(col(idCol).as("vec_id"), v.as("v"))
-      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("scale",
-        when(col("maxabs") === 0d, lit(1d)).otherwise(col("maxabs") / 127d))
+      .withColumn("scale", scaleOf(maxAbs(col("v"))))
       .select(col("vec_id"), col("scale"),
-        transform(col("v"),
-          x => round(x / col("scale")).cast("int")).as("q"))
+        codesOf(col("v"), col("scale")).as("q"))
   }
 
   /** Quantized codes widened for scoring: vec_id, scale, qd (codes as
@@ -75,6 +82,46 @@ object Quantization {
           (col("qn_q") * col("cn")), 4).as("cosine_q"))
     graft.operators.Relational.topKPerGroup(pairs,
       Seq("query_id"), Seq(desc("cosine_q"), asc("neighbor_id")), k)
+  }
+
+  /**
+   * IVF + SQ8 top-k — the production ANN shape (faiss "IVF,SQ8"): the
+   * corpus is partitioned by nearest coarse centroid AND stored as int8
+   * codes; queries probe their nprobe cells with the FLOAT vector and
+   * score asymmetrically against the codes (ADC — cosine is scale-free,
+   * so dequantization is free, see object doc). Relative to
+   * [[EmbeddingOps.ivfTopK]] the probe join moves 4×-smaller corpus
+   * payloads; relative to [[quantizedTopK]] only the probed cells are
+   * scored. At 100 TB this is the layout [[EmbeddingOps.writeIvfIndex]]
+   * would persist with `q`+`scale` instead of the float column.
+   */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val cents = centroids.getOrElse(
+      EmbeddingOps.ivfCentroids(corpus, vecCol, idCol, nlist))
+    // One map-side projection builds the whole index row: coarse cell
+    // (flat-matrix kernel) + int8 codes + code norm.
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+      .withColumn("scale", scaleOf(maxAbs(col("v"))))
+      .withColumn("cd", codesOf(col("v"), col("scale")).cast("array<double>"))
+      .withColumn("cn", EmbeddingOps.norm(col("cd")))
+      .select("cluster", "neighbor_id", "cd", "cn")
+    val probing = EmbeddingOps.prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(EmbeddingOps.ivfProbes(col("v"), cents, nprobe))
+          .as("cluster"))
+    val scored = probing.join(c, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(EmbeddingOps.dot(col("qv"), col("cd")) /
+          (col("qn") * col("cn")), 4).as("cosine_adc"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine_adc"), asc("neighbor_id")), k)
   }
 
   /**

@@ -511,6 +511,44 @@ SELECT query_id, neighbor_id, cosine_q, rank FROM (
   FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors Quantization.ivfQuantizedTopK(nlist=8, nprobe=2, k=5):
+    * centroids/assignment/probing on the FLOAT vectors (same rules as
+    * annIvfTopK), scoring asymmetric — float query against int8 codes
+    * (scales cancel in cosine). */
+  val annIvfSq8TopK: String = s"""WITH $quantCte,
+n AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+      FROM e),
+nn AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+       FROM (SELECT vec_id, list_transform(qc, x -> CAST(x AS DOUBLE)) AS v FROM q) d),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+corpusq AS (SELECT a.neighbor_id, a.cluster, nn.v AS cv, nn.nrm AS cn2
+            FROM assign a JOIN nn ON a.neighbor_id = nn.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+  WHERE rn <= 2),
+cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_transform(list_zip(qv, cv), z -> z[1] * z[2]),
+               (x,y) -> x + y) / (qn * cn2), 4) AS cosine_adc
+  FROM probes JOIN corpusq USING (cluster)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine_adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_adc DESC, neighbor_id) AS rank FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirrors Quantization.recallAtK(k=5): recall@5 of the int8 top-k vs
     * the exact float top-k (integer hit counts, one double division)
     * plus the decimal-summed mean reconstruction error. */

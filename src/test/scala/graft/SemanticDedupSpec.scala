@@ -105,6 +105,10 @@ class SemanticDedupSpec extends SparkSpec {
     assert(SemanticDedup.nlistForCount(4096) == 8)
     assert(SemanticDedup.nlistForCount(512000) == 1000)
     assert(SemanticDedup.nlistForCount(Long.MaxValue) == 65536)
+    // The static semdedup oracles bake in the verify corpus's cluster
+    // count (500 vectors → centroids = vec_id < 8); a rule change must
+    // break HERE, not as a silent hash mismatch in the driver gate.
+    assert(SemanticDedup.nlistForCount(500) == 8)
   }
 
   // ───────────────────────── quantization ─────────────────────────
@@ -147,6 +151,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall@5 $recall < 0.9")
     val err = rec.getAs[Double]("mean_abs_err")
     assert(err > 0 && err < 0.01, s"mean_abs_err $err")
+  }
+
+  test("IVF+SQ8 top-k: same cells as float IVF, near-identical ranking") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val floatIvf = EmbeddingOps.ivfTopK(queries, emb, "embedding",
+      "vec_id", k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Quantization.ivfQuantizedTopK(queries, emb, "embedding",
+      "vec_id", k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sq8.size == 100) // 20 queries × 5
+    val overlap = floatIvf.intersect(sq8).size.toDouble / floatIvf.size
+    assert(overlap >= 0.9, s"IVF+SQ8 vs float IVF overlap $overlap")
   }
 
   test("quantized top-k deterministic across partitionings") {
