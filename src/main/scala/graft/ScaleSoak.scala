@@ -42,7 +42,12 @@ object ScaleSoak {
     // within-cluster quadratic join must hold shape as n grows
     "semdedup_pairs",
     // brute-force over int8 codes: linear in corpus per query batch
-    "ann_quantized_topk")
+    "ann_quantized_topk",
+    // IVF+SQ8: work ∝ queries × nprobe × (n/nlist) — linear in n for a
+    // fixed query batch even with the demo's fixed 8 cells
+    "ann_ivf_sq8_topk",
+    // ADC brute force over PQ codes: linear in corpus per query batch
+    "ann_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")

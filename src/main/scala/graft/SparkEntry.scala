@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.{DedupOracles, TextDedup}
-import graft.embeddings.{EmbeddingOps, Quantization, SemanticDedup}
+import graft.embeddings.{EmbeddingOps, ProductQuantization, Quantization, SemanticDedup}
 import graft.etl._
 import graft.operators.{Merge, Relational}
 import graft.text.{TextAnalysis, TextOracles}
@@ -877,6 +877,41 @@ object SparkEntry {
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5)
     }),
+    // Training-data ops: product quantization (m=8 subspaces × ksub=16
+    // codes over unit-normalized 64-dim vectors; seed-vector codebook =
+    // subvectors of the first 16 normalized corpus vectors, the same
+    // oracle-expressible tier as the vec_id<nlist coarse centroids).
+    // Every code value-checked via posexplode.
+    "pq_encode" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.encode(emb, "embedding", "vec_id", cb,
+        m = 8, ksub = 16)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+    // Training-data ops: brute-force ADC top-k — float queries scored
+    // against decoded PQ reconstructions (the 32×-compressed scan path)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.adcTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+    // Training-data ops: PQ quality report — recall@5 of the ADC top-k
+    // vs the exact float top-k + mean |u − recon| over normalized vectors
+    "pq_recall" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.recallAtK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
+    }),
     // Training-data ops: Johnson–Lindenstrauss random projection to 8
     // dims (deterministic literal planes, map-side; exploded to rows for
     // the oracle compare)
@@ -1170,6 +1205,9 @@ object SparkEntry {
     "ann_quantized_topk" -> TextOracles.annQuantizedTopK,
     "ann_ivf_sq8_topk" -> TextOracles.annIvfSq8TopK,
     "quantization_recall" -> TextOracles.quantizationRecall,
+    "pq_encode" -> TextOracles.pqEncode,
+    "ann_pq_topk" -> TextOracles.annPqTopK,
+    "pq_recall" -> TextOracles.pqRecall,
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

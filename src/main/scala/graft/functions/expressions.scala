@@ -185,6 +185,64 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** Product-quantization encode: per-subspace nearest codebook entry
+    * by squared L2 over the UNIT-NORMALIZED input (norm guarded 0 → 1,
+    * matching the int8 scale guard), ties → the smaller code
+    * (ascending scan, strict `<` update). `cb` is the row-major
+    * m×ksub×dsub flattening of the codebook; dsub = v.length / m.
+    * Arithmetic is the exact shape the DuckDB oracle mirrors:
+    * left-to-right 0-seeded sums, `u_j = x_j / nv` division per
+    * element, `(u−c)·(u−c)` accumulation. */
+  def pqEncode(v: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val x = v.toDoubleArray(); val c = cb.toDoubleArray()
+    val dsub = if (m == 0) 0 else x.length / m
+    var s0 = 0.0; var i = 0
+    while (i < x.length) { s0 += x(i) * x(i); i += 1 }
+    val nv0 = math.sqrt(s0)
+    val nv = if (nv0 == 0.0) 1.0 else nv0
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var best = 0; var bestD = Double.PositiveInfinity
+      var cc = 0
+      while (cc < ksub) {
+        val cboff = (s * ksub + cc) * dsub
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val t = x(off + j) / nv - c(cboff + j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = cc }
+        cc += 1
+      }
+      out(s) = best.toLong
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Product-quantization decode: concatenation of the chosen codebook
+    * subvectors — a pure copy, no arithmetic, so the reconstruction is
+    * bit-identical to the SQL `flatten(list(cv ORDER BY sub))` form.
+    * m = codes.length; dsub = cb.length / (ksub·m). */
+  def pqDecode(codes: ArrayData, cb: ArrayData, ksub: Int): ArrayData = {
+    val c = cb.toDoubleArray()
+    val m = codes.numElements()
+    val dsub = if (m == 0) 0 else c.length / (ksub * m)
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      val code = codes.getLong(s).toInt
+      val cboff = (s * ksub + code) * dsub
+      var j = 0
+      while (j < dsub) { out(s * dsub + j) = c(cboff + j); j += 1 }
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct hashed word n-gram shingles of a text, in first-occurrence
     * order — one JVM pass replacing the interpreted
     * `array_distinct(transform(shingles(text), md5-hash))` chain.
@@ -436,6 +494,28 @@ object GraftFunctions {
         expr(org.apache.spark.sql.functions.lit(nprobe))),
       inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
         ArrayType(DoubleType), ArrayType(LongType), IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd PQ encode (see [[VectorAdapters.pqEncode]]); the
+    * m×ksub×dsub codebook rides as ONE flat literal. */
+  def pq_encode(v: Column, cb: Column, m: Int, ksub: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "pqEncode",
+      Seq(expr(v), expr(cb),
+        expr(org.apache.spark.sql.functions.lit(m)),
+        expr(org.apache.spark.sql.functions.lit(ksub))),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+        IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd PQ decode (see [[VectorAdapters.pqDecode]]). */
+  def pq_decode(codes: Column, cb: Column, ksub: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(DoubleType, containsNull = false), "pqDecode",
+      Seq(expr(codes), expr(cb),
+        expr(org.apache.spark.sql.functions.lit(ksub))),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(DoubleType),
+        IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd all-tables SRP-LSH buckets (see

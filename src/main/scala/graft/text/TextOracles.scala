@@ -552,6 +552,87 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
   /** Mirrors Quantization.recallAtK(k=5): recall@5 of the int8 top-k vs
     * the exact float top-k (integer hit counts, one double division)
     * plus the decimal-summed mean reconstruction error. */
+  // ───────────────────── product quantization ─────────────────────
+
+  /** PQ building blocks shared by the three pq_* oracles. Mirrors
+    * ProductQuantization with m=8 subspaces, ksub=16, dsub=8 over the
+    * 64-dim demo embeddings: vectors are unit-normalized (norm 0 → 1
+    * guard, same as the int8 scale guard), the codebook entry (sub,
+    * code) is subvector `sub` of the normalized vector with
+    * vec_id=code < 16 (the seed-vector tier, exactly like the `vec_id
+    * < nlist` coarse centroids), and encoding picks the per-subspace
+    * entry with the smallest left-to-right squared-L2, ties to the
+    * smaller code — the same strict-< ascending scan as the
+    * pqEncode kernel. */
+  private val pqCte = s"""$normCte,
+u AS (SELECT vec_id, list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS uv FROM n),
+subs AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS sub),
+cbv AS (SELECT c.vec_id AS code, subs.sub AS sub,
+          list_slice(c.uv, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cv
+        FROM u c CROSS JOIN subs WHERE c.vec_id < 16),
+enc AS (SELECT vec_id, sub, code FROM (
+  SELECT x.vec_id, cb.sub, cb.code,
+         row_number() OVER (PARTITION BY x.vec_id, cb.sub ORDER BY
+           list_reduce(list_transform(
+             list_zip(list_slice(x.uv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cv),
+             z -> (z[1] - z[2]) * (z[1] - z[2])), (p, q2) -> p + q2) ASC,
+           cb.code ASC) AS rn
+  FROM u x CROSS JOIN cbv cb) t WHERE rn = 1),
+rec AS (SELECT e2.vec_id, flatten(list(cb.cv ORDER BY e2.sub)) AS rv
+        FROM enc e2 JOIN cbv cb ON e2.sub = cb.sub AND e2.code = cb.code
+        GROUP BY e2.vec_id),
+rn2 AS (SELECT vec_id, rv,
+          sqrt(list_reduce(list_transform(rv, x -> x * x), (p, q2) -> p + q2)) AS rn
+        FROM rec)"""
+
+  /** Mirrors the pq_encode query: one row per (vector, subspace) with
+    * the chosen code — every code value-checked. */
+  val pqEncode: String = s"""WITH $pqCte
+SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub"""
+
+  /** Mirrors ProductQuantization.adcTopK(k=5): float queries against
+    * decoded reconstructions (asymmetric distance computation). */
+  val annPqTopK: String = s"""WITH $pqCte,
+cand AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+           round(list_reduce(list_transform(list_zip(q.v, r.rv), z -> z[1] * z[2]),
+                 (p, q2) -> p + q2) / (q.nrm * r.rn), 4) AS cosine_pq
+         FROM n q CROSS JOIN rn2 r
+         WHERE q.vec_id < ${EmbeddingOps.DemoQueryCount} AND q.vec_id <> r.vec_id)
+SELECT query_id, neighbor_id, cosine_pq, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Mirrors ProductQuantization.recallAtK(k=5): recall@5 of the ADC
+    * top-k vs the exact float top-k, plus the decimal-summed mean
+    * |u_i − rec_i| reconstruction error against the NORMALIZED
+    * vectors (the quantity PQ approximates). */
+  val pqRecall: String = s"""WITH $pqCte,
+exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round($dotAB / (a.nrm * b.nrm), 4) DESC, b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount}) t WHERE rank <= 5),
+pq AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_reduce(list_transform(list_zip(q.v, r.rv), z -> z[1] * z[2]),
+                   (p, q2) -> p + q2) / (q.nrm * r.rn), 4) DESC, r.vec_id) AS rank
+  FROM n q CROSS JOIN rn2 r
+  WHERE q.vec_id < ${EmbeddingOps.DemoQueryCount} AND q.vec_id <> r.vec_id) t
+  WHERE rank <= 5),
+hits AS (SELECT count(*) AS total_hits FROM exact JOIN pq USING (query_id, neighbor_id)),
+nqs AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact),
+err AS (SELECT round(CAST(sum(CAST(round(e, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_abs_err
+        FROM (SELECT unnest(list_transform(list_zip(u.uv, r.rv),
+                z -> abs(z[1] - z[2]))) AS e
+              FROM u JOIN rec r USING (vec_id)) t)
+SELECT 5 AS k, n_queries,
+       round(CAST(total_hits AS DOUBLE) / (n_queries * 5), 4) AS recall_at_k,
+       mean_abs_err
+FROM hits CROSS JOIN nqs CROSS JOIN err"""
+
   val quantizationRecall: String = s"""WITH $quantCte,
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm

@@ -1,0 +1,101 @@
+package graft
+
+import graft.embeddings.{EmbeddingOps, ProductQuantization => PQ}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode/decode kernels, ADC ranking, trained
+  * vs seed codebooks. */
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Demo.table(spark, sf(), "embeddings")
+  private val M = 8
+  private val Ksub = 16
+  private lazy val demoCb = PQ.demoCodebook(emb, "embedding", "vec_id", M, Ksub)
+
+  test("codes: m entries per vector, every code in [0, ksub)") {
+    val codes = PQ.encode(emb, "embedding", "vec_id", demoCb, M, Ksub)
+      .select("codes").as[Seq[Long]].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.length == M))
+    assert(codes.forall(_.forall(c => c >= 0 && c < Ksub)))
+  }
+
+  test("seed vectors encode to themselves (zero distance, ties to smaller code)") {
+    val own = PQ.encode(emb.filter(col("vec_id") < Ksub),
+        "embedding", "vec_id", demoCb, M, Ksub)
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect()
+    assert(own.length == Ksub)
+    own.foreach { case (id, codes) =>
+      assert(codes.forall(_ == id), s"vec $id codes $codes")
+    }
+  }
+
+  test("kernel parity: codes match an independent Scala reimplementation") {
+    val vecs = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val got = PQ.encode(emb.filter(col("vec_id") < 40),
+        "embedding", "vec_id", demoCb, M, Ksub)
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    val dsub = vecs.head._2.length / M
+    vecs.foreach { case (id, v) =>
+      val nrm0 = math.sqrt(v.map(x => x * x).sum)
+      val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+      val u = v.map(_ / nrm)
+      val expected = (0 until M).map { s =>
+        (0 until Ksub).minBy { c =>
+          val off = (s * Ksub + c) * dsub
+          ((0 until dsub).map { j =>
+            val t = u(s * dsub + j) - demoCb(off + j)
+            t * t
+          }.sum, c)
+        }.toLong
+      }
+      assert(got(id) == expected, s"vec $id")
+    }
+  }
+
+  test("decode returns codebook slices verbatim") {
+    val rec = PQ.encode(emb.filter(col("vec_id") === 25),
+        "embedding", "vec_id", demoCb, M, Ksub)
+      .select(col("codes"),
+        graft.functions.GraftFunctions.pq_decode(
+          col("codes"), typedlit(demoCb.toSeq), Ksub).as("rv"))
+      .as[(Seq[Long], Seq[Double])].head()
+    val dsub = rec._2.length / M
+    (0 until M).foreach { s =>
+      val off = (s * Ksub + rec._1(s).toInt) * dsub
+      assert(rec._2.slice(s * dsub, (s + 1) * dsub) ==
+        demoCb.slice(off, off + dsub).toSeq)
+    }
+  }
+
+  test("ADC top-k deterministic across partitionings") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = PQ.adcTopK(queries, emb, "embedding", "vec_id", 5, demoCb, M, Ksub)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = PQ.adcTopK(queries.repartition(7), emb.repartition(13),
+        "embedding", "vec_id", 5, demoCb, M, Ksub)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("trained codebook materially beats the seed codebook on reconstruction") {
+    val trainedCb = PQ.trainedCodebook(emb, "embedding", "vec_id", M, Ksub)
+    val queries = emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount)
+    def report(cb: Array[Double]) =
+      PQ.recallAtK(queries, emb, "embedding", "vec_id", 5, cb, M, Ksub)
+        .select("recall_at_k", "mean_abs_err").as[(Double, Double)].head()
+    val (demoRecall, demoErr) = report(demoCb)
+    val (trRecall, trErr) = report(trainedCb)
+    // k-means optimizes the quantization MSE, so reconstruction error is
+    // the trained-codebook contract — materially better, not epsilon.
+    // recall@5 on this near-uniform random corpus is tie-break noise
+    // (measured: demo 0.26 vs trained 0.21 at 500 vectors), so only a
+    // non-degeneracy floor is asserted for it.
+    assert(trErr < demoErr * 0.9, s"trained err $trErr vs demo $demoErr")
+    assert(trRecall > 0.0 && demoRecall > 0.0,
+      s"recalls $trRecall / $demoRecall")
+  }
+}
