@@ -47,7 +47,10 @@ object ScaleSoak {
     // fixed query batch even with the demo's fixed 8 cells
     "ann_ivf_sq8_topk",
     // ADC brute force over PQ codes: linear in corpus per query batch
-    "ann_pq_topk")
+    "ann_pq_topk",
+    // IVF+PQ: probed cells + ADC — the canonical compressed production
+    // layout; same linearity argument as IVF+SQ8
+    "ann_ivf_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")

@@ -902,6 +902,18 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
         .orderBy("query_id", "rank")
     }),
+    // Training-data ops: IVF + PQ (faiss "IVF8,PQ8") — coarse cells
+    // probed with the float query, ADC scoring against PQ codes
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.ivfPqTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2, cb,
+        m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
     // Training-data ops: PQ quality report — recall@5 of the ADC top-k
     // vs the exact float top-k + mean |u − recon| over normalized vectors
     "pq_recall" -> ((s, dir) => {
@@ -1207,6 +1219,7 @@ object SparkEntry {
     "quantization_recall" -> TextOracles.quantizationRecall,
     "pq_encode" -> TextOracles.pqEncode,
     "ann_pq_topk" -> TextOracles.annPqTopK,
+    "ann_ivf_pq_topk" -> TextOracles.annIvfPqTopK,
     "pq_recall" -> TextOracles.pqRecall,
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)

@@ -209,6 +209,47 @@ object ProductQuantization {
   }
 
   /**
+   * IVF + PQ top-k — the canonical large-scale faiss layout
+   * ("IVF{nlist},PQ{m}"): the corpus is partitioned by nearest coarse
+   * centroid AND stored as m-byte PQ codes; float queries probe their
+   * nprobe cells and ADC-score against the decoded reconstructions.
+   * One map-side projection builds the entire index row (cell + codes
+   * + decoded norm); the probe join is a broadcast of queries×nprobe
+   * rows, so the corpus never shuffles — at 100 TB the persisted form
+   * of this is [[EmbeddingOps.writeIvfIndex]] carrying `codes` instead
+   * of the float column: a ~3 TB index for a 100 TB corpus.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int, nprobe: Int, cb: Array[Double],
+      m: Int, ksub: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val cents = centroids.getOrElse(
+      EmbeddingOps.ivfCentroids(corpus, vecCol, idCol, nlist))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+      .withColumn("codes", graft.functions.GraftFunctions.pq_encode(
+        col("v"), cbLit(cb), m, ksub))
+      .withColumn("rv", graft.functions.GraftFunctions.pq_decode(
+        col("codes"), cbLit(cb), ksub))
+      .withColumn("rn", EmbeddingOps.norm(col("rv")))
+      .select("cluster", "neighbor_id", "rv", "rn")
+    val probing = EmbeddingOps.prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(EmbeddingOps.ivfProbes(col("v"), cents, nprobe))
+          .as("cluster"))
+    val scored = probing.join(c, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(EmbeddingOps.dot(col("qv"), col("rv")) /
+          (col("qn") * col("rn")), 4).as("cosine_pq"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine_pq"), asc("neighbor_id")), k)
+  }
+
+  /**
    * Quality report: recall@k of the ADC top-k against the exact float
    * top-k, plus the mean absolute reconstruction error of the decoded
    * codes against the unit-NORMALIZED corpus vectors (the quantity PQ

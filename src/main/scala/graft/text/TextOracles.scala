@@ -603,6 +603,38 @@ SELECT query_id, neighbor_id, cosine_pq, rank FROM (
     ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors ProductQuantization.ivfPqTopK(nlist=8, nprobe=2, k=5):
+    * coarse centroids/assignment/probing on the FLOAT vectors (same
+    * rules as annIvfTopK), ADC scoring of float queries against the
+    * PQ reconstructions. */
+  val annIvfPqTopK: String = s"""WITH $pqCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+corpuspq AS (SELECT a.neighbor_id, a.cluster, r.rv, r.rn
+             FROM assign a JOIN rn2 r ON a.neighbor_id = r.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+  WHERE rn <= 2),
+cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_transform(list_zip(qv, rv), z -> z[1] * z[2]),
+               (p, q2) -> p + q2) / (qn * rn), 4) AS cosine_pq
+  FROM probes JOIN corpuspq USING (cluster)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine_pq, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirrors ProductQuantization.recallAtK(k=5): recall@5 of the ADC
     * top-k vs the exact float top-k, plus the decimal-summed mean
     * |u_i − rec_i| reconstruction error against the NORMALIZED

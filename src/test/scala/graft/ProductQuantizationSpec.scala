@@ -81,6 +81,26 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF+PQ top-k: probing prunes candidates but never changes ADC scores") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivfPq = PQ.ivfPqTopK(queries, emb, "embedding", "vec_id",
+        k = 5, nlist = 8, nprobe = 2, demoCb, M, Ksub)
+      .select("query_id", "neighbor_id", "cosine_pq")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfPq.length == 100) // 20 queries × 5
+    // Brute-force ADC over the full corpus scores every candidate the
+    // IVF path can emit; the scores must be bit-identical (same codes,
+    // same reconstruction — probing is pure pruning).
+    val brute = PQ.adcTopK(queries, emb, "embedding", "vec_id",
+        k = emb.count().toInt, demoCb, M, Ksub)
+      .select("query_id", "neighbor_id", "cosine_pq")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, nb, s) => (q, nb) -> s }.toMap
+    ivfPq.foreach { case (q, nb, s) =>
+      assert(brute((q, nb)) == s, s"score drift for ($q, $nb)")
+    }
+  }
+
   test("trained codebook materially beats the seed codebook on reconstruction") {
     val trainedCb = PQ.trainedCodebook(emb, "embedding", "vec_id", M, Ksub)
     val queries = emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount)
