@@ -662,6 +662,17 @@ object SparkEntry {
         "doc_id", size(TextDedup.tokens(col("text"))).cast("long"),
         ccLabelsDf(s, dir))
         .orderBy("doc_id")),
+    // Training-data ops: the published Gopher corpus-filter rule set
+    // (Rae et al. 2021 A1.1) — per-doc signals + the composite verdict.
+    // The synthetic corpus fails the verdict corpus-wide on the
+    // stop-word rule (keyword soup, ≤1 of the 8 Gopher stops), which is
+    // exactly what the filter exists to catch; the 9 signal columns
+    // vary per-doc and are value-checked. TextFunctionsSpec plants a
+    // violator per rule.
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherSignals(Demo.table(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: Gopher-style repetition quality signals
     // (duplicate-line and duplicate-3-gram fractions, mean word length —
     // the classic corpus-filter rules)
@@ -1183,6 +1194,7 @@ object SparkEntry {
     "pii_redaction" -> TextOracles.piiRedaction,
     "corpus_token_stats" -> TextOracles.corpusStats,
     "quality_repetition" -> DedupOracles.qualityRepetition,
+    "gopher_quality" -> TextOracles.gopherQuality,
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,

@@ -50,6 +50,76 @@ object TextAnalysis {
         .cast("double") / size(toks))
   }
 
+  /** The Gopher stop-word presence list (Rae et al. 2021, A1.1): a
+    * document must contain at least [[GopherMinStopHits]] of these. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /**
+   * The published Gopher corpus-filter rules (Rae et al. 2021,
+   * "Scaling Language Models: ...", appendix A1.1 — the rule set
+   * C4/MassiveWeb-style pipelines apply before training), emitted as
+   * per-document SIGNALS plus the composite verdict so a pipeline can
+   * tighten or relax individual bounds:
+   *
+   *  - word count in [50, 100 000]
+   *  - mean word length in [3, 10]
+   *  - hash ('#') and ellipsis ('...'/'…') symbol-to-word ratios ≤ 0.1
+   *  - ≤ 90% of lines starting with a bullet ('-', '*', '•')
+   *  - ≤ 30% of lines ending with an ellipsis
+   *  - ≥ 80% of words containing ≥ 1 (ASCII) alphabetic character
+   *  - ≥ 2 of the 8 Gopher stop words present
+   *
+   * Ratios are rounded to 4 decimals BEFORE the threshold compare so
+   * the verdict is bit-portable across engines (both Spark and DuckDB
+   * round half away from zero); empty/degenerate texts fail closed
+   * (coalesce to false). Pure built-ins — one map-side projection.
+   */
+  def gopherSignals(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val nWordsD = nullif(nWords, lit(0)).cast("double")
+    val lines = filter(split(t, "\n"), x => trim(x) =!= "")
+    val nLines = nullif(size(lines), lit(0)).cast("double")
+    val meanLen = round(aggregate(toks, lit(0L), (a, x) => a + length(x))
+      .cast("double") / nWordsD, 4)
+    val hashRatio = round(regexp_count(t, lit("#")).cast("double") / nWordsD, 4)
+    val ellipsisRatio = round(
+      (regexp_count(t, lit("\\.\\.\\.")) + regexp_count(t, lit("…")))
+        .cast("double") / nWordsD, 4)
+    val bulletFrac = round(
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+        nLines, 4)
+    val ellipsisLineFrac = round(
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines, 4)
+    val alphaFrac = round(
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nWordsD, 4)
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedlit(GopherStops)))
+    docs.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        hashRatio.as("hash_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisLineFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("gopher_pass", coalesce(
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("hash_ratio") <= 0.1 &&
+          col("ellipsis_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= GopherMinStopHits, lit(false)))
+  }
+
   /**
    * Composite quality score in [0,1]: rewards texts in a reasonable
    * length band, with some stopword usage and sane word lengths, and

@@ -55,6 +55,42 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
             (a,b) -> (CAST(a AS BIGINT) * 257 + b) % 1000000007) END AS rolling_fp
 FROM q ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.gopherSignals: the published Gopher filter
+    * rules (word/mean-length bounds, symbol ratios, bullet/ellipsis
+    * line fractions, alpha-word fraction, stop-word presence). Ratios
+    * round to 4 decimals BEFORE the threshold compare in BOTH engines;
+    * the stop list is referenced from TextAnalysis so it cannot
+    * drift. */
+  val gopherQuality: String = raw"""WITH t AS (
+  SELECT doc_id, text, $toks AS toks FROM documents),
+s AS (SELECT doc_id, text, toks, len(toks) AS n_words,
+  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM t),
+g AS (SELECT doc_id, n_words,
+  round(CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a + b) AS DOUBLE)
+    / nullif(n_words, 0), 4) AS mean_word_len,
+  round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+    / nullif(n_words, 0), 4) AS hash_ratio,
+  round(CAST(len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…')) AS DOUBLE)
+    / nullif(n_words, 0), 4) AS ellipsis_ratio,
+  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+    / nullif(len(lines), 0), 4) AS bullet_line_frac,
+  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$$'))) AS DOUBLE)
+    / nullif(len(lines), 0), 4) AS ellipsis_line_frac,
+  round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+    / nullif(n_words, 0), 4) AS alpha_word_frac,
+  len(list_intersect(list_distinct(toks), ${inList(TextAnalysis.GopherStops)})) AS n_stop_hits
+  FROM s)
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+  coalesce(n_words BETWEEN 50 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+    AND alpha_word_frac >= 0.8
+    AND n_stop_hits >= ${TextAnalysis.GopherMinStopHits}, false) AS gopher_pass
+FROM g ORDER BY doc_id"""
+
   /** Mirrors the pii_redaction query: the same synthesized PII suffixes
     * and the SAME regex constants (referenced from TextAnalysis, so the
     * two engines cannot drift). DuckDB regexp_replace needs the 'g' flag

@@ -156,4 +156,26 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Double].first()
     assert(math.abs(got - 2.0 / 3.0) < 1e-12)
   }
+
+  test("gopherSignals: each published rule fails its planted violator") {
+    import graft.text.TextAnalysis
+    // 60 prose-ish words incl. ≥2 Gopher stops → passes every rule.
+    val good = (1 to 6).map(_ =>
+      "the quick brown fox jumps over that lazy dog to have fun with it")
+      .mkString(" ")
+    val docs = Seq(
+      0L -> good,
+      1L -> "the and of short",                       // < 50 words
+      2L -> good.split(" ").map(w => "#" + w + "#").mkString(" "), // hash soup
+      3L -> good.split(" ").map(_ + "...").mkString(" "),  // ellipsis soup
+      4L -> (1 to 60).map(i => s"- the of bullet item $i line").mkString("\n"),
+      5L -> (1 to 60).map(_ => "12345 67890 00000 11111 22222 the of")
+        .mkString(" "),                               // < 80% alphabetic
+      6L -> (1 to 60).map(i => s"zz$i yy$i xx$i").mkString(" ") // no stops
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherSignals(docs, "text", "doc_id")
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(got(0L), "good doc must pass")
+    (1L to 6L).foreach(id => assert(!got(id), s"doc $id must fail"))
+  }
 }
