@@ -8,7 +8,15 @@ import java.sql.DriverManager
   * pattern; Postgres deployments swap the SQL). */
 class JdbcSinkSpec extends SparkSpec {
 
-  private val url = "jdbc:derby:memory:graftdb;create=true"
+  // Unique per-instantiation DB name: suites run concurrently in the
+  // forked test JVM (sbt parallelExecution default), and Derby
+  // in-memory databases live for the JVM lifetime — a fixed name means
+  // any second use of "graftdb" (re-instantiated suite, leftover state
+  // from an aborted run) hits CREATE TABLE collisions.
+  private val url = {
+    val db = "graftdb_" + java.util.UUID.randomUUID().toString.take(8)
+    s"jdbc:derby:memory:$db;create=true"
+  }
 
   private def query(sql: String): Seq[Seq[Any]] = {
     val conn = DriverManager.getConnection(url)
