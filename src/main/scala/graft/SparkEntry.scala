@@ -673,6 +673,13 @@ object SparkEntry {
       TextAnalysis.gopherSignals(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: the Gopher REPETITION filter table (Rae et al.
+    // 2021 table A1) — dup-line fractions + top/dup n-gram char
+    // fractions with the paper's removal thresholds
+    "gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Demo.table(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: Gopher-style repetition quality signals
     // (duplicate-line and duplicate-3-gram fractions, mean word length —
     // the classic corpus-filter rules)
@@ -1195,6 +1202,7 @@ object SparkEntry {
     "corpus_token_stats" -> TextOracles.corpusStats,
     "quality_repetition" -> DedupOracles.qualityRepetition,
     "gopher_quality" -> TextOracles.gopherQuality,
+    "gopher_repetition" -> TextOracles.gopherRepetition,
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,

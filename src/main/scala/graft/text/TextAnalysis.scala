@@ -120,6 +120,116 @@ object TextAnalysis {
           col("n_stop_hits") >= GopherMinStopHits, lit(false)))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021, table A1): a doc
+    * is removed when the signal EXCEEDS its threshold. Keys: dup-line
+    * fraction / dup-line char fraction, top-{2,3,4}-gram char
+    * fraction, dup-{5..10}-gram char fraction. */
+  val GopherRepThresholds: Map[String, Double] = Map(
+    "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+
+  /**
+   * The Gopher REPETITION filter table (Rae et al. 2021, A1.1 /
+   * table A1) — the other half of [[gopherSignals]]: per-document
+   * duplicate-line and n-gram repetition fractions with the paper's
+   * removal thresholds. Definitions (documented precisely so the
+   * DuckDB oracle and any re-implementation agree):
+   *
+   *  - tokens are the lowercased whitespace tokens; `total_chars` is
+   *    the length of their single-space join (Σ len + (n_toks − 1)).
+   *  - n-grams are single-space joins of n consecutive tokens;
+   *    occurrences are counted overlapping (the published filters
+   *    count match occurrences; overlap handling is unspecified in the
+   *    paper — this engine counts every window, documented here).
+   *  - `top_Ngram_char_frac` (n = 2..4): count × charlen of the most
+   *    frequent n-gram (ties → the longer n-gram; further ties give
+   *    the same fraction) over total_chars.
+   *  - `dup_Ngram_char_frac` (n = 5..10): Σ over n-gram values seen
+   *    more than once of (count − 1) × charlen, over total_chars —
+   *    i.e. characters in occurrences beyond the first.
+   *  - `dup_line_frac`: line OCCURRENCES beyond the first, over all
+   *    line occurrences; `dup_line_char_frac`: same, char-weighted.
+   *    Lines are newline-split, trimmed-nonempty.
+   *  - `rep_pass`: every signal ≤ its [[GopherRepThresholds]] bound,
+   *    on the 4-decimal-rounded values (engine-portable compares).
+   *
+   * Plan shape: ONE explode of all nine n-gram sizes into (doc, n,
+   * gram) rows, one (doc, n, gram) count aggregate, one (doc, n)
+   * roll-up (struct-max picks the top gram without a window), then a
+   * conditional-aggregation pivot back to one row per document — the
+   * same two-level aggregate shape as TF-IDF, fully distributed, no
+   * per-doc quadratic expression work.
+   */
+  def repetitionSignals(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        filter(split(col(textCol), "\n"), x => trim(x) =!= "").as("lines"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("total_chars",
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)) +
+          greatest(col("n_toks") - 1, lit(0)).cast("long"))
+    // line signals: occurrence- and char-weighted duplicate fractions
+    val lineAgg = base.select(col("doc_id"), explode(col("lines")).as("l"))
+      .groupBy("doc_id", "l").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("l")).cast("long"))
+      .groupBy("doc_id").agg(
+        round((sum(col("cnt")) - count(lit(1))).cast("double") /
+          sum(col("cnt")), 4).as("dup_line_frac"),
+        round(sum((col("cnt") - 1) * col("len")).cast("double") /
+          nullif(sum(col("cnt") * col("len")), lit(0L)), 4)
+          .as("dup_line_char_frac"))
+    // one combined explode of every n-gram size
+    val gramArrays = array((2 to 10).map { n =>
+      when(col("n_toks") >= n,
+        transform(sequence(lit(0), col("n_toks") - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*)
+    val counted = base
+      .select(col("doc_id"), col("total_chars"),
+        explode(flatten(gramArrays)).as("gr"))
+      .groupBy(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("tc"))
+      .withColumn("charlen", length(col("g")).cast("long"))
+    val perN = counted.groupBy("doc_id", "n").agg(
+      max(struct(col("cnt"), col("charlen"))).as("top"),
+      sum(when(col("cnt") > 1, (col("cnt") - 1) * col("charlen"))
+        .otherwise(0L)).as("dupchars"),
+      first(col("tc")).as("tc"))
+      .select(col("doc_id"), col("n"),
+        round((col("top.cnt") * col("top.charlen")).cast("double") /
+          nullif(col("tc"), lit(0L)), 4).as("top_frac"),
+        round(col("dupchars").cast("double") /
+          nullif(col("tc"), lit(0L)), 4).as("dup_frac"))
+    val pivoted = perN.groupBy("doc_id").agg(
+      max(when(col("n") === 2, col("top_frac"))).as("top_2gram_char_frac"),
+      max(when(col("n") === 3, col("top_frac"))).as("top_3gram_char_frac"),
+      max(when(col("n") === 4, col("top_frac"))).as("top_4gram_char_frac"),
+      max(when(col("n") === 5, col("dup_frac"))).as("dup_5gram_char_frac"),
+      max(when(col("n") === 6, col("dup_frac"))).as("dup_6gram_char_frac"),
+      max(when(col("n") === 7, col("dup_frac"))).as("dup_7gram_char_frac"),
+      max(when(col("n") === 8, col("dup_frac"))).as("dup_8gram_char_frac"),
+      max(when(col("n") === 9, col("dup_frac"))).as("dup_9gram_char_frac"),
+      max(when(col("n") === 10, col("dup_frac"))).as("dup_10gram_char_frac"))
+    val sigCols = Seq("dup_line_frac", "dup_line_char_frac",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+    val joined = base.select("doc_id")
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(pivoted, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        sigCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+    joined.withColumn("rep_pass",
+      sigCols.map(c => col(c) <= GopherRepThresholds(c)).reduce(_ && _))
+  }
+
   /**
    * Composite quality score in [0,1]: rewards texts in a reasonable
    * length band, with some stopword usage and sane word lengths, and

@@ -91,6 +91,93 @@ SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
     AND n_stop_hits >= ${TextAnalysis.GopherMinStopHits}, false) AS gopher_pass
 FROM g ORDER BY doc_id"""
 
+  /** Mirrors TextAnalysis.repetitionSignals: the Gopher repetition
+    * table (dup-line fractions, top-{2,3,4}-gram char fractions,
+    * dup-{5..10}-gram char fractions) with thresholds referenced from
+    * TextAnalysis.GopherRepThresholds so they cannot drift. Same
+    * definitions: overlapping n-gram windows, single-space joins,
+    * total_chars = Σ token len + (n_toks − 1), ties for the top
+    * n-gram broken by longer charlen (the emitted fraction depends
+    * only on (cnt, charlen), so further ties are value-identical). */
+  val gopherRepetition: String = {
+    val th = TextAnalysis.GopherRepThresholds
+    raw"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n_toks,
+        CASE WHEN len(toks) = 0 THEN 0
+             ELSE list_reduce(list_transform(toks, x -> len(x)), (a, b2) -> a + b2)
+                  + greatest(len(toks) - 1, 0) END AS total_chars
+      FROM t),
+lo AS (SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS l
+       FROM t),
+lc AS (SELECT doc_id, l, count(*) AS cnt, len(l) AS llen
+       FROM lo GROUP BY doc_id, l),
+la AS (SELECT doc_id,
+         round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 4) AS dup_line_frac,
+         round(CAST(sum((cnt - 1) * llen) AS DOUBLE) / nullif(sum(cnt * llen), 0), 4) AS dup_line_char_frac
+       FROM lc GROUP BY doc_id),
+ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+g0 AS (SELECT doc_id, total_chars, ns.n AS n,
+         CASE WHEN n_toks >= ns.n THEN
+           list_transform(range(0, n_toks - ns.n + 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + ns.n), ' '))
+         ELSE [] END AS gl
+       FROM b CROSS JOIN ns),
+g AS (SELECT doc_id, total_chars, n, unnest(gl) AS g FROM g0),
+c AS (SELECT doc_id, n, g, count(*) AS cnt, max(total_chars) AS tc
+      FROM g GROUP BY doc_id, n, g),
+p AS (SELECT doc_id, n, cnt, len(g) AS charlen, tc,
+        row_number() OVER (PARTITION BY doc_id, n
+          ORDER BY cnt DESC, len(g) DESC) AS rn
+      FROM c),
+tp AS (SELECT doc_id,
+         max(CASE WHEN n = 2 THEN f END) AS top_2gram_char_frac,
+         max(CASE WHEN n = 3 THEN f END) AS top_3gram_char_frac,
+         max(CASE WHEN n = 4 THEN f END) AS top_4gram_char_frac
+       FROM (SELECT doc_id, n,
+               round(CAST(cnt * charlen AS DOUBLE) / nullif(tc, 0), 4) AS f
+             FROM p WHERE rn = 1) GROUP BY doc_id),
+dp AS (SELECT doc_id,
+         max(CASE WHEN n = 5 THEN f END) AS dup_5gram_char_frac,
+         max(CASE WHEN n = 6 THEN f END) AS dup_6gram_char_frac,
+         max(CASE WHEN n = 7 THEN f END) AS dup_7gram_char_frac,
+         max(CASE WHEN n = 8 THEN f END) AS dup_8gram_char_frac,
+         max(CASE WHEN n = 9 THEN f END) AS dup_9gram_char_frac,
+         max(CASE WHEN n = 10 THEN f END) AS dup_10gram_char_frac
+       FROM (SELECT doc_id, n,
+               round(CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * charlen ELSE 0 END) AS DOUBLE)
+                     / nullif(max(tc), 0), 4) AS f
+             FROM p GROUP BY doc_id, n) GROUP BY doc_id),
+fin AS (SELECT b.doc_id,
+         coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+         coalesce(top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+         coalesce(top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+         coalesce(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+         coalesce(dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+         coalesce(dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+         coalesce(dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+         coalesce(dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+         coalesce(dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+       FROM b LEFT JOIN la USING (doc_id)
+              LEFT JOIN tp USING (doc_id)
+              LEFT JOIN dp USING (doc_id))
+SELECT *,
+  dup_line_frac <= ${th("dup_line_frac")}
+    AND dup_line_char_frac <= ${th("dup_line_char_frac")}
+    AND top_2gram_char_frac <= ${th("top_2gram_char_frac")}
+    AND top_3gram_char_frac <= ${th("top_3gram_char_frac")}
+    AND top_4gram_char_frac <= ${th("top_4gram_char_frac")}
+    AND dup_5gram_char_frac <= ${th("dup_5gram_char_frac")}
+    AND dup_6gram_char_frac <= ${th("dup_6gram_char_frac")}
+    AND dup_7gram_char_frac <= ${th("dup_7gram_char_frac")}
+    AND dup_8gram_char_frac <= ${th("dup_8gram_char_frac")}
+    AND dup_9gram_char_frac <= ${th("dup_9gram_char_frac")}
+    AND dup_10gram_char_frac <= ${th("dup_10gram_char_frac")} AS rep_pass
+FROM fin ORDER BY doc_id"""
+  }
+
   /** Mirrors the pii_redaction query: the same synthesized PII suffixes
     * and the SAME regex constants (referenced from TextAnalysis, so the
     * two engines cannot drift). DuckDB regexp_replace needs the 'g' flag

@@ -157,6 +157,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(got - 2.0 / 3.0) < 1e-12)
   }
 
+  test("repetitionSignals: planted repetition fails; hand-computed 2-gram value") {
+    import graft.text.TextAnalysis
+    val varied = (1 to 80).map(i => s"w$i").mkString(" ")     // all distinct
+    val tenGram = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      0L -> varied,                                            // passes
+      1L -> Seq.fill(6)(tenGram).mkString(" "),                // dup 5..10-grams
+      2L -> Seq.fill(40)("ping pong").mkString(" "),           // top 2-gram soup
+      3L -> (Seq.fill(5)("same line here") ++ Seq("unique tail line"))
+        .mkString("\n"),                                       // dup lines
+      4L -> "a b a b a b"                                      // exact value below
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("rep_pass"), "varied doc must pass")
+    assert(!got(1L).getAs[Boolean]("rep_pass"))
+    assert(got(1L).getAs[Double]("dup_10gram_char_frac") > 0.10)
+    assert(!got(2L).getAs[Boolean]("rep_pass"))
+    assert(got(2L).getAs[Double]("top_2gram_char_frac") > 0.20)
+    assert(!got(3L).getAs[Boolean]("rep_pass"))
+    assert(got(3L).getAs[Double]("dup_line_frac") > 0.30)
+    assert(got(3L).getAs[Double]("dup_line_char_frac") > 0.20)
+    // "a b a b a b": 6 tokens, total_chars = 6 + 5 = 11; overlapping
+    // 2-grams: "a b"×3 (len 3), "b a"×2 → top frac = 3·3/11 = 0.8182
+    assert(got(4L).getAs[Double]("top_2gram_char_frac") == 0.8182)
+  }
+
   test("gopherSignals: each published rule fails its planted violator") {
     import graft.text.TextAnalysis
     // 60 prose-ish words incl. ≥2 Gopher stops → passes every rule.
