@@ -675,9 +675,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     // Training-data ops: the Gopher REPETITION filter table (Rae et al.
     // 2021 table A1) — dup-line fractions + top/dup n-gram char
-    // fractions with the paper's removal thresholds
+    // fractions with the paper's removal thresholds. Registered through
+    // the ZERO-SHUFFLE kernel form (all signals are per-document, so
+    // the explode/aggregate twin's 9×-token-count gram exchange is
+    // avoidable work — see TextAnalysis.repetitionSignalsKernel);
+    // TextFunctionsSpec asserts the two forms are row-identical.
     "gopher_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionSignals(Demo.table(s, dir, "documents"),
+      TextAnalysis.repetitionSignalsKernel(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
     // Training-data ops: Gopher-style repetition quality signals

@@ -243,6 +243,83 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** The 11 Gopher repetition signals of one document in one JVM pass —
+    * the MAP-SIDE form of `TextAnalysis.repetitionSignals`' explode/
+    * aggregate plan: every signal is per-document, so nothing needs to
+    * shuffle (the compositional plan moves ~9× the token count in gram
+    * strings through an exchange; this kernel moves nothing). Output
+    * order: dup_line_frac, dup_line_char_frac, top_{2,3,4}gram_char_frac,
+    * dup_{5..10}gram_char_frac — all rounded HALF_UP to 4 decimals
+    * (identical to Spark's round() and DuckDB's round()). Definitions
+    * are bit-identical to the compositional form (asserted by spec):
+    * code-point lengths, untrimmed line content grouped after a
+    * trim-nonempty filter, overlapping single-space n-gram joins, top
+    * tie-break (count desc, charlen desc). */
+  def gopherRepetition(text: UTF8String): ArrayData = {
+    val out = new Array[Double](11)
+    if (text == null) return ArrayData.toArrayData(out)
+    val raw = text.toString
+    def cplen(s: String): Long = s.codePointCount(0, s.length).toLong
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    // line signals: group untrimmed content, filter trim-nonempty
+    val lineCnt = new java.util.HashMap[String, Long]
+    raw.split("\n", -1).foreach { l =>
+      if (l.trim.nonEmpty) lineCnt.merge(l, 1L, _ + _)
+    }
+    if (!lineCnt.isEmpty) {
+      var occ = 0L; var dupOcc = 0L; var chars = 0L; var dupChars = 0L
+      lineCnt.forEach { (l, c) =>
+        val len = cplen(l)
+        occ += c; dupOcc += c - 1
+        chars += c * len; dupChars += (c - 1) * len
+      }
+      out(0) = round4(dupOcc.toDouble / occ)
+      if (chars > 0) out(1) = round4(dupChars.toDouble / chars)
+    }
+    // token n-gram signals (ROOT-locale lowercase — Spark's lower() is
+    // locale-independent)
+    val toks = raw.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    var totalChars = 0L
+    toks.foreach(t => totalChars += cplen(t))
+    if (toks.length > 1) totalChars += toks.length - 1
+    if (totalChars > 0) {
+      var n = 2
+      while (n <= 10) {
+        val cnt = new java.util.HashMap[String, Long]
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          cnt.merge(sb.toString, 1L, _ + _)
+          i += 1
+        }
+        if (n <= 4) {
+          var bestCnt = 0L; var bestLen = 0L
+          cnt.forEach { (g, c) =>
+            val len = cplen(g)
+            if (c > bestCnt || (c == bestCnt && len > bestLen)) {
+              bestCnt = c; bestLen = len
+            }
+          }
+          if (bestCnt > 0)
+            out(n) = round4((bestCnt * bestLen).toDouble / totalChars)
+        } else {
+          var dupChars = 0L
+          cnt.forEach { (g, c) =>
+            if (c > 1) dupChars += (c - 1) * cplen(g)
+          }
+          out(n) = round4(dupChars.toDouble / totalChars)
+        }
+        n += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct hashed word n-gram shingles of a text, in first-occurrence
     * order — one JVM pass replacing the interpreted
     * `array_distinct(transform(shingles(text), md5-hash))` chain.
@@ -506,6 +583,15 @@ object GraftFunctions {
         expr(org.apache.spark.sql.functions.lit(ksub))),
       inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
         IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd Gopher repetition signals (see
+    * [[VectorAdapters.gopherRepetition]]): 11 doubles per doc, zero
+    * shuffle. */
+  def gopher_repetition(text: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(DoubleType, containsNull = false), "gopherRepetition",
+      Seq(expr(text)), inputTypes = Seq(StringType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd PQ decode (see [[VectorAdapters.pqDecode]]). */

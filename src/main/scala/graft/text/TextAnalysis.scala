@@ -217,10 +217,7 @@ object TextAnalysis {
       max(when(col("n") === 8, col("dup_frac"))).as("dup_8gram_char_frac"),
       max(when(col("n") === 9, col("dup_frac"))).as("dup_9gram_char_frac"),
       max(when(col("n") === 10, col("dup_frac"))).as("dup_10gram_char_frac"))
-    val sigCols = Seq("dup_line_frac", "dup_line_char_frac",
-      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
-      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
-      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+    val sigCols = RepSignalCols
     val joined = base.select("doc_id")
       .join(lineAgg, Seq("doc_id"), "left")
       .join(pivoted, Seq("doc_id"), "left")
@@ -229,6 +226,41 @@ object TextAnalysis {
     joined.withColumn("rep_pass",
       sigCols.map(c => col(c) <= GopherRepThresholds(c)).reduce(_ && _))
   }
+
+  /** Column order of [[repetitionSignals]]' signal outputs — shared by
+    * the kernel unpack so the two formulations cannot drift. */
+  val RepSignalCols: Seq[String] = Seq("dup_line_frac",
+    "dup_line_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+    "top_4gram_char_frac", "dup_5gram_char_frac", "dup_6gram_char_frac",
+    "dup_7gram_char_frac", "dup_8gram_char_frac", "dup_9gram_char_frac",
+    "dup_10gram_char_frac")
+
+  /**
+   * MAP-SIDE form of [[repetitionSignals]]: every signal is
+   * per-document, so one codegen'd kernel call
+   * ([[graft.functions.VectorAdapters.gopherRepetition]]) computes all
+   * 11 fractions with ZERO shuffle — the compositional explode plan
+   * moves ~9× the token count in gram strings through an exchange;
+   * this moves nothing off the scan task. Output is bit-identical to
+   * [[repetitionSignals]] (spec-asserted over the test corpus); this
+   * is the registered default, the compositional form is the
+   * plan-shape twin.
+   */
+  def repetitionSignalsKernel(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    // two Projects on purpose: the kernel array is referenced 11 times,
+    // and CollapseProject keeps non-cheap multi-referenced expressions
+    // in their own Project, so the kernel runs ONCE per row
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.gopher_repetition(col(textCol))
+          .as("sig"))
+      .select(col("doc_id") +:
+        RepSignalCols.zipWithIndex.map { case (c, i) =>
+          element_at(col("sig"), i + 1).as(c)
+        }: _*)
+      .withColumn("rep_pass",
+        RepSignalCols.map(c => col(c) <= GopherRepThresholds(c))
+          .reduce(_ && _))
 
   /**
    * Composite quality score in [0,1]: rewards texts in a reasonable

@@ -184,6 +184,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4L).getAs[Double]("top_2gram_char_frac") == 0.8182)
   }
 
+  test("repetition kernel is row-identical to the explode/aggregate form") {
+    import graft.text.TextAnalysis
+    val docs = Demo.table(spark, sf(), "documents")
+    val a = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.repetitionSignalsKernel(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a.size == 500 && a == b)
+  }
+
   test("gopherSignals: each published rule fails its planted violator") {
     import graft.text.TextAnalysis
     // 60 prose-ish words incl. ≥2 Gopher stops → passes every rule.
