@@ -243,6 +243,10 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** Bloom membership probe — see [[graft.dedup.BloomRegistry]]. */
+  def bloomMightContain(name: UTF8String, h: Long): Boolean =
+    graft.dedup.BloomRegistry.get(name.toString).mightContainLong(h)
+
   /** The 11 Gopher repetition signals of one document in one JVM pass —
     * the MAP-SIDE form of `TextAnalysis.repetitionSignals`' explode/
     * aggregate plan: every signal is per-document, so nothing needs to
@@ -583,6 +587,15 @@ object GraftFunctions {
         expr(org.apache.spark.sql.functions.lit(ksub))),
       inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
         IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd Bloom membership probe against a
+    * [[graft.dedup.BloomRegistry]]-registered filter (name rides as a
+    * literal; the filter itself ships as a Spark side file). */
+  def bloom_might_contain(name: Column, h: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, BooleanType,
+      "bloomMightContain", Seq(expr(name), expr(h)),
+      inputTypes = Seq(StringType, LongType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd Gopher repetition signals (see
