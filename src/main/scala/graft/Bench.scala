@@ -36,10 +36,20 @@ object Bench {
     // headline so a regression in the scale-path operators is never
     // masked by baseline time. "total" stays the all-queries sum for
     // round-over-round comparability.
+    // ann_pq_topk and pq_recall joined the set in round 7: both are
+    // brute-force O(|Q|×|C|) by design (pq_recall even runs the exact
+    // float bruteForceTopK internally), so r6's scale_path_sec included
+    // ~their time; compare scale paths round-over-round accordingly.
     val exactBaselines = Set("embedding_cosine_pairs", "ann_topk",
-      "ann_quantized_topk", "quantization_recall")
+      "ann_quantized_topk", "quantization_recall", "ann_pq_topk",
+      "pq_recall")
     val exactSec = results.collect { case (k, v) if exactBaselines(k) => v }.sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    // Totals-only record LAST: the driver's tail capture window has
+    // truncated the HEAD of the 3.5 KB per-query line (BENCH_r06.json
+    // "parsed": null), so a short final line guarantees a parseable
+    // machine-readable total survives whatever window the driver keeps.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,9 +24,17 @@ object BloomRegistry {
 
   /** Driver-side: serialize `bloom` under `name`, ship it to executors,
     * and memoize the live instance locally. Returns `name` for
-    * `GraftFunctions.bloom_might_contain(lit(name), h)`. */
+    * `GraftFunctions.bloom_might_contain(lit(name), h)`.
+    *
+    * Names are unique per SparkContext: re-registering fails fast here
+    * rather than letting `SparkContext.addFile` throw (or, worse,
+    * silently leaving remote executor JVMs serving a stale memoized
+    * filter while only the driver cache is replaced). */
   def register(spark: SparkSession, bloom: BloomFilter,
       name: String): String = {
+    require(!cache.containsKey(name),
+      s"Bloom filter '$name' is already registered in this JVM; " +
+        "registry names are unique per SparkContext")
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
     val file = dir.resolve(name)
     val out = java.nio.file.Files.newOutputStream(file)

@@ -172,6 +172,15 @@ object ProductQuantization {
 
   private def cbLit(cb: Array[Double]): Column = typedlit(cb.toSeq)
 
+  /** Reconstruction norm with the same zero guard as the int8 scale
+    * (0 → 1): a codebook whose selected cells are all-zero on every
+    * subspace would otherwise yield NaN cosines for that neighbor.
+    * The oracle's rn2 CTE carries the identical CASE guard. */
+  private def guardedNorm(v: Column): Column = {
+    val n = EmbeddingOps.norm(v)
+    when(n === 0d, lit(1d)).otherwise(n)
+  }
+
   /** Per-vector PQ codes: (vec_id, codes) — codes is an array of m
     * code ids in [0, ksub). Map-side, one kernel call per row. */
   def encode(df: DataFrame, vecCol: String, idCol: String,
@@ -196,7 +205,7 @@ object ProductQuantization {
       .withColumn("rv",
         graft.functions.GraftFunctions.pq_decode(col("codes"), cbLit(cb), ksub))
       .select(col("vec_id").as("neighbor_id"), col("rv"),
-        EmbeddingOps.norm(col("rv")).as("rn"))
+        guardedNorm(col("rv")).as("rn"))
     val q = EmbeddingOps.prepared(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -233,7 +242,7 @@ object ProductQuantization {
         col("v"), cbLit(cb), m, ksub))
       .withColumn("rv", graft.functions.GraftFunctions.pq_decode(
         col("codes"), cbLit(cb), ksub))
-      .withColumn("rn", EmbeddingOps.norm(col("rv")))
+      .withColumn("rn", guardedNorm(col("rv")))
       .select("cluster", "neighbor_id", "rv", "rn")
     val probing = EmbeddingOps.prepared(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

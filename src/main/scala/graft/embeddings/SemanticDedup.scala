@@ -109,8 +109,12 @@ object SemanticDedup {
    * Per-vector keep/remove verdict: (vec_id, cluster, centroid_cos,
    * is_kept). A vector is removed iff some same-cluster neighbour at
    * cosine ≥ threshold has a strictly smaller (centroid_cos, vec_id) —
-   * see the keeper rule in the object doc. Exactly one member of every
-   * mutually-similar pair survives; chains keep their minimal element.
+   * see the keeper rule in the object doc. The invariant is
+   * group-level, not pair-level: the minimal (centroid_cos, vec_id)
+   * element of each CONNECTED dup group always survives, but an
+   * individual pair may lose both members when each is dominated by a
+   * third neighbour (chain z<x<y under the order, cos(z,x) ≥ t and
+   * cos(x,y) ≥ t: x loses to z, y loses to x, only z survives).
    */
   def keepers(df: DataFrame, vecCol: String, idCol: String,
       cents: Array[(Long, Array[Double], Double)], threshold: Double,

@@ -67,8 +67,9 @@ s AS (SELECT doc_id, text, toks, len(toks) AS n_words,
   list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
   FROM t),
 g AS (SELECT doc_id, n_words,
-  round(CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a + b) AS DOUBLE)
-    / nullif(n_words, 0), 4) AS mean_word_len,
+  CASE WHEN n_words = 0 THEN NULL
+       ELSE round(CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a + b) AS DOUBLE)
+         / nullif(n_words, 0), 4) END AS mean_word_len,
   round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
     / nullif(n_words, 0), 4) AS hash_ratio,
   round(CAST(len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…')) AS DOUBLE)
@@ -705,7 +706,9 @@ rec AS (SELECT e2.vec_id, flatten(list(cb.cv ORDER BY e2.sub)) AS rv
         FROM enc e2 JOIN cbv cb ON e2.sub = cb.sub AND e2.code = cb.code
         GROUP BY e2.vec_id),
 rn2 AS (SELECT vec_id, rv,
-          sqrt(list_reduce(list_transform(rv, x -> x * x), (p, q2) -> p + q2)) AS rn
+          CASE WHEN sqrt(list_reduce(list_transform(rv, x -> x * x), (p, q2) -> p + q2)) = 0
+               THEN 1.0
+               ELSE sqrt(list_reduce(list_transform(rv, x -> x * x), (p, q2) -> p + q2)) END AS rn
         FROM rec)"""
 
   /** Mirrors the pq_encode query: one row per (vector, subspace) with
