@@ -946,6 +946,38 @@ object SparkEntry {
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
     }),
+    // Training-data ops: the TRAINED production tiers, driver-checked.
+    // kmeansCentroids / trainedCodebook are bit-deterministic (bounded
+    // md5-ordered sample, no RNG), so the DuckDB oracle replays the
+    // trainer itself (KmeansOracles) — what the soak runs and what a
+    // production deployment would use is now what CORRECTNESS checks.
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+        nlist = 8)
+      EmbeddingOps.ivfTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2,
+        centroids = Some(cents))
+        .orderBy("query_id", "rank")
+    }),
+    "pq_encode_trained" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      ProductQuantization.encode(emb, "embedding", "vec_id", cb,
+        m = 8, ksub = 16)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+    "pq_recall_trained" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      ProductQuantization.recallAtK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
+    }),
     // Training-data ops: Johnson–Lindenstrauss random projection to 8
     // dims (deterministic literal planes, map-side; exploded to rows for
     // the oracle compare)
@@ -1245,6 +1277,13 @@ object SparkEntry {
     "ann_pq_topk" -> TextOracles.annPqTopK,
     "ann_ivf_pq_topk" -> TextOracles.annIvfPqTopK,
     "pq_recall" -> TextOracles.pqRecall,
+    // Trained-tier oracles: DuckDB REPLAYS the deterministic trainers
+    // (md5-ordered sample, farthest-point init, 10 Lloyd steps) as an
+    // unrolled CTE chain with identical fold order and tie rules — see
+    // KmeansOracles. No baked-in centroid literals.
+    "ann_ivf_trained_topk" -> graft.text.KmeansOracles.annIvfTrainedTopK,
+    "pq_encode_trained" -> graft.text.KmeansOracles.pqEncodeTrained,
+    "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

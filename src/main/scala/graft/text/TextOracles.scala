@@ -421,7 +421,7 @@ SELECT doc_id, shard, n_tokens,
   start_tok % 512 + n_tokens > 512 AS spans_boundary
 FROM p ORDER BY doc_id"""
 
-  private val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private[text] val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
       FROM e)"""
@@ -688,12 +688,17 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
     * entry with the smallest left-to-right squared-L2, ties to the
     * smaller code — the same strict-< ascending scan as the
     * pqEncode kernel. */
-  private val pqCte = s"""$normCte,
+  private val seedCbv = """cbv AS (SELECT c.vec_id AS code, subs.sub AS sub,
+          list_slice(c.uv, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cv
+        FROM u c CROSS JOIN subs WHERE c.vec_id < 16)"""
+
+  /** The PQ chain with a pluggable codebook: `cbvSql` must end in a CTE
+    * named `cbv` with columns (code, sub, cv) — the seed tier above, or
+    * [[KmeansOracles.trainedCbv]]'s recomputed Lloyd codebook. */
+  private[text] def pqChain(cbvSql: String): String = s"""$normCte,
 u AS (SELECT vec_id, list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS uv FROM n),
 subs AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS sub),
-cbv AS (SELECT c.vec_id AS code, subs.sub AS sub,
-          list_slice(c.uv, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cv
-        FROM u c CROSS JOIN subs WHERE c.vec_id < 16),
+$cbvSql,
 enc AS (SELECT vec_id, sub, code FROM (
   SELECT x.vec_id, cb.sub, cb.code,
          row_number() OVER (PARTITION BY x.vec_id, cb.sub ORDER BY
@@ -710,6 +715,8 @@ rn2 AS (SELECT vec_id, rv,
                THEN 1.0
                ELSE sqrt(list_reduce(list_transform(rv, x -> x * x), (p, q2) -> p + q2)) END AS rn
         FROM rec)"""
+
+  private val pqCte = pqChain(seedCbv)
 
   /** Mirrors the pq_encode query: one row per (vector, subspace) with
     * the chosen code — every code value-checked. */
@@ -765,7 +772,7 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
     * top-k vs the exact float top-k, plus the decimal-summed mean
     * |u_i − rec_i| reconstruction error against the NORMALIZED
     * vectors (the quantity PQ approximates). */
-  val pqRecall: String = s"""WITH $pqCte,
+  private[text] def pqRecallWith(chain: String): String = s"""WITH $chain,
 exact AS (SELECT query_id, neighbor_id FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY a.vec_id
@@ -790,6 +797,8 @@ SELECT 5 AS k, n_queries,
        round(CAST(total_hits AS DOUBLE) / (n_queries * 5), 4) AS recall_at_k,
        mean_abs_err
 FROM hits CROSS JOIN nqs CROSS JOIN err"""
+
+  val pqRecall: String = pqRecallWith(pqCte)
 
   val quantizationRecall: String = s"""WITH $quantCte,
 n AS (SELECT vec_id, v,
