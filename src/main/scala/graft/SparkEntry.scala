@@ -42,6 +42,13 @@ object SparkEntry {
     }
   }
 
+  /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
+    * queries: repeated invocations (bench medians, verify) overwrite the
+    * same directory instead of leaking temp dirs. */
+  private def tmpIndexDir(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$kind-index-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   private def webClean(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "web")(Clean.web(Demo.ccRaw(s, dir)))
   private def abrClean(s: SparkSession, dir: String): DataFrame =
@@ -946,6 +953,36 @@ object SparkEntry {
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
     }),
+    // Training-data ops: the PERSISTED compressed index layouts. Each
+    // invocation (re)writes the cluster-partitioned index — SQ8 codes +
+    // scale, or m-byte PQ codes, never the float vectors — then serves
+    // top-k FROM the parquet layout with dynamic partition pruning on
+    // the probed cells (asserted in EmbeddingIndexSpec). Oracles are the
+    // in-memory twins: persistence must not change a single value.
+    "ann_ivf_sq8_index_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val path = tmpIndexDir("sq8", dir)
+      Quantization.writeIvfSq8Index(emb, "embedding", "vec_id", 8, path,
+        Some(cents))
+      Quantization.ivfSq8TopKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), path,
+        "embedding", "vec_id", k = 5, nprobe = 2, cents)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf_pq_index_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      val path = tmpIndexDir("pq", dir)
+      ProductQuantization.writeIvfPqIndex(emb, "embedding", "vec_id", 8,
+        path, cb, m = 8, ksub = 16, Some(cents))
+      ProductQuantization.ivfPqTopKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), path,
+        "embedding", "vec_id", k = 5, nprobe = 2, cb, ksub = 16, cents)
+        .orderBy("query_id", "rank")
+    }),
     // Training-data ops: the TRAINED production tiers, driver-checked.
     // kmeansCentroids / trainedCodebook are bit-deterministic (bounded
     // md5-ordered sample, no RNG), so the DuckDB oracle replays the
@@ -1272,6 +1309,10 @@ object SparkEntry {
     "embedding_quantize" -> TextOracles.embeddingQuantize(),
     "ann_quantized_topk" -> TextOracles.annQuantizedTopK,
     "ann_ivf_sq8_topk" -> TextOracles.annIvfSq8TopK,
+    // Persistence must not change a value: the persisted-index queries
+    // share the in-memory twins' oracles verbatim.
+    "ann_ivf_sq8_index_topk" -> TextOracles.annIvfSq8TopK,
+    "ann_ivf_pq_index_topk" -> TextOracles.annIvfPqTopK,
     "quantization_recall" -> TextOracles.quantizationRecall,
     "pq_encode" -> TextOracles.pqEncode,
     "ann_pq_topk" -> TextOracles.annPqTopK,

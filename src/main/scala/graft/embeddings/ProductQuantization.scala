@@ -259,6 +259,57 @@ object ProductQuantization {
   }
 
   /**
+   * Persist the corpus as an IVF + PQ index: one parquet directory per
+   * coarse cluster, each row carrying ONLY the m PQ code ids — the
+   * 32×-compressed layout (8 bytes/vector at m=8) the `ivfPqTopK` doc
+   * promises. For a 100 TB float32 corpus this index is ~3 TB, and a
+   * query batch's probe join reads only its nprobe cluster directories
+   * (dynamic partition pruning, asserted in EmbeddingIndexSpec).
+   */
+  def writeIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, path: String, cb: Array[Double], m: Int, ksub: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): Unit = {
+    val cents = centroids.getOrElse(
+      EmbeddingOps.ivfCentroids(corpus, vecCol, idCol, nlist))
+    val indexed = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+      .select(col("cluster"), col("vec_id"),
+        graft.functions.GraftFunctions.pq_encode(
+          col("v"), cbLit(cb), m, ksub).as("codes"))
+    graft.io.ParquetSink.writePartitioned(indexed, path, Seq("cluster"))
+  }
+
+  /** Serve IVF+PQ top-k from a persisted [[writeIvfPqIndex]] layout:
+    * float queries probe their nprobe cells, the scan reads ONLY the
+    * probed cluster directories, decode happens map-side from the
+    * codebook literal, and ADC scoring matches the in-memory
+    * [[ivfPqTopK]] value-for-value. */
+  def ivfPqTopKFromIndex(queries: DataFrame, indexPath: String,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      cb: Array[Double], ksub: Int,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = queries.sparkSession
+    val index = spark.read.parquet(indexPath)
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.pq_decode(
+          col("codes"), cbLit(cb), ksub).as("rv"))
+      .withColumn("rn", guardedNorm(col("rv")))
+    val probing = EmbeddingOps.prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(EmbeddingOps.ivfProbes(col("v"), cents, nprobe))
+          .as("cluster"))
+    val scored = probing.join(index, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(EmbeddingOps.dot(col("qv"), col("rv")) /
+          (col("qn") * col("rn")), 4).as("cosine_pq"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine_pq"), asc("neighbor_id")), k)
+  }
+
+  /**
    * Quality report: recall@k of the ADC top-k against the exact float
    * top-k, plus the mean absolute reconstruction error of the decoded
    * codes against the unit-NORMALIZED corpus vectors (the quantity PQ

@@ -125,6 +125,59 @@ object Quantization {
   }
 
   /**
+   * Persist the corpus as an IVF + SQ8 index: one parquet directory per
+   * coarse cluster, each row carrying the int8 codes and the per-vector
+   * scale INSTEAD of the float vector — the ~4×-smaller on-disk layout
+   * the `ivfQuantizedTopK` doc promises ("the layout writeIvfIndex
+   * would persist"). At 100 TB of float32 embeddings the persisted
+   * index is ~25 TB, and a query batch's probe join reads only its
+   * nprobe cluster directories (dynamic partition pruning, asserted in
+   * EmbeddingIndexSpec).
+   */
+  def writeIvfSq8Index(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, path: String,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): Unit = {
+    val cents = centroids.getOrElse(
+      EmbeddingOps.ivfCentroids(corpus, vecCol, idCol, nlist))
+    val indexed = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+      .withColumn("scale", scaleOf(maxAbs(col("v"))))
+      .select(col("cluster"), col("vec_id"), col("scale"),
+        codesOf(col("v"), col("scale")).as("q"))
+    graft.io.ParquetSink.writePartitioned(indexed, path, Seq("cluster"))
+  }
+
+  /** Serve IVF+SQ8 top-k from a persisted [[writeIvfSq8Index]] layout:
+    * float queries probe their nprobe cells (same centroids the index
+    * was written with), the scan reads ONLY the probed cluster
+    * directories, and ADC scoring runs on the stored codes — value-
+    * identical to the in-memory [[ivfQuantizedTopK]] (cosine is
+    * scale-free, so the stored scale is not even read here; it exists
+    * for reconstruction consumers). */
+  def ivfSq8TopKFromIndex(queries: DataFrame, indexPath: String,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = queries.sparkSession
+    val index = spark.read.parquet(indexPath)
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("q").cast("array<double>").as("cd"))
+      .withColumn("cn", EmbeddingOps.norm(col("cd")))
+    val probing = EmbeddingOps.prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(EmbeddingOps.ivfProbes(col("v"), cents, nprobe))
+          .as("cluster"))
+    val scored = probing.join(index, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(EmbeddingOps.dot(col("qv"), col("cd")) /
+          (col("qn") * col("cn")), 4).as("cosine_adc"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine_adc"), asc("neighbor_id")), k)
+  }
+
+  /**
    * Quality report for the quantized index: recall@k of the quantized
    * top-k against the exact float top-k, plus the mean absolute
    * reconstruction error — ONE summary row
