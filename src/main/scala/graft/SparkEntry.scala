@@ -953,6 +953,28 @@ object SparkEntry {
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
     }),
+    // Training-data ops: two-stage retrieval (faiss refine convention) —
+    // IVF+PQ ADC candidates cut to rerankK, exact float rerank to k; the
+    // companion report shows the refine stage's recall vs pure ADC.
+    "ann_ivf_pq_rerank_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.ivfPqRerankTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2, cb,
+        m = 8, ksub = 16, rerankK = 50)
+        .orderBy("query_id", "rank")
+    }),
+    "pq_rerank_recall" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      ProductQuantization.rerankRecallAtK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2, cb,
+        m = 8, ksub = 16, rerankK = 50)
+    }),
     // Training-data ops: the PERSISTED compressed index layouts. Each
     // invocation (re)writes the cluster-partitioned index — SQ8 codes +
     // scale, or m-byte PQ codes, never the float vectors — then serves
@@ -1313,6 +1335,8 @@ object SparkEntry {
     // share the in-memory twins' oracles verbatim.
     "ann_ivf_sq8_index_topk" -> TextOracles.annIvfSq8TopK,
     "ann_ivf_pq_index_topk" -> TextOracles.annIvfPqTopK,
+    "ann_ivf_pq_rerank_topk" -> TextOracles.annIvfPqRerankTopK(),
+    "pq_rerank_recall" -> TextOracles.pqRerankRecall(),
     "quantization_recall" -> TextOracles.quantizationRecall,
     "pq_encode" -> TextOracles.pqEncode,
     "ann_pq_topk" -> TextOracles.annPqTopK,

@@ -259,6 +259,70 @@ object ProductQuantization {
   }
 
   /**
+   * Two-stage retrieval with exact rerank — faiss's refine convention
+   * (`IVF{nlist},PQ{m},Refine(Flat)`): stage 1 runs the compressed
+   * IVF+PQ ADC scan and keeps the top `rerankK` candidates per query;
+   * stage 2 fetches ONLY those candidates' float vectors and re-scores
+   * them with the exact cosine, cutting to `k`. At corpus scale the
+   * expensive float reads touch |Q|·rerankK rows instead of the corpus,
+   * so the refine stage buys back most of the quantization recall loss
+   * for a bounded extra cost; the candidate join broadcasts the (small)
+   * candidate list against the corpus.
+   */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, nlist: Int, nprobe: Int,
+      cb: Array[Double], m: Int, ksub: Int, rerankK: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val cand = ivfPqTopK(queries, corpus, vecCol, idCol, rerankK, nlist,
+      nprobe, cb, m, ksub, centroids)
+      .select("query_id", "neighbor_id")
+    val q = EmbeddingOps.prepared(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val c = EmbeddingOps.prepared(corpus, vecCol, idCol)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val rescored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(EmbeddingOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 4).as("cosine"))
+    graft.operators.Relational.topKPerGroup(rescored,
+      Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
+  /** ONE-row report comparing recall@k of the pure-ADC IVF+PQ top-k and
+    * of the reranked top-k against the exact float top-k: (k, n_queries,
+    * recall_adc, recall_rerank). The refine stage should never lose
+    * recall (asserted in ProductQuantizationSpec); this is the number a
+    * user reads before choosing rerankK. */
+  def rerankRecallAtK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, nlist: Int, nprobe: Int,
+      cb: Array[Double], m: Int, ksub: Int, rerankK: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val exact = EmbeddingOps.bruteForceTopK(queries, corpus,
+      vecCol, idCol, k).select("query_id", "neighbor_id")
+    val adc = ivfPqTopK(queries, corpus, vecCol, idCol, k, nlist, nprobe,
+      cb, m, ksub, centroids).select("query_id", "neighbor_id")
+    val rr = ivfPqRerankTopK(queries, corpus, vecCol, idCol, k, nlist,
+      nprobe, cb, m, ksub, rerankK, centroids)
+      .select("query_id", "neighbor_id")
+    val ha = exact.join(adc, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits_adc"))
+    val hr = exact.join(rr, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits_rerank"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+    nq.crossJoin(ha).crossJoin(hr)
+      .select(lit(k).as("k"), col("n_queries"),
+        round(col("hits_adc").cast("double") / (col("n_queries") * k), 4)
+          .as("recall_adc"),
+        round(col("hits_rerank").cast("double") / (col("n_queries") * k), 4)
+          .as("recall_rerank"))
+  }
+
+  /**
    * Persist the corpus as an IVF + PQ index: one parquet directory per
    * coarse cluster, each row carrying ONLY the m PQ code ids — the
    * 32×-compressed layout (8 bytes/vector at m=8) the `ivfPqTopK` doc

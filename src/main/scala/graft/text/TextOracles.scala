@@ -740,7 +740,7 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
     * coarse centroids/assignment/probing on the FLOAT vectors (same
     * rules as annIvfTopK), ADC scoring of float queries against the
     * PQ reconstructions. */
-  val annIvfPqTopK: String = s"""WITH $pqCte,
+  private val ivfPqCandChain: String = s"""$pqCte,
 cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
 assign AS (
   SELECT vec_id AS neighbor_id, cid AS cluster FROM (
@@ -762,11 +762,66 @@ cand AS (
          round(list_reduce(list_transform(list_zip(qv, rv), z -> z[1] * z[2]),
                (p, q2) -> p + q2) / (qn * rn), 4) AS cosine_pq
   FROM probes JOIN corpuspq USING (cluster)
-  WHERE query_id <> neighbor_id)
+  WHERE query_id <> neighbor_id)"""
+
+  val annIvfPqTopK: String = s"""WITH $ivfPqCandChain
 SELECT query_id, neighbor_id, cosine_pq, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Mirrors ProductQuantization.ivfPqRerankTopK(k=5, rerankK=50): the
+    * IVF+PQ ADC candidates are cut to the top rerankK per query, then
+    * re-scored with the EXACT float cosine (faiss's refine convention)
+    * and cut to k. */
+  def annIvfPqRerankTopK(rerankK: Int = 50): String = s"""WITH $ivfPqCandChain,
+cadc AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+  WHERE rank <= $rerankK),
+rr AS (SELECT ca.query_id, ca.neighbor_id,
+         round(list_reduce(list_transform(list_zip(q.v, b.v), z -> z[1] * z[2]),
+               (p, q2) -> p + q2) / (q.nrm * b.nrm), 4) AS cosine
+       FROM cadc ca JOIN n q ON q.vec_id = ca.query_id
+                    JOIN n b ON b.vec_id = ca.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM rr) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Mirrors ProductQuantization.rerankRecallAtK(k=5, rerankK=50): ONE
+    * row comparing recall@5 of the pure-ADC IVF+PQ top-k and of the
+    * reranked top-k against the exact float top-k — the report that
+    * shows what the refine stage buys. */
+  def pqRerankRecall(rerankK: Int = 50): String = s"""WITH $ivfPqCandChain,
+exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round($dotAB / (a.nrm * b.nrm), 4) DESC, b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < ${EmbeddingOps.DemoQueryCount}) t WHERE rank <= 5),
+adc AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+  WHERE rank <= 5),
+cadc AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+  WHERE rank <= $rerankK),
+rr AS (SELECT query_id, neighbor_id FROM (
+  SELECT ca.query_id, ca.neighbor_id,
+         row_number() OVER (PARTITION BY ca.query_id
+           ORDER BY round(list_reduce(list_transform(list_zip(q.v, b.v), z -> z[1] * z[2]),
+                 (p, q2) -> p + q2) / (q.nrm * b.nrm), 4) DESC, ca.neighbor_id) AS rank
+  FROM cadc ca JOIN n q ON q.vec_id = ca.query_id
+               JOIN n b ON b.vec_id = ca.neighbor_id) t WHERE rank <= 5),
+ha AS (SELECT count(*) AS hits_adc FROM exact JOIN adc USING (query_id, neighbor_id)),
+hr AS (SELECT count(*) AS hits_rerank FROM exact JOIN rr USING (query_id, neighbor_id)),
+nqs AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact)
+SELECT 5 AS k, n_queries,
+       round(CAST(hits_adc AS DOUBLE) / (n_queries * 5), 4) AS recall_adc,
+       round(CAST(hits_rerank AS DOUBLE) / (n_queries * 5), 4) AS recall_rerank
+FROM nqs CROSS JOIN ha CROSS JOIN hr"""
 
   /** Mirrors ProductQuantization.recallAtK(k=5): recall@5 of the ADC
     * top-k vs the exact float top-k, plus the decimal-summed mean

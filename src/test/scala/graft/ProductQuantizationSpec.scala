@@ -118,4 +118,23 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(trRecall > 0.0 && demoRecall > 0.0,
       s"recalls $trRecall / $demoRecall")
   }
+
+  test("exact rerank never loses recall vs the pure-ADC IVF+PQ path") {
+    val queries = emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount)
+    val row = PQ.rerankRecallAtK(queries, emb, "embedding", "vec_id",
+        k = 5, nlist = 8, nprobe = 2, demoCb, M, Ksub, rerankK = 50)
+      .select("recall_adc", "recall_rerank").as[(Double, Double)].head()
+    val (adc, rerank) = row
+    assert(rerank >= adc, s"rerank $rerank < adc $adc")
+    assert(rerank > 0.0)
+    // rerankK = corpus size degenerates to the probed-cells exact top-k:
+    // rerank recall then equals the float IVF recall ceiling, so with a
+    // corpus-sized rerankK the refine stage must strictly dominate ADC
+    // ordering errors whenever any exist; sanity-pin monotonicity in K.
+    val big = PQ.rerankRecallAtK(queries, emb, "embedding", "vec_id",
+        k = 5, nlist = 8, nprobe = 2, demoCb, M, Ksub,
+        rerankK = emb.count().toInt)
+      .select("recall_rerank").as[Double].head()
+    assert(big >= rerank, s"recall not monotone in rerankK: $big < $rerank")
+  }
 }
