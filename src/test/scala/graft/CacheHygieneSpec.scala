@@ -120,6 +120,38 @@ class CacheHygieneSpec extends SparkSpec {
       "stageStats left entries in the session CacheManager")
   }
 
+  test("Materialized strategies: none/persist/localCheckpoint agree; persist is caller-owned") {
+    val key = graft.operators.Materialized.ConfKey
+    def pairs(): Set[(Long, Long)] =
+      EmbeddingOps.lshCosinePairs(emb, "embedding", "vec_id", threshold = 0.45)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    try {
+      spark.catalog.clearCache()
+      val viaCheckpoint = pairs() // default strategy
+      assert(DatasetBridge.cacheIsEmpty(spark))
+
+      // none: no materialization, no cache entries, identical result
+      spark.conf.set(key, "none")
+      assert(pairs() == viaCheckpoint)
+      assert(DatasetBridge.cacheIsEmpty(spark),
+        "strategy=none must not touch the CacheManager")
+
+      // persist: lineage kept, CacheManager entry OWNED BY THE CALLER —
+      // visible after the operator, gone after releaseAll
+      spark.conf.set(key, "persist")
+      assert(pairs() == viaCheckpoint)
+      assert(!DatasetBridge.cacheIsEmpty(spark),
+        "strategy=persist should leave caller-owned entries")
+      assert(graft.operators.Materialized.releaseAll(spark) > 0)
+      assert(DatasetBridge.cacheIsEmpty(spark),
+        "releaseAll must drain every owned entry")
+      assert(graft.operators.Materialized.releaseAll(spark) == 0)
+
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException] { pairs() }
+    } finally spark.conf.unset(key)
+  }
+
   test("Match.run unpersists the LLM band on success AND on guard failure") {
     val web = Clean.web(Demo.ccRaw(spark, sf()))
     val abr = Clean.abr(Demo.abrRaw(spark, sf()))
