@@ -42,6 +42,17 @@ object SparkEntry {
     }
   }
 
+  /** Corpus sizes feeding size-derived parameters (semdedup nlist):
+    * counted ONCE per (session, dir) instead of once per query
+    * invocation — at corpus scale the derivation pass should not be
+    * re-run by every consumer (round-6 verdict, "what's wrong" #3).
+    * Parquet counts are metadata-cheap but still schedule a job. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  private def cachedCount(s: SparkSession, dir: String, table: String): Long =
+    countCache.computeIfAbsent((s, dir, table),
+      _ => Demo.table(s, dir, table).count())
+
   /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
     * queries: repeated invocations (bench medians, verify) overwrite the
     * same directory instead of leaking temp dirs. */
@@ -853,7 +864,7 @@ object SparkEntry {
     // pinned by SemanticDedupSpec so a rule change breaks loudly).
     "semdedup_pairs" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val nlist = SemanticDedup.nlistForCount(emb.count())
+      val nlist = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
       val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
       SemanticDedup.pairs(emb, "embedding", "vec_id", cents,
         threshold = 0.45)
@@ -864,10 +875,32 @@ object SparkEntry {
     // rounded centroid cosine, ties to the smaller id)
     "semdedup_keepers" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val nlist = SemanticDedup.nlistForCount(emb.count())
+      val nlist = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
       val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
       SemanticDedup.keepers(emb, "embedding", "vec_id", cents,
         threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+    // Training-data ops: one epoch of the streaming SemDeDup pipeline
+    // composed as a batch (StreamingSemdedup.processBatch): the batch
+    // (vec_id % 10 = 7) is internally SemDeDup'ed, then deduped against
+    // the int8-code corpus index of everything else — the batch twin
+    // that makes the streaming path's arithmetic driver-checkable.
+    "semdedup_incremental" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+      val kept = SemanticDedup.keepers(batch, "embedding", "vec_id", cents,
+        threshold = 0.45).filter(col("is_kept")).select("vec_id")
+      val internal = batch.join(kept, Seq("vec_id"), "left_semi")
+      val index = SemanticDedup.corpusIndex(corpus, "embedding", "vec_id",
+        cents)
+      SemanticDedup.semdedupAgainstIndex(internal, index, "embedding",
+        "vec_id", cents, threshold = 0.45)
+        .select(col("vec_id"),
+          EmbeddingOps.ivfAssignment(
+            col("embedding").cast("array<double>"), cents).as("cluster"))
         .orderBy("vec_id")
     }),
     // Training-data ops: symmetric per-vector int8 quantization
@@ -1328,6 +1361,7 @@ object SparkEntry {
       numPlanes = EmbeddingOps.planesForCount(500)),
     "semdedup_pairs" -> TextOracles.semdedupPairs(),
     "semdedup_keepers" -> TextOracles.semdedupKeepers(),
+    "semdedup_incremental" -> TextOracles.semdedupIncremental(),
     "embedding_quantize" -> TextOracles.embeddingQuantize(),
     "ann_quantized_topk" -> TextOracles.annQuantizedTopK,
     "ann_ivf_sq8_topk" -> TextOracles.annIvfSq8TopK,

@@ -139,14 +139,23 @@ object Quantization {
       centroids: Option[Array[(Long, Array[Double], Double)]] = None): Unit = {
     val cents = centroids.getOrElse(
       EmbeddingOps.ivfCentroids(corpus, vecCol, idCol, nlist))
-    val indexed = corpus
+    graft.io.ParquetSink.writePartitioned(
+      indexRows(corpus, vecCol, idCol, cents), path, Seq("cluster"))
+  }
+
+  /** The SQ8 index row relation: (cluster, vec_id, scale, q) — ONE
+    * map-side projection (coarse cell via the flat centroid-matrix
+    * kernel + int8 codes). Shared by [[writeIvfSq8Index]] and the
+    * streaming SemDeDup index ([[SemanticDedup.corpusIndex]]). */
+  private[embeddings] def indexRows(corpus: DataFrame, vecCol: String,
+      idCol: String,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame =
+    corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
       .withColumn("scale", scaleOf(maxAbs(col("v"))))
       .select(col("cluster"), col("vec_id"), col("scale"),
         codesOf(col("v"), col("scale")).as("q"))
-    graft.io.ParquetSink.writePartitioned(indexed, path, Seq("cluster"))
-  }
 
   /** Serve IVF+SQ8 top-k from a persisted [[writeIvfSq8Index]] layout:
     * float queries probe their nprobe cells (same centroids the index

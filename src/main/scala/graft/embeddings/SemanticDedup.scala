@@ -144,4 +144,39 @@ object SemanticDedup {
       .select(col("vec_id"), col("cluster"), col("centroid_cos"),
         coalesce(!col("removed"), lit(true)).as("is_kept"))
   }
+
+  /** Compressed corpus-index rows for incremental/streaming SemDeDup:
+    * (cluster, vec_id, scale, q) — the SAME layout
+    * [[Quantization.writeIvfSq8Index]] persists (int8 codes, never the
+    * float vectors), so the growing dedup index costs ~¼ of the corpus
+    * embeddings and batch probes score against codes. */
+  def corpusIndex(df: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame =
+    Quantization.indexRows(df, vecCol, idCol, cents)
+
+  /**
+   * Batch-vs-index semantic dedup: drop every batch vector that has a
+   * same-cluster index neighbour at ADC cosine ≥ threshold (float batch
+   * vector against the index's int8 codes — cosine is scale-free, so
+   * the stored scale is not read). Linear in the batch; the index side
+   * touches only the batch's clusters. Batch-INTERNAL dups are the
+   * caller's business ([[keepers]]), mirroring how
+   * `TextDedup.dedupAgainstIndex` leaves in-batch near-dups alone.
+   */
+  def semdedupAgainstIndex(batch: DataFrame, index: DataFrame,
+      vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)],
+      threshold: Double): DataFrame = {
+    val b = EmbeddingOps.prepared(batch, vecCol, idCol)
+      .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents))
+    val idx = index.select(col("cluster"),
+        col("q").cast("array<double>").as("qd"))
+      .withColumn("qn", EmbeddingOps.norm(col("qd")))
+    val dupIds = b.join(idx, Seq("cluster"))
+      .filter(round(EmbeddingOps.dot(col("v"), col("qd")) /
+        (col("nrm") * col("qn")), 4) >= threshold)
+      .select(col("vec_id").as(idCol))
+      .distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -601,6 +601,52 @@ SELECT a.vec_id, a.cluster, a.ccos AS centroid_cos,
 FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
 ORDER BY a.vec_id"""
 
+  /** Mirrors the semdedup_incremental query — one epoch of
+    * StreamingSemdedup.processBatch composed as a batch: the batch
+    * (vec_id % 10 = 7) is SemDeDup'ed internally (keeper rule inside
+    * its clusters, same domination order as semdedupKeepers), then
+    * against the corpus index (vec_id % 10 ≠ 7) stored as int8 codes —
+    * a batch vector is dropped when a same-cluster index row scores ADC
+    * cosine ≥ threshold (float batch vector against code doubles,
+    * scales cancel). */
+  def semdedupIncremental(threshold: Double = 0.45,
+      maxCluster: Long = 100000L): String = s"""WITH $quantCte,
+n AS (SELECT vec_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+      FROM e),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, cid AS cluster, v, nrm, round(d / (nrm * cn), 4) AS ccos FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm, c.cn, $dotNC AS d,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+ba AS (SELECT * FROM asg WHERE vec_id % 10 = 7),
+bkeep AS (SELECT cluster FROM ba GROUP BY cluster HAVING count(*) <= $maxCluster),
+bca AS (SELECT ba.* FROM ba JOIN bkeep USING (cluster)),
+bremoved AS (
+  SELECT DISTINCT x.vec_id FROM bca x JOIN bca y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE round($dotXY / (x.nrm * y.nrm), 4) >= $threshold
+    AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))),
+internal AS (SELECT * FROM ba
+  WHERE vec_id NOT IN (SELECT vec_id FROM bremoved)),
+idxn AS (SELECT a.cluster,
+           list_transform(q.qc, x -> CAST(x AS DOUBLE)) AS qd
+         FROM asg a JOIN q ON a.vec_id = q.vec_id
+         WHERE a.vec_id % 10 <> 7),
+idxq AS (SELECT cluster, qd,
+           sqrt(list_reduce(list_transform(qd, x -> x * x), (a,b) -> a + b)) AS qn
+         FROM idxn),
+dups AS (
+  SELECT DISTINCT i.vec_id FROM internal i JOIN idxq ix
+    ON i.cluster = ix.cluster
+  WHERE round(list_reduce(list_transform(list_zip(i.v, ix.qd), z -> z[1] * z[2]),
+        (p, q2) -> p + q2) / (i.nrm * ix.qn), 4) >= $threshold)
+SELECT vec_id, cluster FROM internal
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY vec_id"""
+
   /** Shared quantization CTEs mirroring Quantization.quantize:
     * symmetric per-vector max-abs int8 codes, HALF_UP rounding (both
     * engines round doubles half away from zero), scale 1.0 for the

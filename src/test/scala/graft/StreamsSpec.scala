@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Streams, StreamingDedup}
+import graft.streaming.{Streams, StreamingDedup, StreamingSemdedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,105 @@ class StreamsSpec extends SparkSpec {
       val idx = spark.read.parquet(indexDir).collect()
       assert(idx.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 3L, 12L))
     } finally q.stop()
+  }
+
+  test("streaming semdedup: second batch dedups against the first's code index") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ssem").toString
+    val (indexDir, outDir, ckDir) = (s"$dir/index", s"$dir/out", s"$dir/ck")
+    val cents: Array[(Long, Array[Double], Double)] = Array(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+    val base = Seq(0.9, 0.1, 0.0, 0.0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingSemdedup.start(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cents, indexDir, outDir, ckDir, threshold = 0.9)
+    try {
+      // batch 1: exact internal dup (2 of 1) + a distinct vector
+      input.addData((1L, base), (2L, base), (3L, Seq(0.0, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(1L, 3L))
+      // batch 2: exact dup of base, a near-dup of base (cos ≈ 0.9996),
+      // and a genuinely new direction
+      input.addData((10L, base), (11L, Seq(0.89, 0.11, 0.0, 0.0)),
+        (12L, Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(1L, 3L, 12L))
+      // the index grew by exactly the survivors, as compressed codes
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+        === Seq(1L, 3L, 12L))
+      assert(idx.schema.fieldNames.toSet ===
+        Set("cluster", "vec_id", "scale", "q"))
+    } finally q.stop()
+  }
+
+  test("streaming semdedup restart: checkpoint replay keeps index/corpus exactly-once") {
+    // Same crash-window recipe as the text-dedup restart proof below:
+    // clone the checkpoint minus the newest commit marker, restart from
+    // the clone, and prove the replayed epoch re-dedups against its OWN
+    // index rows (a vector's ADC cosine to its own int8 codes ≈ 1).
+    val dir = java.nio.file.Files.createTempDirectory("ssem-restart")
+    val (srcDir, indexDir, outDir, ckDir) =
+      (s"$dir/src", s"$dir/index", s"$dir/out", s"$dir/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val cents: Array[(Long, Array[Double], Double)] = Array(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Double])]): Unit = {
+      val json = rows.map { case (id, v) =>
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}""" }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/$name"),
+        json.getBytes("UTF-8"))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("embedding", "array<double>")
+    def startQuery(ck: String) = StreamingSemdedup.start(
+      spark.readStream.schema(schema).json(srcDir),
+      "embedding", "vec_id", cents, indexDir, outDir, ck, threshold = 0.9)
+
+    val base = Seq(0.9, 0.1, 0.0, 0.0)
+    writeBatch("b1.json", Seq((1L, base), (2L, base),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))))
+    val q1 = startQuery(ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(1L, 3L))
+
+    import scala.jdk.CollectionConverters._
+    val ck2 = s"$dir/ck2"
+    val srcRoot = java.nio.file.Paths.get(ckDir)
+    java.nio.file.Files.walk(srcRoot).iterator().asScala.toSeq.foreach { p =>
+      val dst = java.nio.file.Paths.get(ck2).resolve(srcRoot.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+    val commits = java.nio.file.Paths.get(s"$ck2/commits")
+    val newest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(newest)
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling(s".${newest.getFileName}.crc"))
+
+    writeBatch("b2.json", Seq((10L, base),
+      (12L, Seq(0.0, 0.0, 1.0, 0.0))))
+    val q2 = startQuery(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Epoch 1 replays: 1 and 3 dedup against their own index rows;
+    // batch 2's fresh vector lands exactly once.
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(out === Seq(1L, 3L, 12L), s"corpus not exactly-once: $out")
+    assert(idx === Seq(1L, 3L, 12L), s"index not exactly-once: $idx")
   }
 
   test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
