@@ -50,7 +50,21 @@ object ScaleSoak {
     "ann_pq_topk",
     // IVF+PQ: probed cells + ADC — the canonical compressed production
     // layout; same linearity argument as IVF+SQ8
-    "ann_ivf_pq_topk")
+    "ann_ivf_pq_topk",
+    // ── text/quality family (round-6 verdict #5: map-side/two-level-agg
+    // CLAIMS, now measured) ──
+    // one codegen'd kernel call per document, zero shuffle
+    "gopher_repetition",
+    // map-side wordpiece explode — linear in corpus characters
+    "tokenize_documents",
+    // real-token packing: per-shard cumulative window over 16 hash
+    // shards — the α here prices the fixed shard-parallelism claim
+    "pack_sequences_bpe",
+    // two-level agg (df + tf) + broadcast term join
+    "bm25_search",
+    // batch-vs-index semantic dedup epoch (batch grows with the corpus;
+    // the probe join must stay linear in the batch)
+    "semdedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")

@@ -888,7 +888,11 @@ object SparkEntry {
     // that makes the streaming path's arithmetic driver-checkable.
     "semdedup_incremental" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      // cluster count tracks the corpus (nlistForCount — 500 vectors → 8,
+      // pinned by the oracle like semdedup_pairs); a fixed nlist would
+      // make the batch-vs-index probe join quadratic as data grows
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id",
+        SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings")))
       val batch = emb.filter(col("vec_id") % 10 === 7)
       val corpus = emb.filter(col("vec_id") % 10 =!= 7)
       val kept = SemanticDedup.keepers(batch, "embedding", "vec_id", cents,
