@@ -42,7 +42,7 @@ object Bench {
     // ~their time; compare scale paths round-over-round accordingly.
     val exactBaselines = Set("embedding_cosine_pairs", "ann_topk",
       "ann_quantized_topk", "quantization_recall", "ann_pq_topk",
-      "pq_recall")
+      "pq_recall", "pq_recall_trained", "pq_rerank_recall")
     val exactSec = results.collect { case (k, v) if exactBaselines(k) => v }.sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     // Totals-only record LAST: the driver's tail capture window has
