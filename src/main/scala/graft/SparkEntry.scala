@@ -1074,6 +1074,26 @@ object SparkEntry {
         emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
         "embedding", "vec_id", k = 5, cb, m = 8, ksub = 16)
     }),
+    // Training-data ops: the ENTIRE production serving path in one
+    // driver-checked query — trained coarse centroids + trained PQ
+    // codebook + PERSISTED compressed index (DPP-pruned probe, ADC on
+    // stored codes) + exact float rerank of the bounded candidate list.
+    // IVF8,PQ8,Refine(Flat) end to end; the oracle replays every stage.
+    "ann_production_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+        nlist = 8)
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      val path = tmpIndexDir("prod", dir)
+      ProductQuantization.writeIvfPqIndex(emb, "embedding", "vec_id", 8,
+        path, cb, m = 8, ksub = 16, Some(cents))
+      ProductQuantization.ivfPqRerankTopKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), path, emb,
+        "embedding", "vec_id", k = 5, nprobe = 2, cb, ksub = 16, cents,
+        rerankK = 50)
+        .orderBy("query_id", "rank")
+    }),
     // Training-data ops: Johnson–Lindenstrauss random projection to 8
     // dims (deterministic literal planes, map-side; exploded to rows for
     // the oracle compare)
@@ -1387,6 +1407,7 @@ object SparkEntry {
     "ann_ivf_trained_topk" -> graft.text.KmeansOracles.annIvfTrainedTopK,
     "pq_encode_trained" -> graft.text.KmeansOracles.pqEncodeTrained,
     "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
+    "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

@@ -278,6 +278,13 @@ object ProductQuantization {
     val cand = ivfPqTopK(queries, corpus, vecCol, idCol, rerankK, nlist,
       nprobe, cb, m, ksub, centroids)
       .select("query_id", "neighbor_id")
+    exactRerank(cand, queries, corpus, vecCol, idCol, k)
+  }
+
+  /** Stage 2 of the refine convention: exact float cosine over the
+    * (query_id, neighbor_id) candidate list only, cut to k. */
+  private def exactRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = EmbeddingOps.prepared(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -290,6 +297,26 @@ object ProductQuantization {
           (col("qn") * col("cn")), 4).as("cosine"))
     graft.operators.Relational.topKPerGroup(rescored,
       Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
+  /**
+   * The full production serving path in one call: candidates come from
+   * the PERSISTED compressed index ([[writeIvfPqIndex]] — DPP-pruned
+   * probe, ADC scoring against stored codes), the exact rerank fetches
+   * only the |Q|·rerankK candidate float vectors from `corpus`. With
+   * trained centroids/codebook this is
+   * `IVF{nlist},PQ{m},Refine(Flat)` end to end: ~3 TB index scan + a
+   * bounded float join for a 100 TB corpus.
+   */
+  def ivfPqRerankTopKFromIndex(queries: DataFrame, indexPath: String,
+      corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      nprobe: Int, cb: Array[Double], ksub: Int,
+      cents: Array[(Long, Array[Double], Double)], rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val cand = ivfPqTopKFromIndex(queries, indexPath, vecCol, idCol,
+      rerankK, nprobe, cb, ksub, cents)
+      .select("query_id", "neighbor_id")
+    exactRerank(cand, queries, corpus, vecCol, idCol, k)
   }
 
   /** ONE-row report comparing recall@k of the pure-ADC IVF+PQ top-k and

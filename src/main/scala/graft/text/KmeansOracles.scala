@@ -230,4 +230,49 @@ SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub"""
     * + decimal-summed mean reconstruction error). */
   val pqRecallTrained: String =
     TextOracles.pqRecallWith(TextOracles.pqChain(trainedCbv()))
+
+  /** Mirrors the ann_production_topk query — the ENTIRE production
+    * serving path replayed in SQL: trained coarse centroids
+    * ([[centroidChain]]) + trained PQ codebook ([[trainedCbv]]) +
+    * IVF-probed ADC candidates cut to rerankK + exact float rerank cut
+    * to k. Persistence is a pass-through (the engine serves from the
+    * written index; values must equal the in-memory computation), so
+    * the oracle replays the computation. */
+  def annProductionTopK(rerankK: Int = 50): String =
+    s"""WITH ${TextOracles.pqChain(trainedCbv())},
+${centroidChain()},
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN kcents c) t WHERE rn = 1),
+corpuspq AS (SELECT a.neighbor_id, a.cluster, r.rv, r.rn
+             FROM assign a JOIN rn2 r ON a.neighbor_id = r.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN kcents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+  WHERE rn <= 2),
+cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_transform(list_zip(qv, rv), zz -> zz[1] * zz[2]),
+               (pa, pb) -> pa + pb) / (qn * rn), 4) AS cosine_pq
+  FROM probes JOIN corpuspq USING (cluster)
+  WHERE query_id <> neighbor_id),
+cadc AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
+  WHERE rank <= $rerankK),
+rr AS (SELECT ca.query_id, ca.neighbor_id,
+         round(list_reduce(list_transform(list_zip(q.v, b.v), zz -> zz[1] * zz[2]),
+               (pa, pb) -> pa + pb) / (q.nrm * b.nrm), 4) AS cosine
+       FROM cadc ca JOIN n q ON q.vec_id = ca.query_id
+                    JOIN n b ON b.vec_id = ca.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM rr) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
 }
