@@ -68,6 +68,32 @@ class EmbeddingIndexSpec extends SparkSpec {
       fromIndex.map(_.toString).toSeq == inMemory.map(_.toString).toSeq)
   }
 
+  test("from-index rerank equals in-memory rerank (full production path)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-prod").toString
+    val emb = Demo.table(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount)
+    val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+      nlist = 8)
+    val cb = graft.embeddings.ProductQuantization.trainedCodebook(
+      emb, "embedding", "vec_id", m = 8, ksub = 16)
+    graft.embeddings.ProductQuantization.writeIvfPqIndex(
+      emb, "embedding", "vec_id", nlist = 8, path, cb, m = 8, ksub = 16,
+      Some(cents))
+    val fromIndex = graft.embeddings.ProductQuantization
+      .ivfPqRerankTopKFromIndex(queries, path, emb, "embedding", "vec_id",
+        k = 5, nprobe = 2, cb, ksub = 16, cents, rerankK = 50)
+      .orderBy("query_id", "rank").collect()
+    val inMemory = graft.embeddings.ProductQuantization.ivfPqRerankTopK(
+      queries, emb, "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2,
+      cb, m = 8, ksub = 16, rerankK = 50, Some(cents))
+      .orderBy("query_id", "rank").collect()
+    assert(fromIndex.nonEmpty &&
+      fromIndex.map(_.toString).toSeq == inMemory.map(_.toString).toSeq)
+    // the rerank stage re-scores in float: cosine values must come from
+    // the exact vectors, not the PQ reconstructions
+    assert(fromIndex.forall(r => !r.schema.fieldNames.contains("cosine_pq")))
+  }
+
   test("SQ8/PQ probe joins prune persisted index partitions dynamically") {
     val emb = Demo.table(spark, sf(), "embeddings")
     val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
