@@ -64,7 +64,12 @@ object ScaleSoak {
     "bm25_search",
     // batch-vs-index semantic dedup epoch (batch grows with the corpus;
     // the probe join must stay linear in the batch)
-    "semdedup_incremental")
+    "semdedup_incremental",
+    // the full production serving path: bounded-sample trainers
+    // (≤4096 rows regardless of n) + linear index encode/write + DPP
+    // probe + bounded rerank — build cost should scale ~linearly, the
+    // serve side stays probe-bounded
+    "ann_production_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")
@@ -72,8 +77,14 @@ object ScaleSoak {
     val base = sys.env.getOrElse("SOAK_DIR", "/tmp/graft_soak")
     val factors = sys.env.getOrElse("SOAK_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq.sorted
+    // Focused reruns: SOAK_QUERIES=a,b filters the ladder to named
+    // queries; SOAK_SKIP_BUILD=1 reuses corpora a prior run built.
+    val queries = sys.env.get("SOAK_QUERIES") match {
+      case Some(qs) => qs.split(",").map(_.trim).toSeq.filter(Queries.contains)
+      case None => Queries
+    }
     val fMax = factors.max
-    factors.foreach { f =>
+    if (!sys.env.contains("SOAK_SKIP_BUILD")) factors.foreach { f =>
       val t0 = System.nanoTime()
       build(spark, src, s"$base/x$f", f)
       println(f"""{"build":"x$f","sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
@@ -92,7 +103,7 @@ object ScaleSoak {
       }.groupBy(identity).map { case (k, v) => k -> v.size }
 
     def timeAll(dir: String): Map[String, (Double, Map[String, Int])] =
-      Queries.map { q =>
+      queries.map { q =>
         // run twice; report the second (steady state: shared frames
         // cached, codegen warm) — mirrors the bench's warmup discipline
         var shape = Map.empty[String, Int]
@@ -109,7 +120,7 @@ object ScaleSoak {
     val timed = factors.map(f => f -> timeAll(s"$base/x$f")).toMap
     println(s"=== SOAK RESULTS (${fMax}x corpus vs 1x, steady-state seconds) ===")
     var worst = 0.0
-    Queries.foreach { q =>
+    queries.foreach { q =>
       val t1 = timed(factors.min)(q)._1
       val tN = timed(fMax)(q)._1
       val ratio = tN / math.max(t1, 1e-3)
@@ -132,6 +143,15 @@ object ScaleSoak {
         .mkString("{", ",", "}")
       println(f"""{"query":"$q","secs":$secs,"ratio_x$fMax":$ratio%.2f,"alpha":$alpha%.3f,"verdict":"$verdict","plan_shape":"$shapeNote"}""")
     }
+    if (queries == Queries) runExtras(spark, base, factors, fMax)
+    println(f"""{"metric":"soak_worst_alpha","value":$worst%.3f,"factor":$fMax}""")
+    spark.stop()
+  }
+
+  /** The two deliberately-approximate / anti-pattern measurements that
+    * only make sense on a full-ladder run. */
+  private def runExtras(spark: SparkSession, base: String,
+      factors: Seq[Int], fMax: Int): Unit = {
     // Chunk-banded simhash with the df-style cap: the APPROXIMATE
     // configuration (the registered default is the exact wide-key plan,
     // timed in the main loop). The cap bounds hot-chunk fan-out; pair
@@ -174,8 +194,6 @@ object ScaleSoak {
     val lf1 = lshFixedTimed(s"$base/x${factors.min}")
     val lfM = lshFixedTimed(s"$base/x$midF")
     println(f"""{"query":"ann_lsh_pairs_fixed8","x${factors.min}_sec":$lf1%.3f,"x${midF}_sec":$lfM%.3f,"ratio":${lfM / math.max(lf1, 1e-3)}%.2f,"note":"fixed 8 planes, x$midF only - the superlinear mode the auto default (planesForCount) removes; x$fMax deliberately not run"}""")
-    println(f"""{"metric":"soak_worst_alpha","value":$worst%.3f,"factor":$fMax}""")
-    spark.stop()
   }
 
   /** Write documents.parquet + embeddings.parquet with `k` density-
