@@ -80,7 +80,13 @@ object ScaleSoak {
     // Focused reruns: SOAK_QUERIES=a,b filters the ladder to named
     // queries; SOAK_SKIP_BUILD=1 reuses corpora a prior run built.
     val queries = sys.env.get("SOAK_QUERIES") match {
-      case Some(qs) => qs.split(",").map(_.trim).toSeq.filter(Queries.contains)
+      case Some(qs) =>
+        val named = qs.split(",").map(_.trim).toSeq
+        val unknown = named.filterNot(Queries.contains)
+        require(unknown.isEmpty,
+          s"unknown SOAK_QUERIES ${unknown.mkString(", ")}; " +
+            s"valid: ${Queries.mkString(", ")}")
+        named
       case None => Queries
     }
     val fMax = factors.max
@@ -124,9 +130,13 @@ object ScaleSoak {
       val t1 = timed(factors.min)(q)._1
       val tN = timed(fMax)(q)._1
       val ratio = tN / math.max(t1, 1e-3)
-      // Empirical scaling exponent: t ∝ n^α ⇒ α = log ratio / log factor.
+      // Empirical scaling exponent over the MEASURED span: t ∝ n^α ⇒
+      // α = log ratio / log(fMax/fMin) — dividing by log fMax alone
+      // understates α whenever the ladder doesn't start at 1×.
       // α ≈ 1 is linear; sub-linear happens when fixed overheads dominate.
-      val alpha = math.log(math.max(ratio, 1e-3)) / math.log(fMax.toDouble)
+      val span = fMax.toDouble / factors.min
+      val alpha = if (span <= 1.0) 0.0
+        else math.log(math.max(ratio, 1e-3)) / math.log(span)
       worst = math.max(worst, alpha)
       val verdict = if (alpha <= 1.2 || ratio <= 15.0) "PASS" else "WARN"
       val s1 = timed(factors.min)(q)._2

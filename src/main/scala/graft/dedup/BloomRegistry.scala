@@ -32,15 +32,19 @@ object BloomRegistry {
     * filter while only the driver cache is replaced). */
   def register(spark: SparkSession, bloom: BloomFilter,
       name: String): String = {
-    require(!cache.containsKey(name),
+    // Atomic claim: putIfAbsent (not containsKey-then-put) so two
+    // concurrent register() calls for one name cannot both pass the
+    // guard and leave the cache serving whichever filter ran last.
+    require(cache.putIfAbsent(name, bloom) == null,
       s"Bloom filter '$name' is already registered in this JVM; " +
         "registry names are unique per SparkContext")
-    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
-    val file = dir.resolve(name)
-    val out = java.nio.file.Files.newOutputStream(file)
-    try bloom.writeTo(out) finally out.close()
-    spark.sparkContext.addFile(file.toString)
-    cache.put(name, bloom)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+      val file = dir.resolve(name)
+      val out = java.nio.file.Files.newOutputStream(file)
+      try bloom.writeTo(out) finally out.close()
+      spark.sparkContext.addFile(file.toString)
+    } catch { case e: Throwable => cache.remove(name, bloom); throw e }
     name
   }
 

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Shared read/commit harness for the growing-parquet-index streaming
+ * dedup operators ([[StreamingDedup]], [[StreamingSemdedup]]). Both
+ * follow the same cycle per micro-batch — read the index of everything
+ * accepted so far, dedup the batch against it, append survivors to the
+ * corpus and their index rows to the index — and the crash-window
+ * semantics of that cycle live HERE, once.
+ *
+ * Exactly-once: both relations are written as a dynamic overwrite of
+ * the batch's OWN `batch_id=<id>` partition, never a blind append, so a
+ * checkpoint replay of a half-committed batch REPLACES its partitions
+ * instead of landing a second copy. Walking the crash windows:
+ *  - crash before the corpus write: nothing on disk, full replay.
+ *  - crash between the two writes: the replay sees the same index state
+ *    as the first attempt (its own index partition was not yet
+ *    committed), recomputes the identical survivor set, and overwrites
+ *    the corpus partition with identical rows — then commits the index
+ *    partition it was missing.
+ *  - crash after both writes but before the checkpoint commit marker:
+ *    the replayed batch dedups against its OWN index rows (dedup is
+ *    content-keyed: a digest matches itself, a vector's ADC cosine to
+ *    its own codes is ≈ 1), the survivor set is empty, and an empty
+ *    dynamic overwrite touches no partitions — both relations keep
+ *    exactly the first attempt's rows.
+ */
+private[streaming] object GrowingIndex {
+
+  /** Some(index) once a commit exists, None before the first one. The
+    * filesystem is probed for the directory instead of pattern-matching
+    * read exceptions, so a REAL read failure (corrupt footer, schema
+    * drift) still propagates instead of silently disabling
+    * dedup-against-history for the batch. */
+  def read(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(indexDir)) else None
+  }
+
+  /** Idempotently commit a processed micro-batch: `survivors` to the
+    * corpus at `outDir`, `indexRows` to the index at `indexDir`, each
+    * replacing only its own `batch_id=<id>` partition. */
+  def commit(survivors: DataFrame, indexRows: DataFrame, batchId: Long,
+      outDir: String, indexDir: String): Unit = {
+    def write(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(dir)
+    write(survivors, outDir)
+    write(indexRows, indexDir)
+  }
+}

@@ -21,39 +21,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * cluster ids must mean the same thing in every epoch, exactly like the
  * minhash permutations in [[StreamingDedup]].
  *
- * Exactly-once: a crash between the two appends is healed by
- * checkpoint replay — a replayed batch re-dedups against its OWN index
- * rows (a vector's ADC cosine to its own codes is ≈1 ≥ threshold), so
- * survivors land once (proved in StreamsSpec's restart case, same
- * recipe as the text-dedup proof).
+ * Exactly-once: both relations are committed per batch via
+ * [[GrowingIndex.commit]] — a dynamic overwrite of the batch's own
+ * `batch_id` partition, idempotent in EVERY crash window (the
+ * crash-after-both-writes window additionally relies on a replayed
+ * vector ADC-matching its own codes, cosine ≈ 1 ≥ threshold; see the
+ * harness doc for the full case walk; StreamsSpec's restart case
+ * proves the replay, same recipe as the text-dedup proof).
  */
 object StreamingSemdedup {
 
   /** One micro-batch: batch-internal SemDeDup keepers, then dedup
-    * against the stored index, then append survivors to `outDir` and
-    * their compressed index rows to `indexDir`. */
-  def processBatch(batch: DataFrame, vecCol: String, idCol: String,
-      cents: Array[(Long, Array[Double], Double)], indexDir: String,
-      outDir: String, threshold: Double): Unit = {
+    * against the stored index, then commit survivors to `outDir` and
+    * their compressed index rows to `indexDir` (idempotent per
+    * `batchId` — [[GrowingIndex.commit]]). */
+  def processBatch(batch: DataFrame, batchId: Long, vecCol: String,
+      idCol: String, cents: Array[(Long, Array[Double], Double)],
+      indexDir: String, outDir: String, threshold: Double): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val kept = SemanticDedup.keepers(batch, vecCol, idCol, cents, threshold)
       .filter(col("is_kept"))
       .select(col("vec_id").as(idCol))
     val internal = batch.join(kept, Seq(idCol), "left_semi")
-    val index =
-      try Some(spark.read.parquet(indexDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val survivors = (index match {
+    val survivors = (GrowingIndex.read(spark, indexDir) match {
       case Some(idx) => SemanticDedup.semdedupAgainstIndex(internal, idx,
         vecCol, idCol, cents, threshold)
       case None => internal
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      survivors.write.mode("append").parquet(outDir)
-      SemanticDedup.corpusIndex(survivors, vecCol, idCol, cents)
-        .write.mode("append").parquet(indexDir)
-    } finally survivors.unpersist()
+    try GrowingIndex.commit(survivors,
+      SemanticDedup.corpusIndex(survivors, vecCol, idCol, cents),
+      batchId, outDir, indexDir)
+    finally survivors.unpersist()
   }
 
   /** Start the streaming query: `vecs` is a streaming DataFrame with
@@ -65,9 +64,9 @@ object StreamingSemdedup {
       outDir: String, checkpointDir: String,
       threshold: Double = 0.9): StreamingQuery =
     vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, vecCol, idCol, cents, indexDir, outDir,
-          threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, vecCol, idCol, cents, indexDir,
+          outDir, threshold)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -240,7 +240,7 @@ class StreamsSpec extends SparkSpec {
       assert(idx.collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
         === Seq(1L, 3L, 12L))
       assert(idx.schema.fieldNames.toSet ===
-        Set("cluster", "vec_id", "scale", "q"))
+        Set("cluster", "vec_id", "scale", "q", "batch_id"))
     } finally q.stop()
   }
 
@@ -306,6 +306,42 @@ class StreamsSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).sorted.toSeq
     assert(out === Seq(1L, 3L, 12L), s"corpus not exactly-once: $out")
     assert(idx === Seq(1L, 3L, 12L), s"index not exactly-once: $idx")
+  }
+
+  test("crash between the two writes: batch replay replaces, not appends") {
+    // The window the checkpoint-replay tests below CANNOT reach from the
+    // streaming API: the corpus write committed but the index write did
+    // not. Simulate it by processing a batch, deleting the index's
+    // batch_id partition (as if the crash hit before it landed), and
+    // re-running the SAME batch id — the replay must overwrite the
+    // corpus partition with identical rows, not append a second copy.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("halfcommit").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val batch = Seq((1L, base), (2L, base), (3L, "one two three four five " +
+      "six seven eight nine ten eleven twelve thirteen fourteen fifteen " +
+      "sixteen seventeen eighteen nineteen twenty")).toDF("doc_id", "text")
+    StreamingDedup.processBatch(batch, batchId = 0L, "text", "doc_id",
+      indexDir, outDir, threshold = 0.7)
+    // crash window: the index commit is lost (for the stream's FIRST
+    // batch that means the index dir never appeared), the corpus commit
+    // survives
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    deleteRec(java.nio.file.Paths.get(indexDir))
+    StreamingDedup.processBatch(batch, batchId = 0L, "text", "doc_id",
+      indexDir, outDir, threshold = 0.7)
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 3L), s"corpus duplicated on half-commit replay: $out")
+    assert(idx === Seq(1L, 3L), s"index wrong after half-commit replay: $idx")
   }
 
   test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
