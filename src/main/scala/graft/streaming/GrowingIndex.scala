@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
  *    its own codes is ≈ 1), the survivor set is empty, and an empty
  *    dynamic overwrite touches no partitions — both relations keep
  *    exactly the first attempt's rows.
+ *
+ * Public surface: [[compact]] is the offline maintenance entry point
+ * for users of either streaming operator; [[read]]/[[commit]] are the
+ * per-batch cycle the operators drive.
  */
-private[streaming] object GrowingIndex {
+object GrowingIndex {
 
   /** Some(index) once a commit exists, None before the first one. The
     * filesystem is probed for the directory instead of pattern-matching
@@ -54,5 +58,46 @@ private[streaming] object GrowingIndex {
         .parquet(dir)
     write(survivors, outDir)
     write(indexRows, indexDir)
+  }
+
+  /** Partition id the compactor folds history into — negative so it can
+    * never collide with a Structured Streaming batch id (those count up
+    * from 0). */
+  val CompactedBatchId: Long = -1L
+
+  /** Offline maintenance for a long-lived stream: fold the
+    * one-partition-per-epoch history (the small-files tail a year of
+    * micro-batches leaves behind) into `targetFiles` files under the
+    * single `batch_id=-1` partition. Run ONLY while the stream is
+    * stopped — the rewrite is not coordinated with in-flight commits.
+    *
+    * Replay stays exactly-once across a compaction: a batch replayed
+    * after its partition was folded away finds its own rows under
+    * `batch_id=-1`, dedups to an empty survivor set (dedup is
+    * content-keyed), and an empty dynamic overwrite touches nothing.
+    *
+    * Swap discipline: the compacted layout is written to a sibling
+    * `<dir>.compacting`, the live dir is moved to `<dir>.old`, the new
+    * one moved into place, and `.old` deleted — a crash mid-swap leaves
+    * either the old layout live or recoverable at `<dir>.old`, never
+    * nothing. Returns the row count (unchanged by compaction). */
+  def compact(spark: SparkSession, dir: String,
+      targetFiles: Int = 8): Long = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(hc)
+    require(fs.exists(live), s"nothing to compact at $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val rows = spark.read.parquet(dir)
+      .withColumn("batch_id", lit(CompactedBatchId))
+      .repartition(targetFiles)
+    rows.write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    require(fs.rename(live, old), s"compact: could not move $live aside")
+    require(fs.rename(tmp, live), s"compact: could not move $tmp into place")
+    fs.delete(old, true)
+    n
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Streams, StreamingDedup, StreamingSemdedup}
+import graft.streaming.{GrowingIndex, Streams, StreamingDedup, StreamingSemdedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -342,6 +342,45 @@ class StreamsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(out === Seq(1L, 3L), s"corpus duplicated on half-commit replay: $out")
     assert(idx === Seq(1L, 3L), s"index wrong after half-commit replay: $idx")
+  }
+
+  test("index compaction folds batch partitions; replay stays exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val b0 = Seq((1L, base)).toDF("doc_id", "text")
+    val b1 = Seq((2L, fresh)).toDF("doc_id", "text")
+    StreamingDedup.processBatch(b0, 0L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    StreamingDedup.processBatch(b1, 1L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    val n = GrowingIndex.compact(spark, indexDir, targetFiles = 1)
+    assert(n === 2L)
+    // one folded partition, same rows
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("batch_id").distinct().collect()
+      .map(_.getAs[Number]("batch_id").longValue()).toSeq ===
+      Seq(GrowingIndex.CompactedBatchId))
+    assert(idx.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      Seq(1L, 2L))
+    // a batch replayed AFTER its partition was folded away: its rows now
+    // live under batch_id=-1, so dedup yields zero survivors and the
+    // empty overwrite touches nothing
+    StreamingDedup.processBatch(b1, 1L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L))
+    // and a genuinely new batch still dedups against the compacted index
+    StreamingDedup.processBatch(Seq((9L, base), (10L, "únique wholly new " +
+      "tokens aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr"))
+      .toDF("doc_id", "text"), 2L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 10L))
   }
 
   test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
