@@ -80,7 +80,10 @@ object GrowingIndex {
     * `<dir>.compacting`, the live dir is moved to `<dir>.old`, the new
     * one moved into place, and `.old` deleted — a crash mid-swap leaves
     * either the old layout live or recoverable at `<dir>.old`, never
-    * nothing. Returns the row count (unchanged by compaction). */
+    * nothing. That guarantee assumes directory rename is atomic
+    * (local/HDFS); on an object store, where rename is copy+delete,
+    * swap via the table catalog instead. Returns the row count
+    * (unchanged by compaction). */
   def compact(spark: SparkSession, dir: String,
       targetFiles: Int = 8): Long = {
     val hc = spark.sparkContext.hadoopConfiguration

@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * accepted document ([[TextDedup.corpusIndex]]); each batch does one
  * semi-join on 16-byte digests and one banded join — linear in the
  * batch, never quadratic in history. The index parquet grows by one
- * `batch_id` partition per epoch; compact/bucket it offline when
- * band-join read time matters. Exactly-once: both relations are
+ * `batch_id` partition per epoch; fold the small-files tail with
+ * [[GrowingIndex.compact]] (offline, replay-safe) when index read
+ * time matters. Exactly-once: both relations are
  * committed per batch via [[GrowingIndex.commit]] — dynamic overwrite
  * of the batch's own partition, idempotent in every crash window (see
  * the harness doc for the case walk).
