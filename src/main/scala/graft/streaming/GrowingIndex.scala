@@ -42,7 +42,19 @@ object GrowingIndex {
   def read(spark: SparkSession, indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(indexDir)) else None
+    if (fs.exists(p)) Some(spark.read.parquet(indexDir))
+    else {
+      // A missing live dir with a `<dir>.old` sibling is NOT "no index
+      // yet" — it is a compaction that died between its two renames.
+      // Returning None here would silently dedup every batch against
+      // nothing; fail loudly and tell the operator how to recover.
+      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+      if (fs.exists(old)) throw new IllegalStateException(
+        s"$indexDir is missing but $old exists: a compaction was " +
+          s"interrupted mid-swap. Recover with `mv $old $indexDir` " +
+          "before restarting the stream.")
+      None
+    }
   }
 
   /** Idempotently commit a processed micro-batch: `survivors` to the
@@ -67,36 +79,78 @@ object GrowingIndex {
 
   /** Offline maintenance for a long-lived stream: fold the
     * one-partition-per-epoch history (the small-files tail a year of
-    * micro-batches leaves behind) into `targetFiles` files under the
-    * single `batch_id=-1` partition. Run ONLY while the stream is
-    * stopped — the rewrite is not coordinated with in-flight commits.
+    * micro-batches leaves behind) of BOTH the corpus and the index into
+    * `targetFiles` files under a single `batch_id=-1` partition each.
+    * Run ONLY while the stream is stopped — the rewrite is not
+    * coordinated with in-flight commits.
     *
-    * Replay stays exactly-once across a compaction: a batch replayed
-    * after its partition was folded away finds its own rows under
-    * `batch_id=-1`, dedups to an empty survivor set (dedup is
-    * content-keyed), and an empty dynamic overwrite touches nothing.
+    * The pair is compacted together because the replay-safety argument
+    * needs a precondition only the pair can express: every corpus
+    * batch partition must also have its index partition (a crash
+    * between `commit`'s two writes leaves corpus ⊋ index — folding
+    * that corpus partition away would let its replay land a SECOND
+    * copy, since the index has no rows to dedup it against). The
+    * precondition is checked and compaction refuses otherwise; restart
+    * the stream once (the replay completes the half-committed batch)
+    * and compact after a clean stop.
     *
-    * Swap discipline: the compacted layout is written to a sibling
-    * `<dir>.compacting`, the live dir is moved to `<dir>.old`, the new
-    * one moved into place, and `.old` deleted — a crash mid-swap leaves
-    * either the old layout live or recoverable at `<dir>.old`, never
-    * nothing. That guarantee assumes directory rename is atomic
+    * With the precondition held, replay stays exactly-once: a batch
+    * replayed after its partitions were folded away finds its own rows
+    * under `batch_id=-1` in the index, dedups to an empty survivor
+    * set, and an empty dynamic overwrite touches nothing. For
+    * [[StreamingDedup]] that self-match is exact (md5 digests); for
+    * [[StreamingSemdedup]] it is a vector's ADC cosine against its own
+    * int8 codes — ≈ 0.999 for SQ8, so the argument holds for any
+    * threshold below that self-reconstruction cosine (thresholds
+    * within rounding of 1.0 are outside the compaction contract).
+    *
+    * Swap discipline, per dir: the compacted layout is written to a
+    * sibling `<dir>.compacting`, the live dir is moved to `<dir>.old`,
+    * the new one moved into place, and `.old` deleted — a crash
+    * mid-swap leaves either the old layout live or recoverable at
+    * `<dir>.old`, never nothing ([[read]] fails loudly on that state
+    * instead of treating it as an empty index). A leftover `.old` from
+    * a previous interrupted run blocks compaction rather than being
+    * deleted — it may be the only copy. Rename atomicity is assumed
     * (local/HDFS); on an object store, where rename is copy+delete,
-    * swap via the table catalog instead. Returns the row count
-    * (unchanged by compaction). */
-  def compact(spark: SparkSession, dir: String,
-      targetFiles: Int = 8): Long = {
+    * swap via the table catalog instead. Returns (corpusRows,
+    * indexRows), both unchanged by compaction. */
+  def compact(spark: SparkSession, outDir: String, indexDir: String,
+      targetFiles: Int = 8): (Long, Long) = {
+    require(targetFiles > 0, s"targetFiles=$targetFiles must be positive")
     val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hc)
+    def batchIds(dir: String): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSet
+    val pending =
+      batchIds(outDir) - CompactedBatchId -- batchIds(indexDir)
+    require(pending.isEmpty,
+      s"corpus batches ${pending.toSeq.sorted.mkString(", ")} have no " +
+        "index partition (a crash between commit's two writes); restart " +
+        "the stream to let the replay complete them, stop cleanly, then " +
+        "compact")
+    (compactOne(spark, fs, outDir, targetFiles),
+      compactOne(spark, fs, indexDir, targetFiles))
+  }
+
+  private def compactOne(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      targetFiles: Int): Long = {
     val live = new org.apache.hadoop.fs.Path(dir)
-    val fs = live.getFileSystem(hc)
     require(fs.exists(live), s"nothing to compact at $dir")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    val rows = spark.read.parquet(dir)
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — it may be the only " +
+        s"copy; recover or remove it manually before compacting")
+    fs.delete(tmp, true) // an incomplete .compacting is always safe to drop
+    spark.read.parquet(dir)
       .withColumn("batch_id", lit(CompactedBatchId))
       .repartition(targetFiles)
-    rows.write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     require(fs.rename(live, old), s"compact: could not move $live aside")
     require(fs.rename(tmp, live), s"compact: could not move $tmp into place")

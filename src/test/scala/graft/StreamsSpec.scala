@@ -358,9 +358,10 @@ class StreamsSpec extends SparkSpec {
       threshold = 0.7)
     StreamingDedup.processBatch(b1, 1L, "text", "doc_id", indexDir, outDir,
       threshold = 0.7)
-    val n = GrowingIndex.compact(spark, indexDir, targetFiles = 1)
-    assert(n === 2L)
-    // one folded partition, same rows
+    val (nOut, nIdx) = GrowingIndex.compact(spark, outDir, indexDir,
+      targetFiles = 1)
+    assert(nOut === 2L && nIdx === 2L)
+    // one folded partition each, same rows
     val idx = spark.read.parquet(indexDir)
     assert(idx.select("batch_id").distinct().collect()
       .map(_.getAs[Number]("batch_id").longValue()).toSeq ===
@@ -381,6 +382,59 @@ class StreamsSpec extends SparkSpec {
       threshold = 0.7)
     assert(spark.read.parquet(outDir).collect()
       .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 10L))
+  }
+
+  test("compaction guard rails: half-commit refusal, .old leftovers, mid-swap reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-guards").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val b0 = Seq((1L, base)).toDF("doc_id", "text")
+    val b1 = Seq((2L, fresh)).toDF("doc_id", "text")
+    StreamingDedup.processBatch(b0, 0L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    StreamingDedup.processBatch(b1, 1L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    def deleteRec(path: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    // 1. corpus batch with no index partition (crash between commit's
+    //    writes) → compact must refuse, not fold the orphan away
+    deleteRec(s"$indexDir/batch_id=1")
+    val e1 = intercept[IllegalArgumentException] {
+      GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 1)
+    }
+    assert(e1.getMessage.contains("no index partition"))
+    // repair the way a stream restart would: replay the batch
+    StreamingDedup.processBatch(b1, 1L, "text", "doc_id", indexDir, outDir,
+      threshold = 0.7)
+    // 2. a leftover .old (interrupted prior compaction) blocks compaction
+    //    instead of being deleted — it may be the only copy
+    val oldDir = java.nio.file.Paths.get(s"$indexDir.old")
+    java.nio.file.Files.createDirectories(oldDir)
+    val e2 = intercept[IllegalArgumentException] {
+      GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 1)
+    }
+    assert(e2.getMessage.contains("interrupted compaction"))
+    // 3. live dir missing + .old present (crash between the two swap
+    //    renames) → read must fail loudly, not dedup against nothing
+    deleteRec(indexDir)
+    val e3 = intercept[IllegalStateException] {
+      GrowingIndex.read(spark, indexDir)
+    }
+    assert(e3.getMessage.contains("interrupted mid-swap"))
+    // 4. targetFiles must be validated before anything is touched
+    deleteRec(s"$indexDir.old")
+    intercept[IllegalArgumentException] {
+      GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 0)
+    }
   }
 
   test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
