@@ -384,6 +384,43 @@ class StreamsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 10L))
   }
 
+  test("semdedup compaction: folded replay relies on ADC self-match and holds") {
+    // The semantic operator's post-compaction replay guarantee is the
+    // ADC cosine of a vector against its OWN int8 codes (≈ 0.999),
+    // not an exact digest match — prove the folded replay stays
+    // exactly-once at a realistic threshold.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ssem-compact").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val cents: Array[(Long, Array[Double], Double)] = Array(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+    val base = Seq(0.9, 0.1, 0.0, 0.0)
+    val b0 = Seq((1L, base), (3L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((12L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    StreamingSemdedup.processBatch(b0, 0L, "embedding", "vec_id", cents,
+      indexDir, outDir, threshold = 0.9)
+    StreamingSemdedup.processBatch(b1, 1L, "embedding", "vec_id", cents,
+      indexDir, outDir, threshold = 0.9)
+    val (nOut, nIdx) = GrowingIndex.compact(spark, outDir, indexDir,
+      targetFiles = 1)
+    assert(nOut === 3L && nIdx === 3L)
+    // replay batch 1 after its partitions were folded away: its vector
+    // ADC-matches its own codes under batch_id=-1 → empty overwrite
+    StreamingSemdedup.processBatch(b1, 1L, "embedding", "vec_id", cents,
+      indexDir, outDir, threshold = 0.9)
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(1L, 3L, 12L))
+    // and fresh near-dups of folded history are still caught
+    StreamingSemdedup.processBatch(
+      Seq((20L, base), (21L, Seq(0.0, 0.0, 0.0, 1.0)))
+        .toDF("vec_id", "embedding"),
+      2L, "embedding", "vec_id", cents, indexDir, outDir, threshold = 0.9)
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(1L, 3L, 12L, 21L))
+  }
+
   test("compaction guard rails: half-commit refusal, .old leftovers, mid-swap reads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact-guards").toString
