@@ -668,6 +668,22 @@ object SparkEntry {
         outFraction = 0.5)
         .orderBy("doc_id")
     }),
+    // Flagship composition 2: the text keeper chain PLUS the semantic
+    // dedup stage — the surviving docs' embeddings are SemDeDup'ed and
+    // the corpus keeps the intersection; ONE oracle spans both tables
+    "corpus_pipeline_semantic" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val emb = Demo.table(s, dir, "embeddings")
+      val keepers = cachedFrame(s, dir, "corpus_keepers") {
+        graft.corpus.CorpusPipeline.keepers(docs, "text", "doc_id",
+          minTokens = 10)
+      }
+      val nlist = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
+      graft.corpus.CorpusPipeline.semanticKeepers(keepers, emb, "doc_id",
+        "embedding", "vec_id", cents, threshold = 0.45)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -1363,6 +1379,7 @@ object SparkEntry {
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
     "dedup_incremental" -> DedupOracles.incrementalDedup,
     "corpus_pipeline" -> DedupOracles.corpusPipeline,
+    "corpus_pipeline_semantic" -> DedupOracles.corpusPipelineSemantic,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -57,6 +57,30 @@ object CorpusPipeline {
       Seq(idCol), "left_semi")
   }
 
+  /** Stage 3b — SEMANTIC near-dup dedup over the keeper corpus: the
+    * survivors' embeddings (semi-join on id) are SemDeDup'ed
+    * ([[graft.embeddings.SemanticDedup.keepers]] — cluster, then the
+    * farthest-from-centroid keeper rule within clusters) and the
+    * corpus keeps the intersection. `cents` are the caller's coarse
+    * centroids — by convention trained/seeded on the FULL embedding
+    * table (bootstrap corpus), so cluster ids are stable across
+    * pipeline re-runs while the population-dependent cap sees only the
+    * surviving members. Scale shape: one semi-join + the SemDeDup
+    * within-cluster joins, all linear-in-members for a bounded cluster
+    * size. */
+  def semanticKeepers(keepers: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, vecIdCol: String,
+      cents: Array[(Long, Array[Double], Double)],
+      threshold: Double): DataFrame = {
+    val memberEmb = embeddings.join(
+      keepers.select(col(idCol).as(vecIdCol)), Seq(vecIdCol), "left_semi")
+    val kept = graft.embeddings.SemanticDedup
+      .keepers(memberEmb, vecCol, vecIdCol, cents, threshold)
+      .filter(col("is_kept"))
+      .select(col("vec_id").as(idCol))
+    keepers.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Stages 4-6 over a (possibly cached) keeper corpus: benchmark
     * decontamination → mixture sampling → sequence packing. */
   def finishFromKeepers(keepers: DataFrame, bench: DataFrame,

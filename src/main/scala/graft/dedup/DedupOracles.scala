@@ -199,20 +199,20 @@ SELECT doc_id FROM (
   FROM scored) t
 WHERE rn = 1 ORDER BY doc_id"""
 
-  /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, bench =
-    * doc_id%10=3, MinHash dedup at 0.8, df-capped decontamination at
-    * 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, packing budget 512): the
-    * WHOLE corpus-prep chain composed as one SQL query, so the oracle
-    * checks the composition, not just the stages. */
-  val corpusPipeline: String = {
-    val bandSelects = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
-      .mkString("\nUNION ALL\n")
-    val shingleList = raw"""CASE WHEN len(toks) >= 3
+  /** CTE chain for CorpusPipeline.keepers (stages 1-3: quality floor →
+    * exact dedup → MinHash component keepers), ending in a relation
+    * `keepers(doc_id, lang, text, toks)` — the shared prefix of both
+    * end-to-end pipeline oracles. Callers prepend `WITH RECURSIVE`. */
+  private val shingleList = raw"""CASE WHEN len(toks) >= 3
                THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                   for i in range(1, len(toks) - 1)])
                ELSE [] END"""
-    s"""WITH RECURSIVE t0 AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+
+  private val keeperCtes: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""t0 AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
 q AS (SELECT * FROM t0 WHERE len(toks) >= 10),
 ex AS (SELECT q.* FROM q
        JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) kx
@@ -239,7 +239,16 @@ walk(node, comp) AS (
   SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node),
 comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
 keepers AS (SELECT ex.* FROM ex JOIN comps ON ex.doc_id = comps.node
-            WHERE comps.component = ex.doc_id),
+            WHERE comps.component = ex.doc_id)"""
+  }
+
+  /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, bench =
+    * doc_id%10=3, MinHash dedup at 0.8, df-capped decontamination at
+    * 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, packing budget 512): the
+    * WHOLE corpus-prep chain composed as one SQL query, so the oracle
+    * checks the composition, not just the stages. */
+  val corpusPipeline: String = {
+    s"""WITH RECURSIVE $keeperCtes,
 hk AS (SELECT h.doc_id, h.hs FROM hsh h JOIN keepers k ON h.doc_id = k.doc_id),
 bt AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 3),
 bsh AS (SELECT doc_id, $shingleList AS s FROM bt),
@@ -280,6 +289,22 @@ SELECT doc_id, shard, n_tokens,
   start_tok % 512 + n_tokens > 512 AS spans_boundary
 FROM pp ORDER BY doc_id"""
   }
+
+  /** Mirrors the corpus_pipeline_semantic query — stages 1-3 of
+    * CorpusPipeline (quality → exact dedup → MinHash component
+    * keepers) composed with the SEMANTIC dedup stage
+    * (CorpusPipeline.semanticKeepers): the surviving docs' embeddings
+    * are SemDeDup'ed (full-corpus seed centroids, members-only cluster
+    * cap, farthest-from-centroid keeper rule) and the corpus keeps the
+    * intersection. One SQL query spanning BOTH tables checks the whole
+    * composition. */
+  val corpusPipelineSemantic: String =
+    s"""WITH RECURSIVE $keeperCtes,
+semmem AS (SELECT doc_id AS vec_id FROM keepers),
+${graft.text.TextOracles.semdedupKeeperIdCtes()}
+SELECT k.doc_id, k.lang FROM keepers k
+JOIN semkeep s ON k.doc_id = s.vec_id
+ORDER BY k.doc_id"""
 
   private val simhashCte =s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
 tok AS (SELECT doc_id, ${hashOf("tk")} AS h

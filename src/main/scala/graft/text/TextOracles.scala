@@ -601,6 +601,36 @@ SELECT a.vec_id, a.cluster, a.ccos AS centroid_cos,
 FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
 ORDER BY a.vec_id"""
 
+  /** SemDeDup keeper-id CTE chain over a MEMBER SUBSET of the
+    * embeddings: expects a preceding CTE `semmem(vec_id)` naming the
+    * member ids; centroids stay the full-corpus seeds (vec_id < 8 —
+    * the bootstrap convention, matching `ivfCentroids` on the full
+    * table), assignment is per-vector so restricting after assignment
+    * equals restricting before; the cluster-population cap counts
+    * MEMBERS only, mirroring `SemanticDedup.keepers` run on the
+    * restricted frame. Yields a final relation `semkeep(vec_id)` of
+    * surviving members. Aliases are `s`-prefixed to compose with other
+    * chains (e.g. the corpus-pipeline oracle). */
+  def semdedupKeeperIdCtes(threshold: Double = 0.45,
+      maxCluster: Long = 100000L): String = s"""$normCte,
+scents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+sasg AS (
+  SELECT vec_id, cid AS cluster, v, nrm, round(d / (nrm * cn), 4) AS ccos FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm, c.cn, $dotNC AS d,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN scents c) t WHERE rn = 1),
+masg AS (SELECT sasg.* FROM sasg JOIN semmem ON sasg.vec_id = semmem.vec_id),
+skeep AS (SELECT cluster FROM masg GROUP BY cluster HAVING count(*) <= $maxCluster),
+sca AS (SELECT masg.* FROM masg JOIN skeep USING (cluster)),
+sremoved AS (
+  SELECT DISTINCT x.vec_id FROM sca x JOIN sca y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE round($dotXY / (x.nrm * y.nrm), 4) >= $threshold
+    AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))),
+semkeep AS (SELECT vec_id FROM masg
+            WHERE vec_id NOT IN (SELECT vec_id FROM sremoved))"""
+
   /** Mirrors the semdedup_incremental query — one epoch of
     * StreamingSemdedup.processBatch composed as a batch: the batch
     * (vec_id % 10 = 7) is SemDeDup'ed internally (keeper rule inside
