@@ -69,7 +69,11 @@ object ScaleSoak {
     // (≤4096 rows regardless of n) + linear index encode/write + DPP
     // probe + bounded rerank — build cost should scale ~linearly, the
     // serve side stays probe-bounded
-    "ann_production_topk")
+    "ann_production_topk",
+    // text keeper chain + SemDeDup over the survivors' embeddings —
+    // the two-table flagship composition; inherits corpus_pipeline's
+    // shapes plus one semi-join and the bounded within-cluster joins
+    "corpus_pipeline_semantic")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")
