@@ -680,9 +680,32 @@ object SparkEntry {
       }
       val nlist = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
       val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
+      // 0.35 (vs the standalone semdedup queries' 0.45): at 0.45 this
+      // corpus yields a single semantic dup — the stage must visibly
+      // bite for the composed oracle to discriminate
       graft.corpus.CorpusPipeline.semanticKeepers(keepers, emb, "doc_id",
-        "embedding", "vec_id", cents, threshold = 0.45)
+        "embedding", "vec_id", cents, threshold = 0.35)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // Flagship composition 3: the FULL six-stage prepare with the
+    // semantic stage spliced in — text keepers ∩ SemDeDup survivors
+    // feed decontamination → mixture → packing; one oracle, two tables
+    "corpus_pipeline_full" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val emb = Demo.table(s, dir, "embeddings")
+      val keepers = cachedFrame(s, dir, "corpus_keepers") {
+        graft.corpus.CorpusPipeline.keepers(docs, "text", "doc_id",
+          minTokens = 10)
+      }
+      val nlist = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nlist)
+      val sem = graft.corpus.CorpusPipeline.semanticKeepers(keepers, emb,
+        "doc_id", "embedding", "vec_id", cents, threshold = 0.35)
+      graft.corpus.CorpusPipeline.finishFromKeepers(sem,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", "lang",
+        targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        outFraction = 0.5)
+        .orderBy("doc_id")
     }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
@@ -1380,6 +1403,7 @@ object SparkEntry {
     "dedup_incremental" -> DedupOracles.incrementalDedup,
     "corpus_pipeline" -> DedupOracles.corpusPipeline,
     "corpus_pipeline_semantic" -> DedupOracles.corpusPipelineSemantic,
+    "corpus_pipeline_full" -> DedupOracles.corpusPipelineFull,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -242,14 +242,13 @@ keepers AS (SELECT ex.* FROM ex JOIN comps ON ex.doc_id = comps.node
             WHERE comps.component = ex.doc_id)"""
   }
 
-  /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, bench =
-    * doc_id%10=3, MinHash dedup at 0.8, df-capped decontamination at
-    * 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, packing budget 512): the
-    * WHOLE corpus-prep chain composed as one SQL query, so the oracle
-    * checks the composition, not just the stages. */
-  val corpusPipeline: String = {
-    s"""WITH RECURSIVE $keeperCtes,
-hk AS (SELECT h.doc_id, h.hs FROM hsh h JOIN keepers k ON h.doc_id = k.doc_id),
+  /** CTE chain + final SELECT for CorpusPipeline.finishFromKeepers
+    * (stages 4-6: decontamination → mixture → packing) over the keeper
+    * relation named `rel` — the shared suffix of both end-to-end
+    * pipeline oracles (bench = doc_id%10=3, df-capped decontamination
+    * at 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, budget 512). */
+  private def finishCtes(rel: String): String =
+    s"""hk AS (SELECT h.doc_id, h.hs FROM hsh h JOIN $rel k ON h.doc_id = k.doc_id),
 bt AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 3),
 bsh AS (SELECT doc_id, $shingleList AS s FROM bt),
 bhf AS (SELECT doc_id AS bench_id, bhs FROM
@@ -258,7 +257,7 @@ bhf AS (SELECT doc_id AS bench_id, bhs FROM
 inv AS (SELECT doc_id, unnest(hs) AS h FROM hk),
 keepl AS (SELECT h FROM inv GROUP BY h
           HAVING count(*) <= greatest(100,
-            CAST(ceil(0.01 * (SELECT count(*) FROM keepers)) AS BIGINT))),
+            CAST(ceil(0.01 * (SELECT count(*) FROM $rel)) AS BIGINT))),
 invb AS (SELECT bench_id, unnest(bhs) AS h FROM bhf),
 ccand AS (SELECT DISTINCT a.doc_id, b.bench_id
           FROM inv a JOIN keepl kk ON a.h = kk.h JOIN invb b ON b.h = a.h
@@ -267,7 +266,7 @@ bad AS (SELECT DISTINCT c.doc_id
         FROM ccand c JOIN hk sa ON sa.doc_id = c.doc_id
         JOIN bhf sb ON sb.bench_id = c.bench_id
         WHERE CAST(len(list_intersect(sa.hs, sb.bhs)) AS DOUBLE) / len(sb.bhs) >= 0.8),
-decon AS (SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+decon AS (SELECT * FROM $rel WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
 cnts AS (SELECT lang AS cls, count(*) AS cn FROM decon GROUP BY 1),
 tot AS (SELECT count(*) AS total FROM decon),
 rated AS (SELECT d.doc_id, d.lang, d.toks,
@@ -288,7 +287,27 @@ SELECT doc_id, shard, n_tokens,
   CAST(start_tok % 512 AS BIGINT) AS seq_offset,
   start_tok % 512 + n_tokens > 512 AS spans_boundary
 FROM pp ORDER BY doc_id"""
-  }
+
+  /** Mirrors CorpusPipeline.prepare end-to-end (minTokens=10, MinHash
+    * dedup at 0.8, then the finishCtes stages): the WHOLE corpus-prep
+    * chain composed as one SQL query, so the oracle checks the
+    * composition, not just the stages. */
+  val corpusPipeline: String =
+    s"""WITH RECURSIVE $keeperCtes,
+${finishCtes("keepers")}"""
+
+  /** Mirrors the corpus_pipeline_full query — CorpusPipeline.prepare
+    * with the SEMANTIC stage spliced in between dedup and
+    * decontamination: text keepers ∩ SemDeDup survivors feed the
+    * decontamination → mixture → packing suffix. ONE query spanning
+    * both tables checks the six-stage composition. */
+  val corpusPipelineFull: String =
+    s"""WITH RECURSIVE $keeperCtes,
+semmem AS (SELECT doc_id AS vec_id FROM keepers),
+${graft.text.TextOracles.semdedupKeeperIdCtes(threshold = 0.35)},
+skeepers AS (SELECT k.* FROM keepers k
+             JOIN semkeep s ON k.doc_id = s.vec_id),
+${finishCtes("skeepers")}"""
 
   /** Mirrors the corpus_pipeline_semantic query — stages 1-3 of
     * CorpusPipeline (quality → exact dedup → MinHash component
@@ -301,7 +320,7 @@ FROM pp ORDER BY doc_id"""
   val corpusPipelineSemantic: String =
     s"""WITH RECURSIVE $keeperCtes,
 semmem AS (SELECT doc_id AS vec_id FROM keepers),
-${graft.text.TextOracles.semdedupKeeperIdCtes()}
+${graft.text.TextOracles.semdedupKeeperIdCtes(threshold = 0.35)}
 SELECT k.doc_id, k.lang FROM keepers k
 JOIN semkeep s ON k.doc_id = s.vec_id
 ORDER BY k.doc_id"""
