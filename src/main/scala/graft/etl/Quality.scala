@@ -55,8 +55,10 @@ object Quality {
       // whole-second difference divided once: exact integers in, one IEEE
       // division out — engine-portable without rounding
       .select(lit(source).as("source"), col("max_loaded_at"),
-        ((unix_timestamp(asOf) -
-          unix_timestamp(col("max_loaded_at"))) / 3600.0).as("age_hours"))
+        // casts tolerate TIMESTAMP_NTZ loaded-at columns (UTC session tz)
+        ((unix_timestamp(asOf.cast("timestamp")) -
+          unix_timestamp(col("max_loaded_at").cast("timestamp"))) / 3600.0)
+          .as("age_hours"))
       .withColumn("freshness_status",
         when(col("max_loaded_at").isNull, "error")
           .when(col("age_hours") > errorAfterHours, "error")

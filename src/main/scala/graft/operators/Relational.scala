@@ -83,11 +83,14 @@ object Relational {
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long = 3600): DataFrame = {
     val b = lit(bucketSeconds)
+    // casts tolerate TIMESTAMP_NTZ inputs (naive parquet timestamps);
+    // session timezone is pinned to UTC so the epoch value is unchanged
     val lb = left.withColumn("_bucket",
-      floor(unix_timestamp(col(tsCol)) / b))
+      floor(unix_timestamp(col(tsCol).cast("timestamp")) / b))
     val rb = right.withColumn("_bucket",
-      explode(sequence(floor(unix_timestamp(col(startCol)) / b),
-        floor(unix_timestamp(col(endCol)) / b))))
+      explode(sequence(
+        floor(unix_timestamp(col(startCol).cast("timestamp")) / b),
+        floor(unix_timestamp(col(endCol).cast("timestamp")) / b))))
     lb.join(rb, keys :+ "_bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")

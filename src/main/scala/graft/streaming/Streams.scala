@@ -178,9 +178,13 @@ object Streams {
         valueCol: String, gapMs: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      // cast tolerates TIMESTAMP_NTZ inputs (naive parquet timestamps):
+      // with the session timezone pinned to UTC the wall-clock value IS
+      // the instant, so epoch arithmetic is unchanged for LTZ columns
+      val ts = col(tsCol).cast("timestamp")
       val newSession = when(
-        unix_millis(col(tsCol)) -
-          unix_millis(lag(col(tsCol), 1).over(byKey)) > gapMs ||
+        unix_millis(ts) -
+          unix_millis(lag(ts, 1).over(byKey)) > gapMs ||
           lag(col(tsCol), 1).over(byKey).isNull, 1L).otherwise(0L)
       events
         .withColumn("_new", newSession)
