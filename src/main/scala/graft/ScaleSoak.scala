@@ -73,7 +73,19 @@ object ScaleSoak {
     // text keeper chain + SemDeDup over the survivors' embeddings —
     // the two-table flagship composition; inherits corpus_pipeline's
     // shapes plus one semi-join and the bounded within-cluster joins
-    "corpus_pipeline_semantic")
+    "corpus_pipeline_semantic",
+    // ── round-7 trained-filter + substring-dedup additions ──
+    // NB training = two hash aggs over exploded tokens; the MODEL grows
+    // with observed vocab (replicas have disjoint vocab by construction,
+    // so this ladder prices the worst case for the term-table join)
+    "classify_lang_nb",
+    // DSIR: model is exactly `buckets` rows at ANY corpus size — the
+    // fixed-alphabet contrast to NB's growing term table; scoring is a
+    // broadcast join + one per-doc combine
+    "dsir_importance",
+    // substring windows: inverted index + df cap + exact verify — the
+    // same bounded-fan-out shape as dedup_ngram_pairs at w-token grain
+    "dedup_substring_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")

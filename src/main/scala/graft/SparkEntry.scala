@@ -300,6 +300,21 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
             .as("revenue"))
         .orderBy("c_mktsegment")),
+    // Scale toolbox driver-check: the same join/aggregate THROUGH
+    // Salt.join (big side salted into 8 sub-keys, small side replicated)
+    // — the skew-mitigation path must be semantically invisible, so the
+    // oracle is the PLAIN join
+    "join_salted_skew" -> ((s, dir) =>
+      graft.operators.Salt.join(
+        Demo.table(s, dir, "orders"),
+        Demo.table(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment")),
     // Beyond-reference analytics: ROLLUP hierarchy aggregate
     "rollup_revenue" -> ((s, dir) => {
       val rolled = Demo.table(s, dir, "orders")
@@ -610,6 +625,14 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id").orderBy("doc_a", "doc_b")),
+    // Training-data ops: substring-level exact dedup — pairs sharing a
+    // 20-token run (Lee et al. 2021's grain, distributed inverted-index
+    // formulation with a boilerplate df cap + exact string verify)
+    "dedup_substring_pairs" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.windowPairs(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 20)
+        .orderBy("doc_a", "doc_b")),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
     "dedup_minhash_lsh" -> ((s, dir) =>
       lshPairsDf(s, dir).orderBy("doc_a", "doc_b")),
@@ -835,6 +858,37 @@ object SparkEntry {
     "lm_doc_scores" -> ((s, dir) =>
       graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
         "text", "doc_id")
+        .orderBy("doc_id")),
+    // Training-data ops: corpus-trained multinomial Naive Bayes language
+    // classifier (the fastText-niche trained filter) — md5-bucket 80/20
+    // split, count-trained in-engine, decimal log-sum scoring
+    "classify_lang_nb" -> ((s, dir) =>
+      graft.text.Classifier.nbPredict(Demo.table(s, dir, "documents"),
+        "text", "doc_id", "lang")
+        .orderBy("doc_id")),
+    // Per-class held-out accuracy of the trained NB filter — the gate a
+    // pipeline checks before trusting a trained classifier
+    "classify_lang_nb_report" -> ((s, dir) =>
+      graft.text.Classifier.accuracyReport(
+        graft.text.Classifier.nbPredict(Demo.table(s, dir, "documents"),
+          "text", "doc_id", "lang"))
+        .orderBy("label")),
+    // Training-data ops: nearest-centroid (Rocchio) classifier over the
+    // embedding column — per-class exact integer-sum mean vectors,
+    // broadcast cosine argmax on the held-out slice. (The synthetic
+    // embeddings' label clusters are near-isotropic — held-out 1-NN is at
+    // chance — so demo accuracy is data-bounded; ClassifierSpec proves
+    // the operator classifies a separable corpus perfectly.)
+    "classify_embedding_centroid" -> ((s, dir) =>
+      graft.text.Classifier.centroidPredict(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id", "label")
+        .orderBy("vec_id")),
+    // Training-data ops: DSIR importance weights (hashed unigram+bigram
+    // log-likelihood ratio vs the lang='en' seed slice) — the trained
+    // data-selection step between crawling and training
+    "dsir_importance" -> ((s, dir) =>
+      graft.text.Dsir.importanceWeights(Demo.table(s, dir, "documents"),
+        "text", "doc_id", col("lang") === "en")
         .orderBy("doc_id")),
     // Training-data ops: overlapping token-window chunking (RAG/context
     // prep; map-only explode, windows every 48 tokens of width 64)
@@ -1359,6 +1413,9 @@ object SparkEntry {
     "etl_match_by_state" -> OracleSql.matchesByState,
     "etl_state_breakdown_json" -> OracleSql.stateBreakdownJson,
     "agg_revenue_by_segment" -> OracleSql.revenueBySegment,
+    // the salted join must be semantically identical to the plain join —
+    // the oracle IS the plain join
+    "join_salted_skew" -> OracleSql.revenueBySegment,
     "rollup_revenue" -> OracleSql.rollupRevenue,
     "cube_revenue" -> OracleSql.cubeRevenue,
     "pivot_status_by_segment" -> OracleSql.pivotStatusBySegment,
@@ -1423,6 +1480,11 @@ object SparkEntry {
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "sample_mixture" -> OracleSql.sampleMixture,
+    "classify_lang_nb" -> TextOracles.nbPredict,
+    "classify_lang_nb_report" -> TextOracles.nbReport,
+    "classify_embedding_centroid" -> TextOracles.centroidPredict(),
+    "dsir_importance" -> TextOracles.dsirImportance(),
+    "dedup_substring_pairs" -> DedupOracles.substringPairs(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

@@ -346,4 +346,22 @@ FROM chunks a JOIN chunks b
   ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ORDER BY doc_a, doc_b"""
+
+  /** Mirrors SubstringDedup.windowPairs (stride 1): every w-token window
+    * hashed with the shared md5-prefix hash, df-capped on the hash key
+    * (distinct docs), pairs verified on the window STRING. */
+  def substringPairs(w: Int = 20, maxPostings: Long = 1000): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+w0 AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - $w + 1, 0))) AS pos, toks
+       FROM t),
+wi AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+$w], ' ') AS win FROM w0),
+hh AS (SELECT doc_id, pos, win, ${hashOf("win")} AS h FROM wi),
+keep AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1) t
+         WHERE df <= $maxPostings),
+k AS (SELECT hh.* FROM hh JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  count(DISTINCT a.win) AS n_shared_windows,
+  min(a.pos) AS first_pos_a
+FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id AND a.win = b.win
+GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Substring-level exact dedup — the finer-grained sibling of the
+ * document-level families in [[TextDedup]]: two documents are
+ * substring-duplicates when they share at least one exact run of
+ * `windowTokens` consecutive tokens (Lee et al. 2021, "Deduplicating
+ * Training Data Makes Language Models Better", which dedups exact
+ * 50-token substrings via a suffix array). Catches boilerplate reuse,
+ * quotation and template overlap that whole-document hashing misses and
+ * shingle-Jaccard only sees once overlap dominates the documents.
+ *
+ * Distributed formulation (a suffix array is a single-machine
+ * construction): every length-w token window is emitted once per
+ * position, keyed by the engine's shared md5-prefix hash
+ * ([[TextDedup.strHash]]), and candidate pairs meet through the same
+ * inverted-index + document-frequency-cap shape as
+ * [[TextDedup.ngramJaccardPairs]] — a window occurring in more than
+ * `maxPostings` documents is boilerplate (cookie banners, licence
+ * headers) and is dropped from PAIRING (the df cap bounds the self-join
+ * fan-out at corpus scale; at 100 TB the hot keys are exactly these).
+ * Hash matches are verified against the window STRINGS before any pair
+ * is reported, so output is exact, not probabilistic.
+ *
+ * Output: one row per (doc_a < doc_b) pair with the number of distinct
+ * shared windows and the earliest shared position in doc_a — the span
+ * evidence an excision pass (cut the duplicated run, keep the rest)
+ * needs.
+ */
+object SubstringDedup {
+
+  /**
+   * Pairs of documents sharing ≥ 1 exact `windowTokens`-token run.
+   * `stride` > 1 subsamples EMITTED positions on both sides (linear cost
+   * reduction, trades recall: a shared run is found only if it covers
+   * aligned windows on both documents — keep 1 for exactness, raise it
+   * for triage at scale).
+   */
+  def windowPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20, stride: Int = 1,
+      maxPostings: Long = 1000): DataFrame = {
+    require(windowTokens >= 2 && stride >= 1)
+    val toks = TextDedup.tokens(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - windowTokens,
+          lit(stride)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(windowTokens)))
+              .as("win")))).as("pw"))
+      .select(col("doc_id"), col("pw.pos").cast("long").as("pos"),
+        col("pw.win").as("win"))
+      .withColumn("h", TextDedup.strHash(col("win")))
+
+    // df cap on the HASH key (the join key): windows in > maxPostings
+    // docs never pair. Distinct docs, not positions — a window repeated
+    // WITHIN one template document must not evict it from pairing.
+    val keep = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxPostings)
+      .select("h")
+    val kept = wins.join(keep, "h")
+
+    val a = kept.select(col("h"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("win").as("win_a"))
+    val b = kept.select(col("h"), col("doc_id").as("doc_b"),
+      col("win").as("win_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b") && col("win_a") === col("win_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("win_a")).as("n_shared_windows"),
+        min(col("pos_a")).as("first_pos_a"))
+  }
+}

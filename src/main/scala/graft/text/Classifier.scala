@@ -1,0 +1,176 @@
+package graft.text
+
+import graft.dedup.TextDedup
+import graft.embeddings.EmbeddingOps
+import graft.operators.Sampling
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-trained classifiers — the fastText-niche model family of a
+ * training-data pipeline (language ID, domain tagging, quality routing),
+ * trained IN the engine by counting/averaging: no gradient loop, no
+ * driver-side state, every stage a hash aggregation or broadcast join,
+ * and therefore fully oracle-replayable.
+ *
+ * Two models, covering both modalities the pipeline filters on:
+ *  - [[nbPredict]]: multinomial Naive Bayes over whitespace tokens
+ *    (text route). Training is two hash aggregations over exploded
+ *    tokens; the model is the non-zero (class, term) count table plus
+ *    one row per class.
+ *  - [[centroidPredict]]: nearest-centroid (Rocchio) over an embedding
+ *    column (semantic route). Training is one posexplode + exact
+ *    integer-sum aggregation; the model is |classes| centroid arrays.
+ *
+ * Scale design: both models are broadcastable by construction (NB:
+ * observed vocab × classes non-zero cells; Rocchio: |classes| rows), so
+ * scoring a 100 TB corpus is a map-side broadcast join + one partial
+ * aggregation per document — no shuffle proportional to the corpus
+ * beyond the per-doc combine. The train/test split is the engine's
+ * deterministic md5 bucket ([[Sampling.bucket]]), a pure function of
+ * the key: membership survives re-partitioning, re-runs and engines.
+ *
+ * Engine-exactness: every transcendental (ln) is rounded to 6 dp and
+ * scaled by exact integer counts into DECIMAL sums (the
+ * [[Relevance]] convention — decimal addition is exact and commutative,
+ * so scores are independent of partitioning); centroid components are
+ * micro-unit-quantized integer sums divided once. The argmax is then a
+ * deterministic comparison with ties broken by label ascending.
+ */
+object Classifier {
+
+  private val Dec = "decimal(18,6)"
+
+  /**
+   * Multinomial Naive Bayes with Laplace smoothing, trained on the
+   * `bucket(id) < trainBuckets` hash slice and scored on the rest.
+   *
+   * With smoothing, log P(t|c) = ln(cnt(t,c)+1) − ln(tokens_c+V); a
+   * zero-count cell contributes ln(0+1) = 0, so only the NON-ZERO count
+   * table is ever materialized and the denominator folds into one
+   * per-class linear term:
+   *
+   *   score(d,c) = ln P(c) − len_v(d)·ln(tokens_c+V)
+   *                + Σ_t n_t(d)·ln(cnt(t,c)+1)
+   *
+   * where len_v(d) counts d's in-vocab token instances. Out-of-vocab
+   * tokens are ignored (standard vocab-bounded NB). Output: one row per
+   * test document — (doc_id, label_true, label_pred, score) with score
+   * the winning class's log-posterior numerator rounded to 4 dp.
+   */
+  def nbPredict(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, trainBuckets: Long = 8000): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label_true"), col(textCol).as("text"),
+      Sampling.bucket(col(idCol)).as("_bk"))
+    val trainDocs = base.filter(col("_bk") < trainBuckets)
+    val testDocs = base.filter(col("_bk") >= trainBuckets)
+
+    val trainToks = trainDocs.select(col("label_true").as("label"),
+      explode(TextDedup.tokens(col("text"))).as("term"))
+    // the model: non-zero (class, term) cells + one row per class
+    val termCnt = trainToks.groupBy("label", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val classTok = termCnt.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
+    val vocab = termCnt.select("term").distinct()
+    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val nTrain = trainDocs.agg(count(lit(1)).as("n_train"))
+    val classes = trainDocs.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_docs_c"))
+      .join(classTok, "label")
+      .crossJoin(vocabSize).crossJoin(nTrain)
+      .select(col("label"),
+        (round(log(col("n_docs_c").cast("double")), 6).cast(Dec) -
+          round(log(col("n_train").cast("double")), 6).cast(Dec))
+          .as("log_prior"),
+        round(log((col("tokens_c") + col("v")).cast("double")), 6).cast(Dec)
+          .as("log_denom"))
+
+    // test tokens keep multiplicity: the model join below multiplies
+    // n_t(d) in by emitting one row per token INSTANCE
+    val testToks = testDocs.select(col("doc_id"),
+      explode(TextDedup.tokens(col("text"))).as("term"))
+    val matched = testToks.join(termCnt, "term")
+      .groupBy("doc_id", "label")
+      .agg(sum(round(log((col("cnt") + 1).cast("double")), 6).cast(Dec))
+        .as("s_match"))
+    val lenV = testToks.join(vocab, "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("len_v"))
+
+    val scored = testDocs.select("doc_id", "label_true")
+      .crossJoin(broadcast(classes))
+      .join(matched, Seq("doc_id", "label"), "left")
+      .join(lenV, Seq("doc_id"), "left")
+      .withColumn("score",
+        col("log_prior") -
+          coalesce(col("len_v"), lit(0L)) * col("log_denom") +
+          coalesce(col("s_match"), lit(0).cast(Dec)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("label_true"), col("label").as("label_pred"),
+        round(col("score"), 4).cast("double").as("score"))
+  }
+
+  /** Per-class quality report over [[nbPredict]]'s output — the number a
+    * pipeline actually gates on before trusting a trained filter. */
+  def accuracyReport(pred: DataFrame): DataFrame =
+    pred.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("label_pred") === col("label_true"), 1L).otherwise(0L))
+          .as("n_correct"))
+      // exact integer count ÷ exact count: one IEEE division, portable
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_test"))
+
+  /**
+   * Nearest-centroid (Rocchio) classifier over an embedding column:
+   * per-class mean vector on the train slice, cosine argmax on the test
+   * slice. The semantic sibling of [[nbPredict]] — the shape used for
+   * embedding-based domain/quality routing when a labeled seed set
+   * exists.
+   *
+   * Determinism of the mean: each float component is quantized to exact
+   * micro-units (floor(x·1e6 + 0.5) — one IEEE multiply-add + floor,
+   * identical in any engine), summed as integers (exact, commutative —
+   * a distributed double sum would be partition-order-dependent), and
+   * divided back once. Cosine then uses the engine's standard
+   * left-to-right fold ([[EmbeddingOps.dot]]). Output: (vec_id,
+   * label_true, label_pred, cosine) per test vector, cosine to 6 dp.
+   */
+  def centroidPredict(vecs: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, trainBuckets: Long = 8000): DataFrame = {
+    val base = vecs.select(col(idCol).as("vec_id"),
+      col(labelCol).as("label_true"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+      Sampling.bucket(col(idCol)).as("_bk"))
+    val train = base.filter(col("_bk") < trainBuckets)
+    val test = base.filter(col("_bk") >= trainBuckets)
+
+    val comps = train.select(col("label_true").as("label"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("micro"))
+    val centroids = comps.groupBy("label", "dim")
+      .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / col("n") / lit(1e6)).as("c"))
+      .groupBy("label")
+      // collect_list order is nondeterministic; array_sort on the
+      // (dim, c) struct restores dim order exactly (dims are distinct)
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .as("dc"))
+      .select(col("label"), transform(col("dc"), e => e("c")).as("cv"))
+
+    val scored = test.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label_true"), col("label"),
+        round(EmbeddingOps.dot(col("v"), col("cv")) /
+          (EmbeddingOps.norm(col("v")) * EmbeddingOps.norm(col("cv"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("label").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("vec_id", "label_true", "label", "cosine")
+      .withColumnRenamed("label", "label_pred")
+  }
+}

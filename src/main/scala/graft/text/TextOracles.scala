@@ -960,4 +960,123 @@ SELECT 5 AS k, n_queries,
        round(CAST(total_hits AS DOUBLE) / (n_queries * 5), 4) AS recall_at_k,
        mean_abs_err
 FROM hits CROSS JOIN nqs CROSS JOIN err"""
+
+  /** Same md5-prefix hash bucket as Sampling.bucket (cf. OracleSql). */
+  private def bucketSql(key: String): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"
+
+  /** Shared CTE chain replaying Classifier.nbPredict: md5-bucket
+    * train/test split, non-zero (class, term) counts, and the decimal
+    * log-sum scoring with the zero-count-cells-fold-to-the-linear-term
+    * identity. Every ln is rounded to 6 dp before the DECIMAL sum,
+    * mirroring the engine exactly. */
+  private val nbScoredCte = s"""b AS (
+  SELECT doc_id, lang, text, ${bucketSql("doc_id")} AS bk FROM documents),
+trd AS (SELECT doc_id, lang, $toks AS toks FROM b WHERE bk < 8000),
+ted AS (SELECT doc_id, lang, $toks AS toks FROM b WHERE bk >= 8000),
+trt AS (SELECT lang AS label, unnest(toks) AS term FROM trd),
+tet AS (SELECT doc_id, unnest(toks) AS term FROM ted),
+tc AS (SELECT label, term, count(*) AS cnt FROM trt GROUP BY 1, 2),
+ct AS (SELECT label, sum(cnt) AS tokens_c FROM tc GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM tc),
+vs AS (SELECT count(*) AS v FROM vocab),
+nt AS (SELECT count(*) AS n_train FROM trd),
+cls AS (SELECT cd.label,
+    CAST(round(ln(CAST(cd.n_docs_c AS DOUBLE)), 6) AS DECIMAL(18,6))
+      - CAST(round(ln(CAST(nt.n_train AS DOUBLE)), 6) AS DECIMAL(18,6)) AS log_prior,
+    CAST(round(ln(CAST(ct.tokens_c + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS log_denom
+  FROM (SELECT lang AS label, count(*) AS n_docs_c FROM trd GROUP BY 1) cd
+  JOIN ct ON cd.label = ct.label CROSS JOIN vs CROSS JOIN nt),
+mc AS (SELECT tet.doc_id, tc.label,
+    sum(CAST(round(ln(CAST(tc.cnt + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS s_match
+  FROM tet JOIN tc USING (term) GROUP BY 1, 2),
+lv AS (SELECT tet.doc_id, count(*) AS len_v FROM tet JOIN vocab USING (term) GROUP BY 1),
+sc AS (SELECT d.doc_id, d.lang AS label_true, c.label,
+    c.log_prior - COALESCE(lv.len_v, 0) * c.log_denom
+      + COALESCE(mc.s_match, CAST(0 AS DECIMAL(18,6))) AS score
+  FROM ted d CROSS JOIN cls c
+  LEFT JOIN mc ON mc.doc_id = d.doc_id AND mc.label = c.label
+  LEFT JOIN lv ON lv.doc_id = d.doc_id),
+pred AS (SELECT doc_id, label_true, label AS label_pred,
+    CAST(round(score, 4) AS DOUBLE) AS score
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) t
+  WHERE rn = 1)"""
+
+  /** Mirrors Classifier.nbPredict over documents(lang). */
+  val nbPredict: String = s"""WITH $nbScoredCte
+SELECT doc_id, label_true, label_pred, score FROM pred ORDER BY doc_id"""
+
+  /** Mirrors Classifier.accuracyReport(nbPredict). */
+  val nbReport: String = s"""WITH $nbScoredCte
+SELECT label_true AS label, count(*) AS n_test,
+  CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS accuracy
+FROM pred GROUP BY 1 ORDER BY 1"""
+
+  /** Mirrors Dsir.importanceWeights over documents with the lang='en'
+    * seed slice as target: hashed unigram+bigram cells (shared md5-prefix
+    * hash mod buckets), Laplace-smoothed per-cell log ratio rounded to
+    * 6 dp, decimal-summed per raw document. */
+  def dsirImportance(buckets: Int = 1024): String = s"""WITH d AS (
+  SELECT doc_id, lang = 'en' AS is_target, $toks AS toks FROM documents),
+g0 AS (SELECT doc_id, is_target,
+    list_concat(toks, CASE WHEN len(toks) >= 2
+      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM d),
+g AS (SELECT doc_id, is_target,
+    (CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 1000000007) % $buckets AS cell
+  FROM (SELECT doc_id, is_target, unnest(grams) AS gr FROM g0)),
+cc AS (SELECT cell,
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+    CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS rc
+  FROM g GROUP BY 1),
+tot AS (SELECT
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+    CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS rt
+  FROM g),
+cr AS (SELECT cell,
+    CAST(round(ln(CAST(tc + 1 AS DOUBLE) / (tt + $buckets))
+             - ln(CAST(rc + 1 AS DOUBLE) / (rt + $buckets)), 6)
+      AS DECIMAL(18,6)) AS lr
+  FROM cc CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_grams,
+  CAST(round(sum(lr), 4) AS DOUBLE) AS log_weight
+FROM g JOIN cr USING (cell) WHERE NOT is_target
+GROUP BY 1 ORDER BY doc_id"""
+
+  /** Mirrors Classifier.centroidPredict over embeddings(label):
+    * micro-unit integer-sum centroids (exact, order-independent), then
+    * the standard left-to-right cosine fold against each class. */
+  def centroidPredict(dim: Int = 64): String = {
+    val dims = (0 until dim).mkString("[", ",", "]")
+    s"""WITH b AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         ${bucketSql("vec_id")} AS bk
+  FROM embeddings),
+tr AS (SELECT * FROM b WHERE bk < 8000),
+te AS (SELECT vec_id, label AS label_true, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (p,q) -> p + q)) AS nrm
+       FROM b WHERE bk >= 8000),
+comps AS (SELECT label, unnest($dims) AS dim,
+    unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS micro
+  FROM tr),
+cent AS (SELECT label, dim,
+    CAST(sum(micro) AS DOUBLE) / count(*) / 1e6 AS c
+  FROM comps GROUP BY 1, 2),
+cv AS (SELECT label, list(c ORDER BY dim) AS cv,
+    sqrt(list_reduce(list_transform(list(c ORDER BY dim), x -> x * x),
+      (p,q) -> p + q)) AS cnrm
+  FROM cent GROUP BY 1),
+sc AS (SELECT te.vec_id, te.label_true, cv.label,
+    round(list_reduce(list_transform(list_zip(te.v, cv.cv), z -> z[1] * z[2]),
+      (p,q) -> p + q) / (te.nrm * cv.cnrm), 6) AS cosine
+  FROM te CROSS JOIN cv)
+SELECT vec_id, label_true, label AS label_pred, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, label) AS rn FROM sc) t
+WHERE rn = 1 ORDER BY vec_id"""
+  }
 }

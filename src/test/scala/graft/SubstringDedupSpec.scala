@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.SubstringDedup
+import org.apache.spark.sql.functions._
+
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("pair found iff the shared run reaches windowTokens") {
+    val shared20 = words("s", 20)
+    val shared19 = words("t", 19)
+    val docs = Seq(
+      (1L, s"${words("a", 5)} $shared20 ${words("b", 5)}"),
+      (2L, s"${words("c", 3)} $shared20"),
+      (3L, s"${words("d", 5)} $shared19 ${words("e", 5)}"),
+      (4L, s"${words("f", 5)} $shared19 ${words("g", 5)}")
+    ).toDF("doc_id", "text")
+    val pairs = SubstringDedup.windowPairs(docs, "text", "doc_id",
+      windowTokens = 20).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    // doc 1's run starts after its 5-word preamble
+    assert(p.getLong(3) == 5L)
+    assert(p.getLong(2) == 1L)
+  }
+
+  test("a longer shared run yields one pair with multiple shared windows") {
+    val run = words("r", 22) // 3 distinct 20-token windows
+    val docs = Seq((1L, run), (2L, s"${words("x", 2)} $run")).toDF("doc_id", "text")
+    val p = SubstringDedup.windowPairs(docs, "text", "doc_id",
+      windowTokens = 20).collect().head
+    assert(p.getLong(2) == 3L)
+    assert(p.getLong(3) == 0L)
+  }
+
+  test("boilerplate windows beyond the df cap never pair") {
+    val banner = words("cookie", 20)
+    val docs = (1L to 6L).map(i =>
+      (i, s"${words(s"u$i", 4)} $banner")).toDF("doc_id", "text")
+    val capped = SubstringDedup.windowPairs(docs, "text", "doc_id",
+      windowTokens = 20, maxPostings = 3)
+    assert(capped.count() == 0)
+    val uncapped = SubstringDedup.windowPairs(docs, "text", "doc_id",
+      windowTokens = 20, maxPostings = 10)
+    assert(uncapped.count() == 15) // all C(6,2) pairs share the banner
+  }
+
+  test("within-document repetition does not evict a window from pairing") {
+    val run = words("v", 20)
+    val docs = Seq(
+      (1L, s"$run $run $run"), // repeated within ONE doc
+      (2L, run)
+    ).toDF("doc_id", "text")
+    // df counts distinct docs (2), not positions, so cap 2 keeps the pair
+    val pairs = SubstringDedup.windowPairs(docs, "text", "doc_id",
+      windowTokens = 20, maxPostings = 2).collect()
+    assert(pairs.exists(p => p.getLong(0) == 1L && p.getLong(1) == 2L))
+  }
+}
