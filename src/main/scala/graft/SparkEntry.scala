@@ -866,6 +866,18 @@ object SparkEntry {
       graft.text.Classifier.nbPredict(Demo.table(s, dir, "documents"),
         "text", "doc_id", "lang")
         .orderBy("doc_id")),
+    // Train-once/serve-many: the SAME prediction served from the
+    // persisted model layout (classes/ + terms/ parquet) — the stored
+    // decimal log columns are exactly what scoring sums, so this must be
+    // bit-identical to classify_lang_nb (same oracle)
+    "classify_lang_nb_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("nbmodel", dir)
+      graft.text.Classifier.writeNbModel(Demo.table(s, dir, "documents"),
+        "text", "doc_id", "lang", path)
+      graft.text.Classifier.nbPredictFromModel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang", path)
+        .orderBy("doc_id")
+    }),
     // Per-class held-out accuracy of the trained NB filter — the gate a
     // pipeline checks before trusting a trained classifier
     "classify_lang_nb_report" -> ((s, dir) =>
@@ -1481,6 +1493,8 @@ object SparkEntry {
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "sample_mixture" -> OracleSql.sampleMixture,
     "classify_lang_nb" -> TextOracles.nbPredict,
+    // serving from the persisted model is bit-identical by construction
+    "classify_lang_nb_from_model" -> TextOracles.nbPredict,
     "classify_lang_nb_report" -> TextOracles.nbReport,
     "classify_embedding_centroid" -> TextOracles.centroidPredict(),
     "dsir_importance" -> TextOracles.dsirImportance(),

@@ -61,20 +61,29 @@ object Classifier {
    */
   def nbPredict(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, trainBuckets: Long = 8000): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+    val base = split(docs, textCol, idCol, labelCol)
+    val (classes, terms) = nbTrain(base.filter(col("_bk") < trainBuckets))
+    scoreNb(base.filter(col("_bk") >= trainBuckets), classes, terms)
+  }
+
+  private def split(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       col(labelCol).as("label_true"), col(textCol).as("text"),
       Sampling.bucket(col(idCol)).as("_bk"))
-    val trainDocs = base.filter(col("_bk") < trainBuckets)
-    val testDocs = base.filter(col("_bk") >= trainBuckets)
 
+  /** The trained model as two frames — the persistable layout:
+    * `classes(label, log_prior, log_denom)` (one row per class) and
+    * `terms(label, term, lw)` (the NON-zero cells only, lw =
+    * round(ln(cnt+1), 6) as DECIMAL — exactly the value scoring sums, so
+    * a persisted model reproduces in-memory scores bit-for-bit). */
+  private def nbTrain(trainDocs: DataFrame): (DataFrame, DataFrame) = {
     val trainToks = trainDocs.select(col("label_true").as("label"),
       explode(TextDedup.tokens(col("text"))).as("term"))
-    // the model: non-zero (class, term) cells + one row per class
     val termCnt = trainToks.groupBy("label", "term")
       .agg(count(lit(1)).as("cnt"))
     val classTok = termCnt.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
-    val vocab = termCnt.select("term").distinct()
-    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val vocabSize = termCnt.select("term").distinct().agg(count(lit(1)).as("v"))
     val nTrain = trainDocs.agg(count(lit(1)).as("n_train"))
     val classes = trainDocs.groupBy(col("label_true").as("label"))
       .agg(count(lit(1)).as("n_docs_c"))
@@ -86,15 +95,21 @@ object Classifier {
           .as("log_prior"),
         round(log((col("tokens_c") + col("v")).cast("double")), 6).cast(Dec)
           .as("log_denom"))
+    val terms = termCnt.select(col("label"), col("term"),
+      round(log((col("cnt") + 1).cast("double")), 6).cast(Dec).as("lw"))
+    (classes, terms)
+  }
 
+  private def scoreNb(testDocs: DataFrame, classes: DataFrame,
+      terms: DataFrame): DataFrame = {
     // test tokens keep multiplicity: the model join below multiplies
     // n_t(d) in by emitting one row per token INSTANCE
     val testToks = testDocs.select(col("doc_id"),
       explode(TextDedup.tokens(col("text"))).as("term"))
-    val matched = testToks.join(termCnt, "term")
+    val matched = testToks.join(terms, "term")
       .groupBy("doc_id", "label")
-      .agg(sum(round(log((col("cnt") + 1).cast("double")), 6).cast(Dec))
-        .as("s_match"))
+      .agg(sum(col("lw")).as("s_match"))
+    val vocab = terms.select("term").distinct()
     val lenV = testToks.join(vocab, "term")
       .groupBy("doc_id").agg(count(lit(1)).as("len_v"))
 
@@ -111,6 +126,32 @@ object Classifier {
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("doc_id"), col("label_true"), col("label").as("label_pred"),
         round(col("score"), 4).cast("double").as("score"))
+  }
+
+  /** Train on the `bucket(id) < trainBuckets` slice and persist the
+    * model layout (`classes/`, `terms/` parquet under `path`) — train
+    * once, serve many: the decimal log columns stored are exactly the
+    * values scoring sums, so serving from the persisted model is
+    * bit-identical to in-memory prediction. */
+  def writeNbModel(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, path: String, trainBuckets: Long = 8000): Unit = {
+    val base = split(docs, textCol, idCol, labelCol)
+    val (classes, terms) = nbTrain(base.filter(col("_bk") < trainBuckets))
+    classes.write.mode("overwrite").parquet(s"$path/classes")
+    terms.write.mode("overwrite").parquet(s"$path/terms")
+  }
+
+  /** Score the held-out slice of `docs` from a model persisted by
+    * [[writeNbModel]]. Row-identical to [[nbPredict]] on the same corpus
+    * and split. */
+  def nbPredictFromModel(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, path: String,
+      trainBuckets: Long = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    val base = split(docs, textCol, idCol, labelCol)
+    scoreNb(base.filter(col("_bk") >= trainBuckets),
+      spark.read.parquet(s"$path/classes"),
+      spark.read.parquet(s"$path/terms"))
   }
 
   /** Per-class quality report over [[nbPredict]]'s output — the number a

@@ -51,6 +51,17 @@ class ClassifierSpec extends SparkSpec {
     assert(pred.filter(col("label_pred") =!= "big").count() == 0)
   }
 
+  test("nbPredictFromModel serves bit-identical predictions from the persisted layout") {
+    val path = java.nio.file.Files
+      .createTempDirectory("nbmodel").toString
+    Classifier.writeNbModel(toyDocs, "text", "doc_id", "lang", path)
+    val fromModel = Classifier.nbPredictFromModel(toyDocs, "text",
+      "doc_id", "lang", path).orderBy("doc_id").collect()
+    val inMemory = Classifier.nbPredict(toyDocs, "text", "doc_id", "lang")
+      .orderBy("doc_id").collect()
+    assert(fromModel.sameElements(inMemory))
+  }
+
   test("accuracyReport: counts reconcile with predictions") {
     val pred = Classifier.nbPredict(toyDocs, "text", "doc_id", "lang")
     val rep = Classifier.accuracyReport(pred).collect()
