@@ -3,7 +3,7 @@ package graft.text
 import graft.dedup.TextDedup
 import graft.embeddings.EmbeddingOps
 import graft.operators.Sampling
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -203,10 +203,17 @@ object Classifier {
         .as("dc"))
       .select(col("label"), transform(col("dc"), e => e("c")).as("cv"))
 
+    // zero-norm guard (all-zero vector or centroid): norm -> 1 makes the
+    // cosine collapse to 0 instead of NaN — mirrors the int8 scale and
+    // PQ reconstruction-norm guards elsewhere in the engine
+    def safeNorm(c: Column): Column = {
+      val n = EmbeddingOps.norm(c)
+      when(n === 0.0, lit(1.0)).otherwise(n)
+    }
     val scored = test.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("label_true"), col("label"),
         round(EmbeddingOps.dot(col("v"), col("cv")) /
-          (EmbeddingOps.norm(col("v")) * EmbeddingOps.norm(col("cv"))), 6)
+          (safeNorm(col("v")) * safeNorm(col("cv"))), 6)
           .as("cosine"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("label").asc)

@@ -1058,18 +1058,22 @@ GROUP BY 1 ORDER BY doc_id"""
   FROM embeddings),
 tr AS (SELECT * FROM b WHERE bk < 8000),
 te AS (SELECT vec_id, label AS label_true, v,
-         sqrt(list_reduce(list_transform(v, x -> x * x), (p,q) -> p + q)) AS nrm
-       FROM b WHERE bk >= 8000),
+         CASE WHEN n0 = 0 THEN 1.0 ELSE n0 END AS nrm
+       FROM (SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x),
+               (p,q) -> p + q)) AS n0
+             FROM b WHERE bk >= 8000) s),
 comps AS (SELECT label, unnest($dims) AS dim,
     unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS micro
   FROM tr),
 cent AS (SELECT label, dim,
     CAST(sum(micro) AS DOUBLE) / count(*) / 1e6 AS c
   FROM comps GROUP BY 1, 2),
-cv AS (SELECT label, list(c ORDER BY dim) AS cv,
-    sqrt(list_reduce(list_transform(list(c ORDER BY dim), x -> x * x),
-      (p,q) -> p + q)) AS cnrm
-  FROM cent GROUP BY 1),
+cv AS (SELECT label, cv,
+    CASE WHEN c0 = 0 THEN 1.0 ELSE c0 END AS cnrm
+  FROM (SELECT label, list(c ORDER BY dim) AS cv,
+          sqrt(list_reduce(list_transform(list(c ORDER BY dim), x -> x * x),
+            (p,q) -> p + q)) AS c0
+        FROM cent GROUP BY 1) s),
 sc AS (SELECT te.vec_id, te.label_true, cv.label,
     round(list_reduce(list_transform(list_zip(te.v, cv.cv), z -> z[1] * z[2]),
       (p,q) -> p + q) / (te.nrm * cv.cnrm), 6) AS cosine

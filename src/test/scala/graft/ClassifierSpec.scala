@@ -92,6 +92,23 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.9))
   }
 
+  test("centroidPredict: zero vectors and zero centroids score 0, never NaN") {
+    val withZeros = (0L until 120L).map { id =>
+      val label = (id % 2).toInt
+      // label 1 is the all-zero class; some label-0 rows are zero too
+      val v = if (label == 1 || id % 10 == 0) Array.fill(4)(0.0f)
+        else Array(1.0f, 0.5f, 0.0f, 0.0f)
+      (id, v.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Classifier.centroidPredict(withZeros, "embedding",
+      "vec_id", "label").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(!c.isNaN && c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("centroidPredict: centroids are partition-order-independent") {
     val a = Classifier.centroidPredict(toyVecs, "embedding", "vec_id", "label")
       .orderBy("vec_id").collect()
