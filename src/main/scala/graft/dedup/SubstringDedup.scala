@@ -57,6 +57,13 @@ object SubstringDedup {
         col("pw.win").as("win"))
       .withColumn("h", TextDedup.strHash(col("win")))
 
+    // `wins` feeds three consumers (df count + both join sides) and is
+    // deliberately NOT Materialized, unlike ngramJaccardPairs' per-doc
+    // shingle frame: this table is the token-level EXPLOSION (one row
+    // per window position, carrying the window string for the exact
+    // verify) — at corpus scale checkpointing it costs more than the
+    // map-only re-explode it saves. The join still keys on the 8-byte
+    // hash; the string rides as payload only to the equality check.
     // df cap on the HASH key (the join key): windows in > maxPostings
     // docs never pair. Distinct docs, not positions — a window repeated
     // WITHIN one template document must not evict it from pairing.

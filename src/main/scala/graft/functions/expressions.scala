@@ -363,6 +363,33 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** Unigram + bigram hashed DSIR feature cells of a text: md5-prefix
+    * hash mod P mod `buckets`, multiplicity kept, unigrams first then
+    * bigrams — one JVM pass replacing the interpreted per-gram md5
+    * lambda chain (which paid ~8 µs/gram in expression interpretation).
+    * Hash construction identical to [[hashedShingles]]. */
+  def dsirCells(text: UTF8String, buckets: Int): ArrayData = {
+    if (text == null) return ArrayData.toArrayData(Array.empty[Long])
+    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      (v % 1000000007L) % buckets
+    }
+    var i = 0
+    while (i < n) { out(i) = h(toks(i)); i += 1 }
+    i = 0
+    while (i < n - 1) { out(n + i) = h(toks(i) + " " + toks(i + 1)); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Rabin-Karp polynomial rolling hash of a text's UTF-8 bytes
     * (base 257 mod 1_000_000_007): a content fingerprint computable
     * incrementally over streams/chunks — the complement of the
@@ -540,6 +567,15 @@ object GraftFunctions {
     col(StaticInvoke(VectorAdapters.getClass,
       ArrayType(LongType, containsNull = false), "hashedShingles",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n))),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd DSIR unigram+bigram hashed feature cells of a text
+    * column. */
+  def dsir_cells(text: Column, buckets: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "dsirCells",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(buckets))),
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true, returnNullable = false))
 

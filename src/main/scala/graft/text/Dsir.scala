@@ -38,8 +38,18 @@ object Dsir {
 
   /** Unigram + bigram multiset of a text column, hashed into
     * [0, buckets) cells. Multiplicity is kept — the weight is a sum over
-    * gram INSTANCES, so repeated grams count repeatedly. */
-  private[text] def gramCells(c: Column, buckets: Int): Column = {
+    * gram INSTANCES, so repeated grams count repeatedly. One codegen'd
+    * kernel call per document ([[graft.functions.GraftFunctions.dsir_cells]]);
+    * [[gramCellsExpr]] is the interpreted plan twin the spec holds it to. */
+  private[text] def gramCells(c: Column, buckets: Int): Column =
+    graft.functions.GraftFunctions.dsir_cells(c, buckets)
+
+  private[graft] def gramCellsPublicForTest(c: Column, buckets: Int): Column =
+    gramCells(c, buckets)
+
+  /** Compositional Column-expression twin of the kernel (per-gram md5
+    * lambda) — kept for the row-identity spec, not the hot path. */
+  private[graft] def gramCellsExpr(c: Column, buckets: Int): Column = {
     val toks = TextDedup.tokens(c)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
@@ -67,9 +77,11 @@ object Dsir {
     val cellCounts = grams.groupBy("cell")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("rc"))
-    val totals = grams.agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
-      sum(when(!col("is_target"), 1L).otherwise(0L)).as("rt"))
+    // totals fold over the CELL table (≤ `buckets` rows), not the gram
+    // explosion — every gram lands in exactly one cell, so the sums are
+    // identical and the corpus-sized pass is saved
+    val totals = cellCounts.agg(
+      sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
 
     // ln((tc+1)/(tt+B)) − ln((rc+1)/(rt+B)), rounded once per CELL —
     // each gram instance then contributes the identical decimal

@@ -41,6 +41,15 @@ class DsirSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("kernel cells are row-identical to the expression twin on real docs") {
+    val docs = Demo.table(spark, sf("sf0.001"), "documents")
+    val k = docs.select(col("doc_id"),
+      graft.text.Dsir.gramCellsPublicForTest(col("text"), 1024).as("c"))
+    val e = docs.select(col("doc_id"),
+      graft.text.Dsir.gramCellsExpr(col("text"), 1024).as("c"))
+    assert(k.exceptAll(e).count() == 0 && e.exceptAll(k).count() == 0)
+  }
+
   test("zero-gram raw docs are excluded; n_grams counts instances") {
     val withEmpty = corpus.union(Seq((300L, "   ", false))
       .toDF("doc_id", "text", "is_t"))
