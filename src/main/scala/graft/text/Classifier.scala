@@ -80,8 +80,11 @@ object Classifier {
   private def nbTrain(trainDocs: DataFrame): (DataFrame, DataFrame) = {
     val trainToks = trainDocs.select(col("label_true").as("label"),
       explode(TextDedup.tokens(col("text"))).as("term"))
-    val termCnt = trainToks.groupBy("label", "term")
-      .agg(count(lit(1)).as("cnt"))
+    // model-sized (non-zero cells only) and feeds THREE consumers
+    // (class totals, vocab size, term weights): materialized so the
+    // corpus-sized token explode runs once, not once per consumer
+    val termCnt = graft.operators.Materialized(
+      trainToks.groupBy("label", "term").agg(count(lit(1)).as("cnt")))
     val classTok = termCnt.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
     val vocabSize = termCnt.select("term").distinct().agg(count(lit(1)).as("v"))
     val nTrain = trainDocs.agg(count(lit(1)).as("n_train"))
@@ -106,12 +109,24 @@ object Classifier {
     // n_t(d) in by emitting one row per token INSTANCE
     val testToks = testDocs.select(col("doc_id"),
       explode(TextDedup.tokens(col("text"))).as("term"))
-    val matched = testToks.join(terms, "term")
-      .groupBy("doc_id", "label")
-      .agg(sum(col("lw")).as("s_match"))
-    val vocab = terms.select("term").distinct()
-    val lenV = testToks.join(vocab, "term")
-      .groupBy("doc_id").agg(count(lit(1)).as("len_v"))
+    // the model pivoted per TERM (≤ |labels| cells each) so scoring
+    // joins the corpus-sized token stream ONCE — s_match and len_v both
+    // fall out of the same explode: the p == 0 row marks each token
+    // instance exactly once (whichever label lands first — the per-doc
+    // TOTAL is order-independent), so in-vocab instance counts need no
+    // second vocab join over the corpus
+    val termCells = terms.groupBy("term")
+      .agg(collect_list(struct(col("label"), col("lw"))).as("cells"))
+    val exploded = testToks.join(termCells, "term")
+      .select(col("doc_id"), posexplode(col("cells")).as(Seq("p", "cell")))
+    // partials are test-docs × labels — model-scale, cheap to
+    // materialize; consumers read only order-independent aggregates
+    val partials = graft.operators.Materialized(
+      exploded.groupBy(col("doc_id"), col("cell.label").as("label"))
+        .agg(sum(col("cell.lw")).as("s_match"),
+          sum(when(col("p") === 0, 1L).otherwise(0L)).as("lv_part")))
+    val matched = partials.select("doc_id", "label", "s_match")
+    val lenV = partials.groupBy("doc_id").agg(sum(col("lv_part")).as("len_v"))
 
     val scored = testDocs.select("doc_id", "label_true")
       .crossJoin(broadcast(classes))
