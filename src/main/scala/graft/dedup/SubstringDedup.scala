@@ -43,18 +43,16 @@ object SubstringDedup {
       windowTokens: Int = 20, stride: Int = 1,
       maxPostings: Long = 1000): DataFrame = {
     require(windowTokens >= 2 && stride >= 1)
-    val toks = TextDedup.tokens(col(textCol))
+    // windows come out of one codegen'd kernel pass per document
+    // (token_windows); the md5-prefix hash is then a regular codegen'd
+    // projection over the EXPLODED rows — building strings and hashing
+    // inside array lambdas paid interpreted per-element cost instead
     val wins = docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= windowTokens)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - windowTokens,
-          lit(stride)),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(windowTokens)))
-              .as("win")))).as("pw"))
-      .select(col("doc_id"), col("pw.pos").cast("long").as("pos"),
-        col("pw.win").as("win"))
+      .select(col(idCol).as("doc_id"), posexplode(
+        graft.functions.GraftFunctions.token_windows(col(textCol),
+          windowTokens, stride)).as(Seq("i", "win")))
+      .select(col("doc_id"), (col("i").cast("long") * stride).as("pos"),
+        col("win"))
       .withColumn("h", TextDedup.strHash(col("win")))
 
     // `wins` feeds three consumers (df count + both join sides) and is

@@ -390,6 +390,32 @@ object VectorAdapters extends Serializable {
     ArrayData.toArrayData(out)
   }
 
+  /** All `w`-token windows of a text at the given stride, as strings in
+    * position order — one JVM pass replacing the interpreted
+    * slice+concat lambda chain. Window i covers tokens
+    * [i·stride, i·stride + w). Texts with fewer than w tokens yield an
+    * empty array. */
+  def tokenWindows(text: UTF8String, w: Int, stride: Int): ArrayData = {
+    if (text == null) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val m = (toks.length - w) / stride + 1
+    val out = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i * stride + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Rabin-Karp polynomial rolling hash of a text's UTF-8 bytes
     * (base 257 mod 1_000_000_007): a content fingerprint computable
     * incrementally over streams/chunks — the complement of the
@@ -577,6 +603,15 @@ object GraftFunctions {
       ArrayType(LongType, containsNull = false), "dsirCells",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(buckets))),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd w-token windows (position order) of a text column. */
+  def token_windows(text: Column, w: Int, stride: Int): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(StringType, containsNull = false), "tokenWindows",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(w)),
+        expr(org.apache.spark.sql.functions.lit(stride))),
+      inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd Rabin-Karp rolling-hash fingerprint of a text column. */

@@ -50,6 +50,25 @@ class SubstringDedupSpec extends SparkSpec {
     assert(uncapped.count() == 15) // all C(6,2) pairs share the banner
   }
 
+  test("kernel windows match the compositional slice+concat formulation on real docs") {
+    import graft.dedup.TextDedup
+    val docs = Demo.table(spark, sf("sf0.001"), "documents")
+    val k = docs.select(col("doc_id"), posexplode(
+      graft.functions.GraftFunctions.token_windows(col("text"), 20, 1))
+      .as(Seq("pos", "win")))
+    val toks = TextDedup.tokens(col("text"))
+    val e = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 20)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 20),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(20))).as("win"))))
+        .as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
+    assert(k.exceptAll(e).count() == 0 && e.exceptAll(k).count() == 0)
+    assert(k.count() > 0)
+  }
+
   test("within-document repetition does not evict a window from pairing") {
     val run = words("v", 20)
     val docs = Seq(
