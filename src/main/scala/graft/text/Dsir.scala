@@ -68,6 +68,7 @@ object Dsir {
    */
   def importanceWeights(raw: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val base = raw.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
       gramCells(col(textCol), buckets).as("cells"))
     val grams = base.select(col("doc_id"), col("is_target"),
