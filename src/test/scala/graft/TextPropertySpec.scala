@@ -79,4 +79,43 @@ class TextPropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Adversarial text: mixed-case unicode, digits, punctuation runs,
+    * repeated/empty whitespace — the inputs most likely to expose a
+    * kernel-vs-expression divergence (case mapping, token splitting). */
+  private val docGen: Gen[String] = for {
+    words <- Gen.listOfN(12, Gen.oneOf("Alpha", "beta", "GAMMA", "Söme",
+      "ÄÖÜ", "straße", "ŁÓDŹ", "日本", "x1", "2000", "a-b", "&", "...",
+      "", "I", "İ", "i"))
+    sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+  } yield words.mkString(sep)
+
+  test("dsir_cells kernel matches the expression twin on adversarial text") {
+    import spark.implicits._
+    forAll(docGen, n = 40) { s =>
+      val df = Seq(s).toDF("text")
+      val k = df.select(graft.text.Dsir.gramCellsPublicForTest(col("text"), 64))
+        .collect().head.getSeq[Long](0)
+      val e = df.select(graft.text.Dsir.gramCellsExpr(col("text"), 64))
+        .collect().head.getSeq[Long](0)
+      assert(k == e, s"cells diverged for <$s>")
+    }
+  }
+
+  test("token_windows kernel matches slice+concat on adversarial text") {
+    import spark.implicits._
+    import graft.dedup.TextDedup
+    forAll(docGen, n = 40) { s =>
+      val df = Seq(s).toDF("text")
+      val k = df.select(graft.functions.GraftFunctions
+        .token_windows(col("text"), 3, 1)).collect().head.getSeq[String](0)
+      val toks = TextDedup.tokens(col("text"))
+      val e = df.select(when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+        .otherwise(array().cast("array<string>")))
+        .collect().head.getSeq[String](0)
+      assert(k == e, s"windows diverged for <$s>")
+    }
+  }
 }
