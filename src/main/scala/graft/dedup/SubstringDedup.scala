@@ -43,40 +43,56 @@ object SubstringDedup {
       windowTokens: Int = 20, stride: Int = 1,
       maxPostings: Long = 1000): DataFrame = {
     require(windowTokens >= 2 && stride >= 1)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // windows come out of one codegen'd kernel pass per document
     // (token_windows); the md5-prefix hash is then a regular codegen'd
     // projection over the EXPLODED rows — building strings and hashing
     // inside array lambdas paid interpreted per-element cost instead
-    val wins = docs
-      .select(col(idCol).as("doc_id"), posexplode(
-        graft.functions.GraftFunctions.token_windows(col(textCol),
+    def wins(d: DataFrame, withWin: Boolean): DataFrame = {
+      val w = d.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.token_windows(col("text"),
           windowTokens, stride)).as(Seq("i", "win")))
-      .select(col("doc_id"), (col("i").cast("long") * stride).as("pos"),
-        col("win"))
-      .withColumn("h", TextDedup.strHash(col("win")))
+        .select(col("doc_id"), (col("i").cast("long") * stride).as("pos"),
+          col("win"))
+        .withColumn("h", TextDedup.strHash(col("win")))
+      if (withWin) w else w.drop("win")
+    }
 
-    // `wins` feeds three consumers (df count + both join sides) and is
-    // deliberately NOT Materialized, unlike ngramJaccardPairs' per-doc
-    // shingle frame: this table is the token-level EXPLOSION (one row
-    // per window position, carrying the window string for the exact
-    // verify) — at corpus scale checkpointing it costs more than the
-    // map-only re-explode it saves. The join still keys on the 8-byte
-    // hash; the string rides as payload only to the equality check.
+    // Candidates-first (the LSH-family shape): pairing runs entirely on
+    // HASH-ONLY postings — 8-byte keys, no string payload through the
+    // corpus-wide shuffles. The full window strings are re-derived (one
+    // more kernel pass) only for documents that appear in a candidate
+    // pair, which on a near-dup-sparse corpus is output-proportional,
+    // and the exact string verify runs on that bounded set. The
+    // explosion itself is deliberately recomputed, not Materialized:
+    // it is token-grain, and checkpointing it at corpus scale costs
+    // more than the map-only kernel pass it saves.
+    val postings = wins(base, withWin = false)
     // df cap on the HASH key (the join key): windows in > maxPostings
     // docs never pair. Distinct docs, not positions — a window repeated
     // WITHIN one template document must not evict it from pairing.
-    val keep = wins.groupBy("h")
+    val keep = postings.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxPostings)
       .select("h")
-    val kept = wins.join(keep, "h")
+    val kept = postings.join(keep, "h")
+    val cand = kept.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
 
-    val a = kept.select(col("h"), col("doc_id").as("doc_a"),
-      col("pos").as("pos_a"), col("win").as("win_a"))
-    val b = kept.select(col("h"), col("doc_id").as("doc_b"),
-      col("win").as("win_b"))
-    a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b") && col("win_a") === col("win_b"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candWins = wins(base.join(candDocs, Seq("doc_id"), "leftsemi"),
+      withWin = true)
+    val wa = candWins.select(col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("h"), col("win").as("win_a"))
+    val wb = candWins.select(col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"), col("h"), col("win").as("win_b"))
+    cand.join(wa, Seq("doc_a", "pos_a", "h"))
+      .join(wb, Seq("doc_b", "pos_b", "h"))
+      .filter(col("win_a") === col("win_b"))
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("win_a")).as("n_shared_windows"),
         min(col("pos_a")).as("first_pos_a"))
