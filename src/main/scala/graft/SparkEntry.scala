@@ -899,6 +899,16 @@ object SparkEntry {
       graft.text.Classifier.centroidPredict(
         Demo.table(s, dir, "embeddings"), "embedding", "vec_id", "label")
         .orderBy("vec_id")),
+    // Train-once/serve-many twin for the centroid classifier: the
+    // persisted (label, cv) model serves bit-identical predictions
+    "classify_embedding_centroid_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("centmodel", dir)
+      graft.text.Classifier.writeCentroidModel(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id", "label", path)
+      graft.text.Classifier.centroidPredictFromModel(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id", "label", path)
+        .orderBy("vec_id")
+    }),
     // Training-data ops: DSIR importance weights (hashed unigram+bigram
     // log-likelihood ratio vs the lang='en' seed slice) — the trained
     // data-selection step between crawling and training
@@ -1501,6 +1511,8 @@ object SparkEntry {
     "classify_lang_nb_from_model" -> TextOracles.nbPredict,
     "classify_lang_nb_report" -> TextOracles.nbReport,
     "classify_embedding_centroid" -> TextOracles.centroidPredict(),
+    // serving from the persisted centroid model is bit-identical
+    "classify_embedding_centroid_from_model" -> TextOracles.centroidPredict(),
     "dsir_importance" -> TextOracles.dsirImportance(),
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,

@@ -196,13 +196,23 @@ object Classifier {
    */
   def centroidPredict(vecs: DataFrame, vecCol: String, idCol: String,
       labelCol: String, trainBuckets: Long = 8000): DataFrame = {
-    val base = vecs.select(col(idCol).as("vec_id"),
+    val base = vecSplit(vecs, vecCol, idCol, labelCol)
+    scoreCentroids(base.filter(col("_bk") >= trainBuckets),
+      trainCentroids(base.filter(col("_bk") < trainBuckets)))
+  }
+
+  private def vecSplit(vecs: DataFrame, vecCol: String, idCol: String,
+      labelCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
       col(labelCol).as("label_true"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       Sampling.bucket(col(idCol)).as("_bk"))
-    val train = base.filter(col("_bk") < trainBuckets)
-    val test = base.filter(col("_bk") >= trainBuckets)
 
+  /** The trained model: one (label, cv: array<double>) row per class —
+    * micro-unit integer sums divided once, so the stored centroid is
+    * exactly the vector scoring doted against (parquet round-trips
+    * doubles bit-exactly; serving from disk is bit-identical). */
+  private def trainCentroids(train: DataFrame): DataFrame = {
     val comps = train.select(col("label_true").as("label"),
       posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("label"), col("dim"),
@@ -217,7 +227,11 @@ object Classifier {
       .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
         .as("dc"))
       .select(col("label"), transform(col("dc"), e => e("c")).as("cv"))
+    centroids
+  }
 
+  private def scoreCentroids(test: DataFrame,
+      centroids: DataFrame): DataFrame = {
     // zero-norm guard (all-zero vector or centroid): norm -> 1 makes the
     // cosine collapse to 0 instead of NaN — mirrors the int8 scale and
     // PQ reconstruction-norm guards elsewhere in the engine
@@ -235,5 +249,25 @@ object Classifier {
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select("vec_id", "label_true", "label", "cosine")
       .withColumnRenamed("label", "label_pred")
+  }
+
+  /** Persist the trained centroid model (one (label, cv) parquet row
+    * per class) — train once, serve many; doubles round-trip parquet
+    * bit-exactly, so serving from disk is bit-identical. */
+  def writeCentroidModel(vecs: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, path: String, trainBuckets: Long = 8000): Unit = {
+    val base = vecSplit(vecs, vecCol, idCol, labelCol)
+    trainCentroids(base.filter(col("_bk") < trainBuckets))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score the held-out slice of `vecs` from a model persisted by
+    * [[writeCentroidModel]]. Row-identical to [[centroidPredict]]. */
+  def centroidPredictFromModel(vecs: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, path: String,
+      trainBuckets: Long = 8000): DataFrame = {
+    val base = vecSplit(vecs, vecCol, idCol, labelCol)
+    scoreCentroids(base.filter(col("_bk") >= trainBuckets),
+      vecs.sparkSession.read.parquet(path))
   }
 }

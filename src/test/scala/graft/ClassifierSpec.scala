@@ -109,6 +109,17 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("centroidPredictFromModel serves bit-identical predictions from disk") {
+    val path = java.nio.file.Files
+      .createTempDirectory("centmodel").toString + "/m"
+    Classifier.writeCentroidModel(toyVecs, "embedding", "vec_id", "label", path)
+    val fromModel = Classifier.centroidPredictFromModel(toyVecs, "embedding",
+      "vec_id", "label", path).orderBy("vec_id").collect()
+    val inMemory = Classifier.centroidPredict(toyVecs, "embedding",
+      "vec_id", "label").orderBy("vec_id").collect()
+    assert(fromModel.sameElements(inMemory))
+  }
+
   test("centroidPredict: centroids are partition-order-independent") {
     val a = Classifier.centroidPredict(toyVecs, "embedding", "vec_id", "label")
       .orderBy("vec_id").collect()
