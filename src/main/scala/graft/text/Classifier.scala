@@ -55,9 +55,12 @@ object Classifier {
    *                + Σ_t n_t(d)·ln(cnt(t,c)+1)
    *
    * where len_v(d) counts d's in-vocab token instances. Out-of-vocab
-   * tokens are ignored (standard vocab-bounded NB). Output: one row per
-   * test document — (doc_id, label_true, label_pred, score) with score
-   * the winning class's log-posterior numerator rounded to 4 dp.
+   * tokens are ignored (standard vocab-bounded NB). Only labels seen in
+   * the train slice WITH at least one token are ever predicted (a class
+   * whose training documents are all empty contributes no counts and
+   * drops from the model). Output: one row per test document —
+   * (doc_id, label_true, label_pred, score) with score the winning
+   * class's log-posterior numerator rounded to 4 dp.
    */
   def nbPredict(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, trainBuckets: Long = 8000): DataFrame = {

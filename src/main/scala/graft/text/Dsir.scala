@@ -61,10 +61,11 @@ object Dsir {
   /**
    * Per-document DSIR log importance weight of every document in `raw`
    * against the `isTarget` seed slice (target docs are excluded from the
-   * output — they are the reference, not candidates). Output: (doc_id,
-   * n_grams, log_weight) with log_weight to 4 dp; higher = more
-   * target-like. Rank-descending on log_weight and cut to realize the
-   * paper's resampling step.
+   * output — they are the reference, not candidates; documents with ZERO
+   * grams — empty/whitespace-only text — are excluded too, having no
+   * evidence to weigh). Output: (doc_id, n_grams, log_weight) with
+   * log_weight to 4 dp; higher = more target-like. Rank-descending on
+   * log_weight and cut to realize the paper's resampling step.
    */
   def importanceWeights(raw: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
