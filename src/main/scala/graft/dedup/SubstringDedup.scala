@@ -60,39 +60,53 @@ object SubstringDedup {
 
     // Candidates-first (the LSH-family shape): pairing runs entirely on
     // HASH-ONLY postings — 8-byte keys, no string payload through the
-    // corpus-wide shuffles. The full window strings are re-derived (one
-    // more kernel pass) only for documents that appear in a candidate
-    // pair, which on a near-dup-sparse corpus is output-proportional,
-    // and the exact string verify runs on that bounded set. The
-    // explosion itself is deliberately recomputed, not Materialized:
-    // it is token-grain, and checkpointing it at corpus scale costs
-    // more than the map-only kernel pass it saves.
+    // corpus-wide shuffles. Postings are first capped to ONE row per
+    // (doc, h) — the min position — because a single shared hash already
+    // establishes the candidate pair; without this cap two spammy
+    // documents each repeating the same window k times put O(k²) rows
+    // through the self-join for ONE hash, a fan-out the document-
+    // frequency cap (which counts docs, not positions) never bounds.
+    // The full window strings are re-derived (one more kernel pass) only
+    // for documents that appear in a candidate pair, which on a
+    // near-dup-sparse corpus is output-proportional, and the exact
+    // string verify runs on that bounded set — also at distinct-window
+    // grain, so the per-pair verify is |distinct shared windows|, not
+    // |position combinations|. The explosion itself is deliberately
+    // recomputed, not Materialized: it is token-grain, and checkpointing
+    // it at corpus scale costs more than the map-only kernel pass it
+    // saves.
     val postings = wins(base, withWin = false)
+      .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
     // df cap on the HASH key (the join key): windows in > maxPostings
     // docs never pair. Distinct docs, not positions — a window repeated
-    // WITHIN one template document must not evict it from pairing.
+    // WITHIN one template document must not evict it from pairing (and
+    // after the per-(doc, h) cap, plain count IS the distinct-doc df).
     val keep = postings.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPostings)
       .select("h")
     val kept = postings.join(keep, "h")
-    val cand = kept.select(col("h"), col("doc_id").as("doc_a"),
-        col("pos").as("pos_a"))
-      .join(kept.select(col("h"), col("doc_id").as("doc_b"),
-        col("pos").as("pos_b")), Seq("h"))
+    val cand = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
 
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // Distinct windows per candidate doc (min position each), restricted
+    // to df-kept hashes — capped hashes must not resurface in the
+    // shared-window counts. Any doc pair this verify joins together
+    // shares a kept hash, so it is necessarily a candidate pair already;
+    // no join back to `cand` is needed.
     val candWins = wins(base.join(candDocs, Seq("doc_id"), "leftsemi"),
       withWin = true)
+      .join(keep, Seq("h"), "leftsemi")
+      .groupBy("doc_id", "h", "win").agg(min(col("pos")).as("pos"))
     val wa = candWins.select(col("doc_id").as("doc_a"),
       col("pos").as("pos_a"), col("h"), col("win").as("win_a"))
-    val wb = candWins.select(col("doc_id").as("doc_b"),
-      col("pos").as("pos_b"), col("h"), col("win").as("win_b"))
-    cand.join(wa, Seq("doc_a", "pos_a", "h"))
-      .join(wb, Seq("doc_b", "pos_b", "h"))
-      .filter(col("win_a") === col("win_b"))
+    val wb = candWins.select(col("doc_id").as("doc_b"), col("h"),
+      col("win").as("win_b"))
+    wa.join(wb, Seq("h"))
+      .filter(col("doc_a") < col("doc_b") && col("win_a") === col("win_b"))
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("win_a")).as("n_shared_windows"),
         min(col("pos_a")).as("first_pos_a"))

@@ -331,7 +331,7 @@ object VectorAdapters extends Serializable {
     * identical to `conv(substr(md5(x),1,15),16,10) % P`. */
   def hashedShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return ArrayData.toArrayData(Array.empty[Long])
-    val toks = text.toString.toLowerCase
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return ArrayData.toArrayData(Array.empty[Long])
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -370,7 +370,7 @@ object VectorAdapters extends Serializable {
     * Hash construction identical to [[hashedShingles]]. */
   def dsirCells(text: UTF8String, buckets: Int): ArrayData = {
     if (text == null) return ArrayData.toArrayData(Array.empty[Long])
-    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val n = toks.length
     val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -397,7 +397,7 @@ object VectorAdapters extends Serializable {
     * empty array. */
   def tokenWindows(text: UTF8String, w: Int, stride: Int): ArrayData = {
     if (text == null) return ArrayData.toArrayData(Array.empty[UTF8String])
-    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.length < w) return ArrayData.toArrayData(Array.empty[UTF8String])
     val m = (toks.length - w) / stride + 1
     val out = new Array[UTF8String](m)
@@ -442,7 +442,7 @@ object VectorAdapters extends Serializable {
     if (text == null) return 0L
     val votes = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {

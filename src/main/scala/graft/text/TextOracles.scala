@@ -1049,9 +1049,12 @@ GROUP BY 1 ORDER BY doc_id"""
 
   /** Mirrors Classifier.centroidPredict over embeddings(label):
     * micro-unit integer-sum centroids (exact, order-independent), then
-    * the standard left-to-right cosine fold against each class. */
-  def centroidPredict(dim: Int = 64): String = {
-    val dims = (0 until dim).mkString("[", ",", "]")
+    * the standard left-to-right cosine fold against each class. The
+    * component index list is derived per-row (`range(0, len(v))`), so
+    * the zip against the micro list is exact at ANY dimensionality —
+    * a literal index list would silently null-pad or truncate if the
+    * table's dimension changed. */
+  def centroidPredict(): String = {
     s"""WITH b AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          ${bucketSql("vec_id")} AS bk
@@ -1062,7 +1065,7 @@ te AS (SELECT vec_id, label AS label_true, v,
        FROM (SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x),
                (p,q) -> p + q)) AS n0
              FROM b WHERE bk >= 8000) s),
-comps AS (SELECT label, unnest($dims) AS dim,
+comps AS (SELECT label, unnest(range(0, len(v))) AS dim,
     unnest(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS micro
   FROM tr),
 cent AS (SELECT label, dim,
