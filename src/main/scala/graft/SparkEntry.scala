@@ -130,6 +130,21 @@ object SparkEntry {
         Demo.table(s, dir, "documents").select("doc_id"),
         lshPairsDf(s, dir), "doc_a", "doc_b"))
 
+  /** Demo image payloads for the image-dedup queries: REAL 24-bpp BMPs
+    * synthesized from document text with a FIXED salt (0) — padding then
+    * depends only on content, so duplicate/near-duplicate text yields
+    * duplicate/near-duplicate pixels, which is what an image-dedup demo
+    * needs (the per-id padding of `multimodal_decode` would perturb
+    * every image). Encode→parse is the real BMP round trip. */
+  private def imageDemoPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Demo.table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, graft.multimodal.Multimodal.syntheticBmp(0L, t))
+      }).toDF("doc_id", "payload")
+  }
+
   /** Held-out NB predictions over `documents`, shared by the prediction
     * query and the accuracy report (training + scoring is the expensive
     * part; the output is one row per held-out document). */
@@ -640,6 +655,27 @@ object SparkEntry {
       graft.dedup.SubstringDedup.windowPairs(
         Demo.table(s, dir, "documents"), "text", "doc_id",
         windowTokens = 20)
+        .orderBy("doc_a", "doc_b")),
+    // Training-data ops: perceptual image fingerprints — dHash over the
+    // REAL decoded BMP raster (9×8 integer-boundary grid, exact
+    // cross-multiplied gradient bits), emitted as four 16-bit chunks so
+    // the DuckDB oracle (signed BIGINT) can replay the full
+    // encode→decode→hash chain value-exactly
+    "image_dhash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageDhash(imageDemoPayloads(s, dir),
+        "payload", "doc_id")
+        .select(col("doc_id"),
+          expr("(dhash >> 0) & 65535").as("c0"),
+          expr("(dhash >> 16) & 65535").as("c1"),
+          expr("(dhash >> 32) & 65535").as("c2"),
+          expr("(dhash >> 48) & 65535").as("c3"))
+        .orderBy("doc_id")),
+    // Training-data ops: multimodal near-dup dedup — image pairs within
+    // Hamming 2 on dHash, paired through the SAME Manku wide-key
+    // banding as text simhash (16-bit chunks, exact pigeonhole recall)
+    "dedup_image_pairs" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageDedupPairs(imageDemoPayloads(s, dir),
+        "payload", "doc_id", maxDist = 2)
         .orderBy("doc_a", "doc_b")),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -1515,6 +1551,8 @@ object SparkEntry {
     "classify_embedding_centroid_from_model" -> TextOracles.centroidPredict(),
     "dsir_importance" -> TextOracles.dsirImportance(),
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
+    "image_dhash" -> DedupOracles.imageDhash,
+    "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

@@ -364,4 +364,85 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   min(a.pos) AS first_pos_a
 FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id AND a.win = b.win
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /**
+   * Shared CTE chain replaying the image-dedup fingerprint path in
+   * DuckDB: syntheticBmp(0, text) pixels (16-wide, text bytes then
+   * (i % 251) padding — same arithmetic the hash-green
+   * `multimodal_decode_stats` oracle proved byte-exact against the REAL
+   * BMP encode→parse round trip) → per-pixel luminance SUM (r+g+b,
+   * integer) → Dhash.dhash64's 9×8 integer-boundary cell grid →
+   * cross-multiplied gradient bits → the 64-bit hash as four 16-bit
+   * chunk columns (DuckDB BIGINT is signed, so the full hash with bit
+   * 63 is never materialized — chunks are what banding and Hamming
+   * need anyway).
+   */
+  private val dhashCtes: String = {
+    def byteAt(i: String): String =
+      s"CASE WHEN $i < len THEN ord(substr(text, CAST($i + 1 AS INT), 1)) ELSE CAST(($i) % 251 AS INT) END"
+    def chunk(k: Int): String =
+      s"CAST(sum(CASE WHEN bit // 16 = $k THEN b << (bit % 16) ELSE 0 END) AS BIGINT) AS c$k"
+    s"""s AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+         CAST(greatest(1, least(64, (length(text) + 47) // 48)) AS BIGINT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, x, y,
+    (${byteAt("3 * (y * 16 + x)")} + ${byteAt("3 * (y * 16 + x) + 1")} +
+     ${byteAt("3 * (y * 16 + x) + 2")}) AS lum
+  FROM s, range(0, 16) rx(x), range(0, 64) ry(y)
+  WHERE y < h),
+cell AS (
+  SELECT doc_id, gi, gj,
+    (gi * 16) // 9 AS xlo,
+    least(16, greatest((gi * 16) // 9 + 1, ((gi + 1) * 16) // 9)) AS xhi,
+    (gj * h) // 8 AS ylo,
+    least(h, greatest((gj * h) // 8 + 1, ((gj + 1) * h) // 8)) AS yhi
+  FROM s, range(0, 9) gx(gi), range(0, 8) gy(gj)),
+cs AS (
+  SELECT c.doc_id, c.gi, c.gj, sum(p.lum) AS sm, count(*) AS cnt
+  FROM cell c JOIN px p ON p.doc_id = c.doc_id
+    AND p.x >= c.xlo AND p.x < c.xhi AND p.y >= c.ylo AND p.y < c.yhi
+  GROUP BY 1, 2, 3),
+bits AS (
+  SELECT l.doc_id, l.gj * 8 + l.gi AS bit,
+    CASE WHEN r.sm * l.cnt > l.sm * r.cnt
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM cs l JOIN cs r
+    ON r.doc_id = l.doc_id AND r.gj = l.gj AND r.gi = l.gi + 1
+  WHERE l.gi < 8),
+fp AS (
+  SELECT doc_id, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bits GROUP BY 1)"""
+  }
+
+  /** Mirrors `image_dhash`: the per-document dHash as chunk columns. */
+  val imageDhash: String = s"""WITH $dhashCtes
+SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
+
+  /** Mirrors Multimodal.imageDedupPairs: distinct fingerprints (as two
+    * 32-bit halves — the signed-64 workaround), single-chunk banding
+    * (exact pigeonhole recall for maxDist ≤ 3, same pair set as the
+    * engine's wide keys), Hamming as the sum of per-half bit_counts,
+    * expansion to doc pairs. */
+  def imageDedupPairs(maxDist: Int = 2): String = s"""WITH $dhashCtes,
+fp2 AS (SELECT doc_id, c1 * 65536 + c0 AS lo, c3 * 65536 + c2 AS hi FROM fp),
+d AS (SELECT DISTINCT hi, lo FROM fp2),
+ch AS (SELECT hi, lo, k,
+         CASE k WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS v
+       FROM d, range(0, 4) r(k)),
+cand AS (SELECT DISTINCT a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         FROM ch a JOIN ch b ON a.k = b.k AND a.v = b.v
+           AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo <= b.lo))),
+hp AS (SELECT ahi, alo, bhi, blo,
+         bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= $maxDist)
+SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+  greatest(x.doc_id, y.doc_id) AS doc_b, hamming
+FROM hp JOIN fp2 x ON x.hi = hp.ahi AND x.lo = hp.alo
+        JOIN fp2 y ON y.hi = hp.bhi AND y.lo = hp.blo
+WHERE x.doc_id <> y.doc_id
+ORDER BY doc_a, doc_b"""
 }

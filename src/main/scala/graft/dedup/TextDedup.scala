@@ -507,14 +507,37 @@ object TextDedup {
    * Cost: C(4, 4−maxDist) index rows per fingerprint instead of 4.
    */
   def simhashPairsWide(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 1): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3, "maxDist must be in [0, 3]")
-    val sh = graft.operators.Materialized(simhash(docs, textCol, idCol))
+      maxDist: Int = 1): DataFrame =
+    hammingPairsWide(simhash(docs, textCol, idCol), "doc_id", "simhash",
+      maxDist, chunkBits = 15)
+
+  /**
+   * Generalized Manku wide-key Hamming banding over ANY per-document
+   * integer fingerprint column — the engine's one pairing kernel for
+   * fingerprint families (text simhash at 60 bits / 15-bit chunks,
+   * image dHash and audio fingerprints at 64 bits / 16-bit chunks).
+   * `hashes` is (idCol, hashCol); output (doc_a, doc_b, hamming) with
+   * EXACT pigeonhole recall for maxDist ≤ numChunks−1: a pair within
+   * Hamming maxDist leaves ≥ numChunks−maxDist chunks untouched, so it
+   * collides in the table keyed by exactly those chunks. Candidate
+   * generation runs over DISTINCT fingerprints and expands to documents
+   * afterwards (work ∝ output, not group size²); shifts are masked, so
+   * fingerprints using bit 63 (sign) band correctly.
+   */
+  def hammingPairsWide(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, chunkBits: Int, numChunks: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= numChunks - 1,
+      s"maxDist must be in [0, ${numChunks - 1}] for exact recall")
+    require(chunkBits * numChunks <= 64, "fingerprint must fit a long")
+    val mask = (1L << chunkBits) - 1
+    val sh = graft.operators.Materialized(
+      hashes.select(col(idCol).as("doc_id"), col(hashCol).as("simhash")))
     val fps = sh.select(col("simhash")).distinct()
-    val combos = (0 to 3).combinations(4 - maxDist).toSeq.zipWithIndex
+    val combos = (0 until numChunks).combinations(numChunks - maxDist)
+      .toSeq.zipWithIndex
     val keyed = combos.map { case (chunkIdxs, comboId) =>
       val key = chunkIdxs.zipWithIndex.map { case (c, pos) =>
-        expr(s"((simhash >> (15 * $c)) & 32767) << ${15 * pos}")
+        expr(s"((simhash >> (${chunkBits * c})) & ${mask}L) << ${chunkBits * pos}")
       }.reduce(_ + _)
       fps.select(col("simhash"), lit(comboId).as("t"), key.as("k"))
     }.reduce(_ unionByName _)

@@ -164,6 +164,42 @@ object Multimodal {
       })
   }
 
+  /**
+   * Per-image 64-bit perceptual fingerprint ([[Dhash.dhash64]]) via the
+   * same typed-mapPartitions shape as [[decodeImages]] — decode to a
+   * luminance raster, hash, emit (doc_id, dhash). Undecodable payloads
+   * get NO fingerprint row (the simhash convention for token-less
+   * documents). This is the map side of image dedup: one codegen-
+   * friendly pass, no shuffle until pairing.
+   */
+  def imageDhash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol), col(idCol).cast("long"))
+      .as[(Array[Byte], Long)]
+      .mapPartitions(_.flatMap { case (bytes, id) =>
+        Dhash.decodePixels(bytes).map(p =>
+          (id, Dhash.dhash64(p.width, p.height, p.lum)))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  /**
+   * Near-duplicate image pairs: dHash fingerprints paired through the
+   * SAME wide-key Hamming banding as text simhash
+   * ([[graft.dedup.TextDedup.hammingPairsWide]], 16-bit chunks for the
+   * 64-bit hash) — exact pigeonhole recall for maxDist ≤ 3, candidate
+   * selectivity on distinct fingerprints, output (doc_a, doc_b,
+   * hamming). The multimodal analogue of text near-dup dedup: a
+   * re-encoded / slightly-edited image moves a few gradient bits, not
+   * the whole hash.
+   */
+  def imageDedupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      imageDhash(df, binCol, idCol), "doc_id", "dhash",
+      maxDist, chunkBits = 16)
+
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     // One corrupt blob must degrade to the stub row, not fail the task:
