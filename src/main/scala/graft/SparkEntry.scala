@@ -145,6 +145,24 @@ object SparkEntry {
       }).toDF("doc_id", "payload")
   }
 
+  /** Demo audio payloads for the audio-dedup queries: REAL 16-bit PCM
+    * WAVs from a fixed-length EXCERPT of the document text (first 120
+    * bytes), with the same fixed-salt rationale as
+    * [[imageDemoPayloads]]. The excerpt mirrors production audio
+    * fingerprinting (AcoustID hashes the first ~120 s of a track):
+    * fingerprints must align positionally, so clips are compared over a
+    * fixed-duration window — full-length clips of different durations
+    * shift every frame boundary and are genuinely different signals. */
+  private def audioDemoPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Demo.table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, graft.multimodal.Wav.syntheticWav(0L,
+          t.substring(0, math.min(t.length, 120))))
+      }).toDF("doc_id", "payload")
+  }
+
   /** Held-out NB predictions over `documents`, shared by the prediction
     * query and the accuracy report (training + scoring is the expensive
     * part; the output is one row per held-out document). */
@@ -675,6 +693,23 @@ object SparkEntry {
     // banding as text simhash (16-bit chunks, exact pigeonhole recall)
     "dedup_image_pairs" -> ((s, dir) =>
       graft.multimodal.Multimodal.imageDedupPairs(imageDemoPayloads(s, dir),
+        "payload", "doc_id", maxDist = 2)
+        .orderBy("doc_a", "doc_b")),
+    // Training-data ops: audio envelope fingerprints — 33-frame energy
+    // + zero-crossing gradient bits over REAL decoded PCM (chromaprint-
+    // style banded hash, gain-invariant, exact HUGEINT comparisons)
+    "audio_fingerprint" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioFingerprint(
+        audioDemoPayloads(s, dir), "payload", "doc_id")
+        .select(col("doc_id"),
+          expr("(afp >> 0) & 65535").as("c0"),
+          expr("(afp >> 16) & 65535").as("c1"),
+          expr("(afp >> 32) & 65535").as("c2"),
+          expr("(afp >> 48) & 65535").as("c3"))
+        .orderBy("doc_id")),
+    // Training-data ops: multimodal near-dup dedup for the audio column
+    "dedup_audio_pairs" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioDedupPairs(audioDemoPayloads(s, dir),
         "payload", "doc_id", maxDist = 2)
         .orderBy("doc_a", "doc_b")),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
@@ -1553,6 +1588,8 @@ object SparkEntry {
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
     "image_dhash" -> DedupOracles.imageDhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
+    "audio_fingerprint" -> DedupOracles.audioFingerprint,
+    "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

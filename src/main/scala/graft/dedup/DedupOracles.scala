@@ -377,11 +377,15 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
    * 63 is never materialized — chunks are what banding and Hamming
    * need anyway).
    */
+  /** 16-bit chunk k of a 64-bit fingerprint built from (bit, b) rows —
+    * shared by the image and audio fingerprint oracles (DuckDB BIGINT is
+    * signed, so the full 64-bit value is never materialized). */
+  private def chunk(k: Int): String =
+    s"CAST(sum(CASE WHEN bit // 16 = $k THEN b << (bit % 16) ELSE 0 END) AS BIGINT) AS c$k"
+
   private val dhashCtes: String = {
     def byteAt(i: String): String =
       s"CASE WHEN $i < len THEN ord(substr(text, CAST($i + 1 AS INT), 1)) ELSE CAST(($i) % 251 AS INT) END"
-    def chunk(k: Int): String =
-      s"CAST(sum(CASE WHEN bit // 16 = $k THEN b << (bit % 16) ELSE 0 END) AS BIGINT) AS c$k"
     s"""s AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
          CAST(greatest(1, least(64, (length(text) + 47) // 48)) AS BIGINT) AS h
@@ -425,7 +429,12 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
     * (exact pigeonhole recall for maxDist ≤ 3, same pair set as the
     * engine's wide keys), Hamming as the sum of per-half bit_counts,
     * expansion to doc pairs. */
-  def imageDedupPairs(maxDist: Int = 2): String = s"""WITH $dhashCtes,
+  def imageDedupPairs(maxDist: Int = 2): String =
+    chunkPairsSql(dhashCtes, maxDist)
+
+  /** Hamming-banded pair expansion over any `fp(doc_id, c0..c3)` CTE
+    * chain — shared by the image and audio dedup oracles. */
+  private def chunkPairsSql(fpCtes: String, maxDist: Int): String = s"""WITH $fpCtes,
 fp2 AS (SELECT doc_id, c1 * 65536 + c0 AS lo, c3 * 65536 + c2 AS hi FROM fp),
 d AS (SELECT DISTINCT hi, lo FROM fp2),
 ch AS (SELECT hi, lo, k,
@@ -445,4 +454,69 @@ FROM hp JOIN fp2 x ON x.hi = hp.ahi AND x.lo = hp.alo
         JOIN fp2 y ON y.hi = hp.bhi AND y.lo = hp.blo
 WHERE x.doc_id <> y.doc_id
 ORDER BY doc_a, doc_b"""
+
+  /**
+   * Shared CTE chain replaying the audio-dedup fingerprint path:
+   * syntheticWav(0, text) samples (the arithmetic the hash-green
+   * `multimodal_audio_stats` oracle proved byte-exact against the REAL
+   * RIFF encode→parse round trip, with the id salt fixed at 0) →
+   * AudioFingerprint.fingerprint64's 33 integer-boundary frames →
+   * per-frame energy (Σs²) and zero-crossing counts (sign flip vs the
+   * previous GLOBAL sample, lag over sample order) → gain-invariant
+   * mean comparisons in HUGEINT → 64-bit fingerprint as chunk columns.
+   */
+  private val afpCtes: String = s"""s AS (
+  SELECT doc_id, text,
+         CAST(least(120, strlen(coalesce(text, ''))) AS BIGINT) AS tlen,
+         CAST(greatest(8, least(4096,
+           least(120, strlen(coalesce(text, ''))))) AS BIGINT) AS n
+  FROM documents),
+smp AS (
+  SELECT doc_id, n, i,
+    CASE WHEN i % 97 = 0 THEN 32767
+         WHEN tlen = 0 THEN (CAST(i % 251 AS INT) - 128) * 250
+              + CAST(i % 17 AS INT)
+         ELSE (ord(substr(text, CAST(i % tlen AS INT) + 1, 1)) - 128) * 250
+              + CAST(i % 17 AS INT)
+    END AS v
+  FROM s, range(0, 4096) ri(i) WHERE i < n),
+sm2 AS (
+  SELECT doc_id, i, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM smp),
+fb AS (
+  SELECT doc_id, f, (f * n) // 33 AS lo,
+    least(n, greatest((f * n) // 33 + 1, ((f + 1) * n) // 33)) AS hi
+  FROM s, range(0, 33) rf(f)),
+fe AS (
+  SELECT fb.doc_id, fb.f,
+    sum(CAST(p.v AS BIGINT) * p.v) AS e,
+    sum(CASE WHEN p.i >= 1 AND ((p.v < 0) <> (p.pv < 0))
+             THEN 1 ELSE 0 END) AS z,
+    count(*) AS c
+  FROM fb JOIN sm2 p
+    ON p.doc_id = fb.doc_id AND p.i >= fb.lo AND p.i < fb.hi
+  GROUP BY 1, 2),
+tr AS (
+  SELECT l.doc_id, l.f,
+    CASE WHEN CAST(r.e AS HUGEINT) * l.c > CAST(l.e AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS eb,
+    CASE WHEN CAST(r.z AS HUGEINT) * l.c > CAST(l.z AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS zb
+  FROM fe l JOIN fe r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+  WHERE l.f < 32),
+bits AS (
+  SELECT doc_id, f AS bit, eb AS b FROM tr
+  UNION ALL SELECT doc_id, 32 + f AS bit, zb AS b FROM tr),
+fp AS (
+  SELECT doc_id, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bits GROUP BY 1)"""
+
+  /** Mirrors `audio_fingerprint`: per-clip envelope hash as chunks. */
+  val audioFingerprint: String = s"""WITH $afpCtes
+SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
+
+  /** Mirrors Multimodal.audioDedupPairs. */
+  def audioDedupPairs(maxDist: Int = 2): String =
+    chunkPairsSql(afpCtes, maxDist)
 }

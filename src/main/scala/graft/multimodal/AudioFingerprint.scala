@@ -1,0 +1,70 @@
+package graft.multimodal
+
+/**
+ * Perceptual audio fingerprint for multimodal dedup — the audio sibling
+ * of [[Dhash]]: a 64-bit banded envelope hash in the chromaprint
+ * tradition (Chromaprint/AcoustID derives band-energy gradient bits
+ * from overlapping FFT frames; with no FFT library in this container,
+ * the two cheap time-domain stand-ins for spectral band energy are the
+ * frame ENERGY envelope and the frame ZERO-CROSSING rate — the classic
+ * pre-FFT proxy for dominant frequency).
+ *
+ * The clip is split into 33 integer-boundary frames (same boundary
+ * arithmetic as [[Dhash]]'s cells, frames never empty). Bits 0..31
+ * record whether mean energy RISES from frame f to f+1; bits 32..63
+ * record whether mean zero-crossing rate rises. Both comparisons are
+ * gain-invariant (a volume-scaled copy compares identically) and EXACT:
+ * integer sums cross-multiplied in 128-bit (BigInt here, HUGEINT in the
+ * DuckDB oracle), no floats, no ties ambiguity.
+ *
+ * Pairing reuses [[graft.dedup.TextDedup.hammingPairsWide]] at 16-bit
+ * chunks, like image dHash.
+ */
+object AudioFingerprint {
+
+  /** 33 frames → 32 adjacent transitions × 2 signals = 64 bits. */
+  val Frames = 33
+
+  /**
+   * 64-bit envelope fingerprint of an integer PCM sample array; None
+   * for empty clips (no fingerprint row, like undecodable images).
+   * Frame f covers samples [f·n/F, max(f·n/F+1, (f+1)·n/F)) (integer
+   * division, clamped to n — overlapping when n < F, never empty).
+   * Energy is Σs², zero-crossings count sign flips against the
+   * PREVIOUS GLOBAL sample (so frame boundaries don't hide a flip).
+   */
+  def fingerprint64(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n == 0) return None
+    val e = new Array[Long](Frames)
+    val z = new Array[Long](Frames)
+    val c = new Array[Long](Frames)
+    var f = 0
+    while (f < Frames) {
+      val lo = (f.toLong * n / Frames).toInt
+      val hi = math.min(n, math.max(lo + 1,
+        ((f + 1).toLong * n / Frames).toInt))
+      var i = lo
+      var ef = 0L; var zf = 0L
+      while (i < hi) {
+        val s = samples(i)
+        ef += s.toLong * s
+        if (i >= 1 && (s < 0) != (samples(i - 1) < 0)) zf += 1
+        i += 1
+      }
+      e(f) = ef; z(f) = zf; c(f) = hi - lo
+      f += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < Frames - 1) {
+      // mean comparisons, exact via 128-bit cross multiplication
+      if (BigInt(e(k + 1)) * c(k) > BigInt(e(k)) * c(k + 1))
+        hash |= 1L << k
+      if (BigInt(z(k + 1)) * c(k) > BigInt(z(k)) * c(k + 1))
+        hash |= 1L << (32 + k)
+      k += 1
+    }
+    Some(hash)
+  }
+}

@@ -200,6 +200,33 @@ object Multimodal {
       imageDhash(df, binCol, idCol), "doc_id", "dhash",
       maxDist, chunkBits = 16)
 
+  /**
+   * Per-clip 64-bit audio fingerprint ([[AudioFingerprint]]) via typed
+   * mapPartitions: WAV decode → integer PCM → banded envelope hash.
+   * Undecodable or empty clips get no fingerprint row.
+   */
+  def audioFingerprint(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol), col(idCol).cast("long"))
+      .as[(Array[Byte], Long)]
+      .mapPartitions(_.flatMap { case (bytes, id) =>
+        (try Wav.decodeSamples(bytes)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .flatMap(w => AudioFingerprint.fingerprint64(w.samples))
+          .map(fp => (id, fp))
+      })
+      .toDF("doc_id", "afp")
+  }
+
+  /** Near-duplicate audio pairs: envelope fingerprints through the same
+    * wide-key Hamming banding as image dHash and text simhash. */
+  def audioDedupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      audioFingerprint(df, binCol, idCol), "doc_id", "afp",
+      maxDist, chunkBits = 16)
+
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     // One corrupt blob must degrade to the stub row, not fail the task:

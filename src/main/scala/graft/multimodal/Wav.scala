@@ -12,6 +12,11 @@ case class WavInfo(
     peak: Double,
     clipFrac: Double)
 
+/** Raw decoded PCM for fingerprinting: integer samples (16-bit
+  * sign-extended / 8-bit centered), channels interleaved. */
+case class WavSamples(sampleRate: Int, channels: Int, bits: Int,
+    samples: Array[Int])
+
 /**
  * Pure-JVM RIFF/WAVE (PCM) parser and writer — the audio analogue of
  * [[Bmp]]: no external codec, deterministic, truncation-tolerant, used
@@ -95,6 +100,50 @@ object Wav {
         if (n == 0) 0.0 else math.sqrt(sumSq / n),
         peak,
         if (n == 0) 0.0 else clipped.toDouble / n)
+    }
+  }
+
+  /** Raw integer samples for fingerprinting: 16-bit → sign-extended,
+    * 8-bit → raw−128 (centered), channels interleaved as stored. Same
+    * chunk walk and truncation tolerance as [[decode]]. */
+  def decodeSamples(b: Array[Byte]): Option[WavSamples] = {
+    if (b == null || b.length < 12) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, off)
+      val declared = le32(b, off + 4)
+      val bodyStart = off + 8
+      val avail = math.max(0L, math.min(declared, (b.length - bodyStart).toLong))
+      id match {
+        case "fmt " if avail >= 16 =>
+          fmt = Some((le16(b, bodyStart), le16(b, bodyStart + 2),
+            le32(b, bodyStart + 4).toInt, le16(b, bodyStart + 14)))
+        case "data" => data = Some((bodyStart, avail.toInt))
+        case _ => ()
+      }
+      off = bodyStart + declared.toInt + (declared.toInt & 1)
+      if (off <= bodyStart) return None
+    }
+    for {
+      (audioFormat, channels, rate, bits) <- fmt
+      if audioFormat == 1 && (bits == 8 || bits == 16) &&
+        channels > 0 && rate > 0
+      (dOff, dLen) <- data
+    } yield {
+      val bytesPerSample = bits / 8
+      val n = dLen / bytesPerSample
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 16) (le16(b, dOff + i * 2) << 16) >> 16
+          else (b(dOff + i) & 0xff) - 128
+        i += 1
+      }
+      WavSamples(rate, channels, bits, samples)
     }
   }
 

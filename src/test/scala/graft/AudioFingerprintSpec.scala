@@ -1,0 +1,92 @@
+package graft
+
+import graft.multimodal.{AudioFingerprint, Multimodal, Wav}
+
+/** Audio envelope fingerprints: kernel exactness, gain invariance, and
+  * the planted-duplicate pairing guarantee through the shared wide-key
+  * Hamming banding. */
+class AudioFingerprintSpec extends SparkSpec {
+
+  /** Deterministic test clip: two-tone square-ish wave with a seed-driven
+    * envelope, n samples. */
+  private def clip(n: Int, seed: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      val period = if ((i / 200) % 2 == 0) 8 else 24
+      val amp = 3000 + 200 * ((i / 100 + seed) % 7)
+      if ((i / period) % 2 == 0) amp else -amp
+    }
+
+  test("fingerprint64: deterministic; empty clip has no fingerprint") {
+    val c = clip(1600, 1)
+    assert(AudioFingerprint.fingerprint64(c) === AudioFingerprint.fingerprint64(c))
+    assert(AudioFingerprint.fingerprint64(Array.empty[Int]).isEmpty)
+    // distinct envelopes produce distinct fingerprints
+    assert(AudioFingerprint.fingerprint64(clip(1600, 1)).get !==
+      AudioFingerprint.fingerprint64(clip(1600, 9)).get)
+  }
+
+  test("fingerprint64: gain-invariant (volume-scaled copy hashes identically)") {
+    val c = clip(1600, 3)
+    val louder = c.map(_ * 3)
+    val quieter = c.map(_ / 2)
+    val fp = AudioFingerprint.fingerprint64(c).get
+    assert(AudioFingerprint.fingerprint64(louder).get === fp)
+    // integer halving can flip comparisons near ties; energy envelope
+    // ordering survives a uniform /2 on this clip
+    assert(AudioFingerprint.fingerprint64(quieter).get === fp)
+  }
+
+  test("fingerprint64: tiny clips (fewer samples than frames) are defined") {
+    for (n <- Seq(1, 2, 8, 32)) {
+      val c = clip(n, 2)
+      val fp = AudioFingerprint.fingerprint64(c)
+      assert(fp.isDefined)
+      assert(fp === AudioFingerprint.fingerprint64(c))
+    }
+  }
+
+  test("near-dup: a short dropout moves few bits; planted pair is found") {
+    val base = clip(3300, 5)
+    // dropout: zero 40 samples inside ONE frame (3300/33 = 100/frame)
+    val edited = base.clone()
+    for (i <- 150 until 190) edited(i) = 0
+    val hBase = AudioFingerprint.fingerprint64(base).get
+    val hEdit = AudioFingerprint.fingerprint64(edited).get
+    val hamming = java.lang.Long.bitCount(hBase ^ hEdit)
+    assert(hamming > 0 && hamming <= 2, s"dropout moved $hamming bits")
+
+    val rows = Seq(
+      (1L, Wav.encode(8000, 1, base.map(_.toShort))),
+      (2L, Wav.encode(8000, 1, edited.map(_.toShort))),
+      (3L, Wav.encode(8000, 1, clip(3300, 11).map(_.toShort))))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val pairs = Multimodal.audioDedupPairs(df, "payload", "doc_id",
+      maxDist = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") === hamming)
+  }
+
+  test("identical payloads pair at hamming 0; non-wav rows drop out") {
+    val wav = Wav.encode(8000, 1, clip(800, 4).map(_.toShort))
+    val rows = Seq((10L, wav), (20L, wav), (30L, Array[Byte](1, 2, 3, 4)))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprint(df, "payload", "doc_id").collect()
+    assert(fps.map(_.getLong(0)).toSet === Set(10L, 20L))
+    val pairs = Multimodal.audioDedupPairs(df, "payload", "doc_id",
+      maxDist = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      === Set((10L, 20L, 0)))
+  }
+
+  test("decodeSamples: round-trips the encoder, sign-extends, tolerates truncation") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 5, -5)
+    val wav = Wav.encode(8000, 1, samples)
+    val got = Wav.decodeSamples(wav).get
+    assert(got.sampleRate === 8000 && got.channels === 1 && got.bits === 16)
+    assert(got.samples.toSeq === samples.map(_.toInt).toSeq)
+    // truncated payload decodes its available prefix
+    val cut = Wav.decodeSamples(wav.take(44 + 6)).get
+    assert(cut.samples.toSeq === Seq(0, 100, -100))
+    assert(Wav.decodeSamples("RIFFjunk".getBytes).isEmpty)
+  }
+}
