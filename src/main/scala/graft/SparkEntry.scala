@@ -955,6 +955,13 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", "lang", path)
         .orderBy("doc_id")
     }),
+    // Scale-bounded NB variant: FIXED hashed feature alphabet (the DSIR
+    // dsir_cells kernel — unigram+bigram hashing trick), so the model is
+    // ≤ buckets × classes rows at ANY corpus size; the exact-vocab
+    // classify_lang_nb stays as the oracle anchor
+    "classify_lang_nb_hashed" -> ((s, dir) =>
+      graft.text.Classifier.nbPredictHashed(Demo.table(s, dir, "documents"),
+        "text", "doc_id", "lang").orderBy("doc_id")),
     // Per-class held-out accuracy of the trained NB filter — the gate a
     // pipeline checks before trusting a trained classifier
     "classify_lang_nb_report" -> ((s, dir) =>
@@ -1580,6 +1587,7 @@ object SparkEntry {
     "classify_lang_nb" -> TextOracles.nbPredict,
     // serving from the persisted model is bit-identical by construction
     "classify_lang_nb_from_model" -> TextOracles.nbPredict,
+    "classify_lang_nb_hashed" -> TextOracles.nbPredictHashed(),
     "classify_lang_nb_report" -> TextOracles.nbReport,
     "classify_embedding_centroid" -> TextOracles.centroidPredict(),
     // serving from the persisted centroid model is bit-identical

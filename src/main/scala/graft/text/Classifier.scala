@@ -151,6 +151,79 @@ object Classifier {
     * once, serve many: the decimal log columns stored are exactly the
     * values scoring sums, so serving from the persisted model is
     * bit-identical to in-memory prediction. */
+  /**
+   * [[nbPredict]] over a FIXED hashed feature alphabet — the
+   * scale-bounded variant. The exact-vocab model's non-zero (class,
+   * term) table grows with OBSERVED vocabulary, which on a web-scale
+   * corpus is unbounded (hundreds of millions of cells — past any
+   * broadcast threshold); here features are the DSIR hashed
+   * unigram+bigram cells ([[Dsir]]'s `gramCells` — the same codegen'd
+   * `dsir_cells` kernel, and the same construction fastText uses:
+   * word + word-bigram features in a fixed hash table), so the model is
+   * ≤ `buckets` × |classes| rows at ANY corpus size.
+   *
+   * Two simplifications fall out of the fixed alphabet: every gram is
+   * in-vocabulary, so the linear term multiplies the document's TOTAL
+   * gram count (no vocab membership join); and Laplace smoothing uses
+   * the constant alphabet size `buckets`:
+   *
+   *   score(d,c) = ln P(c) − n_grams(d)·ln(tokens_c+B)
+   *                + Σ_g n_g(d)·ln(cnt(bucket(g),c)+1)
+   *
+   * Hash collisions merge features on BOTH the train and score side —
+   * deterministic, oracle-replayable, and the standard hashing-trick
+   * accuracy trade. The exact-vocab [[nbPredict]] stays registered as
+   * the oracle anchor.
+   */
+  def nbPredictHashed(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 1024,
+      trainBuckets: Long = 8000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label_true"),
+      Dsir.gramCells(col(textCol), buckets).as("cells"),
+      Sampling.bucket(col(idCol)).as("_bk"))
+    val train = base.filter(col("_bk") < trainBuckets)
+    val trainGrams = train.select(col("label_true").as("label"),
+      explode(col("cells")).as("cell"))
+    // the model: ≤ buckets × classes non-zero cells — materialized once
+    // for its two consumers (class token totals, cell weights)
+    val cellCnt = graft.operators.Materialized(
+      trainGrams.groupBy("label", "cell").agg(count(lit(1)).as("cnt")))
+    val classTok = cellCnt.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val classes = train.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_docs_c"))
+      .join(classTok, "label")
+      .crossJoin(nTrain)
+      .select(col("label"),
+        (round(log(col("n_docs_c").cast("double")), 6).cast(Dec) -
+          round(log(col("n_train").cast("double")), 6).cast(Dec))
+          .as("log_prior"),
+        round(log((col("tokens_c") + buckets).cast("double")), 6).cast(Dec)
+          .as("log_denom"))
+    val lw = cellCnt.select(col("label"), col("cell"),
+      round(log((col("cnt") + 1).cast("double")), 6).cast(Dec).as("lw"))
+
+    val test = base.filter(col("_bk") >= trainBuckets)
+    val testGrams = test.select(col("doc_id"), explode(col("cells")).as("cell"))
+    // lw is bounded by construction → broadcast is safe at any scale
+    val sMatch = testGrams.join(broadcast(lw), "cell")
+      .groupBy("doc_id", "label").agg(sum(col("lw")).as("s_match"))
+    val scored = test.select(col("doc_id"), col("label_true"),
+        coalesce(size(col("cells")).cast("long"), lit(0L)).as("n_grams"))
+      .crossJoin(broadcast(classes))
+      .join(sMatch, Seq("doc_id", "label"), "left")
+      .withColumn("score",
+        col("log_prior") - col("n_grams") * col("log_denom") +
+          coalesce(col("s_match"), lit(0).cast(Dec)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("label_true"), col("label").as("label_pred"),
+        round(col("score"), 4).cast("double").as("score"))
+  }
+
   def writeNbModel(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, path: String, trainBuckets: Long = 8000): Unit = {
     val base = split(docs, textCol, idCol, labelCol)

@@ -1015,6 +1015,48 @@ SELECT label_true AS label, count(*) AS n_test,
     / count(*) AS accuracy
 FROM pred GROUP BY 1 ORDER BY 1"""
 
+  /** Mirrors Classifier.nbPredictHashed: the same train/test split and
+    * decimal log-sum scoring as [[nbPredict]], but over the DSIR hashed
+    * unigram+bigram cells (md5-prefix hash mod 1e9+7 mod buckets) with
+    * the FIXED alphabet size as the smoothing constant and the
+    * document's total gram count as the linear-term multiplier. */
+  def nbPredictHashed(buckets: Int = 1024): String = s"""WITH b AS (
+  SELECT doc_id, lang, text, ${bucketSql("doc_id")} AS bk FROM documents),
+d0 AS (SELECT doc_id, lang, bk, $toks AS toks FROM b),
+g0 AS (SELECT doc_id, lang, bk,
+    list_concat(toks, CASE WHEN len(toks) >= 2
+      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM d0),
+g AS (SELECT doc_id, lang, bk,
+    (CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 1000000007) % $buckets AS cell
+  FROM (SELECT doc_id, lang, bk, unnest(grams) AS gr FROM g0)),
+tc AS (SELECT lang AS label, cell, count(*) AS cnt FROM g WHERE bk < 8000 GROUP BY 1, 2),
+ct AS (SELECT label, sum(cnt) AS tokens_c FROM tc GROUP BY 1),
+nt AS (SELECT count(*) AS n_train FROM b WHERE bk < 8000),
+cls AS (SELECT cd.label,
+    CAST(round(ln(CAST(cd.n_docs_c AS DOUBLE)), 6) AS DECIMAL(18,6))
+      - CAST(round(ln(CAST(nt.n_train AS DOUBLE)), 6) AS DECIMAL(18,6)) AS log_prior,
+    CAST(round(ln(CAST(ct.tokens_c + $buckets AS DOUBLE)), 6) AS DECIMAL(18,6)) AS log_denom
+  FROM (SELECT lang AS label, count(*) AS n_docs_c FROM b WHERE bk < 8000 GROUP BY 1) cd
+  JOIN ct ON cd.label = ct.label CROSS JOIN nt),
+tg AS (SELECT doc_id, cell FROM g WHERE bk >= 8000),
+mc AS (SELECT tg.doc_id, tc.label,
+    sum(CAST(round(ln(CAST(tc.cnt + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS s_match
+  FROM tg JOIN tc USING (cell) GROUP BY 1, 2),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+sc AS (SELECT d.doc_id, d.lang AS label_true, c.label,
+    c.log_prior - COALESCE(ng.n_grams, 0) * c.log_denom
+      + COALESCE(mc.s_match, CAST(0 AS DECIMAL(18,6))) AS score
+  FROM (SELECT doc_id, lang FROM b WHERE bk >= 8000) d CROSS JOIN cls c
+  LEFT JOIN mc ON mc.doc_id = d.doc_id AND mc.label = c.label
+  LEFT JOIN ng ON ng.doc_id = d.doc_id)
+SELECT doc_id, label_true, label AS label_pred,
+  CAST(round(score, 4) AS DOUBLE) AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) t
+WHERE rn = 1 ORDER BY doc_id"""
+
   /** Mirrors Dsir.importanceWeights over documents with the lang='en'
     * seed slice as target: hashed unigram+bigram cells (shared md5-prefix
     * hash mod buckets), Laplace-smoothed per-cell log ratio rounded to

@@ -62,6 +62,42 @@ class ClassifierSpec extends SparkSpec {
     assert(fromModel.sameElements(inMemory))
   }
 
+  test("nbPredictHashed: separable corpus perfect; deterministic across partitioning") {
+    val pred = Classifier.nbPredictHashed(toyDocs, "text", "doc_id", "lang")
+    val rows = pred.orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(2) == r.getString(1)),
+      "hashed features keep the separable corpus perfect")
+    val again = Classifier.nbPredictHashed(toyDocs.repartition(7), "text",
+      "doc_id", "lang").orderBy("doc_id").collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("nbPredictHashed: model stays bounded when vocabulary grows") {
+    // corpus A: small vocab; corpus B: every doc contributes fresh terms
+    // (~12x the vocab). The exact-vocab model grows with vocab; the
+    // hashed model must stay within buckets x classes on BOTH.
+    val buckets = 64
+    def modelRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val base = df.select(col("doc_id"), col("lang").as("label"),
+        graft.text.Dsir.gramCellsPublicForTest(col("text"), buckets).as("cells"),
+        Sampling.bucket(col("doc_id")).as("_bk"))
+      base.filter(col("_bk") < 8000)
+        .select(col("label"), explode(col("cells")).as("cell"))
+        .groupBy("label", "cell").count().count()
+    }
+    val bigVocab = (0L until 400L).map { id =>
+      val label = if (id % 2 == 0) "cats" else "dogs"
+      (id, (0 until 6).map(j => s"w${label}_${id}_$j").mkString(" "), label)
+    }.toDF("doc_id", "text", "lang")
+    assert(modelRows(toyDocs) <= buckets * 2)
+    assert(modelRows(bigVocab) <= buckets * 2)
+    // and the predictions over the fresh-vocab corpus still resolve
+    val pred = Classifier.nbPredictHashed(bigVocab, "text", "doc_id",
+      "lang", buckets = buckets)
+    assert(pred.count() > 0)
+  }
+
   test("accuracyReport: counts reconcile with predictions") {
     val pred = Classifier.nbPredict(toyDocs, "text", "doc_id", "lang")
     val rep = Classifier.accuracyReport(pred).collect()
