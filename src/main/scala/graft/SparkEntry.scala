@@ -674,6 +674,14 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id",
         windowTokens = 20)
         .orderBy("doc_a", "doc_b")),
+    // Training-data ops: substring EXCISION — Lee et al.'s actual
+    // output: tokens covered by a 20-token run owned by a lower-id
+    // document are cut; the rest of the document survives
+    "dedup_substring_excise" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.excise(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 20)
+        .orderBy("doc_id")),
     // Training-data ops: perceptual image fingerprints — dHash over the
     // REAL decoded BMP raster (9×8 integer-boundary grid, exact
     // cross-multiplied gradient bits), emitted as four 16-bit chunks so
@@ -1594,6 +1602,7 @@ object SparkEntry {
     "classify_embedding_centroid_from_model" -> TextOracles.centroidPredict(),
     "dsir_importance" -> TextOracles.dsirImportance(),
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
+    "dedup_substring_excise" -> DedupOracles.substringExcise(),
     "image_dhash" -> DedupOracles.imageDhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
     "audio_fingerprint" -> DedupOracles.audioFingerprint,

@@ -365,6 +365,38 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id AND a.win = b.win
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Mirrors SubstringDedup.excise: same window/hash/df-cap chain as
+    * [[substringPairs]], ownership = min doc per distinct window STRING,
+    * tokens covered by a lower-owned window removed, text rebuilt from
+    * the survivors in position order (token-normalized). */
+  def substringExcise(w: Int = 20, maxPostings: Long = 1000): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+w0 AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - $w + 1, 0))) AS pos, toks
+       FROM t),
+wi AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+$w], ' ') AS win FROM w0),
+hh AS (SELECT doc_id, pos, win, ${hashOf("win")} AS h FROM wi),
+keep AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1) t
+         WHERE df <= $maxPostings),
+k AS (SELECT hh.* FROM hh JOIN keep USING (h)),
+own AS (SELECT h, win, min(doc_id) AS min_doc FROM k GROUP BY 1, 2),
+mo AS (SELECT k.doc_id, k.pos FROM k
+       JOIN own ON k.h = own.h AND k.win = own.win
+       WHERE own.min_doc < k.doc_id),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + $w)) AS ti FROM mo),
+tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS ti, unnest(toks) AS tok
+       FROM t),
+keptt AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tp
+          LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.ti = tp.ti
+          WHERE cov.doc_id IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_excised
+        FROM keptt GROUP BY 1),
+rem AS (SELECT doc_id, count(*) AS n_tokens_removed FROM cov GROUP BY 1)
+SELECT t.doc_id,
+  CAST(coalesce(rem.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+  coalesce(reb.text_excised, '') AS text_excised
+FROM t LEFT JOIN reb USING (doc_id) LEFT JOIN rem USING (doc_id)
+ORDER BY doc_id"""
+
   /**
    * Shared CTE chain replaying the image-dedup fingerprint path in
    * DuckDB: syntheticBmp(0, text) pixels (16-wide, text bytes then

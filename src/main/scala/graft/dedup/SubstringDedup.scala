@@ -39,24 +39,29 @@ object SubstringDedup {
    * aligned windows on both documents — keep 1 for exactness, raise it
    * for triage at scale).
    */
+  /** Every `w`-token window of each document with its position and
+    * md5-prefix hash. Windows come out of one codegen'd kernel pass per
+    * document (token_windows); the hash is then a regular codegen'd
+    * projection over the EXPLODED rows — building strings and hashing
+    * inside array lambdas paid interpreted per-element cost instead. */
+  private def wins(d: DataFrame, windowTokens: Int, stride: Int,
+      withWin: Boolean): DataFrame = {
+    val w = d.select(col("doc_id"), posexplode(
+      graft.functions.GraftFunctions.token_windows(col("text"),
+        windowTokens, stride)).as(Seq("i", "win")))
+      .select(col("doc_id"), (col("i").cast("long") * stride).as("pos"),
+        col("win"))
+      .withColumn("h", TextDedup.strHash(col("win")))
+    if (withWin) w else w.drop("win")
+  }
+
   def windowPairs(docs: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 20, stride: Int = 1,
       maxPostings: Long = 1000): DataFrame = {
     require(windowTokens >= 2 && stride >= 1)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // windows come out of one codegen'd kernel pass per document
-    // (token_windows); the md5-prefix hash is then a regular codegen'd
-    // projection over the EXPLODED rows — building strings and hashing
-    // inside array lambdas paid interpreted per-element cost instead
-    def wins(d: DataFrame, withWin: Boolean): DataFrame = {
-      val w = d.select(col("doc_id"), posexplode(
-        graft.functions.GraftFunctions.token_windows(col("text"),
-          windowTokens, stride)).as(Seq("i", "win")))
-        .select(col("doc_id"), (col("i").cast("long") * stride).as("pos"),
-          col("win"))
-        .withColumn("h", TextDedup.strHash(col("win")))
-      if (withWin) w else w.drop("win")
-    }
+    def wins(d: DataFrame, withWin: Boolean): DataFrame =
+      SubstringDedup.wins(d, windowTokens, stride, withWin)
 
     // Candidates-first (the LSH-family shape): pairing runs entirely on
     // HASH-ONLY postings — 8-byte keys, no string payload through the
@@ -110,5 +115,89 @@ object SubstringDedup {
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("win_a")).as("n_shared_windows"),
         min(col("pos_a")).as("first_pos_a"))
+  }
+
+  /**
+   * The excision pass Lee et al.'s operator actually performs: REMOVE
+   * each duplicated run and keep the rest of the document. A token of
+   * document d is excised when it is covered by a `windowTokens`-run
+   * that also occurs verbatim in a LOWER-id document (keep-first: the
+   * earliest document owns the run and keeps it; later copies lose it).
+   * Overlapping shared runs union naturally at token grain; a document
+   * that is entirely duplicated excises to the empty string but keeps
+   * its row.
+   *
+   * Output: one row per input document — (doc_id, n_tokens_removed,
+   * text_excised) with the text rebuilt from the surviving tokens in
+   * order (token-normalized: lowercased, single-spaced — the same
+   * normalization the window index is built on, so the cut is exact
+   * token arithmetic a DuckDB oracle can replay).
+   *
+   * Scale shape: the same candidates-first skeleton as [[windowPairs]]
+   * — corpus-wide work is hash-only postings; window strings, ownership
+   * (min doc per distinct window) and the token rebuild run only over
+   * documents that appear in a candidate pair. Boilerplate windows past
+   * the df cap never excise (consistent with pairing: a cookie banner
+   * in 100k documents is a stop-window, not a duplicated run).
+   */
+  def excise(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20, maxPostings: Long = 1000): DataFrame = {
+    require(windowTokens >= 2)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val postings = wins(base, windowTokens, 1, withWin = false)
+      .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
+    val keep = postings.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+      .select("h")
+    val kept = postings.join(keep, "h")
+    val cand = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+
+    // Full window occurrences of candidate docs (kept hashes only);
+    // ownership = min doc id per distinct window STRING, so the
+    // lower-than test is one broadcast-able join per occurrence, not a
+    // pairwise explosion. Every doc sharing a window with another doc is
+    // a candidate, so the min over candidate docs IS the corpus min.
+    val candBase = graft.operators.Materialized(
+      base.join(candDocs, Seq("doc_id"), "leftsemi"))
+    val candWins = wins(candBase, windowTokens, 1, withWin = true)
+      .join(keep, Seq("h"), "leftsemi")
+    val owners = candWins.groupBy("h", "win")
+      .agg(min(col("doc_id")).as("min_doc"))
+    val covered = candWins.join(owners, Seq("h", "win"))
+      .filter(col("min_doc") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + windowTokens - 1))
+          .as("ti"))
+      .distinct()
+
+    // Rebuild candidate docs from surviving tokens (position order);
+    // untouched docs pass through as one map-side token join.
+    val tokPos = candBase.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.token_windows(col("text"), 1, 1))
+        .as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i").cast("long").as("ti"), col("tok"))
+    val keptTok = tokPos.join(covered, Seq("doc_id", "ti"), "left_anti")
+    val rebuilt = keptTok
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ti"), col("tok")))),
+        e => e("tok")), " ").as("text_excised"))
+    val removed = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_removed"))
+    val candOut = candBase.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        coalesce(col("text_excised"), lit("")).as("text_excised"))
+    val untouched = base.join(candDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_tokens_removed"),
+        array_join(TextDedup.tokens(col("text")), " ").as("text_excised"))
+    candOut.unionByName(untouched)
   }
 }

@@ -69,6 +69,79 @@ class SubstringDedupSpec extends SparkSpec {
     assert(k.count() > 0)
   }
 
+  private def exciseMap(docs: org.apache.spark.sql.DataFrame,
+      w: Int = 20, cap: Long = 1000): Map[Long, (Long, String)] =
+    SubstringDedup.excise(docs, "text", "doc_id", windowTokens = w,
+      maxPostings = cap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("excise: later copy loses the run, owner keeps it, mid-doc cut splices") {
+    val run = words("s", 20)
+    val pre = words("a", 3); val post = words("b", 4)
+    val docs = Seq(
+      (1L, s"${words("o", 2)} $run"),      // owner (lowest id)
+      (2L, s"$pre $run $post"),            // run mid-document
+      (3L, words("z", 10))                 // untouched
+    ).toDF("doc_id", "text")
+    val m = exciseMap(docs)
+    assert(m(1L) === ((0L, s"${words("o", 2)} $run")))
+    assert(m(2L) === ((20L, s"$pre $post")))
+    assert(m(3L) === ((0L, words("z", 10))))
+  }
+
+  test("excise: run at document start and at document end") {
+    val run = words("r", 20)
+    val docs = Seq(
+      (1L, run),
+      (2L, s"$run ${words("tail", 5)}"),   // run at start
+      (3L, s"${words("head", 5)} $run")    // run at end
+    ).toDF("doc_id", "text")
+    val m = exciseMap(docs)
+    assert(m(1L) === ((0L, run)))
+    assert(m(2L) === ((20L, words("tail", 5))))
+    assert(m(3L) === ((20L, words("head", 5))))
+  }
+
+  test("excise: whole-document duplicate excises to empty; row survives") {
+    val run = words("w", 24)
+    val docs = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val m = exciseMap(docs)
+    assert(m(1L) === ((0L, run)))
+    assert(m(2L) === ((24L, "")))
+  }
+
+  test("excise: overlapping shared runs union at token grain") {
+    // doc 3 shares tokens 0..21 with doc 1 and tokens 2..23 with doc 2:
+    // overlapping covered spans must union (24 tokens removed), not
+    // double-count or leave a gap
+    val t = (0 until 24).map(i => s"v$i")
+    val docs = Seq(
+      (1L, t.slice(0, 22).mkString(" ")),
+      (2L, t.slice(2, 24).mkString(" ")),
+      (3L, t.mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = exciseMap(docs)
+    assert(m(1L)._1 === 0L)
+    // doc 2's FIRST window (v2..v21) also occurs in doc 1, which owns
+    // it (lower id): doc 2 loses tokens 0..19, keeping its last two
+    assert(m(2L) === ((20L, "v22 v23")))
+    // doc 3: doc 1 covers tokens 0..21, doc 2's windows cover 3..23 —
+    // the union is the whole document, with the overlap counted once
+    assert(m(3L) === ((24L, "")))
+  }
+
+  test("excise: boilerplate past the df cap is not cut") {
+    val banner = words("cookie", 20)
+    val docs = (1L to 6L).map(i =>
+      (i, s"${words(s"u$i", 3)} $banner")).toDF("doc_id", "text")
+    val capped = exciseMap(docs, cap = 3)
+    assert(capped.values.forall(_._1 == 0L), "capped windows must not excise")
+    val uncapped = exciseMap(docs, cap = 10)
+    assert(uncapped(1L)._1 === 0L)
+    (2L to 6L).foreach(i => assert(uncapped(i) === ((20L, words(s"u$i", 3)))))
+  }
+
   test("within-document repetition does not evict a window from pairing") {
     val run = words("v", 20)
     val docs = Seq(
