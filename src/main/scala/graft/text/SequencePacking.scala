@@ -36,6 +36,29 @@ object SequencePacking {
     packCounted(docs, TextAnalysis.tokenCount(col(textCol)), idCol,
       budget, shardCol)
 
+  /** [[pack]] with the shard DERIVED from the cluster: hash shards
+    * whose cardinality is `sparkContext.defaultParallelism` — the same
+    * track-the-runtime move as `planesForCount`/`nlistForCount`, so the
+    * per-shard windows parallelize across exactly the cores available
+    * instead of a caller-guessed constant. Pass an explicit `shardCol`
+    * (the 5-arg overloads) when output sharding is semantic (per
+    * language, per source) or must be reproducible across clusters. */
+  def pack(docs: DataFrame, textCol: String, idCol: String,
+      budget: Int): DataFrame =
+    packCounted(docs, TextAnalysis.tokenCount(col(textCol)), idCol, budget)
+
+  /** [[packCounted]] with the derived shard default (see 4-arg
+    * [[pack]]). */
+  def packCounted(docs: DataFrame, countExpr: org.apache.spark.sql.Column,
+      idCol: String, budget: Int): DataFrame = {
+    val shards =
+      math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    packCounted(
+      docs.withColumn("_auto_shard",
+        pmod(xxhash64(col(idCol)), lit(shards.toLong))),
+      countExpr, idCol, budget, "_auto_shard")
+  }
+
   /** [[pack]] with a caller-supplied token-count expression — e.g.
     * `size(wordpiece_tokens(text))` for real tokenizer counts instead
     * of the whitespace proxy. */

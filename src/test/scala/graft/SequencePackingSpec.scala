@@ -50,6 +50,28 @@ class SequencePackingSpec extends SparkSpec {
     assert(p(3L) == ((2L, 0L, 9L, true)))
   }
 
+  test("derived shard default tracks defaultParallelism and stays deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(id => (id, "w w w w w")).toDF("doc_id", "text")
+    val auto = SequencePacking.pack(df, "text", "doc_id", budget = 10)
+    val parallelism = spark.sparkContext.defaultParallelism
+    val shards = auto.select("shard").distinct().collect()
+      .map(_.getLong(0)).toSet
+    // cardinality tracks the cluster: every derived shard is one of the
+    // parallelism hash cells, and 200 ids fill them all at local[4]
+    assert(shards.size === parallelism)
+    assert(shards.forall(v => v >= 0 && v < parallelism))
+    // hash sharding is a pure function of the id: identical assignment
+    // regardless of input partitioning
+    val again = SequencePacking.pack(df.repartition(13), "text", "doc_id",
+      budget = 10).orderBy("doc_id").collect()
+    assert(auto.orderBy("doc_id").collect().sameElements(again))
+    // per-shard packing invariant holds under the derived sharding too
+    val stats = SequencePacking.sequenceStats(auto)
+    assert(stats.count() > 0)
+  }
+
   test("sequenceStats rolls up docs/tokens and flags overflow sequences") {
     val df = SequencePacking.pack(
       docs((1L, "a", Seq.fill(8)("w").mkString(" ")), (2L, "a", "w w w"),
