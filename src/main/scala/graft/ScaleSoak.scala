@@ -85,7 +85,29 @@ object ScaleSoak {
     "dsir_importance",
     // substring windows: inverted index + df cap + exact verify — the
     // same bounded-fan-out shape as dedup_ngram_pairs at w-token grain
-    "dedup_substring_pairs")
+    "dedup_substring_pairs",
+    // ── round-8 additions ──
+    // hashed-alphabet NB: the model must stay ≤ buckets × classes rows
+    // at every factor (reported as model_rows on this query's line) —
+    // the fixed-alphabet contrast the ladder prices for exact-vocab NB
+    "classify_lang_nb_hashed",
+    // substring excision: windowPairs' shapes + the candidate-bounded
+    // token rebuild (corpus-wide work stays hash-only postings)
+    "dedup_substring_excise",
+    // perceptual image dedup: map-side decode+dHash, then the wide-key
+    // banding over distinct 64-bit fingerprints
+    "dedup_image_pairs",
+    // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
+    // per factor OUTSIDE the timed region via SparkEntry.buildServe,
+    // and only the read path is laddered — the serving α is measured,
+    // not inherited from the conflated build+serve query
+    "classify_lang_nb_serve",
+    "ann_ivf_pq_index_serve")
+
+  /** Ladder name → buildServe key for the serve-only rows. */
+  private val ServeOnly: Map[String, String] = Map(
+    "classify_lang_nb_serve" -> "classify_lang_nb_from_model",
+    "ann_ivf_pq_index_serve" -> "ann_ivf_pq_index_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")
@@ -129,9 +151,17 @@ object ScaleSoak {
         // run twice; report the second (steady state: shared frames
         // cached, codegen warm) — mirrors the bench's warmup discipline
         var shape = Map.empty[String, Int]
+        // serve-only rows: build the artifact once, untimed; ladder the
+        // read path alone
+        val run: () => org.apache.spark.sql.DataFrame = ServeOnly.get(q) match {
+          case Some(bsName) =>
+            val serve = SparkEntry.buildServe(bsName)(spark, dir)
+            () => serve()
+          case None => () => SparkEntry.queries(q)(spark, dir)
+        }
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          val df = SparkEntry.queries(q)(spark, dir)
+          val df = run()
           df.count()
           shape = planShape(df)
           (System.nanoTime() - t0) / 1e9
@@ -167,7 +197,17 @@ object ScaleSoak {
       val secs = factors.map(f =>
         f""""x$f":${"%.3f".formatLocal(java.util.Locale.ROOT, timed(f)(q)._1)}""")
         .mkString("{", ",", "}")
-      println(f"""{"query":"$q","secs":$secs,"ratio_x$fMax":$ratio%.2f,"alpha":$alpha%.3f,"verdict":"$verdict","plan_shape":"$shapeNote"}""")
+      // hashed-NB boundedness evidence: the model's non-zero cell table
+      // at each factor (must stay ≤ buckets × classes — FLAT while the
+      // corpus and its vocab grow 100×)
+      val extra =
+        if (q != "classify_lang_nb_hashed") ""
+        else factors.map(f => f""""x$f":${
+          graft.text.Classifier.nbHashedModelRows(
+            Demo.table(spark, s"$base/x$f", "documents"),
+            "text", "doc_id", "lang")}""")
+          .mkString(""","model_rows":{""", ",", "}")
+      println(f"""{"query":"$q","secs":$secs,"ratio_x$fMax":$ratio%.2f,"alpha":$alpha%.3f,"verdict":"$verdict","plan_shape":"$shapeNote"$extra}""")
     }
     if (queries == Queries) runExtras(spark, base, factors, fMax)
     println(f"""{"metric":"soak_worst_alpha","value":$worst%.3f,"factor":$fMax}""")

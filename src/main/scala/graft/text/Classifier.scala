@@ -146,6 +146,20 @@ object Classifier {
         round(col("score"), 4).cast("double").as("score"))
   }
 
+  /** Row count of the hashed model's non-zero (label, cell) table — the
+    * boundedness diagnostic the soak ladder reports: must stay ≤
+    * `buckets` × |classes| at ANY corpus size (the exact-vocab model's
+    * table grows with observed vocabulary instead). */
+  def nbHashedModelRows(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 1024,
+      trainBuckets: Long = 8000): Long =
+    docs.select(col(labelCol).as("label"),
+        Dsir.gramCells(col(textCol), buckets).as("cells"),
+        Sampling.bucket(col(idCol)).as("_bk"))
+      .filter(col("_bk") < trainBuckets)
+      .select(col("label"), explode(col("cells")).as("cell"))
+      .groupBy("label", "cell").count().count()
+
   /** Train on the `bucket(id) < trainBuckets` slice and persist the
     * model layout (`classes/`, `terms/` parquet under `path`) — train
     * once, serve many: the decimal log columns stored are exactly the
