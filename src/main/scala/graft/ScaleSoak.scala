@@ -97,6 +97,9 @@ object ScaleSoak {
     // perceptual image dedup: map-side decode+dHash, then the wide-key
     // banding over distinct 64-bit fingerprints
     "dedup_image_pairs",
+    // audio envelope fingerprints: identical tail (shared banding),
+    // map-side WAV decode + 33-frame fold
+    "dedup_audio_pairs",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
