@@ -776,6 +776,18 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageDedupPairs(imageDemoPayloads(s, dir),
         "payload", "doc_id", maxDist = 2)
         .orderBy("doc_a", "doc_b")),
+    // Multimodal dedup END STATE: image near-dup pairs → connected
+    // components (min-label propagation) → one keeper per cluster —
+    // the same closure the text dedup column has (dedup_corpus)
+    "dedup_image_corpus" -> ((s, dir) =>
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        graft.multimodal.Multimodal.imageDedupPairs(
+          imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2),
+        "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")),
     // Training-data ops: audio envelope fingerprints — 33-frame energy
     // + zero-crossing gradient bits over REAL decoded PCM (chromaprint-
     // style banded hash, gain-invariant, exact HUGEINT comparisons)
@@ -793,6 +805,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.audioDedupPairs(audioDemoPayloads(s, dir),
         "payload", "doc_id", maxDist = 2)
         .orderBy("doc_a", "doc_b")),
+    // Multimodal dedup END STATE for the audio column
+    "dedup_audio_corpus" -> ((s, dir) =>
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        graft.multimodal.Multimodal.audioDedupPairs(
+          audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2),
+        "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
     "dedup_minhash_lsh" -> ((s, dir) =>
       lshPairsDf(s, dir).orderBy("doc_a", "doc_b")),
@@ -1628,8 +1650,10 @@ object SparkEntry {
     "dedup_substring_excise" -> DedupOracles.substringExcise(),
     "image_dhash" -> DedupOracles.imageDhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
+    "dedup_image_corpus" -> DedupOracles.imageCorpus(),
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
+    "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

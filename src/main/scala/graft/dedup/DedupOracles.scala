@@ -544,6 +544,23 @@ fp AS (
   SELECT doc_id, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
   FROM bits GROUP BY 1)"""
 
+  /** Mirrors `dedup_image_corpus`: connected components over the image
+    * near-dup graph (same recursive min-label walk as [[components]]),
+    * keepers only — the multimodal dedup END STATE. Documents without a
+    * pair (or without a decodable payload) are their own component and
+    * survive. */
+  def imageCorpus(maxDist: Int = 2): String = s"""WITH RECURSIVE
+pairs AS (${imageDedupPairs(maxDist)}),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
+
   /** Mirrors `audio_fingerprint`: per-clip envelope hash as chunks. */
   val audioFingerprint: String = s"""WITH $afpCtes
 SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
@@ -551,4 +568,18 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
   /** Mirrors Multimodal.audioDedupPairs. */
   def audioDedupPairs(maxDist: Int = 2): String =
     chunkPairsSql(afpCtes, maxDist)
+
+  /** Mirrors `dedup_audio_corpus` — [[imageCorpus]] over the audio
+    * near-dup graph. */
+  def audioCorpus(maxDist: Int = 2): String = s"""WITH RECURSIVE
+pairs AS (${audioDedupPairs(maxDist)}),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
 }
