@@ -815,6 +815,27 @@ object SparkEntry {
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
+    // Cross-modal dedup closure: near-dup evidence from ALL THREE
+    // modalities (text MinHash, image dHash, audio envelope) unions
+    // into ONE component walk — a document is removed when ANY modality
+    // ties it to a lower-id document (a re-encoded image with fresh alt
+    // text, or copied text with re-rendered media, is the same asset)
+    "dedup_multimodal_corpus" -> ((s, dir) => {
+      val textPairs = lshPairsDf(s, dir).select("doc_a", "doc_b")
+      val imagePairs = graft.multimodal.Multimodal.imageDedupPairs(
+        imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
+        .select("doc_a", "doc_b")
+      val audioPairs = graft.multimodal.Multimodal.audioDedupPairs(
+        audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
+        .select("doc_a", "doc_b")
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        textPairs.unionByName(imagePairs).unionByName(audioPairs).distinct(),
+        "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Training-data ops: MinHash-LSH banded candidates + exact verify
     "dedup_minhash_lsh" -> ((s, dir) =>
       lshPairsDf(s, dir).orderBy("doc_a", "doc_b")),
@@ -1654,6 +1675,7 @@ object SparkEntry {
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
     "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
+    "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

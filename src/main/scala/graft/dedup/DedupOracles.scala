@@ -569,6 +569,31 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
   def audioDedupPairs(maxDist: Int = 2): String =
     chunkPairsSql(afpCtes, maxDist)
 
+  /** Mirrors `dedup_multimodal_corpus`: ONE keeper set from the union
+    * of near-dup evidence across all three modalities — text MinHash
+    * pairs ∪ image dHash pairs ∪ audio envelope pairs feed a single
+    * connected-components walk. A document is removed when ANY modality
+    * ties it (transitively) to a lower-id document — the cross-modal
+    * closure a real multimodal training pipeline needs (a re-encoded
+    * image with fresh alt text, or copied text with re-rendered media,
+    * is the SAME asset). */
+  def multimodalCorpus(maxDist: Int = 2): String = s"""WITH RECURSIVE
+tp AS ($minhashLshPairs),
+ip AS (${imageDedupPairs(maxDist)}),
+ap AS (${audioDedupPairs(maxDist)}),
+pairs AS (SELECT doc_a, doc_b FROM tp
+          UNION SELECT doc_a, doc_b FROM ip
+          UNION SELECT doc_a, doc_b FROM ap),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
+
   /** Mirrors `dedup_audio_corpus` — [[imageCorpus]] over the audio
     * near-dup graph. */
   def audioCorpus(maxDist: Int = 2): String = s"""WITH RECURSIVE
