@@ -524,6 +524,42 @@ object TextDedup {
    * afterwards (work ∝ output, not group size²); shifts are masked, so
    * fingerprints using bit 63 (sign) band correctly.
    */
+  /**
+   * Batch-vs-corpus form of [[hammingPairsWide]]: the ids from `probe`
+   * whose fingerprint is within Hamming `maxDist` of ANY fingerprint in
+   * `index` (a one-column frame of stored fingerprints). Same wide
+   * combination keys, same exact pigeonhole recall; the join runs over
+   * DISTINCT fingerprints on both sides and expands only to matched
+   * probe ids — the shape the streaming media dedup uses per
+   * micro-batch (linear in the batch, never quadratic in history).
+   */
+  def hammingMatchedIds(probe: DataFrame, idCol: String, hashCol: String,
+      index: DataFrame, indexHashCol: String, maxDist: Int,
+      chunkBits: Int, numChunks: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= numChunks - 1,
+      s"maxDist must be in [0, ${numChunks - 1}] for exact recall")
+    val mask = (1L << chunkBits) - 1
+    def keyed(fps: DataFrame): DataFrame = {
+      val combos = (0 until numChunks).combinations(numChunks - maxDist)
+        .toSeq.zipWithIndex
+      combos.map { case (chunkIdxs, comboId) =>
+        val key = chunkIdxs.zipWithIndex.map { case (c, pos) =>
+          expr(s"((fp >> (${chunkBits * c})) & ${mask}L) << ${chunkBits * pos}")
+        }.reduce(_ + _)
+        fps.select(col("fp"), lit(comboId).as("t"), key.as("k"))
+      }.reduce(_ unionByName _)
+    }
+    val probeFps = probe.select(col(hashCol).as("fp")).distinct()
+    val indexFps = index.select(col(indexHashCol).as("fp")).distinct()
+    val matchedFps = keyed(probeFps).as("a")
+      .join(keyed(indexFps).as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k"))
+      .filter(expr("bit_count(a.fp ^ b.fp)") <= maxDist)
+      .select(col("a.fp").as("fp")).distinct()
+    probe.join(matchedFps, probe(hashCol) === matchedFps("fp"), "left_semi")
+      .select(col(idCol))
+  }
+
   def hammingPairsWide(hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int, chunkBits: Int, numChunks: Int = 4): DataFrame = {
     require(maxDist >= 0 && maxDist <= numChunks - 1,

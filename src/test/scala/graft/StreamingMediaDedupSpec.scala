@@ -1,0 +1,127 @@
+package graft
+
+import graft.multimodal.{Bmp, Wav}
+import graft.streaming.StreamingMediaDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming multimodal dedup: growing fingerprint index, near-dup
+  * drops across batches, exactly-once commit windows, passthroughs. */
+class StreamingMediaDedupSpec extends SparkSpec {
+
+  private def raster(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = (((i * 7 + seed * 13) % 251 + i / 3) % 256).toByte
+      i += 1
+    }
+    rgb
+  }
+
+  private def img(seed: Int): Array[Byte] = Bmp.encode(48, 48, raster(48, 48, seed))
+
+  private def perturbed(seed: Int): Array[Byte] = {
+    val rgb = raster(48, 48, seed)
+    var p = 0
+    while (p < 12) { rgb(p * 3) = (rgb(p * 3) + 8).toByte; p += 1 }
+    Bmp.encode(48, 48, rgb)
+  }
+
+  test("near-dups of earlier batches drop; novel and undecodable assets survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    // batch 0: base image + one undecodable payload
+    val b0 = Seq((1L, img(3)), (5L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(b0, 0L, "payload", "doc_id",
+      indexDir, outDir)
+    // batch 1: near-dup of batch 0's image (dropped), an exact copy
+    // (dropped), a novel image (kept), another undecodable (kept)
+    val b1 = Seq((10L, perturbed(3)), (11L, img(3)), (12L, img(77)),
+      (13L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(b1, 1L, "payload", "doc_id",
+      indexDir, outDir)
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 5L, 12L, 13L),
+      s"expected near-dup 10 and exact copy 11 dropped, got $out")
+    // index holds only fingerprinted keepers (1, 12), not passthroughs
+    val idx = spark.read.parquet(indexDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(idx === Seq(1L, 12L))
+  }
+
+  test("batch-internal exact duplicates keep the min id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup2").toString
+    val b = Seq((7L, img(1)), (3L, img(1)), (9L, img(2)))
+      .toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(b, 0L, "payload", "doc_id",
+      s"$dir/index", s"$dir/out")
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(3L, 9L))
+  }
+
+  test("half-commit replay is idempotent (index lost, corpus kept)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup3").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val batch = Seq((1L, img(4)), (2L, img(44))).toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(batch, 0L, "payload", "doc_id",
+      indexDir, outDir)
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    deleteRec(java.nio.file.Paths.get(indexDir))
+    StreamingMediaDedup.processBatch(batch, 0L, "payload", "doc_id",
+      indexDir, outDir)
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 2L), s"corpus duplicated on replay: $out")
+    assert(spark.read.parquet(indexDir).count() === 2)
+  }
+
+  test("audio kind grows an envelope index through the same harness") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup4").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    def clip(seed: Int): Array[Byte] = Wav.encode(8000, 1,
+      Array.tabulate(1600) { i =>
+        val amp = 3000 + 200 * ((i / 100 + seed) % 7)
+        (if ((i / 8) % 2 == 0) amp else -amp).toShort
+      })
+    val b0 = Seq((1L, clip(1))).toDF("doc_id", "payload")
+    val b1 = Seq((2L, clip(1)), (3L, clip(9))).toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(b0, 0L, "payload", "doc_id",
+      indexDir, outDir, kind = StreamingMediaDedup.AudioEnvelope)
+    StreamingMediaDedup.processBatch(b1, 1L, "payload", "doc_id",
+      indexDir, outDir, kind = StreamingMediaDedup.AudioEnvelope)
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 3L), s"identical clip must dedup: $out")
+  }
+
+  test("streaming end-to-end via MemoryStream + checkpoint") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup5").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingMediaDedup.start(
+      input.toDF().toDF("doc_id", "payload"), "payload", "doc_id",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData((1L, img(6)))
+      q.processAllAvailable()
+      input.addData((2L, perturbed(6)), (3L, img(60)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(out === Seq(1L, 3L))
+    } finally q.stop()
+  }
+}
