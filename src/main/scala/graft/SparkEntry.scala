@@ -769,6 +769,25 @@ object SparkEntry {
           expr("(dhash >> 32) & 65535").as("c2"),
           expr("(dhash >> 48) & 65535").as("c3"))
         .orderBy("doc_id")),
+    // Training-data ops: pHash — the DCT perceptual fingerprint (32×32
+    // cell grid → integer-table 8×8 DCT-II → median-thresholded AC
+    // bits; exactly brightness-shift-invariant). The oracle replays the
+    // DCT with the engine's own Q10 cosine table as literals.
+    "image_phash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePhash(imageDemoPayloads(s, dir),
+        "payload", "doc_id")
+        .select(col("doc_id"),
+          expr("(phash >> 0) & 65535").as("c0"),
+          expr("(phash >> 16) & 65535").as("c1"),
+          expr("(phash >> 32) & 65535").as("c2"),
+          expr("(phash >> 48) & 65535").as("c3"))
+        .orderBy("doc_id")),
+    // Multimodal near-dup dedup on the pHash fingerprint — same wide-key
+    // Hamming banding, frequency-domain rather than gradient evidence
+    "dedup_image_pairs_phash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePhashDedupPairs(
+        imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
+        .orderBy("doc_a", "doc_b")),
     // Training-data ops: multimodal near-dup dedup — image pairs within
     // Hamming 2 on dHash, paired through the SAME Manku wide-key
     // banding as text simhash (16-bit chunks, exact pigeonhole recall)
@@ -1670,7 +1689,9 @@ object SparkEntry {
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
     "dedup_substring_excise" -> DedupOracles.substringExcise(),
     "image_dhash" -> DedupOracles.imageDhash,
+    "image_phash" -> DedupOracles.imagePhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
+    "dedup_image_pairs_phash" -> DedupOracles.imagePhashPairs(),
     "dedup_image_corpus" -> DedupOracles.imageCorpus(),
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),

@@ -415,7 +415,10 @@ ORDER BY doc_id"""
   private def chunk(k: Int): String =
     s"CAST(sum(CASE WHEN bit // 16 = $k THEN b << (bit % 16) ELSE 0 END) AS BIGINT) AS c$k"
 
-  private val dhashCtes: String = {
+  /** Synthetic-payload pixel CTEs (`s`, `px`) shared by the dHash and
+    * pHash oracles: 16-wide raster, text bytes then (i % 251) padding,
+    * per-pixel luminance SUM. */
+  private val pxCtes: String = {
     def byteAt(i: String): String =
       s"CASE WHEN $i < len THEN ord(substr(text, CAST($i + 1 AS INT), 1)) ELSE CAST(($i) % 251 AS INT) END"
     s"""s AS (
@@ -427,7 +430,10 @@ px AS (
     (${byteAt("3 * (y * 16 + x)")} + ${byteAt("3 * (y * 16 + x) + 1")} +
      ${byteAt("3 * (y * 16 + x) + 2")}) AS lum
   FROM s, range(0, 16) rx(x), range(0, 64) ry(y)
-  WHERE y < h),
+  WHERE y < h)"""
+  }
+
+  private val dhashCtes: String = s"""$pxCtes,
 cell AS (
   SELECT doc_id, gi, gj,
     (gi * 16) // 9 AS xlo,
@@ -450,7 +456,6 @@ bits AS (
 fp AS (
   SELECT doc_id, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
   FROM bits GROUP BY 1)"""
-  }
 
   /** Mirrors `image_dhash`: the per-document dHash as chunk columns. */
   val imageDhash: String = s"""WITH $dhashCtes
@@ -463,6 +468,65 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
     * expansion to doc pairs. */
   def imageDedupPairs(maxDist: Int = 2): String =
     chunkPairsSql(dhashCtes, maxDist)
+
+  /**
+   * Shared CTE chain replaying [[graft.multimodal.Phash.phash64]] over
+   * the same synthetic pixels: 32×32 integer-boundary cell grid →
+   * `(sum·64) // count` cell values (floor division, non-negative — the
+   * exact Java semantics) → 8×8 DCT-II against the ENGINE'S Q10 integer
+   * cosine table (emitted below as 256 VALUES literals from
+   * `Phash.T` — the oracle's trig IS the engine's table, not libm) →
+   * 32nd-smallest-of-63 AC median as an order statistic (max over the
+   * 32 smallest; no doubles anywhere — |F| ≤ 5.3e13 stays in BIGINT) →
+   * strict-`>` bits with the DC slot always 0 → chunk columns.
+   */
+  private val phashCtes: String = {
+    val n = graft.multimodal.Phash.GridN
+    val tvals = graft.multimodal.Phash.T.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (t, x) => s"($u,$x,$t)" }
+    }.mkString(", ")
+    s"""$pxCtes,
+cell32 AS (
+  SELECT doc_id, gi, gj,
+    (gi * 16) // $n AS xlo,
+    least(16, greatest((gi * 16) // $n + 1, ((gi + 1) * 16) // $n)) AS xhi,
+    (gj * h) // $n AS ylo,
+    least(h, greatest((gj * h) // $n + 1, ((gj + 1) * h) // $n)) AS yhi
+  FROM s, range(0, $n) gx(gi), range(0, $n) gy(gj)),
+cv AS (
+  SELECT c.doc_id, c.gi, c.gj, (sum(p.lum) * 64) // count(*) AS cv
+  FROM cell32 c JOIN px p ON p.doc_id = c.doc_id
+    AND p.x >= c.xlo AND p.x < c.xhi AND p.y >= c.ylo AND p.y < c.yhi
+  GROUP BY 1, 2, 3),
+tt(u, x, t) AS (VALUES $tvals),
+dct AS (
+  SELECT cv.doc_id, tu.u AS u, tv.u AS v, sum(tu.t * tv.t * cv.cv) AS f
+  FROM cv JOIN tt tu ON tu.x = cv.gi JOIN tt tv ON tv.x = cv.gj
+  GROUP BY 1, 2, 3),
+med AS (
+  SELECT doc_id, max(f) AS med FROM (
+    SELECT doc_id, f,
+      row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+    FROM dct WHERE NOT (u = 0 AND v = 0)) q
+  WHERE rn <= 32 GROUP BY doc_id),
+bits AS (
+  SELECT d.doc_id, d.v * 8 + d.u AS bit,
+    CASE WHEN d.f > m.med THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM dct d JOIN med m USING (doc_id)
+  WHERE NOT (d.u = 0 AND d.v = 0)),
+fp AS (
+  SELECT doc_id, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bits GROUP BY 1)"""
+  }
+
+  /** Mirrors `image_phash`: the per-document pHash as chunk columns. */
+  val imagePhash: String = s"""WITH $phashCtes
+SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
+
+  /** Mirrors Multimodal.imagePhashDedupPairs — the shared banded pair
+    * expansion over the pHash fingerprint chain. */
+  def imagePhashPairs(maxDist: Int = 2): String =
+    chunkPairsSql(phashCtes, maxDist)
 
   /** Hamming-banded pair expansion over any `fp(doc_id, c0..c3)` CTE
     * chain — shared by the image and audio dedup oracles. */

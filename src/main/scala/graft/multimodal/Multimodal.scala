@@ -201,6 +201,33 @@ object Multimodal {
       maxDist, chunkBits = 16)
 
   /**
+   * Per-image 64-bit DCT perceptual fingerprint ([[Phash.phash64]]) —
+   * the frequency-domain complement to [[imageDhash]], same
+   * typed-mapPartitions map side, same no-fingerprint convention for
+   * undecodable payloads.
+   */
+  def imagePhash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol), col(idCol).cast("long"))
+      .as[(Array[Byte], Long)]
+      .mapPartitions(_.flatMap { case (bytes, id) =>
+        Dhash.decodePixels(bytes).map(p =>
+          (id, Phash.phash64(p.width, p.height, p.lum)))
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate image pairs on the pHash fingerprint, through the
+    * same wide-key Hamming banding as every other 64-bit fingerprint
+    * family (exact pigeonhole recall for maxDist ≤ 3). */
+  def imagePhashDedupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      imagePhash(df, binCol, idCol), "doc_id", "phash",
+      maxDist, chunkBits = 16)
+
+  /**
    * Per-clip 64-bit audio fingerprint ([[AudioFingerprint]]) via typed
    * mapPartitions: WAV decode → integer PCM → banded envelope hash.
    * Undecodable or empty clips get no fingerprint row.
