@@ -227,6 +227,118 @@ object TextDedup {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Distributed build + registration of the benchmark shingle-hash
+    * Bloom filter for [[contaminationPairsBloom]]: distinct bench
+    * shingle hashes aggregated into one sketch (`stat.bloomFilter` —
+    * no raw hashes collected), shipped to executors under `name` via
+    * [[BloomRegistry]]. The benchmark side is tiny by nature (eval
+    * suites), so the sketch is a bounded driver artifact — the same
+    * doctrine as the ≤4096-row training samples. Returns `name`. */
+  def registerBenchBloom(spark: org.apache.spark.sql.SparkSession,
+      bench: DataFrame, textCol: String, n: Int = 3, fpp: Double = 0.01,
+      name: String): String = {
+    val hs = bench.select(explode(
+      graft.functions.GraftFunctions.hashed_shingles(col(textCol), n)).as("h"))
+      .distinct()
+    val expected = math.max(hs.count(), 1L)
+    BloomRegistry.register(spark, hs.stat.bloomFilter("h", expected, fpp), name)
+  }
+
+  /**
+   * Bloom-prefiltered contamination pairs — IDENTICAL output to
+   * [[contaminationPairs]] (it shares the exact-containment verify and
+   * every threshold), restructured for the case that dominates at
+   * corpus scale: a huge corpus checked against a small benchmark set.
+   * Two changes, neither able to alter the result:
+   *
+   *  1. The pairing shuffle is prefiltered by the benchmark's
+   *     shingle-hash Bloom filter (pre-registered via
+   *     [[registerBenchBloom]]), applied as a codegen'd map-side
+   *     predicate BEFORE the exchange. Bloom filters have no false
+   *     negatives, and every corpus shingle actually shared with the
+   *     benchmark IS in the filter — so no true candidate is lost;
+   *     false positives are discarded by the equi-join against the
+   *     benchmark index right after, exactly as before. What changes is
+   *     the shuffle volume: only bench-plausible shingles (≈ fpp of the
+   *     corpus inverted index, plus true matches) cross the wire,
+   *     instead of the entire df-capped corpus index.
+   *
+   *  2. The df cap ships as a broadcast of the HOT (capped-away) hash
+   *     set instead of an equi-join against the kept set. The hot set
+   *     is bounded independently of corpus size: df > ndocs·maxDfFrac
+   *     hashes number at most avgShinglesPerDoc / maxDfFrac (Σdf over
+   *     all hashes = total shingle instances), so the broadcast stays
+   *     ~10⁴ keys at ANY corpus size and the corpus index is never
+   *     shuffled by shingle hash at all — per-doc kept counts reduce
+   *     map-side by doc_id. The kept/capped partition of hashes is the
+   *     same set either way.
+   *
+   * Remaining shuffles: the df count (map-combined (h, count) partial
+   * rows), the per-doc kept count (map-combined (doc, count)), and the
+   * bloom-surviving pairing join — the 100 TB shape this operator
+   * should have had from the start; the equi-join original remains as
+   * the oracle-anchored reference formulation.
+   */
+  def contaminationPairsBloom(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, bloomName: String, n: Int = 3,
+      threshold: Double = 0.8, maxDfFrac: Double = 0.01,
+      maxDfFloor: Long = 100L): DataFrame = {
+    val cs = graft.operators.Materialized(
+      corpus.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
+    val bs = graft.operators.Materialized(
+      bench.select(col(idCol).as("bench_id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
+      .filter(size(col("bhs")) > 0))
+    val invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
+    val ndocs = cs.agg(count(lit(1)).as("ndocs"))
+    // Hot (capped-away) hashes: the complement of contaminationPairs'
+    // `keep` — small by the Σdf argument above, hence broadcastable.
+    val hot = invC.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .where(col("df") > greatest(lit(maxDfFloor),
+        ceil(col("ndocs") * maxDfFrac)))
+      .select("h")
+    val invKept = invC.join(broadcast(hot), Seq("h"), "left_anti")
+    val keptCnt = invKept.groupBy("doc_id").agg(count(lit(1)).as("kept"))
+    val pairCommon = invKept
+      .where(graft.functions.GraftFunctions.bloom_might_contain(
+        lit(bloomName), col("h")))
+      .join(invB, "h")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("common_kept"), first(col("sz")).as("sz_a"))
+    val cand = pairCommon
+      .join(keptCnt, "doc_id")
+      .join(broadcast(bs.select(col("bench_id"),
+        size(col("bhs")).as("bsz"))), "bench_id")
+      .withColumn("ub", least(
+        col("common_kept") + (col("sz_a") - col("kept")), col("bsz")))
+      .filter(col("ub").cast("double") / col("bsz") >= threshold)
+      .select("doc_id", "bench_id")
+    cand
+      .join(cs, "doc_id")
+      .join(bs, "bench_id")
+      .withColumn("containment",
+        size(array_intersect(col("hs"), col("bhs"))).cast("double") /
+          size(col("bhs")))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "bench_id", "containment")
+  }
+
+  /** [[decontaminate]] through the Bloom-prefiltered pair path — same
+    * anti-join end state, same output, corpus-scale shuffle profile. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, bloomName: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val bad = contaminationPairsBloom(corpus, bench, textCol, idCol,
+      bloomName, n, threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** MinHash signature (numPerms values) from an array of PRE-HASHED

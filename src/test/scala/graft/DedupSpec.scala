@@ -99,6 +99,34 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("bloom-prefiltered decontamination matches the equi-join path exactly") {
+    // planted case: same fixtures as the equi-join test above
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon zeta trailing tail"),
+      (2L, "alpha omega chi psi completely different words here"),
+      (3L, "nothing in common with anything benchmark related at all"))
+      .toDF("doc_id", "text")
+    val name = TextDedup.registerBenchBloom(spark, bench, "text",
+      name = "spec-decon-bloom")
+    val pairs = TextDedup.contaminationPairsBloom(corpus, bench, "text",
+      "doc_id", bloomName = name).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    assert(TextDedup.decontaminateBloom(corpus, bench, "text", "doc_id", name)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    // full testdata parity: pair-for-pair, containment included
+    val bench2 = docs.filter(col("doc_id") % 10 === 3)
+    val name2 = TextDedup.registerBenchBloom(spark, bench2, "text",
+      name = "spec-decon-bloom-td")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(TextDedup.contaminationPairsBloom(docs, bench2, "text",
+      "doc_id", name2)) ==
+      key(TextDedup.contaminationPairs(docs, bench2, "text", "doc_id")))
+  }
+
   test("minhash LSH recall equals exact jaccard pairs on testdata") {
     val exact = TextDedup.ngramJaccardPairs(docs, "text", "doc_id")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
