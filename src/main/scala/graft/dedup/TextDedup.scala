@@ -332,9 +332,10 @@ object TextDedup {
     * anti-join end state, same output, corpus-scale shuffle profile. */
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, bloomName: String, n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxDfFrac: Double = 0.01,
+      maxDfFloor: Long = 100L): DataFrame = {
     val bad = contaminationPairsBloom(corpus, bench, textCol, idCol,
-      bloomName, n, threshold)
+      bloomName, n, threshold, maxDfFrac, maxDfFloor)
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.dedup.TextDedup
+import graft.streaming.StreamingDecontaminate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming decontamination: per-batch filtering against the static
+  * benchmark sketch, idempotent commit windows, end-to-end stream. */
+class StreamingDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bench =
+    Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+
+  private lazy val bloomName = TextDedup.registerBenchBloom(spark, bench,
+    "text", name = "spec-stream-decon")
+
+  private def contaminated(id: Long) =
+    (id, s"intro $id alpha beta gamma delta epsilon zeta trailing")
+  private def clean(id: Long) =
+    (id, s"clean document number $id with its own unrelated words")
+
+  test("contaminated docs drop per batch; clean docs commit under batch_id") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon").toString
+    val b0 = Seq(contaminated(1L), clean(2L)).toDF("doc_id", "text")
+    StreamingDecontaminate.processBatch(b0, 0L, bench, "text", "doc_id",
+      bloomName, dir)
+    val b1 = Seq(clean(10L), contaminated(11L), clean(12L))
+      .toDF("doc_id", "text")
+    StreamingDecontaminate.processBatch(b1, 1L, bench, "text", "doc_id",
+      bloomName, dir)
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("batch_id"))).toSet
+    assert(out === Set((2L, 0), (10L, 1), (12L, 1)))
+  }
+
+  test("replaying a batch overwrites its own partition — no duplication") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-replay").toString
+    val b = Seq(contaminated(1L), clean(2L), clean(3L)).toDF("doc_id", "text")
+    StreamingDecontaminate.processBatch(b, 0L, bench, "text", "doc_id",
+      bloomName, dir)
+    // the crash-window replay: same batch, same id, run again
+    StreamingDecontaminate.processBatch(b, 0L, bench, "text", "doc_id",
+      bloomName, dir)
+    val out = spark.read.parquet(dir).collect().map(_.getAs[Long]("doc_id"))
+    assert(out.sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("batch-frequent shingles are NOT df-capped away (contamination still caught)") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-df").toString
+    // 30 contaminated near-copies: corpus-style df capping would mark
+    // the benchmark shingles as boilerplate and let every copy through
+    val rows = (1L to 30L).map(i =>
+      (i, s"copy $i alpha beta gamma delta epsilon zeta trailing")) :+ clean(50L)
+    val b = rows.toDF("doc_id", "text")
+    StreamingDecontaminate.processBatch(b, 0L, bench, "text", "doc_id",
+      bloomName, dir)
+    val out = spark.read.parquet(dir).collect().map(_.getAs[Long]("doc_id"))
+    assert(out.toSeq === Seq(50L))
+  }
+
+  test("end-to-end MemoryStream run commits exactly the clean documents") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-e2e").toString
+    val (outDir, ckDir) = (s"$dir/out", s"$dir/ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDecontaminate.start(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id",
+      bloomName, outDir, ckDir)
+    try {
+      mem.addData(contaminated(1L), clean(2L))
+      q.processAllAvailable()
+      mem.addData(clean(10L), contaminated(11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id"))
+    assert(out.sorted.toSeq === Seq(2L, 10L))
+  }
+}
