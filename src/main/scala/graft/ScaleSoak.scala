@@ -100,6 +100,17 @@ object ScaleSoak {
     // audio envelope fingerprints: identical tail (shared banding),
     // map-side WAV decode + 33-frame fold
     "dedup_audio_pairs",
+    // ── round-8 beyond-the-asks additions ──
+    // Bloom-prefiltered decontamination: output-identical twin of
+    // decontaminate_corpus whose pairing shuffle is gated map-side by
+    // the bench shingle sketch and whose df cap ships as a broadcast
+    // hot-set — laddered against the equi-join row above to price the
+    // restructure (the sketch is registered once per factor dir,
+    // outside the steady-state timing by the warmup discipline)
+    "decontaminate_bloom_corpus",
+    // pHash: map-side decode + integer-DCT fingerprint, then the same
+    // shared banding tail as dedup_image_pairs
+    "dedup_image_pairs_phash",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,

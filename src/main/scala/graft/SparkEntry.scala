@@ -824,6 +824,29 @@ object SparkEntry {
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
+    // Training-data ops: multimodal near-dup dedup for the VIDEO column
+    // — per-video sampled-frame digest sets through the shared
+    // df-capped inverted-index + exact-Jaccard core (the fourth
+    // modality; payloads are the same encode(text) binaries the
+    // hash-green multimodal_frames query samples)
+    "dedup_video_pairs" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoDedupPairs(
+        Demo.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload", "doc_id")
+        .orderBy("doc_a", "doc_b")),
+    // Multimodal dedup END STATE for the video column
+    "dedup_video_corpus" -> ((s, dir) =>
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        graft.multimodal.Multimodal.videoDedupPairs(
+          Demo.table(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload", "doc_id"),
+        "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")),
     // Training-data ops: audio envelope fingerprints — 33-frame energy
     // + zero-crossing gradient bits over REAL decoded PCM (chromaprint-
     // style banded hash, gain-invariant, exact HUGEINT comparisons)
@@ -1731,6 +1754,8 @@ object SparkEntry {
     "image_phash" -> DedupOracles.imagePhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
     "dedup_image_pairs_phash" -> DedupOracles.imagePhashPairs(),
+    "dedup_video_pairs" -> DedupOracles.videoDedupPairs(),
+    "dedup_video_corpus" -> DedupOracles.videoCorpus(),
     "dedup_image_corpus" -> DedupOracles.imageCorpus(),
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),

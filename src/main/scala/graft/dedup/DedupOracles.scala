@@ -470,6 +470,56 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
     chunkPairsSql(dhashCtes, maxDist)
 
   /**
+   * Mirrors Multimodal.videoDedupPairs over the encode(text) demo
+   * payloads: sampled-frame digests (every 4th 64-byte frame — the
+   * hash-green `multimodal_frames` arithmetic; ASCII corpus, so
+   * character substr = byte slice), strHash'd to the engine's 8-byte
+   * keys, distinct per document, then the SAME df-capped inverted
+   * index + exact set-Jaccard as the ngram-pairs oracle.
+   */
+  private def videoPairCtes(threshold: Double): String = s"""vf AS (
+  SELECT DISTINCT doc_id,
+    ${hashOf("md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64))")} AS h
+  FROM documents,
+    unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS t(i)
+  WHERE i % 4 = 0),
+vsets AS (SELECT doc_id, list(h) AS hs FROM vf GROUP BY 1),
+vkeep AS (SELECT h FROM vf GROUP BY h
+          HAVING count(*) <= greatest(100,
+            CAST(ceil(0.01 * (SELECT count(*) FROM vsets)) AS BIGINT))),
+vcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM vf a JOIN vkeep k ON a.h = k.h JOIN vf b ON b.h = a.h
+          WHERE a.doc_id < b.doc_id),
+vp AS (SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+           (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+           AS jaccard
+       FROM vcand c
+       JOIN vsets sa ON sa.doc_id = c.doc_a
+       JOIN vsets sb ON sb.doc_id = c.doc_b
+       WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+           (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+           >= $threshold)"""
+
+  def videoDedupPairs(threshold: Double = 0.8): String =
+    s"""WITH ${videoPairCtes(threshold)}
+SELECT doc_a, doc_b, jaccard FROM vp ORDER BY doc_a, doc_b"""
+
+  /** Mirrors `dedup_video_corpus`: the same recursive min-label walk
+    * as the image/audio end states over the video near-dup graph. */
+  def videoCorpus(threshold: Double = 0.8): String = s"""WITH RECURSIVE
+${videoPairCtes(threshold)},
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM vp
+       UNION SELECT doc_b, doc_a FROM vp),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
+
+  /**
    * Shared CTE chain replaying [[graft.multimodal.Phash.phash64]] over
    * the same synthetic pixels: 32×32 integer-boundary cell grid →
    * `(sum·64) // count` cell values (floor division, non-negative — the

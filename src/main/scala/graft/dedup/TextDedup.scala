@@ -84,6 +84,20 @@ object TextDedup {
     val withSh = graft.operators.Materialized(
       docs.select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
+    setJaccardPairs(withSh, threshold, maxDfFrac, maxDfFloor)
+  }
+
+  /**
+   * The element-agnostic core of [[ngramJaccardPairs]]: all pairs of
+   * documents whose hashed ELEMENT SETS (any `array<long>` — text
+   * shingles, video frame digests, …) have Jaccard ≥ threshold, via the
+   * df-capped inverted index, the PPJoin-style size/upper-bound prunes,
+   * and exact verification on the full sets. `withSets` must have
+   * columns `(doc_id, hs)` with `hs` distinct; the caller decides its
+   * materialization (it feeds three consumers here).
+   */
+  def setJaccardPairs(withSh: DataFrame, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
     // `sz` rides the explode so the length filter below needs no extra
     // join/shuffle (8 bytes per index row).
     val inv = withSh.select(col("doc_id"), size(col("hs")).as("sz"),

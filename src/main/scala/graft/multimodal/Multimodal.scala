@@ -201,6 +201,33 @@ object Multimodal {
       maxDist, chunkBits = 16)
 
   /**
+   * Near-duplicate VIDEO pairs — the fourth modality of the dedup
+   * column. A video's fingerprint is its SET of sampled-frame digests
+   * ([[frameRows]]: every `every`-th `frameSize`-byte frame, md5 — the
+   * classic frame-signature approach: a re-muxed / partially-extended
+   * copy shares most frame content), hashed to 8-byte keys and paired
+   * through the SAME df-capped inverted-index + exact-Jaccard core as
+   * text shingles ([[graft.dedup.TextDedup.setJaccardPairs]]). Output
+   * (doc_a, doc_b, jaccard), exact over the full digest sets.
+   *
+   * Scale shape: one map-side frame explode + hash agg per video, then
+   * the shared candidates-first core — shuffles carry 8-byte digest
+   * hashes, the df cap bounds intro/outro boilerplate frames shared by
+   * thousands of videos, and verification touches candidates only.
+   */
+  def videoDedupPairs(df: DataFrame, binCol: String, idCol: String,
+      frameSize: Int = 64, every: Int = 4, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+    val sets = graft.operators.Materialized(
+      frameRows(df, binCol, idCol, frameSize, every)
+        .groupBy(col(idCol).as("doc_id"))
+        .agg(collect_set(
+          graft.dedup.TextDedup.strHash(col("frame_md5"))).as("hs")))
+    graft.dedup.TextDedup.setJaccardPairs(sets, threshold, maxDfFrac,
+      maxDfFloor)
+  }
+
+  /**
    * Per-image 64-bit DCT perceptual fingerprint ([[Phash.phash64]]) —
    * the frequency-domain complement to [[imageDhash]], same
    * typed-mapPartitions map side, same no-fingerprint convention for
