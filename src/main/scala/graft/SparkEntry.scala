@@ -887,9 +887,15 @@ object SparkEntry {
       val audioPairs = graft.multimodal.Multimodal.audioDedupPairs(
         audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
         .select("doc_a", "doc_b")
+      val videoPairs = graft.multimodal.Multimodal.videoDedupPairs(
+        Demo.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload", "doc_id")
+        .select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        textPairs.unionByName(imagePairs).unionByName(audioPairs).distinct(),
+        textPairs.unionByName(imagePairs).unionByName(audioPairs)
+          .unionByName(videoPairs).distinct(),
         "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))

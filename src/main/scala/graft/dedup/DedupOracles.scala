@@ -695,9 +695,11 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
 tp AS ($minhashLshPairs),
 ip AS (${imageDedupPairs(maxDist)}),
 ap AS (${audioDedupPairs(maxDist)}),
+vdp AS (${videoDedupPairs()}),
 pairs AS (SELECT doc_a, doc_b FROM tp
           UNION SELECT doc_a, doc_b FROM ip
-          UNION SELECT doc_a, doc_b FROM ap),
+          UNION SELECT doc_a, doc_b FROM ap
+          UNION SELECT doc_a, doc_b FROM vdp),
 e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        UNION SELECT doc_b, doc_a FROM pairs),
 walk(node, comp) AS (
