@@ -111,6 +111,10 @@ object ScaleSoak {
     // pHash: map-side decode + integer-DCT fingerprint, then the same
     // shared banding tail as dedup_image_pairs
     "dedup_image_pairs_phash",
+    // video frame-digest sets through the shared set-Jaccard core —
+    // inherits dedup_ngram_pairs' candidates-first shapes at frame
+    // grain (fewer, coarser elements per document)
+    "dedup_video_pairs",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
