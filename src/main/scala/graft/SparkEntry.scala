@@ -1638,6 +1638,19 @@ object SparkEntry {
           cents).as("cluster"))
         .orderBy("vec_id")
     }),
+    // Training-data ops: cluster-balanced selection — assign embeddings
+    // to clusters, then deterministically downsample every cluster to
+    // the smallest cluster's size (md5-bucket rank; diversity sampling
+    // that stops an over-crawled cluster dominating the mix)
+    "sample_balanced_clusters" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val assigned = emb.select(col("vec_id"),
+        EmbeddingOps.ivfAssignment(col("embedding").cast("array<double>"),
+          cents).as("cluster"))
+      graft.operators.Sampling.balanced(assigned, "vec_id", "cluster")
+        .orderBy("vec_id")
+    }),
     // Training-data ops: deterministic train/val/test split sizes
     "split_documents" -> ((s, dir) =>
       graft.operators.Sampling.split(
@@ -1768,6 +1781,7 @@ object SparkEntry {
     "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
     "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
+    "sample_balanced_clusters" -> TextOracles.balancedClusterSample,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,

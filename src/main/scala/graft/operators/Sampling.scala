@@ -76,6 +76,44 @@ object Sampling {
   }
 
   /**
+   * Cluster-balanced selection: deterministically downsample every
+   * stratum to the size of the SMALLEST stratum (or to an explicit
+   * `perStratum` cap) — the diversity-sampling step that stops an
+   * over-crawled topic/cluster from dominating a training mix
+   * (cluster-then-balance selection in the SemDeDup/DoReMi tradition;
+   * pair it with `cluster_embeddings`-style assignment for the
+   * embedding-space version). Which rows survive is a pure function of
+   * the keys: rank within stratum by the portable md5 [[bucket]] with
+   * ties broken by the key itself — a total order, so the sample is
+   * stable across runs, engines and partitionings, and a DuckDB oracle
+   * replays it exactly (unlike count-limited `limit()` sampling, which
+   * is partition-order-dependent).
+   *
+   * Scale: one map-combined count per stratum reduced to a 1-row
+   * minimum (broadcast), then ONE ranking window per stratum. The
+   * window sorts each stratum; when strata are huge relative to the
+   * target, pre-thin with [[sampled]] (hash-threshold ≈ a few × the
+   * target fraction) before ranking — the hash-rank order is preserved
+   * under hash-threshold prefilters, so the result is identical as
+   * long as the prefilter keeps ≥ target rows per stratum.
+   */
+  def balanced(df: DataFrame, keyCol: String, strataCol: String,
+      perStratum: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = row_number().over(Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(keyCol)), col(keyCol)))
+    perStratum match {
+      case Some(t) =>
+        df.withColumn("__rk", rk).filter(col("__rk") <= t).drop("__rk")
+      case None =>
+        val m = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+          .agg(min(col("__n")).as("__m"))
+        df.withColumn("__rk", rk).crossJoin(broadcast(m))
+          .filter(col("__rk") <= col("__m")).drop("__rk", "__m")
+    }
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

@@ -522,6 +522,23 @@ a AS (SELECT n.vec_id, c.cid,
       FROM n CROSS JOIN cents c)
 SELECT vec_id, cid AS cluster FROM a WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Mirrors `sample_balanced_clusters`: the [[clusterEmbeddings]]
+    * assignment downsampled to the SMALLEST cluster's size by md5-bucket
+    * rank with vec_id ties — Sampling.balanced replayed exactly. */
+  val balancedClusterSample: String = s"""WITH $normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+a AS (SELECT vec_id, cluster FROM (
+        SELECT n.vec_id, c.cid AS cluster,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+        FROM n CROSS JOIN cents c) t WHERE rn = 1),
+m AS (SELECT min(n) AS m FROM (SELECT count(*) AS n FROM a GROUP BY cluster) t),
+rk AS (SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY ${bucketSql("vec_id")}, vec_id) AS rn
+       FROM a)
+SELECT vec_id, cluster FROM rk, m WHERE rn <= m.m ORDER BY vec_id"""
+
   /** Mirrors EmbeddingOps.ivfTopK with nlist=8, nprobe=2, k=5: centroids
     * are vectors with id < 8; assignment/probing by cosine with ties to
     * the smallest centroid id; exact re-score inside probed cells. */

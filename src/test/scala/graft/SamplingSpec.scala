@@ -82,4 +82,39 @@ class SamplingSpec extends SparkSpec {
       assert(r < 0.2, s"stratum $s rate $r")
     }
   }
+
+  test("balanced: every stratum downsampled to the smallest stratum's size") {
+    import spark.implicits._
+    // strata of sizes 50, 20, 7
+    val rows = ((1L to 50L).map((_, "a")) ++ (101L to 120L).map((_, "b")) ++
+      (201L to 207L).map((_, "c"))).toDF("k", "s")
+    val out = Sampling.balanced(rows, "k", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySize = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySize === Map("a" -> 7, "b" -> 7, "c" -> 7))
+    // deterministic across repartitioning — same SET of survivors
+    val out2 = Sampling.balanced(rows.repartition(13), "k", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === out2.toSet)
+    // explicit per-stratum cap: strata smaller than the cap keep all rows
+    val capped = Sampling.balanced(rows, "k", "s", perStratum = Some(10L))
+      .collect().map(r => r.getString(1))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(capped === Map("a" -> 10, "b" -> 10, "c" -> 7))
+  }
+
+  test("balanced: hash-threshold prefilter preserves the selection") {
+    import spark.implicits._
+    val rows = ((1L to 400L).map((_, "a")) ++ (1001L to 1100L).map((_, "b")))
+      .toDF("k", "s")
+    val full = Sampling.balanced(rows, "k", "s", perStratum = Some(20L))
+      .collect().map(r => r.getLong(0)).toSet
+    // pre-thin to ~50% by hash: rank order under the SAME hash is
+    // preserved, so as long as ≥20 rows/stratum survive the prefilter
+    // the balanced selection is identical
+    val thinned = Sampling.balanced(Sampling.sampled(rows, "k", 0.5),
+      "k", "s", perStratum = Some(20L))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(thinned === full)
+  }
 }
