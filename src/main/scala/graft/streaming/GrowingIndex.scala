@@ -136,7 +136,7 @@ object GrowingIndex {
       compactOne(spark, fs, indexDir, targetFiles))
   }
 
-  private def compactOne(spark: SparkSession,
+  private[streaming] def compactOne(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       targetFiles: Int): Long = {
     val live = new org.apache.hadoop.fs.Path(dir)

@@ -54,6 +54,55 @@ object StreamingDecontaminate {
       .parquet(outDir)
   }
 
+  /**
+   * Offline small-files maintenance for the clean-output corpus: fold
+   * the one-partition-per-epoch history into a single
+   * `batch_id=-1` partition of `targetFiles` files, with
+   * [[GrowingIndex]]'s crash-safe directory swap. Run while the stream
+   * is stopped.
+   *
+   * Replay safety here needs a DIFFERENT precondition than the
+   * dedup/semdedup pair compactor (those dedup a replayed batch
+   * against the index; this operator has no index): a batch partition
+   * may only be folded away if Structured Streaming can NEVER re-run
+   * that batch. On restart the engine resumes from lastCommitted+1, so
+   * the safe set is ids ≤ the checkpoint's MAXIMUM committed batch id —
+   * deliberately not "has a commit marker": the commits log is pruned
+   * (`minBatchesToRetain`), so old-enough batches lose their markers
+   * while remaining strictly non-replayable. The check below refuses
+   * if any output partition is NEWER than the last commit — restart
+   * the stream once (the replay completes + commits it), stop cleanly,
+   * then compact. With the precondition held, a later crash can only
+   * replay a batch whose partition was NOT folded, and its dynamic
+   * overwrite replaces that partition exactly as in normal operation.
+   */
+  def compactOutput(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, checkpointDir: String, targetFiles: Int = 8): Long = {
+    require(targetFiles > 0, s"targetFiles=$targetFiles must be positive")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hc)
+    def numericNames(dir: org.apache.hadoop.fs.Path): Set[Long] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    val lastCommitted =
+      numericNames(new org.apache.hadoop.fs.Path(s"$checkpointDir/commits"))
+        .maxOption.getOrElse(-1L)
+    val partitions = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).toSet
+    val replayable =
+      (partitions - GrowingIndex.CompactedBatchId).filter(_ > lastCommitted)
+    require(replayable.isEmpty,
+      s"output batches ${replayable.toSeq.sorted.mkString(", ")} are newer " +
+        "than the checkpoint's last commit — Structured Streaming may " +
+        "replay them, and a replay after folding would APPEND a second " +
+        "copy; restart the stream (the replay completes and commits " +
+        "them), stop cleanly, then compact")
+    GrowingIndex.compactOne(spark, fs, outDir, targetFiles)
+  }
+
   /** Start the stream: `docs` is a streaming DataFrame with `idCol`
     * and `textCol`; `bench` is the static benchmark table whose
     * shingle sketch is already registered under `bloomName`.

@@ -70,6 +70,21 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateBloom and videoDedupPairs leave no cache entries") {
+    val name = TextDedup.registerBenchBloom(spark, bench, "text",
+      name = "spec-hygiene-bloom")
+    assertNoCacheEntries("decontaminateBloom") {
+      TextDedup.decontaminateBloom(docs, bench, "text", "doc_id", name)
+    }
+    assertNoCacheEntries("videoDedupPairs") {
+      graft.multimodal.Multimodal.videoDedupPairs(
+        docs.withColumn("payload",
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")),
+        "payload", "doc_id")
+    }
+  }
+
   test("dedupAgainstCorpus leaves no cache entries") {
     assertNoCacheEntries("dedupAgainstCorpus") {
       TextDedup.dedupAgainstCorpus(

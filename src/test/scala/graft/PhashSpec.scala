@@ -81,6 +81,46 @@ class PhashSpec extends SparkSpec {
     assert(pairs.head.getAs[Int]("hamming") === hamming)
   }
 
+  test("separable kernel equals an independent direct-sum reference") {
+    // Reference implementation, written independently of Phash.phash64:
+    // cells via the same integer-boundary scheme, then the DIRECT
+    // 4-nested DCT sum, median as the sorted 32nd element — any
+    // restructuring bug in the separable two-pass form shows up here.
+    def reference(width: Int, height: Int, lum: Array[Int]): Long = {
+      val n = Phash.GridN
+      val cell = Array.tabulate(n, n) { (gj, gi) =>
+        val ylo = gj * height / n
+        val yhi = math.min(height, math.max(ylo + 1, (gj + 1) * height / n))
+        val xlo = gi * width / n
+        val xhi = math.min(width, math.max(xlo + 1, (gi + 1) * width / n))
+        var s = 0L; var c = 0L
+        for (y <- ylo until yhi; x <- xlo until xhi) {
+          s += lum(y * width + x); c += 1
+        }
+        s * 64 / c
+      }
+      val f = Array.tabulate(Phash.BlockN, Phash.BlockN) { (u, v) =>
+        var acc = 0L
+        for (x <- 0 until n; y <- 0 until n)
+          acc += Phash.T(u)(x) * Phash.T(v)(y) * cell(y)(x)
+        acc
+      }
+      val ac = (for (v <- 0 until 8; u <- 0 until 8; if v * 8 + u != 0)
+        yield f(u)(v)).sorted
+      val med = ac(31)
+      (for (v <- 0 until 8; u <- 0 until 8; if v * 8 + u != 0 && f(u)(v) > med)
+        yield 1L << (v * 8 + u)).foldLeft(0L)(_ | _)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(70)
+      val lum = Array.fill(w * h)(rnd.nextInt(766))
+      assert(Phash.phash64(w, h, lum) === reference(w, h, lum),
+        s"trial $trial ${w}x$h")
+    }
+  }
+
   test("undecodable rows drop out; identical payloads pair at hamming 0") {
     val img = Bmp.encode(16, 8, raster(16, 8, 11))
     val rows = Seq((10L, img), (20L, img), (30L, Array[Byte](9, 9, 9)))

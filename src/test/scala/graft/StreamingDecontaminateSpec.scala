@@ -3,6 +3,7 @@ package graft
 import graft.dedup.TextDedup
 import graft.streaming.StreamingDecontaminate
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 
 /** Streaming decontamination: per-batch filtering against the static
   * benchmark sketch, idempotent commit windows, end-to-end stream. */
@@ -57,6 +58,64 @@ class StreamingDecontaminateSpec extends SparkSpec {
       bloomName, dir)
     val out = spark.read.parquet(dir).collect().map(_.getAs[Long]("doc_id"))
     assert(out.toSeq === Seq(50L))
+  }
+
+  test("compactOutput folds committed history; refuses a replayable tail") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-compact").toString
+    val (outDir, ckDir) = (s"$dir/out", s"$dir/ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDecontaminate.start(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id",
+      bloomName, outDir, ckDir)
+    try {
+      mem.addData(clean(1L), contaminated(2L))
+      q.processAllAvailable()
+      mem.addData(clean(10L), clean(11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // clean stop: every partition is committed → compaction folds all
+    val n = StreamingDecontaminate.compactOutput(spark, outDir, ckDir,
+      targetFiles = 2)
+    assert(n === before.length)
+    val after = spark.read.parquet(outDir)
+    assert(after.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq === before)
+    assert(after.select("batch_id").distinct().collect()
+      .map(_.getAs[Int]("batch_id")).toSeq === Seq(-1))
+
+    // simulate the crash window: a batch partition NEWER than the last
+    // commit (written but not committed) must block compaction
+    val fakeBatch = Seq((99L, "orphan")).toDF("doc_id", "text")
+    fakeBatch.withColumn("batch_id", lit(999L))
+      .write.mode("append").partitionBy("batch_id").parquet(outDir)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDecontaminate.compactOutput(spark, outDir, ckDir)
+    }
+    assert(e.getMessage.contains("999"))
+  }
+
+  test("stream restarts cleanly after compaction; new batches land beside batch_id=-1") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-resume").toString
+    val (outDir, ckDir) = (s"$dir/out", s"$dir/ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q1 = StreamingDecontaminate.start(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id",
+      bloomName, outDir, ckDir)
+    try { mem.addData(clean(1L), clean(2L)); q1.processAllAvailable() }
+    finally q1.stop()
+    StreamingDecontaminate.compactOutput(spark, outDir, ckDir)
+    // resume from the same checkpoint: committed batch 0 is NOT replayed
+    val q2 = StreamingDecontaminate.start(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id",
+      bloomName, outDir, ckDir)
+    try { mem.addData(clean(10L), contaminated(11L)); q2.processAllAvailable() }
+    finally q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 2L, 10L))
   }
 
   test("end-to-end MemoryStream run commits exactly the clean documents") {
