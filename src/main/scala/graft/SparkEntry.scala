@@ -81,16 +81,22 @@ object SparkEntry {
     * production shape (the eval-suite sketch is a deploy-time artifact,
     * not per-query work), and [[graft.dedup.BloomRegistry]] names are
     * unique per SparkContext so per-invocation registration would
-    * throw on bench's median-of-3 reruns anyway. */
+    * throw on bench's median-of-3 reruns anyway. Session-lifetime like
+    * `frameCache`/`countCache`: entries (and their registry filters)
+    * live until the JVM exits — the documented demo-harness tradeoff,
+    * not a pattern for a long-lived multi-session server. */
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // Registry names must be unique per JVM: a monotone counter is
+  // collision-free by construction (hashCode-derived names could
+  // collide across dirs/sessions and crash register()'s fail-fast).
+  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong()
   private def benchBloomName(s: SparkSession, dir: String): String =
     bloomCache.computeIfAbsent((s, dir), { _ =>
       TextDedup.registerBenchBloom(s,
         Demo.table(s, dir, "documents").filter(col("doc_id") % 10 === 3),
         "text", n = 3, fpp = 0.01,
-        name = s"bench-shingles-${java.lang.Integer.toHexString(dir.hashCode)}" +
-          s"-${java.lang.Integer.toHexString(System.identityHashCode(s))}")
+        name = s"bench-shingles-${bloomSeq.incrementAndGet()}")
     })
 
   private def webClean(s: SparkSession, dir: String): DataFrame =
@@ -179,6 +185,15 @@ object SparkEntry {
           t.substring(0, math.min(t.length, 120))))
       }).toDF("doc_id", "payload")
   }
+
+  /** Demo video payloads for the video-dedup queries: the raw UTF-8
+    * text bytes stand in for the container stream — the SAME payload
+    * the hash-green `multimodal_frames` query samples, so the frame
+    * digests feeding the dedup are driver-checked arithmetic. */
+  private def videoDemoPayloads(s: SparkSession, dir: String): DataFrame =
+    Demo.table(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select("doc_id", "payload")
 
   /** Held-out NB predictions over `documents`, shared by the prediction
     * query and the accuracy report (training + scoring is the expensive
@@ -831,18 +846,14 @@ object SparkEntry {
     // hash-green multimodal_frames query samples)
     "dedup_video_pairs" -> ((s, dir) =>
       graft.multimodal.Multimodal.videoDedupPairs(
-        Demo.table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "payload", "doc_id")
+        videoDemoPayloads(s, dir), "payload", "doc_id")
         .orderBy("doc_a", "doc_b")),
     // Multimodal dedup END STATE for the video column
     "dedup_video_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
         graft.multimodal.Multimodal.videoDedupPairs(
-          Demo.table(s, dir, "documents")
-            .withColumn("payload", encode(col("text"), "UTF-8")),
-          "payload", "doc_id"),
+          videoDemoPayloads(s, dir), "payload", "doc_id"),
         "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
@@ -888,9 +899,7 @@ object SparkEntry {
         audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
         .select("doc_a", "doc_b")
       val videoPairs = graft.multimodal.Multimodal.videoDedupPairs(
-        Demo.table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "payload", "doc_id")
+        videoDemoPayloads(s, dir), "payload", "doc_id")
         .select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),

@@ -22,6 +22,19 @@ object BloomRegistry {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
 
+  /** Driver-side construction metadata (e.g. "n=3" for a shingle
+    * sketch): lets consumers fail fast on a parameter mismatch instead
+    * of silently filtering everything out (a 4-gram sketch queried
+    * with 3-gram hashes matches nothing — and a Bloom miss is a DROP,
+    * not an error). Driver-only by design: plans are built on the
+    * driver, which is where register() ran. */
+  private val meta =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Record/fetch construction metadata for a registered filter. */
+  def putMeta(name: String, m: String): Unit = meta.put(name, m)
+  def getMeta(name: String): Option[String] = Option(meta.get(name))
+
   /** Driver-side: serialize `bloom` under `name`, ship it to executors,
     * and memoize the live instance locally. Returns `name` for
     * `GraftFunctions.bloom_might_contain(lit(name), h)`.

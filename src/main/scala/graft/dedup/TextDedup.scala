@@ -186,43 +186,72 @@ object TextDedup {
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.8,
       maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
-    val cs = graft.operators.Materialized(
-      corpus.select(col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
-    val bs = graft.operators.Materialized(
-      bench.select(col(idCol).as("bench_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
-      .filter(size(col("bhs")) > 0))
-    val invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
-      explode(col("hs")).as("h"))
-    val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
-    val ndocs = cs.agg(count(lit(1)).as("ndocs"))
-    val keep = invC.groupBy("h").agg(count(lit(1)).as("df"))
-      .crossJoin(ndocs)
+    val in = ContaminationIndex(corpus, bench, textCol, idCol, n)
+    val keep = in.invC.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(in.ndocs)
       .where(col("df") <= greatest(lit(maxDfFloor),
         ceil(col("ndocs") * maxDfFrac)))
       .select("h")
-    val capped = invC.join(keep, "h")
-    // Same count-bound shape as [[ngramJaccardPairs]]: count shared KEPT
-    // shingles per (doc, bench) pair instead of distinct-ing the pair
-    // explosion; |∩| ≤ common_kept + (doc's capped-away shingles), also
-    // ≤ |bench|, so only bound-clearing pairs reach the array verify.
+    val capped = in.invC.join(keep, "h")
     val keptCnt = capped.groupBy("doc_id").agg(count(lit(1)).as("kept"))
-    val pairCommon = capped.join(invB, "h")
+    contaminationVerify(in, keptCnt, pairing = capped, threshold)
+  }
+
+  /** Shared relations of both contamination formulations: materialized
+    * hashed-shingle sets per side, exploded inverted indexes, corpus
+    * doc count. */
+  private case class ContaminationIndex(cs: DataFrame, bs: DataFrame,
+      invC: DataFrame, invB: DataFrame, ndocs: DataFrame)
+  private object ContaminationIndex {
+    def apply(corpus: DataFrame, bench: DataFrame, textCol: String,
+        idCol: String, n: Int): ContaminationIndex = {
+      val cs = graft.operators.Materialized(
+        corpus.select(col(idCol).as("doc_id"),
+          graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
+      val bs = graft.operators.Materialized(
+        bench.select(col(idCol).as("bench_id"),
+          graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
+        .filter(size(col("bhs")) > 0))
+      ContaminationIndex(cs, bs,
+        invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
+          explode(col("hs")).as("h")),
+        invB = bs.select(col("bench_id"), explode(col("bhs")).as("h")),
+        ndocs = cs.agg(count(lit(1)).as("ndocs")))
+    }
+  }
+
+  /**
+   * Shared candidate-bound + exact-verify tail of both contamination
+   * formulations — ONE definition, so a threshold/bound/containment
+   * change cannot diverge the equi-join and Bloom paths. `pairing` is
+   * each formulation's df-capped (and possibly sketch-gated) pairing
+   * side `(doc_id, sz, h)`; `keptCnt` is the per-doc count of df-KEPT
+   * shingles (pre-gate — the ub slack must count every shingle the
+   * pairing side cannot see).
+   *
+   * Count-bound shape as in [[ngramJaccardPairs]]: count shared kept
+   * shingles per (doc, bench) pair instead of distinct-ing the pair
+   * explosion; |∩| ≤ common_kept + (sz − kept), also ≤ |bench|, so only
+   * bound-clearing pairs reach the array verify.
+   */
+  private def contaminationVerify(in: ContaminationIndex,
+      keptCnt: DataFrame, pairing: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairCommon = pairing.join(in.invB, "h")
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("common_kept"), first(col("sz")).as("sz_a"))
     val cand = pairCommon
       .join(keptCnt, "doc_id")
-      .join(broadcast(bs.select(col("bench_id"),
+      .join(broadcast(in.bs.select(col("bench_id"),
         size(col("bhs")).as("bsz"))), "bench_id")
       .withColumn("ub", least(
         col("common_kept") + (col("sz_a") - col("kept")), col("bsz")))
       .filter(col("ub").cast("double") / col("bsz") >= threshold)
       .select("doc_id", "bench_id")
     cand
-      .join(cs, "doc_id")
-      .join(bs, "bench_id")
+      .join(in.cs, "doc_id")
+      .join(in.bs, "bench_id")
       .withColumn("containment",
         size(array_intersect(col("hs"), col("bhs"))).cast("double") /
           size(col("bhs")))
@@ -255,7 +284,15 @@ object TextDedup {
       graft.functions.GraftFunctions.hashed_shingles(col(textCol), n)).as("h"))
       .distinct()
     val expected = math.max(hs.count(), 1L)
-    BloomRegistry.register(spark, hs.stat.bloomFilter("h", expected, fpp), name)
+    val registered =
+      BloomRegistry.register(spark, hs.stat.bloomFilter("h", expected, fpp), name)
+    // Record the shingle width: a sketch built at n=4 queried with
+    // 3-gram hashes matches NOTHING, and a Bloom miss is a silent DROP
+    // — consumers validate this instead of discovering it as an empty
+    // result (registered only on success, so a failed register leaves
+    // no stale metadata).
+    BloomRegistry.putMeta(registered, s"shingle-n=$n")
+    registered
   }
 
   /**
@@ -297,49 +334,31 @@ object TextDedup {
       textCol: String, idCol: String, bloomName: String, n: Int = 3,
       threshold: Double = 0.8, maxDfFrac: Double = 0.01,
       maxDfFloor: Long = 100L): DataFrame = {
-    val cs = graft.operators.Materialized(
-      corpus.select(col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("hs")))
-    val bs = graft.operators.Materialized(
-      bench.select(col(idCol).as("bench_id"),
-        graft.functions.GraftFunctions.hashed_shingles(col(textCol), n).as("bhs"))
-      .filter(size(col("bhs")) > 0))
-    val invC = cs.select(col("doc_id"), size(col("hs")).as("sz"),
-      explode(col("hs")).as("h"))
-    val invB = bs.select(col("bench_id"), explode(col("bhs")).as("h"))
-    val ndocs = cs.agg(count(lit(1)).as("ndocs"))
+    // Fail fast on a sketch/query parameter mismatch: with a different
+    // shingle width every membership test is false and the operator
+    // SILENTLY returns no pairs (= commits contaminated docs as clean).
+    BloomRegistry.getMeta(bloomName) match {
+      case Some(m) => require(m == s"shingle-n=$n",
+        s"Bloom sketch '$bloomName' was built with $m but is being " +
+          s"queried with shingle-n=$n — a mismatch matches nothing")
+      case None => throw new IllegalArgumentException(
+        s"Bloom sketch '$bloomName' is not registered in this JVM; " +
+          "build it with TextDedup.registerBenchBloom on the driver")
+    }
+    val in = ContaminationIndex(corpus, bench, textCol, idCol, n)
     // Hot (capped-away) hashes: the complement of contaminationPairs'
     // `keep` — small by the Σdf argument above, hence broadcastable.
-    val hot = invC.groupBy("h").agg(count(lit(1)).as("df"))
-      .crossJoin(ndocs)
+    val hot = in.invC.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(in.ndocs)
       .where(col("df") > greatest(lit(maxDfFloor),
         ceil(col("ndocs") * maxDfFrac)))
       .select("h")
-    val invKept = invC.join(broadcast(hot), Seq("h"), "left_anti")
+    val invKept = in.invC.join(broadcast(hot), Seq("h"), "left_anti")
     val keptCnt = invKept.groupBy("doc_id").agg(count(lit(1)).as("kept"))
-    val pairCommon = invKept
-      .where(graft.functions.GraftFunctions.bloom_might_contain(
+    val gated = invKept.where(
+      graft.functions.GraftFunctions.bloom_might_contain(
         lit(bloomName), col("h")))
-      .join(invB, "h")
-      .where(col("doc_id") =!= col("bench_id"))
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("common_kept"), first(col("sz")).as("sz_a"))
-    val cand = pairCommon
-      .join(keptCnt, "doc_id")
-      .join(broadcast(bs.select(col("bench_id"),
-        size(col("bhs")).as("bsz"))), "bench_id")
-      .withColumn("ub", least(
-        col("common_kept") + (col("sz_a") - col("kept")), col("bsz")))
-      .filter(col("ub").cast("double") / col("bsz") >= threshold)
-      .select("doc_id", "bench_id")
-    cand
-      .join(cs, "doc_id")
-      .join(bs, "bench_id")
-      .withColumn("containment",
-        size(array_intersect(col("hs"), col("bhs"))).cast("double") /
-          size(col("bhs")))
-      .filter(col("containment") >= threshold)
-      .select("doc_id", "bench_id", "containment")
+    contaminationVerify(in, keptCnt, pairing = gated, threshold)
   }
 
   /** [[decontaminate]] through the Bloom-prefiltered pair path — same

@@ -106,9 +106,14 @@ object Sampling {
       case Some(t) =>
         df.withColumn("__rk", rk).filter(col("__rk") <= t).drop("__rk")
       case None =>
-        val m = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+        // Two consumers (the min-count aggregate and the ranked pass):
+        // materialize the input once instead of re-executing whatever
+        // produced it — the operator convention (e.g. a cluster
+        // assignment upstream is the dominant cost, not this window).
+        val mat = Materialized(df)
+        val m = mat.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
           .agg(min(col("__n")).as("__m"))
-        df.withColumn("__rk", rk).crossJoin(broadcast(m))
+        mat.withColumn("__rk", rk).crossJoin(broadcast(m))
           .filter(col("__rk") <= col("__m")).drop("__rk", "__m")
     }
   }

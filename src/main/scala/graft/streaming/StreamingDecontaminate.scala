@@ -88,10 +88,16 @@ object StreamingDecontaminate {
     val lastCommitted =
       numericNames(new org.apache.hadoop.fs.Path(s"$checkpointDir/commits"))
         .maxOption.getOrElse(-1L)
-    val partitions = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    // Nothing to fold is a clean no-op, not a crash: the dir may not
+    // exist yet (every batch empty — processBatch writes nothing) or
+    // hold no batch partitions (only _SUCCESS / a previous batch_id=-1).
+    if (!fs.exists(outPath)) return 0L
+    val partitions = fs.listStatus(outPath)
       .toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch_id="))
       .map(_.stripPrefix("batch_id=").toLong).toSet
+    if (partitions.isEmpty) return 0L
     val replayable =
       (partitions - GrowingIndex.CompactedBatchId).filter(_ > lastCommitted)
     require(replayable.isEmpty,

@@ -116,6 +116,20 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.decontaminateBloom(corpus, bench, "text", "doc_id", name)
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
 
+    // sketch/query parameter mismatch must FAIL FAST, not silently
+    // return no pairs (a Bloom miss is a drop, not an error)
+    val n4 = TextDedup.registerBenchBloom(spark, bench, "text", n = 4,
+      name = "spec-decon-bloom-n4")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.contaminationPairsBloom(corpus, bench, "text", "doc_id",
+        bloomName = n4) // queried at the default n = 3
+    }
+    assert(e.getMessage.contains("shingle-n"))
+    intercept[IllegalArgumentException] {
+      TextDedup.contaminationPairsBloom(corpus, bench, "text", "doc_id",
+        bloomName = "never-registered")
+    }
+
     // full testdata parity: pair-for-pair, containment included
     val bench2 = docs.filter(col("doc_id") % 10 === 3)
     val name2 = TextDedup.registerBenchBloom(spark, bench2, "text",
