@@ -86,6 +86,29 @@ class StreamingMediaDedupSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() === 2)
   }
 
+  test("replay after compaction self-matches at hamming 0 — no duplication") {
+    import graft.streaming.GrowingIndex
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup6").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val b0 = Seq((1L, img(4))).toDF("doc_id", "payload")
+    val b1 = Seq((2L, img(44)), (3L, img(45))).toDF("doc_id", "payload")
+    StreamingMediaDedup.processBatch(b0, 0L, "payload", "doc_id",
+      indexDir, outDir)
+    StreamingMediaDedup.processBatch(b1, 1L, "payload", "doc_id",
+      indexDir, outDir)
+    GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 2)
+    // the crash-window replay of an already-folded batch: its rows
+    // find their own fingerprints under batch_id=-1 (exact match,
+    // hamming 0), survivors are empty, the overwrite touches nothing
+    StreamingMediaDedup.processBatch(b1, 1L, "payload", "doc_id",
+      indexDir, outDir)
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out === Seq(1L, 2L, 3L), s"replay duplicated rows: $out")
+    assert(spark.read.parquet(indexDir).count() === 3)
+  }
+
   test("audio kind grows an envelope index through the same harness") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mediadedup4").toString
