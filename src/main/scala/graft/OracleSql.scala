@@ -573,6 +573,24 @@ SELECT lang, count(*) AS n FROM r
 WHERE $sampleBucket < CAST(floor(rate * 10000) AS BIGINT)
 GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors Sampling.repeatByFactor(en 2.5 / de 1.0 / fr 0.25): ⌊f⌋
+    * copies + one more where the shared hash bucket clears frac(f)·10⁴
+    * (floor-then-cast both sides — DuckDB's bare double→BIGINT cast
+    * ROUNDS where Spark truncates), lateral range for the copy index. */
+  val sampleUpsampled: String = s"""WITH r AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+              WHEN 'fr' THEN 0.25 ELSE 1.0 END AS f,
+    $sampleBucket AS bk
+  FROM documents),
+c AS (SELECT doc_id, lang,
+        CAST(floor(f) AS BIGINT) +
+        (CASE WHEN bk < CAST(floor((f - floor(f)) * 10000) AS BIGINT)
+              THEN 1 ELSE 0 END) AS reps
+      FROM r)
+SELECT doc_id, lang, rep FROM c, unnest(range(0, reps)) AS t(rep)
+WHERE reps > 0 ORDER BY doc_id, rep"""
+
   val sampleStratified: String = """SELECT c_mktsegment AS segment, count(*) AS n
 FROM customer
 WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)

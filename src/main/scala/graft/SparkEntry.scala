@@ -1637,6 +1637,15 @@ object SparkEntry {
         outFraction = 0.2)
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
+    // Training-data ops: fractional repetition — the UP-sampling half
+    // of the mixture story (Wikipedia-×2.5-style epoch weighting):
+    // ⌊f⌋ copies per row plus a hash-gated extra, copy index emitted
+    "sample_upsampled_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.repeatByFactor(
+        Demo.table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        factors = Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+        .orderBy("doc_id", "rep")),
     // Training-data ops: coarse document clustering by embedding (map-
     // side nearest-centroid assignment, centroid literals inlined)
     "cluster_embeddings" -> ((s, dir) => {
@@ -1767,6 +1776,7 @@ object SparkEntry {
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "sample_mixture" -> OracleSql.sampleMixture,
+    "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,
     "classify_lang_nb" -> TextOracles.nbPredict,
     // serving from the persisted model is bit-identical by construction
     "classify_lang_nb_from_model" -> TextOracles.nbPredict,

@@ -76,6 +76,38 @@ object Sampling {
   }
 
   /**
+   * Deterministic fractional REPETITION by class factor — the
+   * up-sampling half of the mixture story ([[byMixture]] only thins):
+   * training mixes repeat high-quality sources at factors like
+   * Wikipedia ×2.5 (Gopher/Llama-style epoch weighting). Factor f
+   * emits ⌊f⌋ copies of every row plus one more for keys whose hash
+   * bucket falls below frac(f)·10⁴ — the expected copy count is
+   * exactly f, membership is a pure key hash (run/engine/partitioning
+   * stable), and f < 1 degenerates to deterministic thinning, so one
+   * operator covers both directions. Output gains `rep` (0-based copy
+   * index) so downstream dedup/packing see distinct rows.
+   *
+   * Scale: map-side only — a filter and a bounded explode, no shuffle,
+   * no state; the explode multiplies rows by at most ⌈max factor⌉.
+   */
+  def repeatByFactor(df: DataFrame, keyCol: String, classCol: String,
+      factors: Map[String, Double],
+      defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0),
+      "repetition factors must be non-negative")
+    val f = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (cls, v)) => when(col(classCol) === cls, lit(v)).otherwise(acc)
+    }
+    val reps = floor(f).cast("long") +
+      when(bucket(col(keyCol)) <
+        floor((f - floor(f)) * 10000).cast("long"), 1L).otherwise(0L)
+    df.withColumn("__reps", reps)
+      .where(col("__reps") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
+  }
+
+  /**
    * Cluster-balanced selection: deterministically downsample every
    * stratum to the size of the SMALLEST stratum (or to an explicit
    * `perStratum` cap) — the diversity-sampling step that stops an

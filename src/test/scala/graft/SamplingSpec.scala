@@ -103,6 +103,35 @@ class SamplingSpec extends SparkSpec {
     assert(capped === Map("a" -> 10, "b" -> 10, "c" -> 7))
   }
 
+  test("repeatByFactor: integer factors copy exactly; fractions hit E[f]; f<1 thins") {
+    import spark.implicits._
+    val rows = ((1L to 200L).map((_, "en")) ++ (1001L to 1200L).map((_, "de")) ++
+      (2001L to 2200L).map((_, "fr"))).toDF("k", "c")
+    val out = Sampling.repeatByFactor(rows, "k", "c",
+      Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.25)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // de ×2.0: exactly 400; en ×2.5 ∈ [400, 600]; fr ×0.25 ∈ (0, 200)
+    assert(byClass("de") === 400)
+    assert(byClass("en") >= 2 * 200 && byClass("en") <= 3 * 200)
+    assert(math.abs(byClass("en") - 500) < 60, s"en=${byClass("en")}")
+    assert(byClass("fr") > 0 && byClass("fr") < 200)
+    assert(math.abs(byClass("fr") - 50) < 30, s"fr=${byClass("fr")}")
+    // copy indexes are dense 0..reps-1 per key
+    val reps = out.groupBy(t => (t._1, t._2)).values
+    assert(reps.forall(c => c.map(_._3).sorted.toSeq == (0L until c.length)))
+    // deterministic across repartitioning
+    val out2 = Sampling.repeatByFactor(rows.repartition(17), "k", "c",
+      Map("en" -> 2.5, "de" -> 2.0, "fr" -> 0.25)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === out2.toSet)
+    // the fractional-extra keys are exactly the 0.5-hash-thinned set
+    val extras = out.filter(t => t._2 == "en" && t._3 == 2L).map(_._1).toSet
+    val thinned = Sampling.sampled(rows.filter($"c" === "en"), "k", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(extras === thinned)
+  }
+
   test("balanced: hash-threshold prefilter preserves the selection") {
     import spark.implicits._
     val rows = ((1L to 400L).map((_, "a")) ++ (1001L to 1100L).map((_, "b")))
