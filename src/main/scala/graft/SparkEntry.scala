@@ -941,6 +941,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+    // Decontamination mart: per-benchmark-item leak report (how many
+    // training docs contain each eval item, and how completely)
+    "decontaminate_report" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      TextDedup.contaminationPairs(docs,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
+        .groupBy("bench_id")
+        .agg(count(lit(1)).as("n_contaminated"),
+          round(max(col("containment")), 6).as("max_containment"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("bench_id")
+    }),
     // Bloom-prefiltered decontamination twins: IDENTICAL output to the
     // equi-join formulations (checked against the SAME oracles) — the
     // bench shingle sketch gates the pairing shuffle map-side and the
@@ -1753,6 +1765,7 @@ object SparkEntry {
     // oracle SQL is the strongest possible check of that claim
     "decontaminate_bloom_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_bloom_corpus" -> DedupOracles.decontaminatedCorpus,
+    "decontaminate_report" -> DedupOracles.contaminationReport,
     "dedup_incremental" -> DedupOracles.incrementalDedup,
     "corpus_pipeline" -> DedupOracles.corpusPipeline,
     "corpus_pipeline_semantic" -> DedupOracles.corpusPipelineSemantic,

@@ -75,6 +75,15 @@ cont AS (SELECT c.doc_id, c.bench_id,
 SELECT doc_id, bench_id, containment FROM cont
 WHERE containment >= 0.8 ORDER BY doc_id, bench_id"""
 
+  /** Mirrors `decontaminate_report`: per-bench-item leak counts over
+    * the same contamination CTEs. */
+  val contaminationReport: String = s"""WITH $contaminationCtes
+SELECT bench_id, count(*) AS n_contaminated,
+  round(max(containment), 6) AS max_containment,
+  min(doc_id) AS first_doc
+FROM cont WHERE containment >= 0.8
+GROUP BY bench_id ORDER BY bench_id"""
+
   /** Decontaminated corpus: every doc id not contaminated above. */
   val decontaminatedCorpus: String = s"""WITH $contaminationCtes,
 bad AS (SELECT DISTINCT doc_id FROM cont WHERE containment >= 0.8)
