@@ -115,6 +115,10 @@ object ScaleSoak {
     // inherits dedup_ngram_pairs' candidates-first shapes at frame
     // grain (fewer, coarser elements per document)
     "dedup_video_pairs",
+    // cluster-balanced selection: broadcast-centroid assignment + one
+    // ranking window per cluster — the window sort is the only
+    // super-constant piece and must stay n·log n within clusters
+    "sample_balanced_clusters",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
