@@ -247,6 +247,30 @@ object VectorAdapters extends Serializable {
   def bloomMightContain(name: UTF8String, h: Long): Boolean =
     graft.dedup.BloomRegistry.get(name.toString).mightContainLong(h)
 
+  // Perceptual fingerprints as row-level kernels — the SQL-surface
+  // twins of the typed mapPartitions operators (Multimodal.imageDhash /
+  // imagePhash / audioFingerprint): decode + hash in one codegen'd
+  // call. Undecodable payloads return NULL (the no-fingerprint-row
+  // convention, expressed as SQL nullability).
+
+  def imageDhash64(bytes: Array[Byte]): java.lang.Long =
+    graft.multimodal.Dhash.decodePixels(bytes)
+      .map(p => java.lang.Long.valueOf(
+        graft.multimodal.Dhash.dhash64(p.width, p.height, p.lum)))
+      .orNull
+
+  def imagePhash64(bytes: Array[Byte]): java.lang.Long =
+    graft.multimodal.Dhash.decodePixels(bytes)
+      .map(p => java.lang.Long.valueOf(
+        graft.multimodal.Phash.phash64(p.width, p.height, p.lum)))
+      .orNull
+
+  def audioFingerprint64(bytes: Array[Byte]): java.lang.Long =
+    (try graft.multimodal.Wav.decodeSamples(bytes)
+     catch { case scala.util.control.NonFatal(_) => None })
+      .flatMap(w => graft.multimodal.AudioFingerprint.fingerprint64(w.samples))
+      .map(java.lang.Long.valueOf).orNull
+
   /** The 11 Gopher repetition signals of one document in one JVM pass —
     * the MAP-SIDE form of `TextAnalysis.repetitionSignals`' explode/
     * aggregate plan: every signal is per-document, so nothing needs to
@@ -669,6 +693,21 @@ object GraftFunctions {
       inputTypes = Seq(StringType, LongType),
       propagateNull = true, returnNullable = false))
 
+  /** Codegen'd perceptual fingerprints over a binary column — the SQL
+    * twins of the typed operators; NULL for undecodable payloads. */
+  def image_dhash64(bin: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "imageDhash64",
+      Seq(expr(bin)), inputTypes = Seq(BinaryType),
+      propagateNull = true, returnNullable = true))
+  def image_phash64(bin: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "imagePhash64",
+      Seq(expr(bin)), inputTypes = Seq(BinaryType),
+      propagateNull = true, returnNullable = true))
+  def audio_fingerprint64(bin: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass, LongType, "audioFingerprint64",
+      Seq(expr(bin)), inputTypes = Seq(BinaryType),
+      propagateNull = true, returnNullable = true))
+
   /** Codegen'd Gopher repetition signals (see
     * [[VectorAdapters.gopherRepetition]]): 11 doubles per doc, zero
     * shuffle. */
@@ -758,5 +797,11 @@ object GraftFunctions {
             inputTypes = Seq(StringType, StringType),
             propagateNull = true, returnNullable = false)
         else expr(wordpiece_tokens(col(exprs.head))), "built-in")
+    reg.createOrReplaceTempFunction("image_dhash64",
+      exprs => expr(image_dhash64(col(exprs.head))), "built-in")
+    reg.createOrReplaceTempFunction("image_phash64",
+      exprs => expr(image_phash64(col(exprs.head))), "built-in")
+    reg.createOrReplaceTempFunction("audio_fingerprint64",
+      exprs => expr(audio_fingerprint64(col(exprs.head))), "built-in")
   }
 }

@@ -113,6 +113,44 @@ class DhashSpec extends SparkSpec {
       === Set((10L, 20L, 0)))
   }
 
+  test("fingerprint kernel expressions equal the typed operators; SQL-callable") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions
+    val wav = graft.multimodal.Wav.encode(8000, 1,
+      Array.tabulate(800)(i => (((i * 37) % 4001) - 2000).toShort))
+    val rows = Seq(
+      (1L, Bmp.encode(32, 24, raster(32, 24, 5))),
+      (2L, wav),
+      (3L, Array[Byte](9, 9, 9)))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    def exprMap(c: org.apache.spark.sql.Column): Map[Long, Option[Long]] =
+      df.select(col("doc_id"), c.as("h")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val dh = exprMap(GraftFunctions.image_dhash64(col("payload")))
+    val ph = exprMap(GraftFunctions.image_phash64(col("payload")))
+    val af = exprMap(GraftFunctions.audio_fingerprint64(col("payload")))
+    // typed operators emit no row for undecodable payloads; the
+    // expressions emit NULL — same information, SQL-shaped
+    val opDh = Multimodal.imageDhash(df, "payload", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val opPh = Multimodal.imagePhash(df, "payload", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val opAf = Multimodal.audioFingerprint(df, "payload", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dh(1L) === Some(opDh(1L)) && dh(3L) === None)
+    assert(ph(1L) === Some(opPh(1L)) && ph(3L) === None)
+    assert(af(2L) === Some(opAf(2L)) && af(3L) === None)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("fp_payloads")
+    val viaSql = spark.sql(
+      "SELECT doc_id, image_dhash64(payload) AS h FROM fp_payloads ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaSql === dh)
+  }
+
   test("wide-key banding at 16-bit chunks matches brute force on a cloud of hashes") {
     // 40 fingerprints around two anchors with random-ish few-bit flips
     val rnd = new scala.util.Random(42)
