@@ -28,6 +28,36 @@ class ParquetSinkSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("sort-clustered write yields range-disjoint files; point scans prune") {
+    val path = tmpDir()
+    val orders = Demo.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ParquetSink.writeSortedBy(orders, path, Seq("o_orderkey"), numFiles = 8)
+    // each parquet file covers a disjoint o_orderkey range — the
+    // precondition for row-group min/max skipping
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size > 1, "range repartition should emit multiple files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // the content round-trips and a sort-key predicate is pushed to the scan
+    val probe = spark.read.parquet(path)
+      .filter(col("o_orderkey") === ranges.head._2)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderkey"),
+      s"predicate not pushed:\n$scan")
+    assert(probe.count() === 1)
+    assert(spark.read.parquet(path).count() === orders.count())
+  }
+
   test("dynamic overwrite replaces only incoming partitions") {
     val path = tmpDir()
     val v1 = Seq(("a", 1), ("a", 2), ("b", 10)).toDF("part", "v")
