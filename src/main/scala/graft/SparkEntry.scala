@@ -1037,6 +1037,22 @@ object SparkEntry {
         outFraction = 0.5)
         .orderBy("doc_id")
     }),
+    // Pipeline with EPOCH WEIGHTING: keepers → decontaminate → mixture
+    // → fractional repetition (en ×1.5 / de ×2.0 / fr ×1.0) — the
+    // repeated stream a trainer consumes for above-one-epoch sources
+    "corpus_pipeline_weighted" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val keepers = cachedFrame(s, dir, "corpus_keepers") {
+        graft.corpus.CorpusPipeline.keepers(docs, "text", "doc_id",
+          minTokens = 10)
+      }
+      graft.corpus.CorpusPipeline.finishWeighted(keepers,
+        docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", "lang",
+        targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        outFraction = 0.5,
+        epochFactors = Map("en" -> 1.5, "de" -> 2.0, "fr" -> 1.0))
+        .orderBy("doc_id", "rep")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -1770,6 +1786,7 @@ object SparkEntry {
     "corpus_pipeline" -> DedupOracles.corpusPipeline,
     "corpus_pipeline_semantic" -> DedupOracles.corpusPipelineSemantic,
     "corpus_pipeline_full" -> DedupOracles.corpusPipelineFull,
+    "corpus_pipeline_weighted" -> DedupOracles.corpusPipelineWeighted,
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -94,6 +94,24 @@ object CorpusPipeline {
     SequencePacking.pack(mixed, textCol, idCol, budget, langCol)
   }
 
+  /** Decontaminate → mix → EPOCH-WEIGHT: the finishing chain with
+    * fractional repetition ([[Sampling.repeatByFactor]]) in place of
+    * packing — one row per (surviving document, copy), the repeated
+    * stream a trainer consumes when sources are weighted above one
+    * epoch (Wikipedia-×2.5-style mixture weights). Output: idCol,
+    * langCol, rep. */
+  def finishWeighted(keepers: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, langCol: String,
+      targetShares: Map[String, Double], outFraction: Double,
+      epochFactors: Map[String, Double]): DataFrame = {
+    val decon = graft.operators.Materialized(
+      TextDedup.decontaminate(keepers, bench, textCol, idCol))
+    val mixed = Sampling.byMixture(decon, idCol, langCol,
+      targetShares, outFraction)
+    Sampling.repeatByFactor(mixed.select(col(idCol), col(langCol)),
+      idCol, langCol, epochFactors)
+  }
+
   /** Per-document packed output of the full chain: doc_id, shard,
     * n_tokens, seq_id, seq_offset, spans_boundary for every surviving
     * document. */

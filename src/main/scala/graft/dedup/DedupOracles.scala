@@ -256,7 +256,11 @@ keepers AS (SELECT ex.* FROM ex JOIN comps ON ex.doc_id = comps.node
     * relation named `rel` — the shared suffix of both end-to-end
     * pipeline oracles (bench = doc_id%10=3, df-capped decontamination
     * at 0.8, mixture en 0.5/de 0.3/fr 0.2 at 50%, budget 512). */
-  private def finishCtes(rel: String): String =
+  /** CTE chain through the `mixed` relation (decontamination →
+    * mixture) over keeper relation `rel` — the shared prefix of the
+    * packing-suffixed [[finishCtes]] and the epoch-weighted pipeline
+    * oracle. */
+  private def mixedCtes(rel: String): String =
     s"""hk AS (SELECT h.doc_id, h.hs FROM hsh h JOIN $rel k ON h.doc_id = k.doc_id),
 bt AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 3),
 bsh AS (SELECT doc_id, $shingleList AS s FROM bt),
@@ -285,7 +289,10 @@ rated AS (SELECT d.doc_id, d.lang, d.toks,
           FROM decon d JOIN cnts ON d.lang = cnts.cls CROSS JOIN tot),
 mixed AS (SELECT doc_id, lang, toks FROM rated
           WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
-                < CAST(floor(rate * 10000) AS BIGINT)),
+                < CAST(floor(rate * 10000) AS BIGINT))"""
+
+  private def finishCtes(rel: String): String =
+    s"""${mixedCtes(rel)},
 pk AS (SELECT doc_id, lang AS shard, CAST(len(toks) AS BIGINT) AS n_tokens FROM mixed),
 pp AS (SELECT doc_id, shard, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -317,6 +324,28 @@ ${graft.text.TextOracles.semdedupKeeperIdCtes(threshold = 0.35)},
 skeepers AS (SELECT k.* FROM keepers k
              JOIN semkeep s ON k.doc_id = s.vec_id),
 ${finishCtes("skeepers")}"""
+
+  /** Mirrors corpus_pipeline_weighted: stages 1-5 (quality → exact →
+    * MinHash keepers → decontamination → mixture) with fractional
+    * EPOCH WEIGHTING applied to the mixed stream
+    * (Sampling.repeatByFactor, en ×1.5 / de ×2.0 / fr ×1.0): ⌊f⌋
+    * copies per surviving doc plus a hash-gated extra, copy index
+    * emitted — the repeated stream a trainer consumes when sources
+    * are weighted above one epoch. */
+  val corpusPipelineWeighted: String = s"""WITH RECURSIVE $keeperCtes,
+${mixedCtes("keepers")},
+wf AS (SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 2.0
+                   WHEN 'fr' THEN 1.0 ELSE 1.0 END AS f
+       FROM mixed),
+wrep AS (SELECT doc_id, lang,
+           CAST(floor(f) AS BIGINT) +
+           (CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
+                      < CAST(floor((f - floor(f)) * 10000) AS BIGINT)
+                 THEN 1 ELSE 0 END) AS reps
+         FROM wf)
+SELECT doc_id, lang, rep FROM wrep, unnest(range(0, reps)) AS t(rep)
+WHERE reps > 0 ORDER BY doc_id, rep"""
 
   /** Mirrors the corpus_pipeline_semantic query — stages 1-3 of
     * CorpusPipeline (quality → exact dedup → MinHash component
