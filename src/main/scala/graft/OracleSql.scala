@@ -573,6 +573,26 @@ SELECT lang, count(*) AS n FROM r
 WHERE $sampleBucket < CAST(floor(rate * 10000) AS BIGINT)
 GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors Sampling.byTemperature(outFraction 0.3, τ 0.5): per-class
+    * weight is the INTEGER ⌊√n_c⌋ (exact in both engines below 2⁵²), the
+    * normalizer an exact integer sum, and the rate arithmetic written in
+    * the engine's exact left-associative order — so the keep decision is
+    * bit-identical. */
+  val sampleTemperature: String = s"""WITH counts AS (
+  SELECT lang AS cls, count(*) AS cn FROM documents GROUP BY 1),
+w AS (SELECT cls, cn,
+        CAST(floor(sqrt(CAST(cn AS DOUBLE))) AS BIGINT) AS wt
+      FROM counts),
+nrm AS (SELECT sum(wt) AS wsum, sum(cn) AS total FROM w),
+r AS (SELECT d.doc_id, d.lang,
+        least(CAST(1.0 AS DOUBLE),
+          CAST(0.3 AS DOUBLE) * CAST(total AS DOUBLE) * CAST(wt AS DOUBLE)
+            / CAST(wsum AS DOUBLE) / CAST(cn AS DOUBLE)) AS rate
+      FROM documents d JOIN w ON d.lang = cls CROSS JOIN nrm)
+SELECT lang, count(*) AS n FROM r
+WHERE $sampleBucket < CAST(floor(rate * CAST(10000 AS DOUBLE)) AS BIGINT)
+GROUP BY lang ORDER BY lang"""
+
   /** Mirrors Sampling.repeatByFactor(en 2.5 / de 1.0 / fr 0.25): ⌊f⌋
     * copies + one more where the shared hash bucket clears frac(f)·10⁴
     * (floor-then-cast both sides — DuckDB's bare double→BIGINT cast

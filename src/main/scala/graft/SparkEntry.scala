@@ -1665,6 +1665,16 @@ object SparkEntry {
         outFraction = 0.2)
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
+    // Training-data ops: temperature-scaled mixing — per-class rates
+    // derived from the data's own counts via n^τ (τ=0.5 flattens the
+    // language distribution, mBERT/XLM-R-style), integer ⌊√n⌋ weights
+    // so the normalizer is an exact engine-independent sum
+    "sample_temperature_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.byTemperature(
+        Demo.table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", outFraction = 0.3)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
     // Training-data ops: fractional repetition — the UP-sampling half
     // of the mixture story (Wikipedia-×2.5-style epoch weighting):
     // ⌊f⌋ copies per row plus a hash-gated extra, copy index emitted
@@ -1806,6 +1816,7 @@ object SparkEntry {
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "sample_mixture" -> OracleSql.sampleMixture,
+    "sample_temperature_mixture" -> OracleSql.sampleTemperature,
     "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,
     "classify_lang_nb" -> TextOracles.nbPredict,
     // serving from the persisted model is bit-identical by construction

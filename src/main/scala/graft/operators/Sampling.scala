@@ -108,6 +108,56 @@ object Sampling {
   }
 
   /**
+   * Deterministic TEMPERATURE-scaled mixing: sample so the output's
+   * class shares follow n_c^τ (normalized) instead of the raw corpus
+   * shares — the multilingual rebalancing rule of mBERT/XLM-R/mT5
+   * (Conneau & Lample 2019 §3.1): τ < 1 flattens the distribution,
+   * up-weighting tail languages/sources without a hand-written target
+   * map ([[byMixture]] needs explicit shares; this derives them from
+   * the data). τ = 1 degenerates to uniform thinning at `outFraction`.
+   *
+   * Engine-exactness: the per-class weight is the INTEGER ⌊n_c^τ⌋ —
+   * for τ = 0.5 that is ⌊√n_c⌋, exact in IEEE for any count below 2⁵²
+   * (sqrt is correctly rounded and the result is > ½ulp from the next
+   * integer) — so the cross-class normalizer is an exact long sum,
+   * independent of aggregation order, and every downstream double op
+   * (two divisions, one multiply) is correctly rounded from exact
+   * integer inputs: a DuckDB oracle reproduces the keep decision
+   * bit-for-bit. A double-weight formulation would tie the result to
+   * the engine's summation order. For τ ∉ {0.5, 1} the weight uses
+   * pow(), which is not correctly rounded — the ⌊·⌋ absorbs the ulp
+   * except exactly at integer boundaries (document-level caveat; the
+   * sampling is still deterministic per engine).
+   *
+   * Scale: one map-combined count per class reduced to a broadcast
+   * relation + a 2-long-column normalizer row; membership stays a pure
+   * hash of the key — no corpus shuffle, stable across runs, engines
+   * and partitionings.
+   */
+  def byTemperature(df: DataFrame, keyCol: String, classCol: String,
+      outFraction: Double, tau: Double = 0.5): DataFrame = {
+    require(outFraction > 0 && outFraction <= 1, "outFraction in (0, 1]")
+    require(tau > 0 && tau <= 1, "temperature exponent tau in (0, 1]")
+    val counts = df.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("__n"))
+    val w =
+      if (tau == 1.0) col("__n").cast("double")
+      else if (tau == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), tau)
+    val weighted = counts.withColumn("__w", floor(w).cast("long"))
+    val denom = weighted.agg(sum(col("__w")).as("__wsum"),
+      sum(col("__n")).as("__total"))
+    df.join(broadcast(weighted), col(classCol) === col("__cls"))
+      .crossJoin(broadcast(denom))
+      .withColumn("__rate", least(lit(1.0),
+        lit(outFraction) * col("__total") * col("__w") / col("__wsum") /
+          col("__n")))
+      .filter(bucket(col(keyCol)) <
+        floor(col("__rate") * 10000).cast("long"))
+      .drop("__cls", "__n", "__w", "__wsum", "__total", "__rate")
+  }
+
+  /**
    * Cluster-balanced selection: deterministically downsample every
    * stratum to the size of the SMALLEST stratum (or to an explicit
    * `perStratum` cap) — the diversity-sampling step that stops an

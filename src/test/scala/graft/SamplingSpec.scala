@@ -132,6 +132,48 @@ class SamplingSpec extends SparkSpec {
     assert(extras === thinned)
   }
 
+  test("byTemperature: τ=0.5 flattens the class mix; τ=1 thins uniformly") {
+    import spark.implicits._
+    // heavily skewed classes: 900 / 90 / 10
+    val rows = ((1L to 900L).map((_, "big")) ++ (10001L to 10090L).map((_, "mid")) ++
+      (20001L to 20010L).map((_, "tiny"))).toDF("k", "c")
+    val out = Sampling.byTemperature(rows, "k", "c", outFraction = 0.3)
+    val kept = out.groupBy("c").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = kept.values.sum.toDouble
+    // raw shares 0.9/0.09/0.01 → √-weights 30/9/3 → target 0.714/0.214/0.071:
+    // the tail classes gain share, the head loses it
+    assert(kept("big") / tot < 0.85, s"kept=$kept")
+    assert(kept("mid") / tot > 0.12, s"kept=$kept")
+    assert(kept("tiny").toDouble / 10 > kept("big").toDouble / 900,
+      s"tiny keep-rate should exceed big keep-rate: $kept")
+    // overall volume near outFraction
+    assert(math.abs(tot / 1000 - 0.3) < 0.1, s"total=$tot")
+    // τ=1 degenerates to uniform thinning: same rate for every class
+    val flat = Sampling.byTemperature(rows, "k", "c", 0.3, tau = 1.0)
+    val flatKept = flat.groupBy("c").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(flatKept("big").toDouble / 900 - 0.3) < 0.08)
+    assert(flatKept === Sampling.sampled(rows, "k", 0.3).groupBy("c").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // determinism across partitionings — same survivor set
+    val again = Sampling.byTemperature(rows.repartition(11), "k", "c", 0.3)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("byTemperature: a tiny class whose target exceeds its size caps at 1.0") {
+    import spark.implicits._
+    val rows = ((1L to 998L).map((_, "a")) ++ Seq((9001L, "b"), (9002L, "b")))
+      .toDF("k", "c")
+    // √-weights 31/1 → b's target share 1/32 of 0.5·1000 = 15.6 rows but
+    // only 2 exist: rate caps at 1.0, both kept
+    val out = Sampling.byTemperature(rows, "k", "c", outFraction = 0.5)
+    val kept = out.groupBy("c").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 2, s"kept=$kept")
+  }
+
   test("balanced: hash-threshold prefilter preserves the selection") {
     import spark.implicits._
     val rows = ((1L to 400L).map((_, "a")) ++ (1001L to 1100L).map((_, "b")))
