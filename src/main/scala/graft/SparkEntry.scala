@@ -1182,6 +1182,13 @@ object SparkEntry {
       graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: CCNet head/middle/tail perplexity triage
+    // (Wenzek et al. 2020) — exact corpus quantiles of the LM score via
+    // a bounded micro-unit histogram (no corpus-wide sort)
+    "quality_perplexity_buckets" -> ((s, dir) =>
+      graft.text.LanguageModel.perplexityBuckets(
+        Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: corpus-trained multinomial Naive Bayes language
     // classifier (the fastText-niche trained filter) — md5-bucket 80/20
     // split, count-trained in-engine, decimal log-sum scoring
@@ -1815,6 +1822,7 @@ object SparkEntry {
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
+    "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "sample_mixture" -> OracleSql.sampleMixture,
     "sample_temperature_mixture" -> OracleSql.sampleTemperature,
     "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,

@@ -1,7 +1,9 @@
 package graft.text
 
 import graft.dedup.TextDedup
+import graft.operators.Materialized
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -68,5 +70,66 @@ object LanguageModel {
           expr("(2 * s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
           .otherwise(-expr("(2 * -s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
           / 10000.0).as("lm_score"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): label
+   * every document `head` / `middle` / `tail` by its corpus-relative
+   * fluency — the standard triage that keeps the head, samples the
+   * middle and drops the tail before LLM training. Buckets are cut at
+   * corpus quantiles of the [[scoreDocs]] score (higher score = lower
+   * perplexity = head), with targets given in permille of the corpus
+   * (default 300/400/300).
+   *
+   * Quantiles are computed EXACTLY but without a corpus-wide sort: the
+   * score is already 4-dp-grained (an exact micro-unit integer), so the
+   * distribution is a hash-aggregated histogram over at most
+   * (score range × 10⁴) distinct cells — bounded by the LM's log-prob
+   * range, NOT by corpus size (a [-20, 0] score range is ≤ 200k cells
+   * at any corpus scale). The only window runs over that bounded
+   * histogram; thresholds reduce to one broadcast row. A document whose
+   * score ties a threshold cell goes to the better bucket (quantile_disc
+   * semantics — the head target is met with minimal tie-inclusive
+   * overshoot), so bucket sizes can exceed their targets only by ties.
+   *
+   * All threshold arithmetic is integer (targets `⌈n·permille/1000⌉`
+   * via `DIV`), so a DuckDB oracle replays the labels bit-for-bit.
+   * Output: doc_id, n_bigrams, lm_score, bucket.
+   */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5, headPermille: Int = 300,
+      midPermille: Int = 400): DataFrame = {
+    require(headPermille > 0 && midPermille >= 0 &&
+      headPermille + midPermille <= 1000,
+      "head/mid permille must be positive and sum to at most 1000")
+    // two consumers (histogram + final labels): one computation
+    val scored = Materialized(scoreDocs(docs, textCol, idCol, alpha))
+    // exact micro-unit recovery: lm_score IS m/10⁴ for integer m, so
+    // round(·×10⁴) is ≥ ½-ulp from any .5 boundary — identical in both
+    // engines
+    val grained = scored.withColumn("__m",
+      round(col("lm_score") * 10000).cast("long"))
+    val hist = grained.groupBy("__m").agg(count(lit(1)).as("__cnt"))
+    val byScoreDesc = Window.orderBy(col("__m").desc)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val headMid = headPermille + midPermille
+    val thr = cum.agg(
+      max(when(col("__cum") >=
+        expr(s"(__n * $headPermille + 999) DIV 1000"), col("__m")))
+        .as("__thr_head"),
+      max(when(col("__cum") >=
+        expr(s"(__n * $headMid + 999) DIV 1000"), col("__m")))
+        .as("__thr_mid"))
+    grained.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("__m") >= col("__thr_head"), lit("head"))
+          .when(col("__m") >= col("__thr_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__m", "__thr_head", "__thr_mid")
   }
 }

@@ -256,9 +256,10 @@ c AS (SELECT doc_id,
 SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
 FROM c GROUP BY doc_id ORDER BY doc_id"""
 
-  /** Mirrors LanguageModel.scoreDocs(alpha=0.5): corpus-trained add-α
-    * bigram log-probs, decimal-summed per document. */
-  val lmDocScores: String = raw"""WITH t AS (
+  /** Shared CTE chain mirroring LanguageModel.scoreDocs(alpha=0.5),
+    * ending in a relation `sc(doc_id, n_bigrams, lm_score)` — the prefix
+    * of both the raw-score and perplexity-bucket oracles. */
+  private val lmScoreCtes: String = raw"""t AS (
   SELECT doc_id, $toks AS toks FROM documents),
 bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
          unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2),
@@ -271,12 +272,40 @@ j AS (SELECT doc_id,
           AS DECIMAL(28,6)) AS lp
       FROM bg JOIN cbg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
 j2 AS (SELECT doc_id, count(*) AS n_bigrams,
-         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
-SELECT doc_id, n_bigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id),
+sc AS (SELECT doc_id, n_bigrams,
   (CASE WHEN s >= 0 THEN (2 * s + 100 * n_bigrams) // (200 * n_bigrams)
         ELSE -((2 * (-s) + 100 * n_bigrams) // (200 * n_bigrams)) END)
     / 10000.0 AS lm_score
-FROM j2 ORDER BY doc_id"""
+FROM j2)"""
+
+  /** Mirrors LanguageModel.scoreDocs(alpha=0.5): corpus-trained add-α
+    * bigram log-probs, decimal-summed per document. */
+  val lmDocScores: String =
+    s"""WITH $lmScoreCtes
+SELECT doc_id, n_bigrams, lm_score FROM sc ORDER BY doc_id"""
+
+  /** Mirrors LanguageModel.perplexityBuckets(300/400/300): exact
+    * micro-unit histogram, descending cumulative counts, ⌈n·p/1000⌉
+    * integer targets, tie-inclusive thresholds. */
+  val lmPerplexityBuckets: String = s"""WITH $lmScoreCtes,
+g AS (SELECT doc_id, n_bigrams, lm_score,
+        CAST(round(lm_score * 10000) AS BIGINT) AS m FROM sc),
+h AS (SELECT m, count(*) AS cnt FROM g GROUP BY m),
+c AS (SELECT m, cnt,
+        sum(cnt) OVER (ORDER BY m DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n
+      FROM h),
+thr AS (SELECT
+    max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
+    max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
+  FROM c)
+SELECT doc_id, n_bigrams, lm_score,
+  CASE WHEN m >= th THEN 'head'
+       WHEN m >= tm THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM g CROSS JOIN thr ORDER BY doc_id"""
 
   /** Mirrors Chunking.chunk(size=64, overlap=16 → step 48): windows via
     * unnest(range(0, ceil(n/step))) and 1-based inclusive list slices. */

@@ -84,6 +84,52 @@ class RelevanceSpec extends SparkSpec {
     assert(out(1L)._2 > out(4L)._2) // fluent phrase beats rare transitions
   }
 
+  test("perplexityBuckets: sizes honor 300/400/300 targets up to ties; order respects score") {
+    val docs = Demo.table(spark, sf("sf0.01"), "documents")
+    val out = LanguageModel.perplexityBuckets(docs, "text", "doc_id")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val n = rows.length
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // every doc labelled with exactly one of the three buckets
+    assert(sizes.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(sizes.values.sum == n)
+    // head ≥ 30% (tie-inclusive overshoot only): at least the target,
+    // and not beyond it by more than the largest score-tie class
+    val target = (n * 300 + 999) / 1000
+    assert(sizes("head") >= target, s"sizes=$sizes n=$n")
+    val maxTie = rows.groupBy(_._2).values.map(_.length).max
+    assert(sizes("head") < target + maxTie, s"sizes=$sizes maxTie=$maxTie")
+    // bucket order is monotone in score: min head score ≥ max middle
+    // score is false only strictly (ties stay in the better bucket), so
+    // assert min(head) ≥ max(middle) and min(middle) ≥ max(tail)... with
+    // ties resolved upward these hold non-strictly
+    def scores(b: String) = rows.filter(_._3 == b).map(_._2)
+    if (sizes.getOrElse("middle", 0) > 0) {
+      assert(scores("head").min >= scores("middle").max)
+      if (sizes.getOrElse("tail", 0) > 0)
+        assert(scores("middle").min > scores("tail").max)
+    }
+    // equal scores never straddle a bucket boundary
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1, s"tie split: ${g.take(3).toSeq}")
+    }
+    // determinism across partitionings
+    val again = LanguageModel.perplexityBuckets(docs.repartition(7),
+      "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("perplexityBuckets: an all-tied corpus lands entirely in head") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 20L).map(i => (i, "same exact text")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityBuckets(docs, "text", "doc_id")
+      .select("bucket").collect().map(_.getString(0))
+    assert(out.length == 20 && out.forall(_ == "head"))
+  }
+
   test("lm scores on testdata: every doc scored, scores negative") {
     val out = LanguageModel.scoreDocs(
       Demo.table(spark, sf(), "documents"), "text", "doc_id")
