@@ -1244,6 +1244,15 @@ object SparkEntry {
       graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
         "text", "doc_id", budget = 512, shardCol = "lang")
         .orderBy("doc_id")),
+    // Training-data ops: token-budget output sharding in one global
+    // corpus order — two-phase bucketed prefix sum (no global window),
+    // exactly equal to the oracle's single-window formulation
+    "shard_token_budget" -> ((s, dir) =>
+      graft.text.SequencePacking.shardByTokenBudget(
+        Demo.table(s, dir, "documents"),
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        shardBudget = 5000L)
+        .orderBy("doc_id")),
     // Per-sequence roll-up of the packing: docs/tokens per (shard, seq)
     "pack_sequence_stats" -> ((s, dir) =>
       graft.text.SequencePacking.sequenceStats(
@@ -1814,6 +1823,7 @@ object SparkEntry {
     "gopher_repetition" -> TextOracles.gopherRepetition,
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
+    "shard_token_budget" -> TextOracles.shardTokenBudget,
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,

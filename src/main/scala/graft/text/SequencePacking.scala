@@ -78,6 +78,63 @@ object SequencePacking {
           .as("spans_boundary"))
   }
 
+  /**
+   * Token-budget OUTPUT SHARDING in one global concatenation order:
+   * assign every document a `shard` such that each shard holds
+   * ~`shardBudget` tokens of the id-ordered corpus stream — the layout
+   * step that writes trainer data files of equal token volume (and, with
+   * `df.write.partitionBy("shard")`, materializes them directly). Unlike
+   * [[pack]], whose windows are per-shard BECAUSE each trainer file is
+   * independent, this operator is for when one reproducible global order
+   * must thread through all files (resumable training streams: file k
+   * always starts at token k·budget of the corpus).
+   *
+   * Scale: the global exclusive prefix sum is computed WITHOUT a global
+   * window (which would serialize the corpus through one partition) via
+   * the classic two-phase scan: documents bucket by id range into
+   * `buckets` groups (default: `defaultParallelism`), a per-bucket
+   * window computes local prefixes in parallel, per-bucket totals reduce
+   * to a `buckets`-row relation whose own prefix sum (a window over
+   * O(cluster) rows) broadcasts back as offsets. The decomposition is
+   * exact integer arithmetic — the result equals the naive global
+   * window for ANY bucket count (spec-asserted), so the oracle replays
+   * it as a single window.
+   *
+   * Output: doc_id, n_tokens, start_tok (exclusive prefix), shard.
+   */
+  def shardByTokenBudget(docs: DataFrame,
+      countExpr: org.apache.spark.sql.Column, idCol: String,
+      shardBudget: Long, buckets: Int = 0): DataFrame = {
+    require(shardBudget > 0, "shard token budget must be positive")
+    val nb = if (buckets > 0) buckets
+      else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    // two consumers (per-bucket totals + final assignment): materialize
+    // the counted input once — upstream may be an expensive pipeline
+    val base = graft.operators.Materialized(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        countExpr.cast("long").as("n_tokens")))
+    val bounds = base.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(doc_id - __lo) DIV ((__hi - __lo + $nb) DIV $nb)"))
+      .drop("__lo", "__hi")
+    val wLocal = Window.partitionBy("__b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__local",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b")
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .drop("__t")
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_tok", col("__off") + col("__local"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok DIV $shardBudget").as("shard"))
+  }
+
   /** Per-sequence roll-up of [[pack]]: how many documents and tokens
     * landed in each (shard, sequence) — the sanity report a packing run
     * emits (every sequence except each shard's last should start full). */

@@ -345,6 +345,20 @@ SELECT shard, seq_id, count(*) AS n_docs,
   max(spans_boundary) AS has_overflow
 FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
+  /** Mirrors SequencePacking.shardByTokenBudget(budget 5000): the engine's
+    * two-phase bucketed prefix sum is exactly the naive global window
+    * (integer decomposition), so the oracle IS the single window. */
+  val shardTokenBudget: String = raw"""WITH t AS (
+  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+  CAST(start_tok // 5000 AS BIGINT) AS shard
+FROM p ORDER BY doc_id"""
+
   /** Mirrors the multimodal_audio_stats chain: Wav.syntheticWav's sample
     * arithmetic recomputed over the text bytes, then the decoder's
     * statistics with the SAME left-to-right float fold (list_reduce's

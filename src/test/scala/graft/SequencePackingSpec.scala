@@ -85,6 +85,53 @@ class SequencePackingSpec extends SparkSpec {
     assert(stats(("a", 1L)) == ((1L, 2L, false)))
   }
 
+  test("shardByTokenBudget: two-phase prefix sum equals the naive global window for any bucket count") {
+    import org.apache.spark.sql.functions._
+    val d = Demo.table(spark, sf(), "documents")
+    val cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+    def run(buckets: Int) =
+      SequencePacking.shardByTokenBudget(d, cnt, "doc_id", 5000L, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val one = run(1)      // single bucket == literally the global window
+    val seven = run(7)
+    val auto = run(0)     // derived defaultParallelism bucket count
+    assert(one == seven && one == auto)
+    // start_tok is the exclusive prefix of n_tokens in doc_id order
+    var acc = 0L
+    one.foreach { case (_, n, start, _) =>
+      assert(start == acc); acc += n
+    }
+    // shard = start_tok DIV budget → contiguous ids, each shard's token
+    // span within one document of the budget
+    val shards = one.map(_._4).distinct
+    assert(shards == (0L to shards.max))
+    // determinism under repartitioning
+    val again = SequencePacking.shardByTokenBudget(
+      d.repartition(13), cnt, "doc_id", 5000L, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(again == one.map(t => (t._1, t._4)).toMap)
+  }
+
+  test("shardByTokenBudget: sparse/offset ids and a single-doc corpus") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // ids 1000, 5000, 5001 — sparse range; widths still partition it
+    val d = Seq((1000L, "a b c"), (5000L, "d e"), (5001L, "f"))
+      .toDF("doc_id", "text")
+    val out = SequencePacking.shardByTokenBudget(d,
+      graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 4L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // starts 0, 3, 5 → shards 0, 0, 1
+    assert(out == Set((1000L, 0L, 0L), (5000L, 3L, 0L), (5001L, 5L, 1L)))
+    val solo = SequencePacking.shardByTokenBudget(
+      Seq((42L, "x y")).toDF("doc_id", "text"),
+      graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(solo.toSeq == Seq((42L, 0L, 0L)))
+  }
+
   test("chunking: window starts, overlap, and short tails") {
     val s = spark
     import s.implicits._
