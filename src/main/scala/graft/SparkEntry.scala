@@ -1244,6 +1244,26 @@ object SparkEntry {
       graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
         "text", "doc_id", budget = 512, shardCol = "lang")
         .orderBy("doc_id")),
+    // Training-data ops: BPE vocabulary induction trained in-engine
+    // (Sennrich 2016 merge learning; bounded top-256 type sample,
+    // deterministic count-desc/lexicographic argmax) — the oracle
+    // REPLAYS all 24 merge steps as unrolled CTEs, no baked-in literals
+    "bpe_train_merges" -> ((s, dir) =>
+      graft.text.Bpe.trainedMergesDf(s, Demo.table(s, dir, "documents"),
+        "text", numMerges = 24, topK = 256)
+        .orderBy("rank")),
+    // The trained merges applied to every document (map-side chain of
+    // codegen'd string replaces — no shuffle): per-doc BPE token count
+    // + order-preserving digest; oracle applies the SAME derived merges
+    // via a recursive CTE over the merge ranks
+    "bpe_encode" -> ((s, dir) => {
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.Bpe.encodeDocs(Demo.table(s, dir, "documents"),
+        "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
     // Training-data ops: token-budget output sharding in one global
     // corpus order — two-phase bucketed prefix sum (no global window),
     // exactly equal to the oracle's single-window formulation
@@ -1824,6 +1844,8 @@ object SparkEntry {
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "shard_token_budget" -> TextOracles.shardTokenBudget,
+    "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
+    "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,

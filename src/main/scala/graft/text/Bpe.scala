@@ -1,0 +1,250 @@
+package graft.text
+
+import graft.dedup.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding VOCABULARY INDUCTION trained in-engine (Sennrich,
+ * Haddow & Birch 2016 — the merge-learning loop every BPE/GPT-2-style
+ * tokenizer ships), plus application of the learned merges to the
+ * corpus. This closes the "tokenize with a FILE vocab" gap: the engine
+ * can now derive its own subword vocabulary from the corpus it is
+ * about to pack.
+ *
+ * Training follows the standard industrial shape: word TYPES and their
+ * corpus frequencies are counted distributed (one explode + hash agg),
+ * the trainer then iterates over a BOUNDED top-K sample of types on
+ * the driver (deterministic order: frequency desc, word asc — the same
+ * bounded-sample pattern as `EmbeddingOps.kmeansCentroids`'s ≤4096-row
+ * md5-ordered sample). Each merge step counts adjacent symbol pairs
+ * weighted by word frequency, picks the argmax (count desc, then
+ * lexicographic (left, right) — a total order, so no RNG and no
+ * engine-dependent ties), and rewrites the vocabulary.
+ *
+ * Every step is integer + string arithmetic, so a DuckDB oracle
+ * REPLAYS the whole trainer exactly ([[oracleTrainSql]] unrolls the
+ * merge steps as CTE chains, the `KmeansOracles` discipline — no
+ * baked-in merge literals) and replays ENCODING as a recursive CTE
+ * that applies the derived merges rank by rank ([[oracleEncodeSql]]).
+ *
+ * Symbol representation: every symbol is individually bracketed by
+ * control characters, `⟨s⟩` with ⟨ = U+001E and ⟩ = U+001F, so "merge
+ * pair (l, r)" is literally `replace("⟨l⟩⟨r⟩" → "⟨lr⟩")`: a match
+ * consumes only its OWN brackets, never a neighbour's, which makes
+ * plain string replace (leftmost, non-overlapping, continue after the
+ * replacement) EXACTLY Sennrich's merge rule — `aaaaa` under (a,a)
+ * becomes [aa, aa, a], as the reference `re.sub` with \S-lookarounds
+ * produces. (A single shared separator would instead eat the next
+ * pair's boundary: [aa, a, a] — caught by spec before shipping.)
+ * java.lang.String.replace and SQL replace() share these semantics.
+ * Symbols can never contain the brackets — they are control chars,
+ * filtered from words on both sides.
+ *
+ * Scale shape: the corpus-wide work is ONE token explode + hash
+ * aggregation (training) and ONE map-side projection (encoding — the
+ * merge chain is `numMerges` codegen'd string replaces inside a
+ * `transform` lambda; no shuffle, no join, no driver state at encode
+ * time). The driver holds only the ≤ topK sampled types and the merge
+ * table.
+ */
+object Bpe {
+
+  /** Symbol open bracket (U+001E record separator). */
+  val Open: Char = '\u001E'
+  /** Symbol close bracket (U+001F unit separator). */
+  val Close: Char = '\u001F'
+  private val O = Open.toString
+  private val C = Close.toString
+
+  final case class Merge(rank: Int, left: String, right: String,
+      pairCount: Long)
+
+  /** `⟨c1⟩⟨c2⟩…` character-symbol representation of a word. */
+  def seal(word: String): String = {
+    val sb = new StringBuilder(word.length * 3)
+    var i = 0
+    while (i < word.length) {
+      sb.append(Open).append(word.charAt(i)).append(Close); i += 1
+    }
+    sb.toString
+  }
+
+  /** Symbols of a sealed representation. */
+  private def unseal(sym: String): Array[String] =
+    if (sym.isEmpty) Array.empty
+    else sym.substring(1, sym.length - 1).split(C + O, -1)
+
+  /** Driver-side merge learning over a bounded (word, freq) sample.
+    * Stops early if no adjacent pair remains (fully merged vocab). */
+  def train(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var vocab = sample.map { case (w, f) => (seal(w), f) }
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      vocab.foreach { case (sym, f) =>
+        val syms = unseal(sym)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax: count desc, then lexicographic (left, right) asc —
+        // the oracle's ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += Merge(k, l, r, c)
+        val from = O + l + C + O + r + C
+        val to = O + l + r + C
+        vocab = vocab.map { case (s, f) => (s.replace(from, to), f) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Reference (driver-side) application of a merge table to one word —
+    * the same seal → rank-ordered replace → unseal chain the Column
+    * version compiles into; spec-level parity anchor. */
+  def encodeWord(word: String, merges: Seq[Merge]): Array[String] = {
+    var s = seal(word)
+    merges.foreach { m =>
+      s = s.replace(O + m.left + C + O + m.right + C,
+        O + m.left + m.right + C)
+    }
+    unseal(s)
+  }
+
+  /** Bounded deterministic word-type sample: top `topK` types by
+    * (frequency desc, word asc) over [[TextDedup.tokens]] — a ≤ topK-row
+    * driver collect, the documented bounded-training-sample pattern. */
+  def wordSample(docs: DataFrame, textCol: String, topK: Int): Seq[(String, Long)] =
+    docs.select(explode(TextDedup.tokens(col(textCol))).as("word"))
+      .where(!col("word").contains(O) && !col("word").contains(C))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Train on the corpus and return the merge table as a DataFrame:
+    * (rank, lhs, rhs, pair_count). */
+  def trainedMergesDf(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    train(wordSample(docs, textCol, topK), numMerges)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Column expression: the BPE symbol ARRAY of one word under `merges`
+    * — seal, fold the merge chain (codegen'd string replaces), unseal. */
+  private def encodeWordCol(w: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val sealed0 = regexp_replace(w, "(.)", O + "$1" + C)
+    val merged = merges.foldLeft(sealed0) { (cc, m) =>
+      org.apache.spark.sql.functions.replace(cc,
+        lit(O + m.left + C + O + m.right + C),
+        lit(O + m.left + m.right + C))
+    }
+    split(trim(merged, O + C), C + O)
+  }
+
+  /**
+   * Apply a trained merge table to every document — map-side only.
+   * Output: doc_id, n_bpe_tokens, tokens_md5 (md5 of all symbols in
+   * document order joined by single spaces — the value-check digest).
+   */
+  def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val toks = filter(TextDedup.tokens(col(textCol)),
+      t => !t.contains(O) && !t.contains(C))
+    val encs = flatten(transform(toks, w => encodeWordCol(w, merges)))
+    docs.select(col(idCol).as("doc_id"), encs.as("__e"))
+      .select(col("doc_id"),
+        size(col("__e")).cast("long").as("n_bpe_tokens"),
+        md5(array_join(col("__e"), " ")).as("tokens_md5"))
+  }
+
+  // ------------------------------------------------ oracle SQL emission
+
+  private val oToks =
+    raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+
+  /** CTE chain replaying [[wordSample]] + [[train]]: sampled types in
+    * `ws`, sealed vocab in `v0`, then per merge step k the pair counts
+    * (`p{k}`), the argmax merge (`m{k}`) and the rewritten vocab
+    * (`v{k}`), ending in a relation `allm(rank, lhs, rhs, pair_count)`.
+    */
+  private def trainCtes(numMerges: Int, topK: Int): String = {
+    // v{k} and m{k} are MATERIALIZED: each vocab state is referenced
+    // twice (pair counting and the rewrite), so DuckDB's default CTE
+    // inlining would expand the chain 2^numMerges times
+    val steps = (1 to numMerges).map { k =>
+      s"""s$k AS (SELECT freq, string_split(trim(sym, '$O$C'), '$C$O') AS syms FROM v${k - 1}),
+p$k AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM s$k, unnest(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2),
+m$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+v$k AS MATERIALIZED (SELECT word, freq, replace(sym, '$O' || lhs || '$C$O' || rhs || '$C',
+                                   '$O' || lhs || rhs || '$C') AS sym
+        FROM v${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",\n")
+    val union = (1 to numMerges)
+      .map(k => s"SELECT ${k - 1} AS rank, lhs, rhs, cnt AS pair_count FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""tkx AS (SELECT unnest($oToks) AS word FROM documents),
+wc AS (SELECT word, count(*) AS freq FROM tkx
+       WHERE strpos(word, '$O') = 0 AND strpos(word, '$C') = 0
+       GROUP BY word),
+ws AS (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $topK),
+v0 AS MATERIALIZED (SELECT word, freq,
+         regexp_replace(word, '(.)', '$O\\1$C', 'g') AS sym
+       FROM ws),
+$steps,
+allm AS MATERIALIZED (
+$union)"""
+  }
+
+  /** Full oracle for the merge-table query. */
+  def oracleTrainSql(numMerges: Int, topK: Int): String =
+    s"""WITH ${trainCtes(numMerges, topK)}
+SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
+
+  /** Full oracle for [[encodeDocs]] under the merges the training CTEs
+    * derive: a recursive CTE applies merge rank k at recursion depth k,
+    * then per-document symbol counts and the order-preserving digest. */
+  def oracleEncodeSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${trainCtes(numMerges, topK)},
+dw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos, unnest(ws2) AS word
+       FROM (SELECT doc_id,
+               list_filter($oToks,
+                 x -> strpos(x, '$O') = 0 AND strpos(x, '$C') = 0) AS ws2
+             FROM documents)),
+e(doc_id, wpos, sym, k) AS (
+  SELECT doc_id, wpos,
+    regexp_replace(word, '(.)', '$O\\1$C', 'g'), 0
+  FROM dw
+  UNION ALL
+  SELECT e.doc_id, e.wpos,
+    replace(sym, '$O' || lhs || '$C$O' || rhs || '$C',
+                 '$O' || lhs || rhs || '$C'), k + 1
+  FROM e JOIN allm ON allm.rank = e.k),
+fin AS (SELECT doc_id, wpos,
+          string_split(trim(sym, '$O$C'), '$C$O') AS syms
+        FROM e WHERE k = $numMerges),
+agg AS (SELECT doc_id,
+          CAST(sum(len(syms)) AS BIGINT) AS n,
+          string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos) AS s
+        FROM fin GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
+  md5(coalesce(a.s, '')) AS tokens_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+}

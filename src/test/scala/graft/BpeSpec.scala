@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.Bpe
+import graft.text.Bpe.Merge
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning: hand-computed merge sequences, overlap and
+  * tie-break rules, early stop, and engine/driver encode parity. */
+class BpeSpec extends SparkSpec {
+
+  test("merges learned by hand: frequency-weighted pairs, chained merges, early stop") {
+    // ab ×5, abc ×3 → (a,b)=8 wins; then (ab,c)=3; then nothing left
+    val merges = Bpe.train(Seq(("ab", 5L), ("abc", 3L)), numMerges = 5)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((0, "a", "b", 8L), (1, "ab", "c", 3L)))
+  }
+
+  test("tie on count breaks to the lexicographically smallest pair") {
+    val merges = Bpe.train(Seq(("cd", 2L), ("ab", 2L)), numMerges = 1)
+    assert(merges.head.left == "a" && merges.head.right == "b")
+  }
+
+  test("overlapping occurrences count per position but merge leftmost non-overlapping") {
+    // "aaa": pair (a,a) occurs at 2 positions → count 2; merging yields
+    // symbols [aa, a], and the next round merges (aa, a)
+    val merges = Bpe.train(Seq(("aaa", 1L)), numMerges = 2)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("a", "a", 2L), ("aa", "a", 1L)))
+    assert(Bpe.encodeWord("aaa", merges.take(1)).toSeq == Seq("aa", "a"))
+    // classic non-overlapping leftmost semantics (Sennrich's re.sub):
+    // even runs pair up fully, odd runs leave the LAST symbol unpaired
+    assert(Bpe.encodeWord("aaaa", merges.take(1)).toSeq == Seq("aa", "aa"))
+    assert(Bpe.encodeWord("aaaaa", merges.take(1)).toSeq ==
+      Seq("aa", "aa", "a"))
+    assert(Bpe.encodeWord("aaa", merges).toSeq == Seq("aaa"))
+  }
+
+  test("encodeWord applies merges in rank order") {
+    val merges = Seq(Merge(0, "l", "o", 9L), Merge(1, "lo", "w", 7L))
+    assert(Bpe.encodeWord("low", merges).toSeq == Seq("low"))
+    assert(Bpe.encodeWord("slow", merges).toSeq == Seq("s", "low"))
+    assert(Bpe.encodeWord("owl", merges).toSeq == Seq("o", "w", "l"))
+  }
+
+  test("engine encode matches the driver reference on every testdata document") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val merges = Bpe.train(Bpe.wordSample(docs, "text", 256), 24)
+    assert(merges.length == 24)
+    val engine = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val words = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val syms = words.flatMap(w => Bpe.encodeWord(w, merges))
+      val hex = md.digest(syms.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(engine(id) == ((syms.length.toLong, hex)), s"doc $id")
+    }
+  }
+
+  test("merges compress the corpus: BPE token count strictly below character count, above word count") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val merges = Bpe.train(Bpe.wordSample(docs, "text", 256), 24)
+    val enc = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val bounds = docs.select(
+      sum(size(graft.dedup.TextDedup.tokens(col("text")))).cast("long"),
+      sum(length(regexp_replace(col("text"), "\\s+", ""))).cast("long"))
+      .collect()(0)
+    val (nWords, nChars) = (bounds.getLong(0), bounds.getLong(1))
+    assert(enc < nChars, s"enc=$enc chars=$nChars")
+    assert(enc >= nWords, s"enc=$enc words=$nWords")
+  }
+
+  test("training sample is bounded and deterministic under repartitioning") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val a = Bpe.wordSample(docs, "text", 50)
+    val b = Bpe.wordSample(docs.repartition(13), "text", 50)
+    assert(a == b && a.length <= 50)
+    // frequency-descending with word tie-break
+    assert(a.zip(a.tail).forall { case ((w1, f1), (w2, f2)) =>
+      f1 > f2 || (f1 == f2 && w1 < w2) })
+  }
+}
