@@ -1264,6 +1264,18 @@ object SparkEntry {
         "text", "doc_id", merges)
         .orderBy("doc_id")
     }),
+    // The trained BPE counts driving sequence packing — the full
+    // "derive the tokenizer, then pack on ITS counts" composition
+    "pack_sequences_trained" -> ((s, dir) => {
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.SequencePacking.packCounted(
+        Demo.table(s, dir, "documents"),
+        graft.text.Bpe.tokenCountCol("text", merges), "doc_id",
+        budget = 512, shardCol = "lang")
+        .orderBy("doc_id")
+    }),
     // Training-data ops: token-budget output sharding in one global
     // corpus order — two-phase bucketed prefix sum (no global window),
     // exactly equal to the oracle's single-window formulation
@@ -1846,6 +1858,7 @@ object SparkEntry {
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),
+    "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,

@@ -156,6 +156,15 @@ object Bpe {
     split(trim(merged, O + C), C + O)
   }
 
+  /** Per-document BPE token count under `merges` — the countExpr that
+    * feeds [[SequencePacking.packCounted]]/[[SequencePacking.shardByTokenBudget]]
+    * with TRAINED-tokenizer counts instead of the whitespace proxy. */
+  def tokenCountCol(textCol: String, merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val toks = filter(TextDedup.tokens(col(textCol)),
+      t => !t.contains(O) && !t.contains(C))
+    size(flatten(transform(toks, w => encodeWordCol(w, merges))))
+  }
+
   /**
    * Apply a trained merge table to every document — map-side only.
    * Output: doc_id, n_bpe_tokens, tokens_md5 (md5 of all symbols in
@@ -220,8 +229,11 @@ SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
   /** Full oracle for [[encodeDocs]] under the merges the training CTEs
     * derive: a recursive CTE applies merge rank k at recursion depth k,
     * then per-document symbol counts and the order-preserving digest. */
-  def oracleEncodeSql(numMerges: Int, topK: Int): String =
-    s"""WITH RECURSIVE ${trainCtes(numMerges, topK)},
+  /** Training + per-document application CTEs, ending in a relation
+    * `agg(doc_id, n, s)` (BPE token count + space-joined symbols) —
+    * the shared prefix of the encode and trained-packing oracles. */
+  private def encodeCtes(numMerges: Int, topK: Int): String =
+    s"""${trainCtes(numMerges, topK)},
 dw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos, unnest(ws2) AS word
        FROM (SELECT doc_id,
                list_filter($oToks,
@@ -242,9 +254,31 @@ fin AS (SELECT doc_id, wpos,
 agg AS (SELECT doc_id,
           CAST(sum(len(syms)) AS BIGINT) AS n,
           string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos) AS s
-        FROM fin GROUP BY doc_id)
+        FROM fin GROUP BY doc_id)"""
+
+  def oracleEncodeSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK)}
 SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
   md5(coalesce(a.s, '')) AS tokens_md5
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id"""
+
+  /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]
+    * (shard = lang): the encode chain's per-document counts feed the
+    * per-shard exclusive prefix sum and budget cuts. */
+  def oraclePackSql(numMerges: Int, topK: Int, budget: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK)},
+pt AS (SELECT d.doc_id, d.lang AS shard,
+         CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+pp AS (SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+       FROM pt)
+SELECT doc_id, shard, n_tokens,
+  CAST(start_tok // $budget AS BIGINT) AS seq_id,
+  CAST(start_tok % $budget AS BIGINT) AS seq_offset,
+  start_tok % $budget + n_tokens > $budget AS spans_boundary
+FROM pp ORDER BY doc_id"""
 }
