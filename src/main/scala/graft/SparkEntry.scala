@@ -1334,6 +1334,16 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // Training-data ops: contrastive hard-negative mining — for each
+    // anchor the k most-similar vectors with a DIFFERENT label, through
+    // the IVF probe path (ANCE/SimCSE-style curation, probe-bounded)
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      EmbeddingOps.ivfHardNegatives(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", "label", k = 5, nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // Training-data ops: SRP-LSH bucketed near-neighbour pairs (the
     // scale path; oracled by regenerating the deterministic md5-derived
     // hyperplanes into DuckDB SQL — TextOracles.lshPairs). Plane count
@@ -1903,6 +1913,7 @@ object SparkEntry {
     "embedding_cosine_pairs" -> TextOracles.cosinePairs,
     "ann_topk" -> TextOracles.annTopK,
     "ann_ivf_topk" -> TextOracles.annIvfTopK,
+    "ann_hard_negatives" -> TextOracles.annHardNegatives,
     // The engine derives the plane count from the corpus size
     // (EmbeddingOps.planesForCount); this static SQL must bake the plane
     // literals in, so it emits them for the verification corpus

@@ -346,6 +346,47 @@ object EmbeddingOps {
   }
 
   /**
+   * Contrastive HARD-NEGATIVE MINING (the ANCE/SimCSE curation step):
+   * for each anchor, the k most-similar corpus vectors with a DIFFERENT
+   * label — the near-miss negatives that make embedding training
+   * converge, mined through the same IVF probe path as [[ivfTopK]] so
+   * the cost is probe-bounded, not corpus². The label-mismatch filter
+   * runs BEFORE the per-anchor top-k window, so candidates shrink at the
+   * scoring join, and same-label (and self) pairs never rank.
+   * Output: query_id, anchor_label, neighbor_id, neighbor_label,
+   * cosine, rank.
+   */
+  def ivfHardNegatives(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int,
+      nlist: Int, nprobe: Int,
+      centroids: Option[Array[(Long, Array[Double], Double)]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, idCol, nlist))
+    def withLabel(df: DataFrame): DataFrame =
+      graft.operators.Materialized(
+        df.select(col(idCol).as("vec_id"), col(labelCol).as("lbl"),
+          asDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", norm(col("v"))))
+    val assigned = withLabel(corpus)
+      .withColumn("cluster", ivfAssignment(col("v"), cents))
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("lbl").as("neighbor_label"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val probing = withLabel(queries)
+      .select(col("vec_id").as("query_id"),
+        col("lbl").as("anchor_label"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(ivfProbes(col("v"), cents, nprobe)).as("cluster"))
+    val scored = probing.join(assigned, "cluster")
+      .filter(col("anchor_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+          .as("cosine"))
+    graft.operators.Relational.topKPerGroup(scored,
+      Seq("query_id"), Seq(desc("cosine"), asc("neighbor_id")), k)
+  }
+
+  /**
    * Persist the corpus as an IVF index: one parquet directory per coarse
    * cluster (nearest centroid). At 100 TB this is the layout that makes
    * ANN serving cheap — each query batch touches only its nprobe cluster

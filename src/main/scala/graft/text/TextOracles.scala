@@ -611,6 +611,40 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors EmbeddingOps.ivfHardNegatives(k=5, nlist=8, nprobe=2):
+    * the annIvfTopK probe chain with anchor/neighbor labels joined in
+    * and the label-mismatch filter applied BEFORE the per-anchor rank
+    * window (same-label and self pairs never rank). */
+  val annHardNegatives: String = s"""WITH $normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster, v AS nv, nrm AS nn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+  WHERE rn <= 2),
+cand AS (
+  SELECT query_id, la.label AS anchor_label, neighbor_id,
+         lb.label AS neighbor_label,
+         round(list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
+               (x,y) -> x + y) / (qn * nn), 4) AS cosine
+  FROM probes JOIN assign USING (cluster)
+  JOIN embeddings la ON la.vec_id = query_id
+  JOIN embeddings lb ON lb.vec_id = neighbor_id
+  WHERE la.label <> lb.label)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
   // ─────────────────── SemDeDup / int8 quantization ───────────────────
 
   private val dotXY =

@@ -129,6 +129,44 @@ class EmbeddingTextSpec extends SparkSpec {
       s"kmeans recall $kmAll < stand-in $standinAll on unbiased queries")
   }
 
+  test("hard negatives: labels always differ, nprobe=nlist equals label-filtered brute force") {
+    val queries = emb.filter($"vec_id" < EmbeddingOps.DemoQueryCount)
+    val mined = EmbeddingOps.ivfHardNegatives(queries, emb, "embedding",
+      "vec_id", "label", k = 5, nlist = 8, nprobe = 2).collect()
+    assert(mined.nonEmpty)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    mined.foreach { r =>
+      assert(r.getInt(1) == labels(r.getLong(0)))   // anchor_label correct
+      assert(r.getInt(3) == labels(r.getLong(2)))   // neighbor_label correct
+      assert(r.getInt(1) != r.getInt(3), "same-label pair ranked")
+      assert(r.getLong(0) != r.getLong(2), "self pair ranked")
+    }
+    // per-anchor ranks dense from 1, cosine non-increasing
+    mined.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to g.length))
+      val cos = sorted.map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // probing EVERY cell makes IVF exact: must equal brute-force top-k
+    // restricted to label-mismatched candidates
+    val exact = EmbeddingOps.ivfHardNegatives(queries, emb, "embedding",
+      "vec_id", "label", k = 5, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getInt(5)))
+    val bruteAll = EmbeddingOps.bruteForceTopK(queries, emb, "embedding",
+      "vec_id", k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bruteFiltered = bruteAll
+      .filter { case (q, n, _) => labels(q) != labels(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, g) =>
+        g.sortBy { case (_, n, c) => (-c, n) }.take(5).zipWithIndex
+          .map { case ((_, n, c), i) => (q, n, c, i + 1) }.toSeq
+      }.toSet
+    assert(exact.toSet == bruteFiltered,
+      "full-probe mining must equal label-filtered brute force")
+  }
+
   test("text analysis: sane ranges and deterministic fingerprint") {
     val a = TextAnalysis.analyze(
       Demo.table(spark, sf(), "documents"), "text", "doc_id").collect()
