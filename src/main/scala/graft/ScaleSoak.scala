@@ -119,6 +119,27 @@ object ScaleSoak {
     // ranking window per cluster — the window sort is the only
     // super-constant piece and must stay n·log n within clusters
     "sample_balanced_clusters",
+    // ── round-8 session-3 additions ──
+    // temperature mixture: broadcast class-count relations + a map-side
+    // hash gate — must stay flat-per-row like byMixture
+    "sample_temperature_mixture",
+    // CCNet perplexity triage: scoreDocs' agg shapes + ONE window over
+    // the bounded 4-dp score histogram (cells track score range, not n)
+    "quality_perplexity_buckets",
+    // two-phase global prefix sum: per-bucket windows parallelize, the
+    // offsets window is O(buckets) rows — must not serialize the corpus
+    "shard_token_budget",
+    // BPE training: explode + hash agg to the bounded top-K sample
+    // (driver loop is corpus-size-independent)
+    "bpe_train_merges",
+    // BPE encoding: numMerges codegen'd replaces per token, map-side
+    // only — linear in corpus characters like tokenize_documents
+    "bpe_encode",
+    // trained counts driving the per-shard packing windows
+    "pack_sequences_trained",
+    // label-filtered IVF probe path: same probe-bounded shape as
+    // ann_ivf_topk with the mismatch filter ahead of the rank window
+    "ann_hard_negatives",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,

@@ -332,6 +332,17 @@ object SparkEntry {
         Demo.table(s, dir, "embeddings"), "embedding", "vec_id", "label",
         path)
         .orderBy("vec_id")
+    }),
+    // Trained BPE merge table persisted once, encoding served from it —
+    // the stored merges ARE what the encode fold applies, so the serve
+    // output is bit-identical to bpe_encode (same oracle)
+    "bpe_encode_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("bpemerges", dir)
+      graft.text.Bpe.writeMerges(s, Demo.table(s, dir, "documents"),
+        "text", numMerges = 24, topK = 256, path)
+      () => graft.text.Bpe.encodeFromModel(s,
+        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+        .orderBy("doc_id")
     }))
 
   def entry(spark: SparkSession): DataFrame =
@@ -1264,6 +1275,9 @@ object SparkEntry {
         "text", "doc_id", merges)
         .orderBy("doc_id")
     }),
+    // Train-once/serve-many: encoding served from the persisted merge
+    // table — must be bit-identical to bpe_encode (same oracle)
+    "bpe_encode_from_model" -> ((s, dir) => buildServe("bpe_encode_from_model")(s, dir)()),
     // The trained BPE counts driving sequence packing — the full
     // "derive the tokenizer, then pack on ITS counts" composition
     "pack_sequences_trained" -> ((s, dir) => {
@@ -1869,6 +1883,7 @@ object SparkEntry {
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
+    "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,

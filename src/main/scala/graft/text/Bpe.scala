@@ -181,6 +181,30 @@ object Bpe {
         md5(array_join(col("__e"), " ")).as("tokens_md5"))
   }
 
+  /** Persist the trained merge table (train-once/serve-many — the
+    * `writeNbModel`/`writeIvfPqIndex` pattern): a single tiny parquet
+    * holding (rank, lhs, rhs, pair_count). */
+  def writeMerges(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, topK: Int, path: String): Unit =
+    trainedMergesDf(spark, docs, textCol, numMerges, topK)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table in rank order — a ≤ numMerges-row
+    * bounded collect. */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .select("rank", "lhs", "rhs", "pair_count").orderBy("rank")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  /** [[encodeDocs]] under a persisted model — the stored merges are
+    * exactly what the fold applies, so this is bit-identical to
+    * encoding with the freshly trained table (same oracle). */
+  def encodeFromModel(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, path: String): DataFrame =
+    encodeDocs(docs, textCol, idCol, loadMerges(spark, path))
+
   // ------------------------------------------------ oracle SQL emission
 
   private val oToks =

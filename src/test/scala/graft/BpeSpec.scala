@@ -76,6 +76,20 @@ class BpeSpec extends SparkSpec {
     assert(enc >= nWords, s"enc=$enc words=$nWords")
   }
 
+  test("persisted merge model round-trips and serves bit-identical encodings") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val trained = Bpe.train(Bpe.wordSample(docs, "text", 64), 12)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe-model").toString + "/merges"
+    Bpe.writeMerges(spark, docs, "text", numMerges = 12, topK = 64, path)
+    assert(Bpe.loadMerges(spark, path) == trained)
+    val fresh = Bpe.encodeDocs(docs, "text", "doc_id", trained)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val served = Bpe.encodeFromModel(spark, docs, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(served == fresh)
+  }
+
   test("training sample is bounded and deterministic under repartitioning") {
     val docs = Demo.table(spark, sf(), "documents")
     val a = Bpe.wordSample(docs, "text", 50)
