@@ -1308,6 +1308,23 @@ object SparkEntry {
     // Training-data ops: vocab-driven wordpiece tokenization (greedy
     // longest-match, codegen'd kernel; oracle is a recursive CTE over
     // the SAME literal vocab). Map-side explode, no shuffle.
+    // Training-data ops: tokenizer FERTILITY by language (pieces per
+    // word) — the multilingual tokenizer-bias metric (a tokenizer that
+    // fragments one language 3× more than another skews its effective
+    // context length); integer-sum ratios, half-up at 4 dp
+    "tokenizer_fertility_by_lang" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .select(col("lang"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).cast("long").as("w"),
+          size(graft.functions.GraftFunctions.wordpiece_tokens(col("text")))
+            .cast("long").as("p"))
+        .groupBy("lang")
+        .agg(sum(col("w")).as("n_words"), sum(col("p")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          (expr("(2 * n_pieces * 10000 + n_words) DIV (2 * n_words)")
+            / 10000.0).as("fertility"))
+        .orderBy("lang")),
     "tokenize_documents" -> ((s, dir) =>
       Demo.table(s, dir, "documents")
         .select(col("doc_id"), posexplode(
@@ -1886,6 +1903,7 @@ object SparkEntry {
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
+    "tokenizer_fertility_by_lang" -> TextOracles.tokenizerFertility,
     "pack_sequences_bpe" -> TextOracles.packSequencesBpe,
     "multimodal_audio_stats" -> TextOracles.multimodalAudioStats,
     "multimodal_decode_stats" -> TextOracles.multimodalDecodeStats,

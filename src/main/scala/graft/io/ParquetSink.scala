@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Partitioned parquet layout — the lake-side sink for the engine
@@ -49,5 +49,54 @@ object ParquetSink {
     df.repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
+  }
+
+  /**
+   * DELETION PROPAGATION over a partitioned parquet table — the
+   * right-to-be-forgotten / takedown pass a training-data lake must run
+   * without rewriting 100 TB: only partitions that actually CONTAIN a
+   * doomed key are rewritten (their survivors re-written via dynamic
+   * partition overwrite), every other partition's files are left
+   * byte-untouched; partitions whose every row is deleted have their
+   * directories removed outright.
+   *
+   * Scale shape: the key set broadcasts (one semi-join finds affected
+   * partitions, one anti-join drops doomed rows — both pushed to the
+   * scan's partition filter on the second pass, so only affected
+   * directories are re-read). The only driver state is the affected
+   * PARTITION-VALUE list — bounded by partition cardinality, an
+   * operational constant (a date/lang/source column), not by data size.
+   * The survivors are `localCheckpoint`ed before the write because
+   * Spark refuses to overwrite a path its plan still reads.
+   *
+   * Crash-safety: the rewrite happens before empty-directory removal,
+   * so every crash window leaves either the old partition or the
+   * rewritten one, and a re-run converges (the delete is idempotent:
+   * doomed keys are simply absent the second time).
+   */
+  def deleteByKeys(spark: SparkSession, path: String, partitionCol: String,
+      keyCol: String, keys: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val table = spark.read.parquet(path)
+    val doomed = broadcast(keys.select(col(keyCol)).distinct())
+    val affected = table.join(doomed, Seq(keyCol), "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val surviving = table
+      .filter(col(partitionCol).isin(affected: _*))
+      .join(doomed, Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    val survivorParts = surviving.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    if (survivorParts.nonEmpty)
+      writePartitioned(surviving.filter(
+        col(partitionCol).isin(survivorParts.toSeq: _*)), path,
+        Seq(partitionCol))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- survivorParts).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"),
+        true)
+    }
   }
 }

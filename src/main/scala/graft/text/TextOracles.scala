@@ -443,6 +443,24 @@ SELECT doc_id,
 FROM seg WHERE piece IS NOT NULL
 ORDER BY doc_id, tpos"""
 
+  /** Mirrors TextAnalysis-style tokenizer FERTILITY by language (pieces
+    * per word — the multilingual tokenizer-bias metric): pre-token word
+    * counts and wordpiece piece counts summed per lang, ratio rounded
+    * half-up at 4 dp in pure integer arithmetic. */
+  val tokenizerFertility: String = s"""WITH RECURSIVE
+${Tokenizer.oracleSegCtes(Tokenizer.DemoVocab)},
+pc AS (SELECT doc_id, count(*) AS p FROM seg
+       WHERE piece IS NOT NULL GROUP BY doc_id),
+wcnt AS (SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         FROM documents)
+SELECT lang, CAST(sum(w) AS BIGINT) AS n_words,
+  CAST(sum(coalesce(p, 0)) AS BIGINT) AS n_pieces,
+  ((2 * sum(coalesce(p, 0)) * 10000 + sum(w)) // (2 * sum(w))) / 10000.0
+    AS fertility
+FROM wcnt LEFT JOIN pc USING (doc_id)
+GROUP BY lang ORDER BY lang"""
+
   /** Mirrors SequencePacking.packCounted with wordpiece token counts and
     * 16 hash shards (doc_id % 16) — the scale-correct shard choice the
     * lang-sharded demo deliberately contrasts with. */

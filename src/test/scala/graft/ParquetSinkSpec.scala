@@ -69,4 +69,37 @@ class ParquetSinkSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v"))).toSeq
     assert(out == Seq(("a", 99), ("b", 10)))
   }
+
+  test("deleteByKeys rewrites only affected partitions, removes emptied ones, idempotent") {
+    val path = tmpDir()
+    val rows = Seq(
+      (1L, "en", "keep"), (2L, "en", "drop"), (3L, "en", "keep"),
+      (4L, "de", "drop"), (5L, "de", "drop"),             // de fully doomed
+      (6L, "fr", "keep"), (7L, "fr", "keep"))             // fr untouched
+      .toDF("doc_id", "lang", "text")
+    ParquetSink.writePartitioned(rows, path, Seq("lang"))
+    def listing(part: String): Set[String] =
+      new java.io.File(path, s"lang=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val frBefore = listing("fr")
+    val doomed = Seq(2L, 4L, 5L, 999L).toDF("doc_id") // 999 absent: ignored
+    ParquetSink.deleteByKeys(spark, path, "lang", "doc_id", doomed)
+    val after = spark.read.parquet(path).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 3L, 6L, 7L))
+    // the fully-emptied partition directory is gone
+    assert(!new java.io.File(path, "lang=de").exists())
+    // the untouched partition's files are byte-identical (same listing)
+    assert(listing("fr") == frBefore)
+    // re-running is a no-op (idempotent takedown)
+    ParquetSink.deleteByKeys(spark, path, "lang", "doc_id", doomed)
+    val again = spark.read.parquet(path).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == after)
+    // an all-absent key set touches nothing at all
+    val enFiles = listing("en")
+    ParquetSink.deleteByKeys(spark, path, "lang", "doc_id",
+      Seq(888L).toDF("doc_id"))
+    assert(listing("en") == enFiles && listing("fr") == frBefore)
+  }
 }
