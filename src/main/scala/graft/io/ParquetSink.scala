@@ -81,6 +81,9 @@ object ParquetSink {
     val doomed = broadcast(keys.select(col(keyCol)).distinct())
     val affected = table.join(doomed, Seq(keyCol), "left_semi")
       .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    require(affected.forall(_ != null),
+      "deleteByKeys requires non-null partition values (isin-based " +
+        "partition addressing cannot match the null partition)")
     if (affected.isEmpty) return
     val surviving = table
       .filter(col(partitionCol).isin(affected: _*))
@@ -95,8 +98,12 @@ object ParquetSink {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected.toSet -- survivorParts).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"),
-        true)
+      // escape the value exactly as Spark's writer escaped the directory
+      // name (spaces, slashes, '%', … are percent-encoded on write — a
+      // raw interpolation would silently miss those directories)
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
     }
   }
 }

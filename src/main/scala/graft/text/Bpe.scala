@@ -60,12 +60,34 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String,
       pairCount: Long)
 
-  /** `⟨c1⟩⟨c2⟩…` character-symbol representation of a word. */
+  /** Unsigned UTF-8 byte comparison — Spark UTF8String / DuckDB binary
+    * collation, which Java's UTF-16 compareTo does not match above the
+    * BMP. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** `⟨c1⟩⟨c2⟩…` character-symbol representation of a word. Iterates
+    * CODE POINTS, not UTF-16 units — the engine's `regexp_replace(…,
+    * '(.)', …)` seal matches per code point (Java regex and RE2 both),
+    * so a char-level loop would split astral symbols on the driver but
+    * not in the plan (caught by the "𝄞" spec). */
   def seal(word: String): String = {
-    val sb = new StringBuilder(word.length * 3)
+    val sb = new java.lang.StringBuilder(word.length * 3)
     var i = 0
     while (i < word.length) {
-      sb.append(Open).append(word.charAt(i)).append(Close); i += 1
+      val cp = word.codePointAt(i)
+      sb.append(Open).appendCodePoint(cp).append(Close)
+      i += Character.charCount(cp)
     }
     sb.toString
   }
@@ -97,9 +119,20 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        // argmax: count desc, then lexicographic (left, right) asc —
-        // the oracle's ORDER BY cnt DESC, lhs, rhs LIMIT 1
-        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        // argmax: count desc, then lexicographic (left, right) asc in
+        // UNSIGNED UTF-8 BYTE order — the collation Spark's UTF8String
+        // and DuckDB's binary ORDER BY both use; Java String compareTo
+        // (UTF-16 units) disagrees for supplementary-plane vs U+E000+
+        // symbols, so the engine-portability claim needs the byte order
+        val ((l, r), c) = counts.min(
+          Ordering.fromLessThan[((String, String), Long)] {
+            case (((a1, b1), n1), ((a2, b2), n2)) =>
+              if (n1 != n2) n1 > n2
+              else {
+                val ca = utf8Compare(a1, a2)
+                if (ca != 0) ca < 0 else utf8Compare(b1, b2) < 0
+              }
+          })
         out += Merge(k, l, r, c)
         val from = O + l + C + O + r + C
         val to = O + l + r + C

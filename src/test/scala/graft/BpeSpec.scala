@@ -76,6 +76,28 @@ class BpeSpec extends SparkSpec {
     assert(enc >= nWords, s"enc=$enc words=$nWords")
   }
 
+  test("astral (non-BMP) characters are single symbols; engine matches driver") {
+    val s = spark
+    import s.implicits._
+    // 𝄞 (U+1D11E) is a surrogate pair in UTF-16: a char-level seal would
+    // split it into two symbols, the engine's per-codepoint regex doesn't
+    assert(Bpe.encodeWord("a𝄞b", Nil).toSeq == Seq("a", "𝄞", "b"))
+    val docs = Seq((1L, "a𝄞b a𝄞b x𝄞")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordSample(docs, "text", 10), 2)
+    // (a,𝄞) has corpus count 2, beats (𝄞,b)=2? tie → byte order:
+    // 'a' (0x61) < '𝄞' (0xF0...) → (a,𝄞) first; then (a𝄞,b)=2 wins
+    assert(merges.head.left == "a" && merges.head.right == "𝄞")
+    val engine = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(1), r.getString(2))).head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val words = Seq("a𝄞b", "a𝄞b", "x𝄞")
+    val syms = words.flatMap(w => Bpe.encodeWord(w, merges))
+    val hex = md.digest(syms.mkString(" ")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(engine == ((syms.length.toLong, hex)))
+  }
+
   test("persisted merge model round-trips and serves bit-identical encodings") {
     val docs = Demo.table(spark, sf(), "documents")
     val trained = Bpe.train(Bpe.wordSample(docs, "text", 64), 12)
