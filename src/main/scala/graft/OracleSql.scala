@@ -617,6 +617,12 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT
       < (CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END)
 GROUP BY segment ORDER BY segment"""
 
+  /** Mirrors ZOrder.zValue over the orders keys — the fold is emitted
+    * from the SAME Scala definition as the engine expression. */
+  val zorderOrders: String = s"""SELECT o_orderkey, o_custkey,
+  ${graft.operators.ZOrder.oracleExpr("o_orderkey", "o_custkey")} AS z
+FROM orders ORDER BY o_orderkey"""
+
   val revenueByMonth: String = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
   count(*) AS n,
   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue

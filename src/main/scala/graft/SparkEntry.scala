@@ -1803,6 +1803,15 @@ object SparkEntry {
         "doc_id", trainFrac = 0.8, valFrac = 0.1, testFrac = 0.1)
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
+    // Lake-layout ops: Morton (z-order) interleaving of two keys — the
+    // two-dimensional file-skipping layout (OPTIMIZE ZORDER BY); pure
+    // codegen'd integer fold, engine/oracle share one definition
+    "zorder_orders" -> ((s, dir) =>
+      Demo.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.operators.ZOrder.zValue(col("o_orderkey"),
+            col("o_custkey")).as("z"))
+        .orderBy("o_orderkey")),
     // §2.4 A1-A2 baseline: classic scan+agg over lineitem
     "q1_agg" -> ((s, dir) =>
       Demo.table(s, dir, "lineitem")
@@ -1913,6 +1922,7 @@ object SparkEntry {
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "sample_mixture" -> OracleSql.sampleMixture,
     "sample_temperature_mixture" -> OracleSql.sampleTemperature,
+    "zorder_orders" -> OracleSql.zorderOrders,
     "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,
     "classify_lang_nb" -> TextOracles.nbPredict,
     // serving from the persisted model is bit-identical by construction

@@ -47,7 +47,10 @@ object LanguageModel {
    */
   def scoreDocs(docs: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
-    val bg = bigrams(docs, textCol, idCol)
+    // three consumers of the exploded bigram stream (pair counts,
+    // context counts, the scoring join): materialize once instead of
+    // re-exploding the corpus three times
+    val bg = Materialized(bigrams(docs, textCol, idCol))
     val pairCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val ctxCnt = bg.groupBy("w1").agg(count(lit(1)).as("n"))
     val vocab = docs

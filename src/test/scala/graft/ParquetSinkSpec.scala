@@ -70,6 +70,57 @@ class ParquetSinkSpec extends SparkSpec {
     assert(out == Seq(("a", 99), ("b", 10)))
   }
 
+  test("zValue: hand-computed Morton codes; guard rejects out-of-range") {
+    import graft.operators.ZOrder
+    val rows = Seq((0L, 0L), (3L, 1L), (1L, 3L), (5L, 2L),
+      ((1L << 31) - 1L, 0L)).toDF("a", "b")
+    val z = rows.select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (3,1): a bits→0,2  b bit→1  = 0b0111 = 7
+    // (1,3): a bit→0     b bits→1,3 = 0b1011 = 11
+    // (5,2): a=101→0,4   b=010→3   = 0b11001 = 25
+    // (2^31-1, 0): all even bits set below 62
+    val full = (0 until 31).map(i => 1L << (2 * i)).reduce(_ | _)
+    assert(z == Seq(0L, 7L, 11L, 25L, full))
+    val bad = Seq((-1L, 0L)).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(ZOrder.zValue(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("z-ordered layout: point predicates on EITHER key skip most files") {
+    import graft.io.ParquetSink
+    val path = tmpDir()
+    val orders = Demo.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ParquetSink.writeZOrdered(orders, path, "o_orderkey", "o_custkey",
+      numFiles = 16)
+    val table = spark.read.parquet(path)
+    assert(table.count() == orders.count())
+    // per-file min/max of BOTH keys: a z-sorted layout confines each
+    // key's range per file far below the global range for most files
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size > 4)
+    def spanFraction(key: String): Double = {
+      val global = table.agg(min(col(key)), max(col(key))).collect()(0)
+      val span = (global.getLong(1) - global.getLong(0)).toDouble
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(key)), max(col(key)))
+          .collect()(0)
+        (r.getLong(1) - r.getLong(0)) / span
+      }
+      perFile.sum / perFile.size
+    }
+    // mean per-file key-span fraction well under 1 on both axes — the
+    // skipping precondition (a random layout would be ~1.0 per file)
+    val fa = spanFraction("o_orderkey")
+    val fb = spanFraction("o_custkey")
+    info(s"mean per-file span fraction: o_orderkey=$fa o_custkey=$fb")
+    assert(fa < 0.6, s"o_orderkey span fraction $fa")
+    assert(fb < 0.6, s"o_custkey span fraction $fb")
+  }
+
   test("deleteByKeys rewrites only affected partitions, removes emptied ones, idempotent") {
     val path = tmpDir()
     val rows = Seq(
