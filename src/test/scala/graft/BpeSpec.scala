@@ -76,6 +76,73 @@ class BpeSpec extends SparkSpec {
     assert(enc >= nWords, s"enc=$enc words=$nWords")
   }
 
+  test("property: train matches an independent list-based reference on random corpora") {
+    // independent implementation: explicit symbol LISTS and a
+    // left-to-right non-overlapping merge scan — no string
+    // representation shared with the engine (this formulation catches
+    // representation bugs like the session's shared-separator flaw)
+    def naiveTrain(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+      var vocab = sample.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = Seq.newBuilder[Merge]
+      var k = 0
+      var stop = false
+      while (k < numMerges && !stop) {
+        val counts = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += Merge(k, l, r, c)
+          vocab = vocab.map { case (syms, f) =>
+            val m = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                m += (l + r); i += 2
+              } else { m += syms(i); i += 1 }
+            }
+            (m.toList, f)
+          }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { trial =>
+      val words = Seq.fill(rnd.nextInt(8) + 2) {
+        val len = rnd.nextInt(6) + 1
+        (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+          rnd.nextInt(5) + 1L)
+      }
+      val sample = words.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      val fast = Bpe.train(sample, 6)
+      val slow = naiveTrain(sample, 6)
+      assert(fast == slow, s"trial $trial sample=$sample")
+      // and the encoder agrees with the naive merge scan per word
+      sample.foreach { case (w, _) =>
+        var syms = w.map(_.toString).toList
+        fast.foreach { m =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == m.left &&
+              syms(i + 1) == m.right) { out += (m.left + m.right); i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          syms = out.toList
+        }
+        assert(Bpe.encodeWord(w, fast).toSeq == syms, s"trial $trial word=$w")
+      }
+    }
+  }
+
   test("astral (non-BMP) characters are single symbols; engine matches driver") {
     val s = spark
     import s.implicits._
