@@ -144,6 +144,23 @@ object SparkEntry {
       TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id"))
 
+  /** Media near-dup pair frames, each shared by three consumers (the
+    * pair query, the per-modality corpus end state, and the cross-modal
+    * closure) — the decode+fingerprint+banding work runs once per
+    * (session, dir) instead of three times. */
+  private def imagePairsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "image_pairs")(
+      graft.multimodal.Multimodal.imageDedupPairs(
+        imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2))
+  private def audioPairsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "audio_pairs")(
+      graft.multimodal.Multimodal.audioDedupPairs(
+        audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2))
+  private def videoPairsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "video_pairs")(
+      graft.multimodal.Multimodal.videoDedupPairs(
+        videoDemoPayloads(s, dir), "payload", "doc_id"))
+
   /** Connected-component labels over the near-dup pairs, shared by the
     * clustering query and the keeper-only corpus query (the iterative
     * label-propagation loop is the expensive part). */
@@ -255,6 +272,7 @@ object SparkEntry {
     Seq(webClean(s, dir), abrClean(s, dir), matchDf(s, dir),
       matchedDf(s, dir), matchLlmDf(s, dir), dimDf(s, dir),
       lshPairsDf(s, dir), ccLabelsDf(s, dir), nbPredDf(s, dir),
+      imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
       cachedFrame(s, dir, "corpus_keepers") {
         graft.corpus.CorpusPipeline.keepers(
           Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
@@ -835,18 +853,14 @@ object SparkEntry {
     // Hamming 2 on dHash, paired through the SAME Manku wide-key
     // banding as text simhash (16-bit chunks, exact pigeonhole recall)
     "dedup_image_pairs" -> ((s, dir) =>
-      graft.multimodal.Multimodal.imageDedupPairs(imageDemoPayloads(s, dir),
-        "payload", "doc_id", maxDist = 2)
-        .orderBy("doc_a", "doc_b")),
+      imagePairsDf(s, dir).orderBy("doc_a", "doc_b")),
     // Multimodal dedup END STATE: image near-dup pairs → connected
     // components (min-label propagation) → one keeper per cluster —
     // the same closure the text dedup column has (dedup_corpus)
     "dedup_image_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        graft.multimodal.Multimodal.imageDedupPairs(
-          imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2),
-        "doc_a", "doc_b")
+        imagePairsDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -856,16 +870,12 @@ object SparkEntry {
     // modality; payloads are the same encode(text) binaries the
     // hash-green multimodal_frames query samples)
     "dedup_video_pairs" -> ((s, dir) =>
-      graft.multimodal.Multimodal.videoDedupPairs(
-        videoDemoPayloads(s, dir), "payload", "doc_id")
-        .orderBy("doc_a", "doc_b")),
+      videoPairsDf(s, dir).orderBy("doc_a", "doc_b")),
     // Multimodal dedup END STATE for the video column
     "dedup_video_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        graft.multimodal.Multimodal.videoDedupPairs(
-          videoDemoPayloads(s, dir), "payload", "doc_id"),
-        "doc_a", "doc_b")
+        videoPairsDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -883,16 +893,12 @@ object SparkEntry {
         .orderBy("doc_id")),
     // Training-data ops: multimodal near-dup dedup for the audio column
     "dedup_audio_pairs" -> ((s, dir) =>
-      graft.multimodal.Multimodal.audioDedupPairs(audioDemoPayloads(s, dir),
-        "payload", "doc_id", maxDist = 2)
-        .orderBy("doc_a", "doc_b")),
+      audioPairsDf(s, dir).orderBy("doc_a", "doc_b")),
     // Multimodal dedup END STATE for the audio column
     "dedup_audio_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        graft.multimodal.Multimodal.audioDedupPairs(
-          audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2),
-        "doc_a", "doc_b")
+        audioPairsDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -903,15 +909,9 @@ object SparkEntry {
     // text, or copied text with re-rendered media, is the same asset)
     "dedup_multimodal_corpus" -> ((s, dir) => {
       val textPairs = lshPairsDf(s, dir).select("doc_a", "doc_b")
-      val imagePairs = graft.multimodal.Multimodal.imageDedupPairs(
-        imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
-        .select("doc_a", "doc_b")
-      val audioPairs = graft.multimodal.Multimodal.audioDedupPairs(
-        audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
-        .select("doc_a", "doc_b")
-      val videoPairs = graft.multimodal.Multimodal.videoDedupPairs(
-        videoDemoPayloads(s, dir), "payload", "doc_id")
-        .select("doc_a", "doc_b")
+      val imagePairs = imagePairsDf(s, dir).select("doc_a", "doc_b")
+      val audioPairs = audioPairsDf(s, dir).select("doc_a", "doc_b")
+      val videoPairs = videoPairsDf(s, dir).select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
         textPairs.unionByName(imagePairs).unionByName(audioPairs)
