@@ -307,7 +307,11 @@ e(doc_id, wpos, sym, k) AS (
   FROM e JOIN allm ON allm.rank = e.k),
 fin AS (SELECT doc_id, wpos,
           string_split(trim(sym, '$O$C'), '$C$O') AS syms
-        FROM e WHERE k = $numMerges),
+        -- recursion depth = ACHIEVED merge count: if the trainer
+        -- early-stops below numMerges (fully merged vocab), later m{k}
+        -- are empty, allm is shorter, and the join chain stops there —
+        -- a literal numMerges would select an empty depth
+        FROM e WHERE k = (SELECT count(*) FROM allm)),
 agg AS (SELECT doc_id,
           CAST(sum(len(syms)) AS BIGINT) AS n,
           string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos) AS s
