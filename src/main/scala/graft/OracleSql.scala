@@ -617,6 +617,34 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT
       < (CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END)
 GROUP BY segment ORDER BY segment"""
 
+  /** Mirrors GraftFunctions.normalize_text: NFC → lower → ASCII-\s
+    * collapse → trim, then the digest. DuckDB's nfc_normalize/lower are
+    * utf8proc; the kernel documents the one divergence (Greek final
+    * sigma) — absent from the corpus and from any per-codepoint text. */
+  val normalizeDocuments: String = raw"""SELECT doc_id,
+  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+    AS norm_md5,
+  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+    'g'))) AS BIGINT) AS n_norm_chars
+FROM documents ORDER BY doc_id"""
+
+  /** Mirrors the corpus data card: exact integer aggregates over the
+    * documents table + the exact-dup group relation. */
+  val corpusDatacard: String = raw"""WITH base AS (
+  SELECT count(*) AS n_docs,
+    count(DISTINCT lang) AS n_langs,
+    count(DISTINCT source) AS n_sources,
+    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      x -> x <> ''))) AS BIGINT) AS total_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents),
+g AS (SELECT md5(text) AS h, count(*) AS n_copies FROM documents GROUP BY 1),
+dups AS (SELECT count(*) AS n_distinct_texts,
+           CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_dup_docs
+         FROM g)
+SELECT * FROM base CROSS JOIN dups"""
+
   /** Mirrors ZOrder.zValue over the orders keys — the fold is emitted
     * from the SAME Scala definition as the engine expression. */
   val zorderOrders: String = s"""SELECT o_orderkey, o_custkey,

@@ -1803,6 +1803,35 @@ object SparkEntry {
         "doc_id", trainFrac = 0.8, valFrac = 0.1, testFrac = 0.1)
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
+    // Training-data ops: text canonicalization (NFC + ROOT lowercase +
+    // whitespace collapse) — the multilingual dedup-key normalization,
+    // one codegen'd kernel per row; digest output keeps rows small
+    "normalize_documents" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.normalize_text(col("text"))
+            .as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("n_norm_chars"))
+        .orderBy("doc_id")),
+    // Mart ops: one-row corpus DATA CARD — the summary sheet a corpus
+    // release ships (sizes, language spread, token volume, exact-dup
+    // rate); all exact integer aggregates, two 1-row relations crossed
+    "corpus_datacard" -> ((s, dir) => {
+      val d = Demo.table(s, dir, "documents")
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(size(TextDedup.tokens(col("text"))).cast("long"))
+          .as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      val dups = TextDedup.exactGroups(d, "text", "doc_id")
+        .agg(count(lit(1)).as("n_distinct_texts"),
+          sum(when(col("n_copies") > 1, col("n_copies") - 1)
+            .otherwise(0L)).as("n_exact_dup_docs"))
+      base.crossJoin(dups)
+    }),
     // Lake-layout ops: Morton (z-order) interleaving of two keys — the
     // two-dimensional file-skipping layout (OPTIMIZE ZORDER BY); pure
     // codegen'd integer fold, engine/oracle share one definition
@@ -1923,6 +1952,8 @@ object SparkEntry {
     "sample_mixture" -> OracleSql.sampleMixture,
     "sample_temperature_mixture" -> OracleSql.sampleTemperature,
     "zorder_orders" -> OracleSql.zorderOrders,
+    "corpus_datacard" -> OracleSql.corpusDatacard,
+    "normalize_documents" -> OracleSql.normalizeDocuments,
     "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,
     "classify_lang_nb" -> TextOracles.nbPredict,
     // serving from the persisted model is bit-identical by construction

@@ -52,6 +52,42 @@ object TokenizerAdapters extends Serializable {
         .map(UTF8String.fromString))
 }
 
+/** Text canonicalization kernel — the C4/CCNet-style normalization a
+  * multilingual dedup key needs before hashing: Unicode NFC (composed
+  * accents ≡ decomposed), locale-independent full lowercase, ASCII
+  * whitespace runs collapsed to single spaces, leading/trailing
+  * whitespace stripped. Whitespace is EXACTLY the regex `\s` class of
+  * Java and RE2 (space, \t, \n, \r, \f, \v) so the DuckDB oracle's
+  * `regexp_replace(…, '\s+', ' ', 'g')` matches byte-for-byte; DuckDB's
+  * utf8proc lower() agrees with Java's ROOT lowercase on everything in
+  * scope except context-sensitive Greek final sigma (documented
+  * caveat — per-codepoint vs contextual mapping). */
+object TextNormalizeAdapters extends Serializable {
+  def normalizeText(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val lower = java.text.Normalizer
+      .normalize(text.toString, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < lower.length) {
+      val ch = lower.charAt(i)
+      val ws = ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
+        ch == '\f' || ch == '\u000B'
+      if (ws) pendingSpace = started
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(ch)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** ArrayData-facing kernels for the embedding/minhash hot paths.
   * Semantics are bit-identical to the higher-order-function formulations
   * they replace (left-to-right 0.0-seeded folds, same modular
@@ -758,6 +794,15 @@ object GraftFunctions {
       Seq(expr(text)), inputTypes = Seq(StringType),
       propagateNull = true, returnNullable = false))
 
+  /** C4/CCNet-style text canonicalization (NFC → ROOT lowercase →
+    * ASCII-\s collapse → trim) as one codegen'd kernel — the dedup-key
+    * normalization for multilingual corpora ([[TextNormalizeAdapters]]
+    * for the exact semantics + the one documented DuckDB divergence). */
+  def normalize_text(text: Column): Column =
+    col(StaticInvoke(TextNormalizeAdapters.getClass, StringType,
+      "normalizeText", Seq(expr(text)), inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = false))
+
   /** [[wordpiece_tokens]] against a FILE-LOADED vocabulary previously
     * registered via [[graft.text.VocabRegistry.register]] — the vocab
     * name rides the plan as a string literal; executors resolve it to
@@ -786,6 +831,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("heavy_hitters",
       exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("normalize_text",
+      exprs => expr(normalize_text(col(exprs.head))), "built-in")
     reg.createOrReplaceTempFunction("wordpiece_tokens",
       exprs =>
         if (exprs.length >= 2)

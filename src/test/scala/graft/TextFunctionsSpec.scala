@@ -11,6 +11,28 @@ class TextFunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): Any =
     spark.range(1).select(c).first().get(0)
 
+  test("normalize_text: NFC unification, whitespace collapse, idempotence") {
+    import graft.functions.GraftFunctions.normalize_text
+    import org.apache.spark.sql.functions.lit
+    def norm(s: String): String =
+      one(normalize_text(lit(s))).asInstanceOf[String]
+    // composed é (U+00E9) and decomposed e+U+0301 normalize identically
+    assert(norm("Café") == norm("Café"))
+    assert(norm("Café") == "café")
+    // ASCII \s runs collapse to single spaces; ends trimmed
+    assert(norm("  A \t\n B C\f ") == "a b c")
+    assert(norm("") == "" && norm("   ") == "")
+    // idempotent: a normalized string is its own normalization
+    val s0 = norm("  Träumerei  im   Schnee ")
+    assert(norm(s0) == s0)
+    // null propagates
+    assert(one(normalize_text(lit(null).cast("string"))) == null)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT normalize_text('  Grand   PIANO ') AS n")
+      .first().getString(0) == "grand piano")
+  }
+
   test("normalizeName (test_parsing.py:22-45)") {
     val cases = Seq(
       "ACME Pty Ltd" -> "ACME",
