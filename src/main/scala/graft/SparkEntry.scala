@@ -1193,6 +1193,16 @@ object SparkEntry {
       graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: cross-corpus LM scoring — the actual CCNet
+    // configuration: model trained on the benchmark-subset target,
+    // every document scored against it (out-of-target bigrams back
+    // off through the same add-α smoothing)
+    "lm_cross_scores" -> ((s, dir) => {
+      val d = Demo.table(s, dir, "documents")
+      graft.text.LanguageModel.scoreDocsAgainst(
+        d.filter(col("doc_id") % 10 === 3), d, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Training-data ops: CCNet head/middle/tail perplexity triage
     // (Wenzek et al. 2020) — exact corpus quantiles of the LM score via
     // a bounded micro-unit histogram (no corpus-wide sort)
@@ -1949,6 +1959,7 @@ object SparkEntry {
     "bm25_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
+    "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,
     "sample_temperature_mixture" -> OracleSql.sampleTemperature,
     "zorder_orders" -> OracleSql.zorderOrders,

@@ -76,6 +76,44 @@ object LanguageModel {
   }
 
   /**
+   * Cross-corpus fluency scoring — the actual CCNet configuration:
+   * the bigram model trains on a TARGET corpus (Wikipedia-like
+   * reference) and scores a DIFFERENT corpus against it. Bigrams and
+   * contexts absent from the target back off through the same add-α
+   * smoothing (c→0, n→0: an unseen context scores ln(1/V)); the
+   * model-side joins become left joins with zero-coalesced counts,
+   * which for target ≡ scored degenerates to [[scoreDocs]] exactly
+   * (every pair matches). Same decimal-summed engine-exact rounding.
+   * Scale: model relations are aggregations of the (smaller) target;
+   * both join corpus-side streams by key — no driver model object.
+   */
+  def scoreDocsAgainst(target: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, alpha: Double = 0.5): DataFrame = {
+    val tbg = Materialized(bigrams(target, textCol, idCol))
+    val pairCnt = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctxCnt = tbg.groupBy("w1").agg(count(lit(1)).as("n"))
+    val vocab = target
+      .select(explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("vsz"))
+    val bg = bigrams(docs, textCol, idCol)
+    val logp = log((coalesce(col("c"), lit(0L)) + alpha) /
+      (coalesce(col("n"), lit(0L)) + lit(alpha) * col("vsz")))
+    bg.join(pairCnt, Seq("w1", "w2"), "left")
+      .join(ctxCnt, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        round(logp, 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          / 10000.0).as("lm_score"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): label
    * every document `head` / `middle` / `tail` by its corpus-relative
    * fluency — the standard triage that keeps the head, samples the

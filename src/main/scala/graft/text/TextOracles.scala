@@ -285,6 +285,34 @@ FROM j2)"""
     s"""WITH $lmScoreCtes
 SELECT doc_id, n_bigrams, lm_score FROM sc ORDER BY doc_id"""
 
+  /** Mirrors LanguageModel.scoreDocsAgainst with target = the
+    * decontamination-convention benchmark subset (doc_id % 10 = 3):
+    * model counts from the target only, LEFT joins with zero-coalesced
+    * counts for out-of-target bigrams/contexts. */
+  val lmCrossScores: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+tt AS (SELECT * FROM t WHERE doc_id % 10 = 3),
+tbg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+          unnest(toks[2:len(toks)]) AS w2 FROM tt WHERE len(toks) >= 2),
+cbg AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS n FROM tbg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM tt)),
+bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2),
+j AS (SELECT doc_id,
+        CAST(round(ln((coalesce(c, 0) + 0.5) /
+          (coalesce(n, 0) + 0.5 * vsz)), 6) AS DECIMAL(28,6)) AS lp
+      FROM bg LEFT JOIN cbg USING (w1, w2) LEFT JOIN ctx USING (w1)
+      CROSS JOIN v),
+j2 AS (SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_bigrams) // (200 * n_bigrams)
+        ELSE -((2 * (-s) + 100 * n_bigrams) // (200 * n_bigrams)) END)
+    / 10000.0 AS lm_score
+FROM j2 ORDER BY doc_id"""
+
   /** Mirrors LanguageModel.perplexityBuckets(300/400/300): exact
     * micro-unit histogram, descending cumulative counts, ⌈n·p/1000⌉
     * integer targets, tie-inclusive thresholds. */

@@ -84,6 +84,32 @@ class RelevanceSpec extends SparkSpec {
     assert(out(1L)._2 > out(4L)._2) // fluent phrase beats rare transitions
   }
 
+  test("scoreDocsAgainst: degenerates to scoreDocs when target = scored; backoff penalizes out-of-target text") {
+    val s = spark
+    import s.implicits._
+    val docs = Demo.table(spark, sf(), "documents")
+    val same = LanguageModel.scoreDocsAgainst(docs, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val self = LanguageModel.scoreDocs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(same == self)
+    // target teaches "the quick fox"; a doc of entirely unseen words
+    // scores the pure-backoff value ln((0+0.5)/(0+0.5·V)) = ln(1/V)
+    val target = Seq((1L, "the quick fox"), (2L, "the quick dog"))
+      .toDF("doc_id", "text")
+    val scored = Seq((10L, "the quick fox"), (11L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocsAgainst(target, scored,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(11L))
+    // V = 4 (the, quick, fox, dog); per-bigram backoff = ln(1/4)
+    val lp = BigDecimal(math.log(0.5 / (0.5 * 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = (lp.setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    assert(math.abs(out(11L) - want) < 5e-5, s"got ${out(11L)} want $want")
+  }
+
   test("perplexityBuckets: sizes honor 300/400/300 targets up to ties; order respects score") {
     val docs = Demo.table(spark, sf("sf0.01"), "documents")
     val out = LanguageModel.perplexityBuckets(docs, "text", "doc_id")
