@@ -140,6 +140,11 @@ object ScaleSoak {
     // label-filtered IVF probe path: same probe-bounded shape as
     // ann_ivf_topk with the mismatch filter ahead of the rank window
     "ann_hard_negatives",
+    // canonicalization kernel: one codegen'd call per row, zero shuffle
+    "normalize_documents",
+    // cross-corpus LM: target-side model aggs + corpus-side left joins
+    // — the scoreDocs family's shapes with a 10%-sized model side
+    "lm_cross_scores",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
