@@ -351,6 +351,18 @@ object SparkEntry {
         path)
         .orderBy("vec_id")
     }),
+    // Persisted BM25 inverted index (term-hash-bucketed postings with
+    // denormalized df + 1-row stats), full-text serving from it — the
+    // text twin of the ANN index story; serve output bit-identical to
+    // the fresh bm25 computation (same oracle)
+    "bm25_index_search" -> ((s, dir) => {
+      val path = tmpIndexDir("bm25", dir)
+      graft.text.Relevance.writeBm25Index(
+        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+      () => graft.text.Relevance.bm25FromIndex(s, path,
+        query = "spark window merge")
+        .orderBy("doc_id")
+    }),
     // Trained BPE merge table persisted once, encoding served from it —
     // the stored merges ARE what the encode fold applies, so the serve
     // output is bit-identical to bpe_encode (same oracle)
@@ -1183,6 +1195,8 @@ object SparkEntry {
         .orderBy("doc_id", "rank")),
     // Retrieval: BM25 full-text scores against a probe query (postings
     // filtered to the query's terms before any shuffle)
+    // Full-text serving from the persisted index — see buildServe
+    "bm25_index_search" -> ((s, dir) => buildServe("bm25_index_search")(s, dir)()),
     "bm25_search" -> ((s, dir) =>
       graft.text.Relevance.bm25(Demo.table(s, dir, "documents"),
         "text", "doc_id", query = "spark window merge")
@@ -1957,6 +1971,7 @@ object SparkEntry {
     "multimodal_decode_stats" -> TextOracles.multimodalDecodeStats,
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
+    "bm25_index_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,

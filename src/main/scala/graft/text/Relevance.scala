@@ -56,6 +56,71 @@ object Relevance {
   }
 
   /**
+   * Persist the corpus as a BM25-servable inverted index — the text
+   * twin of `EmbeddingOps.writeIvfIndex`: `postings/` holds one row per
+   * (doc, term) posting with its tf, document length and term df
+   * DENORMALIZED in (no df join at serve time), directory-partitioned
+   * by `hash(term) mod buckets` so a query's scan prunes to its terms'
+   * bucket directories; `stats/` holds the 1-row (n_docs, avgdl)
+   * corpus scalars. At 100 TB this is the layout that makes full-text
+   * serving cheap: a query touches |query-term buckets| directories,
+   * not the corpus.
+   */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "bucket count must be positive")
+    val toksArr = TextDedup.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toksArr.as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = base.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    docs.select(size(toksArr).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /**
+   * BM25 from the persisted index: reads ONLY the query terms' bucket
+   * directories (partition filter on the directory column — asserted in
+   * RelevanceSpec) and scores the surviving postings with the identical
+   * arithmetic as [[bm25]], so the output is bit-identical to the fresh
+   * computation (same oracle).
+   */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: String, k1: Double = 1.2, b: Double = 0.75,
+      buckets: Int = 64): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "query must contain at least one token")
+    // the query terms' bucket ids, computed by the ENGINE's own
+    // xxhash64 over a |terms|-row local relation (a bounded collect) —
+    // no hand-rolled twin of Spark's hash to drift
+    import spark.implicits._
+    val qBuckets = qTerms.toSeq.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("term").isin(qTerms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    postings.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(contrib, 6).cast("decimal(28,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c")), 4).cast("double").as("score"))
+  }
+
+  /**
    * BM25 scores of every document against a query string (Robertson
    * k1/b, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5))). Output:
    * doc_id, score (4 dp) — documents sharing at least one term with the

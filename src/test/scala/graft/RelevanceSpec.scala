@@ -61,6 +61,25 @@ class RelevanceSpec extends SparkSpec {
     assert(a(2L) > a(3L))
   }
 
+  test("bm25FromIndex: bit-identical to fresh bm25; scan prunes to the query's buckets") {
+    import org.apache.spark.sql.functions.col
+    val docs = Demo.table(spark, sf(), "documents")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25-index").toString + "/idx"
+    Relevance.writeBm25Index(docs, "text", "doc_id", path, buckets = 64)
+    val served = Relevance.bm25FromIndex(spark, path, "spark window merge")
+    val fresh = Relevance.bm25(docs, "text", "doc_id", "spark window merge")
+    val a = served.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.nonEmpty)
+    // the postings scan carries a partition filter on the bucket column
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter in:\n${plan.take(2000)}")
+    // unknown-term query returns empty rather than failing
+    assert(Relevance.bm25FromIndex(spark, path, "zzz qqq").count() == 0)
+  }
+
   test("bigrams: stream extraction drops short docs") {
     val s = spark
     import s.implicits._
