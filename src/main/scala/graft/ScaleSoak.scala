@@ -150,12 +150,16 @@ object ScaleSoak {
     // and only the read path is laddered — the serving α is measured,
     // not inherited from the conflated build+serve query
     "classify_lang_nb_serve",
-    "ann_ivf_pq_index_serve")
+    "ann_ivf_pq_index_serve",
+    // BM25 serving from the persisted bucket-pruned index: the read
+    // path should scale with the query terms' postings, not the corpus
+    "bm25_index_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
     "classify_lang_nb_serve" -> "classify_lang_nb_from_model",
-    "ann_ivf_pq_index_serve" -> "ann_ivf_pq_index_topk")
+    "ann_ivf_pq_index_serve" -> "ann_ivf_pq_index_topk",
+    "bm25_index_serve" -> "bm25_index_search")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-soak")
