@@ -808,6 +808,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       TextDedup.exactGroups(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("text_hash")),
+    // Exact dedup on the CANONICALIZED key — normalize_text composed
+    // into the digest, so case/whitespace/NFC variants collapse into
+    // one group (the multilingual exact-dedup key real pipelines hash)
+    "dedup_exact_normalized" -> ((s, dir) =>
+      TextDedup.exactGroups(
+        Demo.table(s, dir, "documents").select(col("doc_id"),
+          graft.functions.GraftFunctions.normalize_text(col("text"))
+            .as("text")),
+        "text", "doc_id")
+        .orderBy("text_hash")),
     // Training-data ops: exact n-gram Jaccard near-dup pairs
     "dedup_ngram_pairs" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(Demo.table(s, dir, "documents"),
@@ -1930,6 +1940,7 @@ object SparkEntry {
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,
     "dedup_exact" -> DedupOracles.exact,
+    "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,

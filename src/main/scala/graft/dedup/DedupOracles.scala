@@ -23,6 +23,14 @@ sh AS (SELECT doc_id,
   val exact: String = """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Exact dedup over the canonicalized key — the normalize_text chain
+    * (NFC → lower → \s collapse → trim) applied before the digest. */
+  val exactNormalized: String =
+    raw"""SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        '\s+', ' ', 'g'))) AS text_hash,
+  count(*) AS n_copies, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1 ORDER BY 1"""
+
   /** Inverted index + stop-shingle keep-list, mirroring the engine's
     * document-frequency cap (df ≤ max(100, ceil(0.01·ndocs))): candidate
     * pairs must share at least one KEPT shingle, exactly as
