@@ -221,7 +221,16 @@ object ScaleSoak {
         q -> (times.last, shape)
       }.toMap
 
-    val timed = factors.map(f => f -> timeAll(s"$base/x$f")).toMap
+    val timed = factors.map { f =>
+      val dir = s"$base/x$f"
+      val out = f -> timeAll(dir)
+      // drop this factor's shared cached frames before the next corpus:
+      // three corpora's worth of persisted pair frames (the 100× audio
+      // frame alone is ~10⁸ rows) otherwise accumulate and starve the
+      // broadcast builds of the later factors
+      SparkEntry.releaseSharedFrames(spark, dir)
+      out
+    }.toMap
     println(s"=== SOAK RESULTS (${fMax}x corpus vs 1x, steady-state seconds) ===")
     var worst = 0.0
     queries.foreach { q =>

@@ -278,6 +278,25 @@ object SparkEntry {
           Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
       }).foreach(_.count())
 
+  /** Release every shared frame (and cached count) held for
+    * (session, dir) — multi-corpus sessions (the 1×/10×/100× soak
+    * ladder) call this between factor dirs so persisted frames from a
+    * finished corpus don't accumulate: at 100× the adversarially dense
+    * audio-pair frame alone is ~10⁸ rows, and three corpora's worth of
+    * cached frames exhausted the soak heap at a broadcast build (found
+    * by the round-8 session-3 full-ladder run). */
+  def releaseSharedFrames(s: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    frameCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 == dir).toSeq.foreach { k =>
+        val df = frameCache.remove(k)
+        if (df != null) df.unpersist(false)
+      }
+    countCache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2 == dir).toSeq
+      .foreach(countCache.remove)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   /**
    * Build/serve decomposition of the persisted-artifact queries (ANN
