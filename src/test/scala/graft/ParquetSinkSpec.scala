@@ -88,6 +88,36 @@ class ParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("zValue properties: per-axis monotone, bit-exact invertible") {
+    import graft.operators.ZOrder
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(1 << 20).toLong,
+      rnd.nextInt(1 << 20).toLong))
+    val zs = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // invertible: de-interleaving recovers both inputs exactly
+    zs.foreach { case (a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      (0 until 31).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"($a,$b) -> $z -> ($ra,$rb)")
+    }
+    // monotone per axis: fixed b, larger a → larger z (and vice versa)
+    val byB = zs.groupBy(_._2).values.filter(_.length > 1)
+    byB.foreach { g =>
+      val sorted = g.sortBy(_._1)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+    val byA = zs.groupBy(_._1).values.filter(_.length > 1)
+    byA.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("z-ordered layout: point predicates on EITHER key skip most files") {
     import graft.io.ParquetSink
     val path = tmpDir()
