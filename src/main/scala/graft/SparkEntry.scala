@@ -1295,6 +1295,15 @@ object SparkEntry {
       graft.text.Dsir.importanceWeights(Demo.table(s, dir, "documents"),
         "text", "doc_id", col("lang") === "en")
         .orderBy("doc_id")),
+    // The DSIR selection END STATE: keep the top 30% most target-like
+    // documents by importance weight — an exact tie-inclusive cut via
+    // the bounded micro-unit histogram (no corpus-wide sort)
+    "dsir_top_select" -> ((s, dir) =>
+      graft.operators.Sampling.topFractionByScore(
+        graft.text.Dsir.importanceWeights(Demo.table(s, dir, "documents"),
+          "text", "doc_id", col("lang") === "en"),
+        "log_weight", permille = 300)
+        .orderBy("doc_id")),
     // Training-data ops: overlapping token-window chunking (RAG/context
     // prep; map-only explode, windows every 48 tokens of width 64)
     "chunk_documents" -> ((s, dir) =>
@@ -2020,6 +2029,7 @@ object SparkEntry {
     // serving from the persisted centroid model is bit-identical
     "classify_embedding_centroid_from_model" -> TextOracles.centroidPredict(),
     "dsir_importance" -> TextOracles.dsirImportance(),
+    "dsir_top_select" -> TextOracles.dsirTopSelect(),
     "dedup_substring_pairs" -> DedupOracles.substringPairs(),
     "dedup_substring_excise" -> DedupOracles.substringExcise(),
     "image_dhash" -> DedupOracles.imageDhash,

@@ -201,6 +201,44 @@ object Sampling {
   }
 
   /**
+   * EXACT top-fraction selection by a fixed-grain score — the
+   * data-selection cut (DSIR/quality-classifier resampling: keep the
+   * best `permille`/1000 of the corpus by importance) WITHOUT a
+   * corpus-wide sort: the score must be `1/grain`-grained (the
+   * engine's 4-dp micro-rounded scores are), so the distribution is a
+   * hash-aggregated histogram over at most (score range × grain)
+   * cells — bounded by the score range, NOT corpus size; one window
+   * over that bounded relation derives the tie-inclusive threshold
+   * (⌈n·permille/1000⌉ via integer DIV), which broadcasts back as a
+   * filter. Rows tying the threshold score are all kept (the target is
+   * met with minimal tie-inclusive overshoot). Integer arithmetic
+   * throughout — a DuckDB oracle replays the cut bit-for-bit.
+   */
+  def topFractionByScore(df: DataFrame, scoreCol: String, permille: Int,
+      grain: Int = 10000): DataFrame = {
+    require(permille > 0 && permille <= 1000, "permille in [1, 1000]")
+    require(grain > 0, "grain must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val d = Materialized(df)
+    val g = d.withColumn("__m",
+      round(col(scoreCol) * grain).cast("long"))
+    val byDesc = Window.orderBy(col("__m").desc)
+    val cum = g.groupBy("__m").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        byDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        byDesc.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val thr = cum.agg(
+      max(when(col("__cum") >=
+        expr(s"(__n * $permille + 999) DIV 1000"), col("__m")))
+        .as("__thr"))
+    g.crossJoin(broadcast(thr))
+      .filter(col("__m") >= col("__thr"))
+      .drop("__m", "__thr")
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

@@ -1229,6 +1229,24 @@ SELECT doc_id, count(*) AS n_grams,
 FROM g JOIN cr USING (cell) WHERE NOT is_target
 GROUP BY 1 ORDER BY doc_id"""
 
+  /** Mirrors Sampling.topFractionByScore(permille=300) over the DSIR
+    * importance weights: micro-unit histogram, descending cumulative
+    * counts, ⌈n·300/1000⌉ tie-inclusive threshold. */
+  def dsirTopSelect(buckets: Int = 1024): String = s"""WITH dw AS (
+${dsirImportance(buckets)}),
+g2 AS (SELECT doc_id, n_grams, log_weight,
+         CAST(round(log_weight * 10000) AS BIGINT) AS m FROM dw),
+h AS (SELECT m, count(*) AS cnt FROM g2 GROUP BY m),
+c AS (SELECT m,
+        sum(cnt) OVER (ORDER BY m DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n
+      FROM h),
+thr AS (SELECT max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END)
+          AS th FROM c)
+SELECT doc_id, n_grams, log_weight
+FROM g2 CROSS JOIN thr WHERE m >= th ORDER BY doc_id"""
+
   /** Mirrors Classifier.centroidPredict over embeddings(label):
     * micro-unit integer-sum centroids (exact, order-independent), then
     * the standard left-to-right cosine fold against each class. The

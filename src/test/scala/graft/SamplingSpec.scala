@@ -174,6 +174,33 @@ class SamplingSpec extends SparkSpec {
     assert(kept("b") == 2, s"kept=$kept")
   }
 
+  test("topFractionByScore: exact tie-inclusive cut, no corpus sort needed") {
+    import spark.implicits._
+    // scores at 4-dp grain with a fat tie class straddling the cut
+    val rows = ((1L to 50L).map((_, 0.9)) ++ (51L to 100L).map((_, 0.5)) ++
+      (101L to 200L).map((_, 0.1))).toDF("id", "s")
+    // top 30% of 200 = 60 → threshold falls INSIDE the 0.5 tie class:
+    // all 50 of 0.9 plus the whole 0.5 class (tie-inclusive) = 100
+    val out = Sampling.topFractionByScore(rows, "s", permille = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 100)
+    assert(out.forall(_._2 >= 0.5))
+    // a cut landing exactly on a class boundary keeps exactly that class
+    val exact = Sampling.topFractionByScore(rows, "s", permille = 250)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == (1L to 50L).toSet)
+    // determinism under repartitioning
+    val again = Sampling.topFractionByScore(rows.repartition(9), "s", 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_._1).toSet)
+    // negative scores round and cut correctly too
+    val neg = ((1L to 10L).map((_, -0.2)) ++ (11L to 20L).map((_, -0.8)))
+      .toDF("id", "s")
+    val topNeg = Sampling.topFractionByScore(neg, "s", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(topNeg == (1L to 10L).toSet)
+  }
+
   test("balanced: hash-threshold prefilter preserves the selection") {
     import spark.implicits._
     val rows = ((1L to 400L).map((_, "a")) ++ (1001L to 1100L).map((_, "b")))
