@@ -142,6 +142,9 @@ object ScaleSoak {
     "ann_hard_negatives",
     // canonicalization kernel: one codegen'd call per row, zero shuffle
     "normalize_documents",
+    // DSIR selection end state: the importance pass + the bounded
+    // micro-unit histogram cut (cells track score range, not n)
+    "dsir_top_select",
     // cross-corpus LM: target-side model aggs + corpus-side left joins
     // — the scoreDocs family's shapes with a 10%-sized model side
     "lm_cross_scores",
