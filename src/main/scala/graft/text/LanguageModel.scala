@@ -47,18 +47,20 @@ object LanguageModel {
    */
   def scoreDocs(docs: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
-    // three consumers of the exploded bigram stream (pair counts,
-    // context counts, the scoring join): materialize once instead of
-    // re-exploding the corpus three times
+    // two consumers of the exploded bigram stream (pair counts + the
+    // scoring join): materialize once. Context counts are DERIVED from
+    // the vocab-sized pair-count relation (n(w1) = Σ_w2 c(w1,w2) —
+    // identical values by construction), so the corpus-sized stream is
+    // aggregated once and joined once, not three times.
     val bg = Materialized(bigrams(docs, textCol, idCol))
     val pairCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val ctxCnt = bg.groupBy("w1").agg(count(lit(1)).as("n"))
+    val model = pairCnt.join(
+      pairCnt.groupBy("w1").agg(sum(col("c")).as("n")), "w1")
     val vocab = docs
       .select(explode(TextDedup.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("vsz"))
     val logp = log((col("c") + alpha) / (col("n") + lit(alpha) * col("vsz")))
-    bg.join(pairCnt, Seq("w1", "w2"))
-      .join(ctxCnt, Seq("w1"))
+    bg.join(model, Seq("w1", "w2"))
       .crossJoin(vocab)
       .select(col("doc_id"),
         round(logp, 6).cast("decimal(28,6)").as("lp"))
@@ -89,9 +91,12 @@ object LanguageModel {
    */
   def scoreDocsAgainst(target: DataFrame, docs: DataFrame,
       textCol: String, idCol: String, alpha: Double = 0.5): DataFrame = {
-    val tbg = Materialized(bigrams(target, textCol, idCol))
-    val pairCnt = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val ctxCnt = tbg.groupBy("w1").agg(count(lit(1)).as("n"))
+    // context counts derive from the vocab-sized pair counts (identical
+    // values), so the target bigram stream has ONE consumer — no
+    // materialization, one aggregation pass
+    val pairCnt = bigrams(target, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctxCnt = pairCnt.groupBy("w1").agg(sum(col("c")).as("n"))
     val vocab = target
       .select(explode(TextDedup.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("vsz"))
