@@ -184,4 +184,22 @@ class CacheHygieneSpec extends SparkSpec {
     assert(DatasetBridge.cacheIsEmpty(spark),
       "failed LLM-band guard leaked the persisted band")
   }
+
+  test("releaseSharedFrames drops a dir's cached frames; re-access rebuilds them") {
+    spark.catalog.clearCache()
+    val dir = sf()
+    // populate a shared frame for this (session, dir)
+    val before = SparkEntry.queries("dedup_image_pairs")(spark, dir).count()
+    assert(!DatasetBridge.cacheIsEmpty(spark),
+      "expected the shared media-pair frame to be cached")
+    SparkEntry.releaseSharedFrames(spark, dir)
+    assert(DatasetBridge.cacheIsEmpty(spark),
+      "releaseSharedFrames left CacheManager entries for the dir")
+    // the registry forgot the frame: the next access rebuilds and
+    // re-caches, and the result is unchanged
+    val after = SparkEntry.queries("dedup_image_pairs")(spark, dir).count()
+    assert(after == before)
+    assert(!DatasetBridge.cacheIsEmpty(spark))
+    SparkEntry.releaseSharedFrames(spark, dir)
+  }
 }
