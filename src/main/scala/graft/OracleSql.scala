@@ -617,14 +617,16 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT
       < (CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END)
 GROUP BY segment ORDER BY segment"""
 
-  /** Mirrors GraftFunctions.normalize_text: NFC → lower → ASCII-\s
-    * collapse → trim, then the digest. DuckDB's nfc_normalize/lower are
-    * utf8proc; the kernel documents the one divergence (Greek final
-    * sigma) — absent from the corpus and from any per-codepoint text. */
+  /** Mirrors GraftFunctions.normalize_text: NFC → lower → Java-\s
+    * collapse → trim, then the digest. The whitespace class is spelled
+    * out ([ \t\n\r\f\x0b]+) because RE2's \s lacks \v where Java's (the
+    * kernel's) includes it. DuckDB's nfc_normalize/lower are utf8proc;
+    * the kernel documents the one divergence (Greek final sigma) —
+    * absent from the corpus and from any per-codepoint text. */
   val normalizeDocuments: String = raw"""SELECT doc_id,
-  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+  md5(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')))
     AS norm_md5,
-  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f\x0b]+', ' ',
     'g'))) AS BIGINT) AS n_norm_chars
 FROM documents ORDER BY doc_id"""
 

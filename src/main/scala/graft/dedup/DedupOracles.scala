@@ -24,10 +24,11 @@ sh AS (SELECT doc_id,
 FROM documents GROUP BY 1 ORDER BY 1"""
 
   /** Exact dedup over the canonicalized key — the normalize_text chain
-    * (NFC → lower → \s collapse → trim) applied before the digest. */
+    * (NFC → lower → Java-\s collapse → trim) applied before the digest.
+    * The class is explicit because RE2's \s lacks \v (Java's has it). */
   val exactNormalized: String =
     raw"""SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
-        '\s+', ' ', 'g'))) AS text_hash,
+        '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS text_hash,
   count(*) AS n_copies, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1 ORDER BY 1"""
 

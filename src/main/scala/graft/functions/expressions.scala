@@ -56,9 +56,10 @@ object TokenizerAdapters extends Serializable {
   * multilingual dedup key needs before hashing: Unicode NFC (composed
   * accents ≡ decomposed), locale-independent full lowercase, ASCII
   * whitespace runs collapsed to single spaces, leading/trailing
-  * whitespace stripped. Whitespace is EXACTLY the regex `\s` class of
-  * Java and RE2 (space, \t, \n, \r, \f, \v) so the DuckDB oracle's
-  * `regexp_replace(…, '\s+', ' ', 'g')` matches byte-for-byte; DuckDB's
+  * whitespace stripped. Whitespace is the JAVA regex `\s` class
+  * (space, \t, \n, \r, \f, \v) — NOTE this is a superset of RE2's `\s`
+  * (RE2 lacks \v), so the DuckDB oracles spell the class out explicitly
+  * as `[ \t\n\r\f\x0b]+` instead of using `\s+`; DuckDB's
   * utf8proc lower() agrees with Java's ROOT lowercase on everything in
   * scope except context-sensitive Greek final sigma (documented
   * caveat — per-codepoint vs contextual mapping). */

@@ -180,7 +180,13 @@ object Bpe {
     * — seal, fold the merge chain (codegen'd string replaces), unseal. */
   private def encodeWordCol(w: org.apache.spark.sql.Column,
       merges: Seq[Merge]): org.apache.spark.sql.Column = {
-    val sealed0 = regexp_replace(w, "(.)", O + "$1" + C)
+    // (?s) DOTALL: Java's '.' excludes the line terminators U+0085/
+    // U+2028/U+2029, which the \s+ tokenizer does NOT strip (Java \s
+    // lacks them) — without DOTALL a word containing one is left
+    // partially unsealed and the merge fold produces garbage symbols,
+    // diverging from the driver seal() (a code-point loop) and the
+    // DuckDB oracle (RE2 '.' excludes only \n, which \s does strip).
+    val sealed0 = regexp_replace(w, "(?s)(.)", O + "$1" + C)
     val merged = merges.foldLeft(sealed0) { (cc, m) =>
       org.apache.spark.sql.functions.replace(cc,
         lit(O + m.left + C + O + m.right + C),

@@ -61,8 +61,11 @@ object Relevance {
    * (doc, term) posting with its tf, document length and term df
    * DENORMALIZED in (no df join at serve time), directory-partitioned
    * by `hash(term) mod buckets` so a query's scan prunes to its terms'
-   * bucket directories; `stats/` holds the 1-row (n_docs, avgdl)
-   * corpus scalars. At 100 TB this is the layout that makes full-text
+   * bucket directories; `stats/` holds the 1-row (n_docs, avgdl,
+   * buckets) corpus scalars — the bucket count is PERSISTED with the
+   * index so the serve side can never be configured with a mismatched
+   * value (a wrong count would compute wrong bucket ids and silently
+   * drop postings). At 100 TB this is the layout that makes full-text
    * serving cheap: a query touches |query-term buckets| directories,
    * not the corpus.
    */
@@ -83,6 +86,7 @@ object Relevance {
     docs.select(size(toksArr).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -91,13 +95,18 @@ object Relevance {
    * directories (partition filter on the directory column — asserted in
    * RelevanceSpec) and scores the surviving postings with the identical
    * arithmetic as [[bm25]], so the output is bit-identical to the fresh
-   * computation (same oracle).
+   * computation (same oracle). The bucket count comes from the index's
+   * own `stats/` relation (written by [[writeBm25Index]]) — there is no
+   * serve-side parameter to mis-set.
    */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      query: String, k1: Double = 1.2, b: Double = 0.75,
-      buckets: Int = 64): DataFrame = {
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     require(qTerms.nonEmpty, "query must contain at least one token")
+    val stats = spark.read.parquet(s"$path/stats")
+    // 1-row bounded collect: the bucket count the index was WRITTEN with
+    val buckets = stats.select(col("buckets")).head().getInt(0)
+    require(buckets > 0, s"index at $path has invalid bucket count $buckets")
     // the query terms' bucket ids, computed by the ENGINE's own
     // xxhash64 over a |terms|-row local relation (a bounded collect) —
     // no hand-rolled twin of Spark's hash to drift
@@ -108,7 +117,6 @@ object Relevance {
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(qBuckets: _*))
       .filter(col("term").isin(qTerms: _*))
-    val stats = spark.read.parquet(s"$path/stats")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * (k1 + 1)) /

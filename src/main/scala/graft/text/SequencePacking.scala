@@ -109,9 +109,19 @@ object SequencePacking {
     val nb = if (buckets > 0) buckets
       else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
     // two consumers (per-bucket totals + final assignment): materialize
-    // the counted input once — upstream may be an expensive pipeline
+    // the counted input once — upstream may be an expensive pipeline.
+    // The id must cast to a non-null long (range bucketing and the
+    // prefix sum are keyed on it): under non-ANSI configs a non-numeric
+    // string id casts to null and silently corrupts the bucketing and
+    // the emitted doc_id, so the cast is try_cast with an explicit
+    // raise — deterministic, documented failure under ANY ansi setting.
+    // coalesce keeps the check inside the row pipeline (an unused
+    // assert column would be pruned away).
+    val idAsLong = coalesce(col(idCol).try_cast("long"),
+      expr("raise_error('shardByTokenBudget requires a non-null " +
+        "numeric-castable id column')").cast("long"))
     val base = graft.operators.Materialized(
-      docs.select(col(idCol).cast("long").as("doc_id"),
+      docs.select(idAsLong.as("doc_id"),
         countExpr.cast("long").as("n_tokens")))
     val bounds = base.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))

@@ -165,6 +165,32 @@ class BpeSpec extends SparkSpec {
     assert(engine == ((syms.length.toLong, hex)))
   }
 
+  test("line terminators outside \\s (U+0085/U+2028/U+2029) seal like any other char; engine matches driver") {
+    val s = spark
+    import s.implicits._
+    // Java \s lacks these three, so the whitespace tokenizer leaves them
+    // INSIDE words; the engine seal is DOTALL (Java '.' would otherwise
+    // skip them, leaving the word partially unsealed and the merge fold
+    // producing garbage symbols that diverge from the driver).
+    for (t <- Seq('\u0085', '\u2028', '\u2029')) {
+      val w = s"ab${t}ab"
+      assert(Bpe.encodeWord(w, Nil).toSeq ==
+        Seq("a", "b", t.toString, "a", "b"))
+      val docs = Seq((1L, s"$w $w ab")).toDF("doc_id", "text")
+      val merges = Bpe.train(Bpe.wordSample(docs, "text", 10), 2)
+      val engine = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+        .collect().map(r => (r.getLong(1), r.getString(2))).head
+      val words = Seq(w, w, "ab")
+      val syms = words.flatMap(x => Bpe.encodeWord(x, merges))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(syms.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(engine == ((syms.length.toLong, hex)),
+        s"engine/driver divergence on U+${t.toInt.toHexString}")
+    }
+  }
+
   test("persisted merge model round-trips and serves bit-identical encodings") {
     val docs = Demo.table(spark, sf(), "documents")
     val trained = Bpe.train(Bpe.wordSample(docs, "text", 64), 12)

@@ -80,6 +80,20 @@ class RelevanceSpec extends SparkSpec {
     assert(Relevance.bm25FromIndex(spark, path, "zzz qqq").count() == 0)
   }
 
+  test("bm25FromIndex: bucket count comes from the index itself (no serve-side knob to mismatch)") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val p32 = java.nio.file.Files
+      .createTempDirectory("bm25-b32").toString + "/idx"
+    // a NON-default bucket count at write time; serving takes no bucket
+    // parameter and must still read every posting correctly
+    Relevance.writeBm25Index(docs, "text", "doc_id", p32, buckets = 32)
+    val served = Relevance.bm25FromIndex(spark, p32, "spark window merge")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = Relevance.bm25(docs, "text", "doc_id", "spark window merge")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == fresh && served.nonEmpty)
+  }
+
   test("bigrams: stream extraction drops short docs") {
     val s = spark
     import s.implicits._

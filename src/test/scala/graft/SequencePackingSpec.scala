@@ -132,6 +132,29 @@ class SequencePackingSpec extends SparkSpec {
     assert(solo.toSeq == Seq((42L, 0L, 0L)))
   }
 
+  test("shardByTokenBudget: non-numeric id raises instead of silently nulling") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("doc-a", "a b c"), ("doc-b", "d e")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      SequencePacking.shardByTokenBudget(bad,
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 4L, 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("numeric-castable id")),
+      s"unexpected failure: $ex")
+    // numeric STRING ids are fine — the cast succeeds
+    val ok = SequencePacking.shardByTokenBudget(
+      Seq(("7", "a b"), ("9", "c")).toDF("doc_id", "text"),
+      graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 4L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ok == Set((7L, 0L), (9L, 2L)))
+  }
+
   test("chunking: window starts, overlap, and short tails") {
     val s = spark
     import s.implicits._
