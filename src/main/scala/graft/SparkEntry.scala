@@ -144,22 +144,50 @@ object SparkEntry {
       TextDedup.minhashLshPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id"))
 
-  /** Media near-dup pair frames, each shared by three consumers (the
-    * pair query, the per-modality corpus end state, and the cross-modal
-    * closure) — the decode+fingerprint+banding work runs once per
-    * (session, dir) instead of three times. */
+  /** Media fingerprint frames (decode + hash, the codec-bound map
+    * side), shared by the fingerprint queries, the pair frames and the
+    * edge frames — the decode work runs once per (session, dir). */
+  private def imageFpsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "image_fps")(
+      graft.multimodal.Multimodal.imageDhash(
+        imageDemoPayloads(s, dir), "payload", "doc_id"))
+  private def audioFpsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "audio_fps")(
+      graft.multimodal.Multimodal.audioFingerprint(
+        audioDemoPayloads(s, dir), "payload", "doc_id"))
+
+  /** Media near-dup PAIR frames — consumed by the pair-report queries,
+    * where the pairs themselves are the product. Banding runs over the
+    * shared fingerprint frames. */
   private def imagePairsDf(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "image_pairs")(
-      graft.multimodal.Multimodal.imageDedupPairs(
-        imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2))
+      TextDedup.hammingPairsWide(imageFpsDf(s, dir), "doc_id", "dhash",
+        maxDist = 2, chunkBits = 16))
   private def audioPairsDf(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "audio_pairs")(
-      graft.multimodal.Multimodal.audioDedupPairs(
-        audioDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2))
+      TextDedup.hammingPairsWide(audioFpsDf(s, dir), "doc_id", "afp",
+        maxDist = 2, chunkBits = 16))
   private def videoPairsDf(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "video_pairs")(
       graft.multimodal.Multimodal.videoDedupPairs(
         videoDemoPayloads(s, dir), "payload", "doc_id"))
+
+  /** Media near-dup EDGE frames — connectivity-equivalent to the pair
+    * frames (star edges within identical-fingerprint groups + one
+    * bridge per qualifying distinct-fingerprint pair) but LINEAR in
+    * documents where pair frames are quadratic in dup-group size. The
+    * corpus end states and the cross-modal closure consume these: on a
+    * dup-dense corpus the 100× audio pair frame was ~10⁸ rows while
+    * the edge frame stays ∝ docs. Components are identical, so the
+    * corpus oracles are unchanged. */
+  private def imageEdgesDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "image_edges")(
+      graft.multimodal.Multimodal.imageDedupEdges(
+        imageFpsDf(s, dir), maxDist = 2))
+  private def audioEdgesDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "audio_edges")(
+      graft.multimodal.Multimodal.audioDedupEdges(
+        audioFpsDf(s, dir), maxDist = 2))
 
   /** Connected-component labels over the near-dup pairs, shared by the
     * clustering query and the keeper-only corpus query (the iterative
@@ -272,7 +300,9 @@ object SparkEntry {
     Seq(webClean(s, dir), abrClean(s, dir), matchDf(s, dir),
       matchedDf(s, dir), matchLlmDf(s, dir), dimDf(s, dir),
       lshPairsDf(s, dir), ccLabelsDf(s, dir), nbPredDf(s, dir),
+      imageFpsDf(s, dir), audioFpsDf(s, dir),
       imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
+      imageEdgesDf(s, dir), audioEdgesDf(s, dir),
       cachedFrame(s, dir, "corpus_keepers") {
         graft.corpus.CorpusPipeline.keepers(
           Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
@@ -863,8 +893,7 @@ object SparkEntry {
     // the DuckDB oracle (signed BIGINT) can replay the full
     // encode→decode→hash chain value-exactly
     "image_dhash" -> ((s, dir) =>
-      graft.multimodal.Multimodal.imageDhash(imageDemoPayloads(s, dir),
-        "payload", "doc_id")
+      imageFpsDf(s, dir)
         .select(col("doc_id"),
           expr("(dhash >> 0) & 65535").as("c0"),
           expr("(dhash >> 16) & 65535").as("c1"),
@@ -895,13 +924,14 @@ object SparkEntry {
     // banding as text simhash (16-bit chunks, exact pigeonhole recall)
     "dedup_image_pairs" -> ((s, dir) =>
       imagePairsDf(s, dir).orderBy("doc_a", "doc_b")),
-    // Multimodal dedup END STATE: image near-dup pairs → connected
+    // Multimodal dedup END STATE: image near-dup EDGES (star + bridge,
+    // linear in docs — not the quadratic pair frame) → connected
     // components (min-label propagation) → one keeper per cluster —
     // the same closure the text dedup column has (dedup_corpus)
     "dedup_image_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        imagePairsDf(s, dir), "doc_a", "doc_b")
+        imageEdgesDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -924,8 +954,7 @@ object SparkEntry {
     // + zero-crossing gradient bits over REAL decoded PCM (chromaprint-
     // style banded hash, gain-invariant, exact HUGEINT comparisons)
     "audio_fingerprint" -> ((s, dir) =>
-      graft.multimodal.Multimodal.audioFingerprint(
-        audioDemoPayloads(s, dir), "payload", "doc_id")
+      audioFpsDf(s, dir)
         .select(col("doc_id"),
           expr("(afp >> 0) & 65535").as("c0"),
           expr("(afp >> 16) & 65535").as("c1"),
@@ -935,11 +964,13 @@ object SparkEntry {
     // Training-data ops: multimodal near-dup dedup for the audio column
     "dedup_audio_pairs" -> ((s, dir) =>
       audioPairsDf(s, dir).orderBy("doc_a", "doc_b")),
-    // Multimodal dedup END STATE for the audio column
+    // Multimodal dedup END STATE for the audio column — edge-fed: the
+    // densifying audio corpus is exactly where the pair frame went
+    // quadratic (~10⁸ rows at the 100× ladder)
     "dedup_audio_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        audioPairsDf(s, dir), "doc_a", "doc_b")
+        audioEdgesDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -949,13 +980,16 @@ object SparkEntry {
     // ties it to a lower-id document (a re-encoded image with fresh alt
     // text, or copied text with re-rendered media, is the same asset)
     "dedup_multimodal_corpus" -> ((s, dir) => {
+      // fingerprint modalities contribute their LINEAR edge frames;
+      // text/video contribute verified pairs (their candidate machinery
+      // is doc-grain, not fingerprint-group-grain)
       val textPairs = lshPairsDf(s, dir).select("doc_a", "doc_b")
-      val imagePairs = imagePairsDf(s, dir).select("doc_a", "doc_b")
-      val audioPairs = audioPairsDf(s, dir).select("doc_a", "doc_b")
+      val imageEdges = imageEdgesDf(s, dir).select("doc_a", "doc_b")
+      val audioEdges = audioEdgesDf(s, dir).select("doc_a", "doc_b")
       val videoPairs = videoPairsDf(s, dir).select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        textPairs.unionByName(imagePairs).unionByName(audioPairs)
+        textPairs.unionByName(imageEdges).unionByName(audioEdges)
           .unionByName(videoPairs).distinct(),
         "doc_a", "doc_b")
         .filter(col("node") === col("component"))

@@ -711,10 +711,21 @@ object TextDedup {
     require(maxDist >= 0 && maxDist <= numChunks - 1,
       s"maxDist must be in [0, ${numChunks - 1}] for exact recall")
     require(chunkBits * numChunks <= 64, "fingerprint must fit a long")
-    val mask = (1L << chunkBits) - 1
     val sh = graft.operators.Materialized(
       hashes.select(col(idCol).as("doc_id"), col(hashCol).as("simhash")))
     val fps = sh.select(col("simhash")).distinct()
+    expandToDocPairs(sh,
+      wideFpairs(fps, maxDist, chunkBits, numChunks, strict = false))
+  }
+
+  /** Qualifying DISTINCT-fingerprint pairs within Hamming `maxDist` via
+    * the Manku wide combination keys (the shared core of
+    * [[hammingPairsWide]] and [[hammingEdgesWide]]). `strict` drops the
+    * fa = fb diagonal (identical-fingerprint groups), which the edge
+    * formulation covers with star edges instead. */
+  private def wideFpairs(fps: DataFrame, maxDist: Int, chunkBits: Int,
+      numChunks: Int, strict: Boolean): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val combos = (0 until numChunks).combinations(numChunks - maxDist)
       .toSeq.zipWithIndex
     val keyed = combos.map { case (chunkIdxs, comboId) =>
@@ -723,13 +734,73 @@ object TextDedup {
       }.reduce(_ + _)
       fps.select(col("simhash"), lit(comboId).as("t"), key.as("k"))
     }.reduce(_ unionByName _)
-    val fpairs = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
-        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
-          col("a.simhash") <= col("b.simhash"))
+    val cmp = if (strict) col("a.simhash") < col("b.simhash")
+      else col("a.simhash") <= col("b.simhash")
+    keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") && cmp)
       .select(col("a.simhash").as("fa"), col("b.simhash").as("fb"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
-    expandToDocPairs(sh, fpairs)
+  }
+
+  /**
+   * Connectivity-equivalent EDGE frame for [[hammingPairsWide]] — the
+   * dup-dense-corpus formulation of the fingerprint dedup end state.
+   *
+   * [[hammingPairsWide]] materializes every qualifying doc pair, which
+   * is k²/2 rows for a group of k documents sharing one fingerprint —
+   * the right output when the PAIRS are the product (audit queries,
+   * pair reports), but a latent memory hazard when the consumer is
+   * connected components, which only needs CONNECTIVITY (a 100×
+   * dup-dense audio ladder produced a ~10⁸-row pair frame from exactly
+   * this expansion). This variant emits a frame with identical
+   * transitive closure in **linear** row count:
+   *
+   *  - identical-fingerprint groups become STAR edges — the group's
+   *    min doc id to each other member, k−1 rows per group;
+   *  - each qualifying DISTINCT-fingerprint pair (Hamming 1..maxDist)
+   *    becomes ONE representative edge between the two groups' min doc
+   *    ids — both groups are already internally star-connected, so one
+   *    bridge connects them entirely.
+   *
+   * Total rows = (fingerprinted docs − distinct fingerprints) +
+   * |qualifying fingerprint pairs| — proportional to docs plus the
+   * distinct-fingerprint match volume, never to group size². Components
+   * (and therefore keepers) from [[ConnectedComponents.label]] are
+   * identical to feeding it the full pair frame, so corpus end-state
+   * oracles are unchanged. Output: (doc_a, doc_b), doc_a < doc_b.
+   *
+   * Documents may carry MULTIPLE fingerprint rows (e.g. windowed audio
+   * fingerprints): groups then share members and the representative
+   * guard (`ra =!= rb`) drops degenerate self-bridges.
+   */
+  def hammingEdgesWide(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, chunkBits: Int, numChunks: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= numChunks - 1,
+      s"maxDist must be in [0, ${numChunks - 1}] for exact recall")
+    require(chunkBits * numChunks <= 64, "fingerprint must fit a long")
+    val sh = graft.operators.Materialized(
+      hashes.select(col(idCol).as("doc_id"), col(hashCol).as("simhash")))
+    // per-fingerprint representative: the group's min doc id
+    val rep = sh.groupBy("simhash").agg(min(col("doc_id")).as("rep"))
+    val stars = sh.join(rep, "simhash")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val fpairs = wideFpairs(sh.select(col("simhash")).distinct(),
+      maxDist, chunkBits, numChunks, strict = true)
+    val bridges = fpairs
+      .join(rep.select(col("simhash").as("fa"), col("rep").as("ra")), "fa")
+      .join(rep.select(col("simhash").as("fb"), col("rep").as("rb")), "fb")
+      .where(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("doc_a"),
+        greatest(col("ra"), col("rb")).as("doc_b"))
+      .distinct()
+    // no distinct over the union: stars are unique per (fingerprint,
+    // member) and a bridge's endpoints carry different fingerprints, so
+    // the two sets cannot overlap when each doc has one fingerprint;
+    // with multi-fingerprint docs ConnectedComponents tolerates
+    // duplicate edges anyway (label propagation is idempotent).
+    stars.unionByName(bridges)
   }
 }

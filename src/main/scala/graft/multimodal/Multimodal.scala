@@ -281,6 +281,22 @@ object Multimodal {
       audioFingerprint(df, binCol, idCol), "doc_id", "afp",
       maxDist, chunkBits = 16)
 
+  /** Connectivity-equivalent EDGE frame over precomputed image dHash
+    * fingerprints ([[imageDhash]] output) — star edges within
+    * identical-fingerprint groups plus one bridge per qualifying
+    * distinct-fingerprint pair ([[graft.dedup.TextDedup.hammingEdgesWide]]),
+    * linear in documents where the pair frame is quadratic in dup-group
+    * size. Feed this (not the pair frame) to ConnectedComponents for
+    * corpus end states. */
+  def imageDedupEdges(fingerprints: DataFrame, maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingEdgesWide(
+      fingerprints, "doc_id", "dhash", maxDist, chunkBits = 16)
+
+  /** Audio twin of [[imageDedupEdges]] over [[audioFingerprint]] output. */
+  def audioDedupEdges(fingerprints: DataFrame, maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingEdgesWide(
+      fingerprints, "doc_id", "afp", maxDist, chunkBits = 16)
+
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     // One corrupt blob must degrade to the stub row, not fail the task:

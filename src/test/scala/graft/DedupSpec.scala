@@ -217,6 +217,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingEdgesWide: identical components to the pair frame, linear edge count") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // adversarially dup-dense: one 40-doc identical-fingerprint clique
+    // (the pair frame's quadratic case), a 3-doc group one bit away
+    // (bridged), a far group, singletons
+    val clique = (0L until 40L).map(i => (i, 0xABCD1234L))
+    val near = Seq((100L, 0xABCD1235L), (101L, 0xABCD1235L), (102L, 0xABCD1235L))
+    val far = Seq((200L, 0x7F00FF00FF00L), (201L, 0x7F00FF00FF00L))
+    val solo = Seq((300L, 0x123456789AL), (301L, 0x40000000000L))
+    val fps = (clique ++ near ++ far ++ solo).toDF("doc_id", "fp")
+    val nodes = fps.select(col("doc_id")).distinct()
+    def components(edges: org.apache.spark.sql.DataFrame) =
+      graft.dedup.ConnectedComponents.label(nodes, edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- 0 to 3) {
+      val pairs = TextDedup.hammingPairsWide(fps, "doc_id", "fp", d, chunkBits = 16)
+      val edges = TextDedup.hammingEdgesWide(fps, "doc_id", "fp", d, chunkBits = 16)
+      assert(components(edges.select("doc_a", "doc_b")) ===
+        components(pairs.select("doc_a", "doc_b")), s"maxDist=$d")
+    }
+    // row-count shape at maxDist=1: pair frame is quadratic in the
+    // clique (40·39/2 within-group pairs + 40·3 cross + 3 within near
+    // + 1 within far), the edge frame is (docs−distinct fps) + bridges
+    val pairCnt = TextDedup.hammingPairsWide(fps, "doc_id", "fp", 1, 16).count()
+    val edgeCnt = TextDedup.hammingEdgesWide(fps, "doc_id", "fp", 1, 16).count()
+    assert(pairCnt == 40L * 39 / 2 + 40 * 3 + 3 + 1, s"pairs=$pairCnt")
+    // 47 docs, 5 distinct fps → 42 stars; one qualifying fp pair → 1 bridge
+    assert(edgeCnt == 42 + 1, s"edges=$edgeCnt")
+    // doc_a < doc_b on every edge (CC contract)
+    val bad = TextDedup.hammingEdgesWide(fps, "doc_id", "fp", 1, 16)
+      .filter(col("doc_a") >= col("doc_b")).count()
+    assert(bad == 0)
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
