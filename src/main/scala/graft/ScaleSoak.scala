@@ -148,6 +148,13 @@ object ScaleSoak {
     // cross-corpus LM: target-side model aggs + corpus-side left joins
     // — the scoreDocs family's shapes with a 10%-sized model side
     "lm_cross_scores",
+    // ── round-9 additions ──
+    // edge-fed audio corpus end state: star+bridge edges (LINEAR in
+    // docs) feed connected components — the ~10⁸-row quadratic pair
+    // frame that OOM'd the first round-8 full ladder is out of this
+    // query's loop entirely; the row reports edge_rows per factor
+    // (must track docs, not pairs) as the boundedness evidence
+    "dedup_audio_corpus",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
@@ -265,12 +272,22 @@ object ScaleSoak {
       // at each factor (must stay ≤ buckets × classes — FLAT while the
       // corpus and its vocab grow 100×)
       val extra =
-        if (q != "classify_lang_nb_hashed") ""
-        else factors.map(f => f""""x$f":${
-          graft.text.Classifier.nbHashedModelRows(
-            Demo.table(spark, s"$base/x$f", "documents"),
-            "text", "doc_id", "lang")}""")
-          .mkString(""","model_rows":{""", ",", "}")
+        if (q == "classify_lang_nb_hashed")
+          factors.map(f => f""""x$f":${
+            graft.text.Classifier.nbHashedModelRows(
+              Demo.table(spark, s"$base/x$f", "documents"),
+              "text", "doc_id", "lang")}""")
+            .mkString(""","model_rows":{""", ",", "}")
+        // edge-vs-docs boundedness: the CC feed must grow with the
+        // corpus, never with dup-group size squared (pair frames do)
+        else if (q == "dedup_audio_corpus")
+          factors.map(f => f""""x$f":${
+            SparkEntry.audioEdgeRows(spark, s"$base/x$f")}""")
+            .mkString(""","edge_rows":{""", ",", "}") +
+          factors.map(f => f""""x$f":${
+            Demo.table(spark, s"$base/x$f", "documents").count()}""")
+            .mkString(""","docs":{""", ",", "}")
+        else ""
       println(f"""{"query":"$q","secs":$secs,"ratio_x$fMax":$ratio%.2f,"alpha":$alpha%.3f,"verdict":"$verdict","plan_shape":"$shapeNote"$extra}""")
     }
     if (queries == Queries) runExtras(spark, base, factors, fMax)

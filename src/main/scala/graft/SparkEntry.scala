@@ -189,6 +189,11 @@ object SparkEntry {
       graft.multimodal.Multimodal.audioDedupEdges(
         audioFpsDf(s, dir), maxDist = 2))
 
+  /** Soak evidence hook: row count of the audio CC edge frame — must
+    * track document count (stars + bridges), never dup-group size². */
+  private[graft] def audioEdgeRows(s: SparkSession, dir: String): Long =
+    audioEdgesDf(s, dir).count()
+
   /** Connected-component labels over the near-dup pairs, shared by the
     * clustering query and the keeper-only corpus query (the iterative
     * label-propagation loop is the expensive part). */
@@ -228,6 +233,35 @@ object SparkEntry {
       .mapPartitions(_.map { case (id, t) =>
         (id, graft.multimodal.Wav.syntheticWav(0L,
           t.substring(0, math.min(t.length, 120))))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Demo audio payloads with PLANTED TIME SHIFTS: every doc whose id
+    * ≡ 5 (mod 31) becomes the PREVIOUS doc's clip delayed by 32 zero
+    * samples (2 hops of the windowed fingerprint) — a time-shifted
+    * duplicate the positional whole-clip envelope hash cannot see.
+    * The previous doc is fetched by a doc_id−1 equi-join (hash join;
+    * no global window). */
+  private def audioShiftedDemoPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Demo.table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prev = d.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    d.join(prev, Seq("doc_id"), "left")
+      .as[(Long, String, Option[String])]
+      .mapPartitions(_.map { case (id, t, pt) =>
+        val shifted = id % 31 == 5 && pt.isDefined
+        val baseText = if (shifted) pt.get else t
+        val trunc = baseText.substring(0, math.min(baseText.length, 120))
+        val base = graft.multimodal.Wav.syntheticWav(0L, trunc)
+        if (!shifted) (id, base)
+        else {
+          val samples = graft.multimodal.Wav.decodeSamples(base).get.samples
+          val out = new Array[Short](samples.length + 32)
+          var i = 0
+          while (i < samples.length) { out(i + 32) = samples(i).toShort; i += 1 }
+          (id, graft.multimodal.Wav.encode(8000, 1, out))
+        }
       }).toDF("doc_id", "payload")
   }
 
@@ -964,6 +998,17 @@ object SparkEntry {
     // Training-data ops: multimodal near-dup dedup for the audio column
     "dedup_audio_pairs" -> ((s, dir) =>
       audioPairsDf(s, dir).orderBy("doc_a", "doc_b")),
+    // SHIFT-TOLERANT audio dedup: overlapping-window fingerprints
+    // (64-sample windows, hop 16) — a clip delayed by a silence prefix
+    // reproduces whole windows of the original and collides at
+    // Hamming 0, where the positional whole-clip hash misses it. Run
+    // over the planted-shift demo corpus (doc_id ≡ 5 mod 31 is the
+    // previous doc's clip delayed 32 samples).
+    "dedup_audio_pairs_shifted" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioDedupPairsShifted(
+        audioShiftedDemoPayloads(s, dir), "payload", "doc_id",
+        maxDist = 2)
+        .orderBy("doc_a", "doc_b")),
     // Multimodal dedup END STATE for the audio column — edge-fed: the
     // densifying audio corpus is exactly where the pair frame went
     // quadratic (~10⁸ rows at the 100× ladder)
@@ -2075,6 +2120,7 @@ object SparkEntry {
     "dedup_image_corpus" -> DedupOracles.imageCorpus(),
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
+    "dedup_audio_pairs_shifted" -> DedupOracles.audioDedupPairsShifted(),
     "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
     "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,

@@ -726,6 +726,97 @@ WHERE comp = node ORDER BY doc_id"""
   val audioFingerprint: String = s"""WITH $afpCtes
 SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
 
+  /**
+   * Replays `dedup_audio_pairs_shifted` end-to-end: the SHIFTED demo
+   * corpus (every doc_id ≡ 5 mod 31 becomes the PREVIOUS doc's clip
+   * delayed by 32 zero samples), AudioFingerprint.windowedFingerprints
+   * (64-sample windows, hop 16 — each window fingerprinted as its own
+   * clip with window-local zero-crossing lag), and the banding with
+   * per-pair MIN window Hamming. All window arithmetic is integer, so
+   * the replay is exact.
+   */
+  def audioDedupPairsShifted(maxDist: Int = 2): String = s"""WITH s0 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 31 = 5 AND p.doc_id IS NOT NULL
+              THEN p.text ELSE d.text END AS text,
+         CASE WHEN d.doc_id % 31 = 5 AND p.doc_id IS NOT NULL
+              THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sh
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+s AS (
+  SELECT doc_id, text, sh,
+         CAST(least(120, strlen(coalesce(text, ''))) AS BIGINT) AS tlen,
+         CAST(greatest(8, least(4096,
+           least(120, strlen(coalesce(text, ''))))) AS BIGINT) + sh AS n
+  FROM s0),
+smp AS (
+  SELECT doc_id, n, i,
+    CASE WHEN i < sh THEN 0
+         WHEN (i - sh) % 97 = 0 THEN 32767
+         WHEN tlen = 0 THEN (CAST((i - sh) % 251 AS INT) - 128) * 250
+              + CAST((i - sh) % 17 AS INT)
+         ELSE (ord(substr(text, CAST((i - sh) % tlen AS INT) + 1, 1)) - 128)
+              * 250 + CAST((i - sh) % 17 AS INT)
+    END AS v
+  FROM s, range(0, 4128) ri(i) WHERE i < n),
+wins AS (
+  SELECT doc_id, w,
+         CASE WHEN n < 64 THEN CAST(0 AS BIGINT) ELSE w * 16 END AS woff,
+         CASE WHEN n < 64 THEN n ELSE CAST(64 AS BIGINT) END AS wn
+  FROM s, range(0, 256) rw(w)
+  WHERE (n < 64 AND w = 0) OR (n >= 64 AND w <= (n - 64) // 16)),
+wsm AS (
+  SELECT wins.doc_id, wins.w, smp.i - wins.woff AS j, smp.v,
+    lag(smp.v) OVER (PARTITION BY wins.doc_id, wins.w ORDER BY smp.i) AS pv
+  FROM wins JOIN smp ON smp.doc_id = wins.doc_id
+    AND smp.i >= wins.woff AND smp.i < wins.woff + wins.wn),
+fb AS (
+  SELECT doc_id, w, f, (f * wn) // 33 AS lo,
+    least(wn, greatest((f * wn) // 33 + 1, ((f + 1) * wn) // 33)) AS hi
+  FROM wins, range(0, 33) rf(f)),
+fe AS (
+  SELECT fb.doc_id, fb.w, fb.f,
+    sum(CAST(p.v AS BIGINT) * p.v) AS e,
+    sum(CASE WHEN p.j >= 1 AND ((p.v < 0) <> (p.pv < 0))
+             THEN 1 ELSE 0 END) AS z,
+    count(*) AS c
+  FROM fb JOIN wsm p
+    ON p.doc_id = fb.doc_id AND p.w = fb.w AND p.j >= fb.lo AND p.j < fb.hi
+  GROUP BY 1, 2, 3),
+tr AS (
+  SELECT l.doc_id, l.w, l.f,
+    CASE WHEN CAST(r.e AS HUGEINT) * l.c > CAST(l.e AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS eb,
+    CASE WHEN CAST(r.z AS HUGEINT) * l.c > CAST(l.z AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS zb
+  FROM fe l JOIN fe r ON r.doc_id = l.doc_id AND r.w = l.w AND r.f = l.f + 1
+  WHERE l.f < 32),
+bits AS (
+  SELECT doc_id, w, f AS bit, eb AS b FROM tr
+  UNION ALL SELECT doc_id, w, 32 + f AS bit, zb AS b FROM tr),
+fp0 AS (
+  SELECT doc_id, w, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bits GROUP BY 1, 2),
+fp2 AS (SELECT doc_id, c1 * 65536 + c0 AS lo, c3 * 65536 + c2 AS hi FROM fp0),
+d AS (SELECT DISTINCT hi, lo FROM fp2),
+ch AS (SELECT hi, lo, k,
+         CASE k WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS v
+       FROM d, range(0, 4) r(k)),
+cand AS (SELECT DISTINCT a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         FROM ch a JOIN ch b ON a.k = b.k AND a.v = b.v
+           AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo <= b.lo))),
+hp AS (SELECT ahi, alo, bhi, blo,
+         bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= $maxDist),
+allp AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b, hamming
+         FROM hp JOIN fp2 x ON x.hi = hp.ahi AND x.lo = hp.alo
+                 JOIN fp2 y ON y.hi = hp.bhi AND y.lo = hp.blo
+         WHERE x.doc_id <> y.doc_id)
+SELECT doc_a, doc_b, min(hamming) AS hamming FROM allp
+GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+
   /** Mirrors Multimodal.audioDedupPairs. */
   def audioDedupPairs(maxDist: Int = 2): String =
     chunkPairsSql(afpCtes, maxDist)

@@ -67,4 +67,36 @@ object AudioFingerprint {
     }
     Some(hash)
   }
+
+  /**
+   * SHIFT-TOLERANT fingerprinting: [[fingerprint64]] of every
+   * overlapping `window`-sample excerpt at `hop`-sample stride — the
+   * real-pipeline formulation (Chromaprint/AcoustID fingerprint
+   * overlapping offsets for exactly this reason): the whole-clip
+   * envelope hash only matches POSITIONALLY aligned duplicates, so a
+   * copy delayed by a silence prefix or trimmed intro never collides.
+   * With `hop ≤ window/2` (required), a duplicate shifted by any
+   * multiple of `hop` reproduces entire windows of the original
+   * sample-for-sample — Hamming-0 collisions regardless of offset.
+   *
+   * Each window is fingerprinted as its own clip (zero-crossing counts
+   * are window-local — both copies of a shared excerpt see the same
+   * slice, so equality is exact). Clips shorter than `window` emit one
+   * whole-clip fingerprint at index 0. Output: (windowIndex, fp) pairs;
+   * rows per clip = ⌊(n−window)/hop⌋+1 — linear in clip length, the
+   * standard fingerprint-density trade.
+   */
+  def windowedFingerprints(samples: Array[Int], window: Int,
+      hop: Int): Seq[(Int, Long)] = {
+    require(window > 0 && hop > 0 && hop * 2 <= window,
+      s"need 0 < hop <= window/2 for shift tolerance (window=$window, hop=$hop)")
+    val n = samples.length
+    if (n == 0) Nil
+    else if (n < window) fingerprint64(samples).map((0, _)).toSeq
+    else (0 to (n - window) / hop).flatMap { k =>
+      val slice = java.util.Arrays.copyOfRange(
+        samples, k * hop, k * hop + window)
+      fingerprint64(slice).map((k, _))
+    }
+  }
 }

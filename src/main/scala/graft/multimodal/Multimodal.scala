@@ -281,6 +281,46 @@ object Multimodal {
       audioFingerprint(df, binCol, idCol), "doc_id", "afp",
       maxDist, chunkBits = 16)
 
+  /**
+   * Per-clip WINDOWED audio fingerprints
+   * ([[AudioFingerprint.windowedFingerprints]]): one row per
+   * (clip, window offset) — the shift-tolerant index. Output:
+   * (doc_id, win, afp).
+   */
+  def audioWindowedFingerprints(df: DataFrame, binCol: String,
+      idCol: String, window: Int = 64, hop: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol), col(idCol).cast("long"))
+      .as[(Array[Byte], Long)]
+      .mapPartitions(_.flatMap { case (bytes, id) =>
+        (try Wav.decodeSamples(bytes)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .toSeq.flatMap(w =>
+            AudioFingerprint.windowedFingerprints(w.samples, window, hop))
+          .map { case (win, fp) => (id, win, fp) }
+      })
+      .toDF("doc_id", "win", "afp")
+  }
+
+  /**
+   * SHIFT-TOLERANT near-duplicate audio pairs: clips match when ANY of
+   * their overlapping-window fingerprints collide within Hamming
+   * `maxDist` — a time-shifted copy (silence prefix, trimmed intro)
+   * reproduces whole windows of the original and collides at Hamming 0,
+   * where the positional whole-clip hash ([[audioDedupPairs]]) misses
+   * it entirely. Same wide-key banding core over DISTINCT window
+   * fingerprints; output (doc_a, doc_b, hamming) with hamming = the
+   * best (minimum) window collision per pair.
+   */
+  def audioDedupPairsShifted(df: DataFrame, binCol: String, idCol: String,
+      maxDist: Int = 2, window: Int = 64, hop: Int = 16): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      audioWindowedFingerprints(df, binCol, idCol, window, hop),
+      "doc_id", "afp", maxDist, chunkBits = 16)
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("hamming")).as("hamming"))
+
   /** Connectivity-equivalent EDGE frame over precomputed image dHash
     * fingerprints ([[imageDhash]] output) — star edges within
     * identical-fingerprint groups plus one bridge per qualifying

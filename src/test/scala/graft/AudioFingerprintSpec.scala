@@ -78,6 +78,54 @@ class AudioFingerprintSpec extends SparkSpec {
       === Set((10L, 20L, 0)))
   }
 
+  test("windowedFingerprints: shift by a hop multiple reproduces the original's windows") {
+    val base = clip(640, 6)
+    val shifted = Array.fill(128)(0) ++ base // 128 = 2 hops at hop 64
+    val fb = AudioFingerprint.windowedFingerprints(base, 256, 64).toMap
+    val fs = AudioFingerprint.windowedFingerprints(shifted, 256, 64).toMap
+    // window k of the original IS window k+2 of the shifted copy
+    (0 to (640 - 256) / 64).foreach { k =>
+      assert(fs(k + 2) === fb(k), s"window $k")
+    }
+    // short clips: single whole-clip fingerprint at index 0
+    val tiny = AudioFingerprint.windowedFingerprints(clip(100, 1), 256, 64)
+    assert(tiny.map(_._1) === Seq(0))
+    assert(tiny.head._2 === AudioFingerprint.fingerprint64(clip(100, 1)).get)
+    // hop > window/2 is rejected (no shift-tolerance guarantee)
+    intercept[IllegalArgumentException] {
+      AudioFingerprint.windowedFingerprints(base, 256, 200)
+    }
+  }
+
+  test("planted time-shifted duplicate: found by windowed matching, missed by the whole-clip hash") {
+    val base = clip(800, 7)
+    val shifted = Array.fill(32)(0) ++ base // 2 hops at the demo hop 16
+    // clip 3 is hash-noise, not another square wave — the coarse
+    // 33-frame envelope over 64-sample windows can genuinely collide
+    // for two structurally similar synthetic tones
+    val noise = Array.tabulate(800)(i =>
+      (((i * 2654435761L + 11) % 7919) - 3959).toInt)
+    val rows = Seq(
+      (1L, Wav.encode(8000, 1, base.map(_.toShort))),
+      (2L, Wav.encode(8000, 1, shifted.map(_.toShort))),
+      (3L, Wav.encode(8000, 1, noise.map(_.toShort))))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    // the positional whole-clip envelope hash does NOT see the pair
+    val whole = Multimodal.audioDedupPairs(df, "payload", "doc_id",
+      maxDist = 2).collect()
+    assert(!whole.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"whole-clip hash unexpectedly matched the shifted pair: ${whole.toSeq}")
+    // the windowed fingerprints DO — at Hamming 0 (shared windows are
+    // sample-identical)
+    val win = Multimodal.audioDedupPairsShifted(df, "payload", "doc_id",
+      maxDist = 2, window = 64, hop = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(win.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"windowed matching missed the planted shift: ${win.toSeq}")
+    // the unrelated clip stays unpaired with the base clip
+    assert(!win.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+  }
+
   test("decodeSamples: round-trips the encoder, sign-extends, tolerates truncation") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 5, -5)
     val wav = Wav.encode(8000, 1, samples)
