@@ -611,6 +611,40 @@ c AS (SELECT doc_id, lang,
 SELECT doc_id, lang, rep FROM c, unnest(range(0, reps)) AS t(rep)
 WHERE reps > 0 ORDER BY doc_id, rep"""
 
+  /** Shared URL/domain CTEs: the synthesized crawl URL (byte-identical
+    * to SparkEntry.docsWithUrl's concat) and Text.extractDomain's
+    * host-regex + www-strip + lower, replayed in RE2. */
+  private val domainCtes: String = raw"""u AS (
+  SELECT doc_id,
+    'https://www.' || source || '-' || CAST(doc_id % 5 AS VARCHAR)
+      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT doc_id,
+    lower(regexp_replace(regexp_extract(url, '://([^/?#]+)', 1),
+      '^www\.', '')) AS domain
+  FROM u)"""
+
+  /** Mirrors `curate_domain_filter`: blocklist drop + suffix gate over
+    * the extracted domain. */
+  val curateDomainFilter: String = s"""WITH $domainCtes
+SELECT doc_id, domain FROM d
+WHERE domain NOT IN ('src0-0.example.com', 'src7-3.example.com',
+                     'src15-2.example.com')
+  AND ends_with(domain, '.example.com')
+ORDER BY doc_id"""
+
+  /** Mirrors `sample_domain_cap`: at most 2 docs per domain by the
+    * md5-bucket rank with doc_id ties — Sampling.balanced replayed. */
+  val sampleDomainCap: String = s"""WITH $domainCtes,
+rk AS (
+  SELECT doc_id, domain,
+    row_number() OVER (PARTITION BY domain ORDER BY
+      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) % 10000 AS BIGINT), doc_id) AS rn
+  FROM d)
+SELECT doc_id, domain FROM rk WHERE rn <= 2 ORDER BY doc_id"""
+
   val sampleStratified: String = """SELECT c_mktsegment AS segment, count(*) AS n
 FROM customer
 WHERE CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)

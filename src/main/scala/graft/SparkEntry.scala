@@ -265,6 +265,18 @@ object SparkEntry {
       }).toDF("doc_id", "payload")
   }
 
+  /** Documents with a synthesized crawl URL: domain =
+    * `{source}-{doc_id%5}.example.com` — in the testdata `source` is
+    * doc_id-mod-derived, so this yields 20 distinct domains with ~n/20
+    * docs each: blocklists and per-domain caps both genuinely bite.
+    * The string build is plain concatenation, replayed byte-for-byte
+    * by the DuckDB oracles. */
+  private def docsWithUrl(s: SparkSession, dir: String): DataFrame =
+    Demo.table(s, dir, "documents").withColumn("url",
+      concat(lit("https://www."), col("source"), lit("-"),
+        (col("doc_id") % 5).cast("string"), lit(".example.com/p/"),
+        col("doc_id").cast("string")))
+
   /** Demo video payloads for the video-dedup queries: the raw UTF-8
     * text bytes stand in for the container stream — the SAME payload
     * the hash-green `multimodal_frames` query samples, so the frame
@@ -1937,6 +1949,23 @@ object SparkEntry {
       graft.operators.Sampling.balanced(assigned, "vec_id", "cluster")
         .orderBy("vec_id")
     }),
+    // Training-data ops: URL/domain curation — C4 blocklist drop + the
+    // reference's suffix gate over the extracted host (byte-exact
+    // regex shared with the oracle); map-side only
+    "curate_domain_filter" -> ((s, dir) =>
+      graft.corpus.Curation.withDomain(
+        graft.corpus.Curation.domainFilter(docsWithUrl(s, dir), "url",
+          blocked = Seq("src0-0.example.com", "src7-3.example.com",
+            "src15-2.example.com"),
+          keepSuffix = Some(".example.com")), "url")
+        .select("doc_id", "domain").orderBy("doc_id")),
+    // Training-data ops: per-domain frequency cap (RefinedWeb) — at
+    // most 2 docs per domain by md5-rank total order; the demo corpus
+    // has ~5 docs per domain so the cap genuinely bites
+    "sample_domain_cap" -> ((s, dir) =>
+      graft.corpus.Curation.capPerDomain(docsWithUrl(s, dir), "url",
+        "doc_id", cap = 2)
+        .select("doc_id", "domain").orderBy("doc_id")),
     // Training-data ops: deterministic train/val/test split sizes
     "split_documents" -> ((s, dir) =>
       graft.operators.Sampling.split(
@@ -2125,6 +2154,8 @@ object SparkEntry {
     "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "sample_balanced_clusters" -> TextOracles.balancedClusterSample,
+    "curate_domain_filter" -> OracleSql.curateDomainFilter,
+    "sample_domain_cap" -> OracleSql.sampleDomainCap,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,
     "multimodal_meta" -> OracleSql.multimodalMeta,
