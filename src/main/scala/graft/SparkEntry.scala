@@ -1327,6 +1327,13 @@ object SparkEntry {
       graft.text.LanguageModel.scoreDocs(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // Training-data ops: interpolated Kneser–Ney TRIGRAM scoring — the
+    // CCNet-published filter's model family (type-count backoff); the
+    // add-α bigram stays as the perplexity-bucket anchor
+    "lm_kn_scores" -> ((s, dir) =>
+      graft.text.LanguageModel.scoreDocsKN(
+        Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: cross-corpus LM scoring — the actual CCNet
     // configuration: model trained on the benchmark-subset target,
     // every document scored against it (out-of-target bigrams back
@@ -2120,6 +2127,7 @@ object SparkEntry {
     "bm25_search" -> TextOracles.bm25Search,
     "bm25_index_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
+    "lm_kn_scores" -> TextOracles.lmKnScores,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,

@@ -118,6 +118,92 @@ object LanguageModel {
           / 10000.0).as("lm_score"))
   }
 
+  /** Exploded (doc_id, w1, w2, w3) trigram stream; documents with
+    * fewer than 3 tokens contribute no rows. */
+  def trigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"),
+            element_at(col("toks"), i + 3).as("w3")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"),
+        col("p.w2").as("w2"), col("p.w3").as("w3"))
+  }
+
+  /**
+   * Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman 1999) —
+   * the CCNet-published filter's model family, upgraded from the add-α
+   * bigram: per document the mean ln P_KN(w₃|w₁w₂) over its trigrams,
+   * with the model trained on the scored corpus itself (the
+   * [[scoreDocs]] convention — every scored trigram is in the model,
+   * so the top-order context count is always positive).
+   *
+   *   P(w₃|w₁w₂) = (c(w₁w₂w₃)−D)⁺/c(w₁w₂)
+   *                + D·N1+(w₁w₂•)/c(w₁w₂) · P(w₃|w₂)
+   *   P(w₃|w₂)   = (N1+(•w₂w₃)−D)⁺/N1+(•w₂•)
+   *                + D·N1+(w₂•)/N1+(•w₂•) · P(w₃)
+   *   P(w₃)      = N1+(•w₃)/N1+(••)      (continuation unigram)
+   *
+   * where every N1+ is a TYPE count over the trigram relation — the KN
+   * insight that a word seen after many distinct contexts deserves more
+   * backoff mass than a frequent-but-context-bound one. All counts are
+   * integer aggregates of the distinct-trigram table, so a DuckDB
+   * oracle replays them exactly; the probability arithmetic follows the
+   * engine's expression shapes term-for-term and lands in the same
+   * 6-dp-round → DECIMAL sum → 4-dp integer micro-round discipline as
+   * [[scoreDocs]] (order-independent, engine-exact).
+   *
+   * Scale: one explode + hash aggregations of the distinct-trigram
+   * relation (vocab-sized, NOT corpus-sized); scoring joins the corpus
+   * trigram stream to the count tables by key — no driver model. The
+   * trigram stream has two consumers (model + scoring) and is
+   * materialized once, as are the shared count relations.
+   * Output: doc_id, n_trigrams, kn_score (4 dp).
+   */
+  def scoreDocsKN(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val tg = Materialized(trigrams(docs, textCol, idCol))
+    val t3 = Materialized(
+      tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    // top order: context total and follower-type count per (w1,w2)
+    val top = t3.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3"))
+    // middle order: N1+(•w2w3) = distinct w1 preceding (w2,w3)
+    val mid = Materialized(
+      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid")))
+    val midCtx = mid.groupBy("w2")
+      .agg(sum(col("n1mid")).as("nmidtot"), count(lit(1)).as("n2"))
+    // lowest order: continuation counts over (w2,w3) types
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1low"))
+    val lowTot = mid.agg(count(lit(1)).as("ntypes"))
+    val d = lit(discount)
+    val pLow = col("n1low").cast("double") / col("ntypes")
+    val pMid = greatest(col("n1mid") - d, lit(0.0)) / col("nmidtot") +
+      (d * col("n2") / col("nmidtot")) * pLow
+    val pTop = greatest(col("c3") - d, lit(0.0)) / col("c2") +
+      (d * col("n3") / col("c2")) * pMid
+    tg.join(t3, Seq("w1", "w2", "w3"))
+      .join(top, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2"))
+      .join(low, Seq("w3"))
+      .crossJoin(broadcast(lowTot))
+      .select(col("doc_id"),
+        round(log(pTop), 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          / 10000.0).as("kn_score"))
+  }
+
   /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): label
    * every document `head` / `middle` / `tail` by its corpus-relative

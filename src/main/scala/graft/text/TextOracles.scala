@@ -313,6 +313,41 @@ SELECT doc_id, n_bigrams,
     / 10000.0 AS lm_score
 FROM j2 ORDER BY doc_id"""
 
+  /** Mirrors LanguageModel.scoreDocsKN (interpolated Kneser–Ney
+    * trigram, D = 0.75): type counts over the distinct-trigram
+    * relation, probability expressions term-for-term in the engine's
+    * shapes, same 6-dp → DECIMAL → 4-dp micro-round tail. */
+  val lmKnScores: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+tg AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+         unnest(toks[2:len(toks)-1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3 FROM t WHERE len(toks) >= 3),
+t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+top AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n3 FROM t3 GROUP BY 1, 2),
+mid AS (SELECT w2, w3, count(*) AS n1mid FROM t3 GROUP BY 1, 2),
+midctx AS (SELECT w2, sum(n1mid) AS nmidtot, count(*) AS n2
+           FROM mid GROUP BY 1),
+low AS (SELECT w3, count(*) AS n1low FROM mid GROUP BY 1),
+tot AS (SELECT count(*) AS ntypes FROM mid),
+j AS (SELECT tg.doc_id,
+        CAST(round(ln(
+          greatest(c3 - 0.75, 0) / c2 +
+          (0.75 * n3 / c2) * (
+            greatest(n1mid - 0.75, 0) / nmidtot +
+            (0.75 * n2 / nmidtot) *
+              (CAST(n1low AS DOUBLE) / ntypes))), 6)
+          AS DECIMAL(28,6)) AS lp
+      FROM tg JOIN t3 USING (w1, w2, w3) JOIN top USING (w1, w2)
+        JOIN mid USING (w2, w3) JOIN midctx USING (w2)
+        JOIN low USING (w3) CROSS JOIN tot),
+j2 AS (SELECT doc_id, count(*) AS n_trigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
+SELECT doc_id, n_trigrams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_trigrams) // (200 * n_trigrams)
+        ELSE -((2 * (-s) + 100 * n_trigrams) // (200 * n_trigrams)) END)
+    / 10000.0 AS kn_score
+FROM j2 ORDER BY doc_id"""
+
   /** Mirrors LanguageModel.perplexityBuckets(300/400/300): exact
     * micro-unit histogram, descending cumulative counts, ⌈n·p/1000⌉
     * integer targets, tie-inclusive thresholds. */

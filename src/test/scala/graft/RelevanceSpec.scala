@@ -117,6 +117,35 @@ class RelevanceSpec extends SparkSpec {
     assert(out(1L)._2 > out(4L)._2) // fluent phrase beats rare transitions
   }
 
+  test("scoreDocsKN: trigram KN separates fluent from scrambled where the add-α bigram cannot") {
+    val s = spark
+    import s.implicits._
+    // training mass: both rotations of the {a,b,c} cycle, so EVERY
+    // ordered bigram over {a,b,c} is corpus-frequent — a scrambled doc
+    // whose bigrams are all common but whose trigrams are novel is
+    // exactly what a bigram model cannot distinguish from fluent text
+    val train = (1L to 10L).map(i => (i, "a b c a b c a")) ++
+      (11L to 20L).map(i => (i, "c b a c b a c"))
+    val fluent = (100L, "a b c a")   // trigrams abc, bca: corpus-frequent
+    val scrambled = (101L, "b a b a") // trigrams bab, aba: novel
+    val docs = (train :+ fluent :+ scrambled).toDF("doc_id", "text")
+    val kn = LanguageModel.scoreDocsKN(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bg = LanguageModel.scoreDocs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // KN ranks the pair correctly...
+    assert(kn(100L) > kn(101L), s"kn fluent=${kn(100L)} scrambled=${kn(101L)}")
+    // ...with a strictly larger margin than the bigram model (whose
+    // evidence — the bigrams — is common in BOTH probes)
+    assert(kn(100L) - kn(101L) > bg(100L) - bg(101L),
+      s"kn margin ${kn(100L) - kn(101L)} vs bigram ${bg(100L) - bg(101L)}")
+    // identical docs score identically; output is partition-stable
+    assert(kn(1L) == kn(2L))
+    val again = LanguageModel.scoreDocsKN(docs.repartition(7), "text",
+      "doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == kn)
+  }
+
   test("scoreDocsAgainst: degenerates to scoreDocs when target = scored; backoff penalizes out-of-target text") {
     val s = spark
     import s.implicits._
