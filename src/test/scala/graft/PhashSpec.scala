@@ -121,6 +121,89 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("transform matrix: rescale/crop tolerance quantified (the docs/API.md recall envelope)") {
+    // A structured 64×64 image (gradient + blob + stripes — perceptual
+    // hashes are specified over structured content, not noise).
+    val (w, h) = (64, 64)
+    def structured(cap: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (x * 255 / w + y * 255 / h) / 2
+          val blob =
+            if (x > w / 4 && x < w / 2 && y > h / 3 && y < 2 * h / 3) 80
+            else 0
+          val stripe = if ((x * 5 / w) % 2 == 0) 30 else 0
+          val v = math.min(cap, g + blob + stripe)
+          val i = (y * w + x) * 3
+          rgb(i) = v.toByte
+          rgb(i + 1) = (v * 3 / 4).toByte
+          rgb(i + 2) = (v / 2).toByte
+          x += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+    def rescale(rgb: Array[Byte], nw: Int, nh: Int): (Int, Int, Array[Byte]) = {
+      val out = new Array[Byte](nw * nh * 3)
+      for (y <- 0 until nh; x <- 0 until nw; c <- 0 until 3)
+        out((y * nw + x) * 3 + c) =
+          rgb(((y * h / nh) * w + (x * w / nw)) * 3 + c)
+      (nw, nh, out)
+    }
+    def crop(rgb: Array[Byte], frac: Double): (Int, Int, Array[Byte]) = {
+      val nw = (w * frac).toInt; val nh = (h * frac).toInt
+      val ox = (w - nw) / 2; val oy = (h - nh) / 2
+      val out = new Array[Byte](nw * nh * 3)
+      for (y <- 0 until nh; x <- 0 until nw; c <- 0 until 3)
+        out((y * nw + x) * 3 + c) = rgb(((y + oy) * w + (x + ox)) * 3 + c)
+      (nw, nh, out)
+    }
+    def pd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def pOf(t: (Int, Int, Array[Byte])) = {
+      val p = Dhash.decodePixels(Bmp.encode(t._1, t._2, t._3)).get
+      (Phash.phash64(p.width, p.height, p.lum),
+        Dhash.dhash64(p.width, p.height, p.lum))
+    }
+    val base = structured(255)
+    val (pb, db) = pOf((w, h, base))
+
+    // RESCALE, grid-aligned (new size a multiple/divisor of the 32×32
+    // cell grid): the cell averages are IDENTICAL → pHash moves 0 bits
+    for (s <- Seq(32, 96, 128)) {
+      val (p, _) = pOf(rescale(base, s, s))
+      assert(pd(pb, p) === 0, s"grid-aligned rescale ${s}x$s")
+    }
+    // RESCALE, grid-aliasing (48 is not a multiple of 32): nearest-
+    // neighbor sampling shifts cell contents — pHash moves ~10 bits
+    // (outside the registered maxDist=2), dHash's 9×8 grid is coarser
+    // and stays at 0. Documented limitation, not a silent claim.
+    val (p48, d48) = pOf(rescale(base, 48, 48))
+    assert(pd(pb, p48) > 2 && pd(pb, p48) <= 16, s"aliased=${pd(pb, p48)}")
+    assert(pd(db, d48) <= 2)
+    // CROP: a center crop shifts every DCT phase — pHash moves ≥ 8 bits
+    // even at 95% (NOT crop-tolerant; finding crops needs overlapping-
+    // region search); dHash's gradient bits survive mild crops
+    for (f <- Seq(0.95, 0.9)) {
+      val (p, d) = pOf(crop(base, f))
+      assert(pd(pb, p) >= 8, s"crop $f phash=${pd(pb, p)}")
+      assert(pd(db, d) <= 6, s"crop $f dhash=${pd(db, d)}")
+    }
+    // heavy crops defeat both (documented envelope edge)
+    val (p5, d5) = pOf(crop(base, 0.5))
+    assert(pd(pb, p5) > 16 && pd(db, d5) > 16)
+    // BRIGHTNESS, no clipping (cap 200 leaves +30 headroom): pHash is
+    // EXACTLY invariant (the proved DC-term argument)
+    val capped = structured(200)
+    val (pc, _) = pOf((w, h, capped))
+    val brighter = capped.map(b => ((b & 0xff) + 30).toByte)
+    val (pcb, _) = pOf((w, h, brighter))
+    assert(pd(pc, pcb) === 0)
+  }
+
   test("undecodable rows drop out; identical payloads pair at hamming 0") {
     val img = Bmp.encode(16, 8, raster(16, 8, 11))
     val rows = Seq((10L, img), (20L, img), (30L, Array[Byte](9, 9, 9)))

@@ -474,6 +474,67 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("compaction: full row identity, and every crash window recovers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-ident").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val texts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+      "red orange yellow green blue indigo violet cyan magenta teal " +
+        "maroon olive navy aqua coral amber jade ruby pearl onyx")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      StreamingDedup.processBatch(Seq((i.toLong, t)).toDF("doc_id", "text"),
+        i.toLong, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    }
+    def rowsOf(d: String): Set[String] =
+      spark.read.parquet(d).drop("batch_id").collect()
+        .map(_.mkString("|")).toSet
+    val (outBefore, idxBefore) = (rowsOf(outDir), rowsOf(indexDir))
+
+    // crash window A: compaction died BEFORE the first rename — a stale
+    // .compacting sibling exists. The live layout is untouched (reads
+    // serve it), and a re-run drops the leftover and completes.
+    val staleTmp = java.nio.file.Paths.get(s"$indexDir.compacting")
+    java.nio.file.Files.createDirectories(staleTmp)
+    java.nio.file.Files.write(staleTmp.resolve("junk"), Array[Byte](1))
+    assert(rowsOf(indexDir) === idxBefore)
+    GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 2)
+    // identity of output: every row of BOTH relations survives
+    // compaction bit-for-bit (only batch_id is rewritten)
+    assert(rowsOf(outDir) === outBefore)
+    assert(rowsOf(indexDir) === idxBefore)
+    // and the small-files tail is actually folded
+    def dataFiles(d: String): Seq[java.io.File] =
+      new java.io.File(d + "/batch_id=-1").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(dataFiles(indexDir).size <= 2)
+
+    // crash window B: died between the two renames — live dir gone,
+    // .old holds the only copy. Recover exactly as read()'s error
+    // instructs (mv .old back) and prove full restoration.
+    val live = java.nio.file.Paths.get(indexDir)
+    val old = java.nio.file.Paths.get(s"$indexDir.old")
+    def moveTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit =
+      java.nio.file.Files.move(a, b)
+    moveTree(live, old)
+    intercept[IllegalStateException] { GrowingIndex.read(spark, indexDir) }
+    moveTree(old, live)
+    assert(rowsOf(indexDir) === idxBefore)
+    // post-recovery the pair is fully functional: a new batch commits
+    // and a follow-up compaction still preserves every row
+    StreamingDedup.processBatch(
+      Seq((7L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho " +
+        "sigma tau upsilon phi chi psi omega alef")).toDF("doc_id", "text"),
+      7L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    val outWith7 = rowsOf(outDir)
+    assert(outWith7.size === outBefore.size + 1)
+    GrowingIndex.compact(spark, outDir, indexDir, targetFiles = 1)
+    assert(rowsOf(outDir) === outWith7)
+  }
+
   test("streaming dedup restart: checkpoint replay keeps index/corpus exactly-once") {
     // Round-5 verdict #7: kill the query, FORCE a batch replay (delete
     // the checkpoint's last commit marker — exactly the state a crash
