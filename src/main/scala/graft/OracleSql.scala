@@ -268,6 +268,181 @@ SELECT crawl_url, abn,
         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS is_company
 FROM fpairs ORDER BY crawl_url, abn"""
 
+  /**
+   * Mirrors `match_features_ratios` — the RapidFuzz kernel columns
+   * (fuzz.ratio / token_sort / token_set / partial_ratio), the squashed
+   * domain ratio and the weighted probability, each LCS computed by ONE
+   * shared anti-diagonal recursive-CTE DP over derived string pairs:
+   * raw names ('fz'), token-sorted names ('ts'), the three token_set
+   * constructions ('i1','i2','dd'), every partial_ratio window ('pw'),
+   * squashed domain vs squashed name ('dm'). Float expressions follow
+   * the kernels term-for-term (weights cast to DOUBLE — a bare 0.30
+   * literal is DECIMAL in DuckDB and would not reproduce the engine's
+   * IEEE product). Sampled to ~1% of pairs by md5(crawl_url||abn) so
+   * the DP stays cheap at the verify SF.
+   */
+  val matchFeaturesRatios: String =
+    prelude.replaceFirst("^WITH", "WITH RECURSIVE") + raw""",
+fp0 AS (
+  SELECT w.crawl_url, w.clean_name AS crawl_name, w.normalized_name AS wnorm,
+         a.abn_clean AS abn, a.clean_name AS abr_name,
+         a.normalized_name AS anorm, a.state_std, a.postcode_std,
+         CASE WHEN substr(a.abn_clean, 11, 1) = '3' THEN NULL
+              ELSE 'Our head office is in ' || lower(a.state_std) ||
+                   ' postcode ' || a.postcode_std END AS raw_text
+  FROM cc_clean w JOIN abr_clean a USING (block_key)
+  WHERE CAST(CAST('0x' || substr(md5(w.crawl_url || a.abn_clean), 1, 15)
+    AS BIGINT) % 10000 AS BIGINT) < 100),
+fp AS (
+  SELECT *,
+    list_filter(string_split_regex(coalesce(crawl_name, ''), '\s+'),
+      x -> x <> '') AS t1,
+    list_filter(string_split_regex(coalesce(abr_name, ''), '\s+'),
+      x -> x <> '') AS t2,
+    lower(regexp_replace(regexp_extract(coalesce(crawl_url, ''),
+      '://([^/?#]+)', 1), '^www\.', '', 'g')) AS dom
+  FROM fp0),
+fs AS (
+  SELECT *,
+    array_to_string(list_sort(t1), ' ') AS ts1,
+    array_to_string(list_sort(t2), ' ') AS ts2,
+    array_to_string(list_sort(list_distinct(list_intersect(t1, t2))), ' ') AS si,
+    array_to_string(list_sort(list_filter(list_distinct(t1),
+      x -> NOT list_contains(t2, x))), ' ') AS dd1,
+    array_to_string(list_sort(list_filter(list_distinct(t2),
+      x -> NOT list_contains(t1, x))), ' ') AS dd2,
+    regexp_replace(regexp_replace(dom, '\.com\.au$$|\.au$$', ''),
+      '[^a-z0-9]', '', 'g') AS domsq,
+    regexp_replace(array_to_string(list_filter(
+      string_split_regex(lower(coalesce(anorm, '')), '\s+'), x -> x <> ''),
+      ''), '[^a-z0-9]', '', 'g') AS namesq
+  FROM fp),
+fsc AS (
+  SELECT *,
+    CASE WHEN dd1 = '' THEN si WHEN si = '' THEN dd1
+         ELSE si || ' ' || dd1 END AS s1c,
+    CASE WHEN dd2 = '' THEN si WHEN si = '' THEN dd2
+         ELSE si || ' ' || dd2 END AS s2c,
+    crawl_name IS NOT NULL AND abr_name IS NOT NULL
+      AND crawl_name <> '' AND abr_name <> '' AS names_ok,
+    crawl_url IS NOT NULL AND abr_name IS NOT NULL
+      AND crawl_url <> '' AND abr_name <> '' AS dom_ok
+  FROM fs),
+tasks AS (
+  SELECT crawl_url, abn, 'fz' AS kind, 0 AS widx,
+         crawl_name AS a, abr_name AS b FROM fsc WHERE names_ok
+  UNION ALL SELECT crawl_url, abn, 'ts', 0, ts1, ts2 FROM fsc
+    WHERE names_ok AND ts1 <> '' AND ts2 <> ''
+  UNION ALL SELECT crawl_url, abn, 'i1', 0, si, s1c FROM fsc
+    WHERE names_ok AND len(t1) > 0 AND len(t2) > 0
+  UNION ALL SELECT crawl_url, abn, 'i2', 0, si, s2c FROM fsc
+    WHERE names_ok AND len(t1) > 0 AND len(t2) > 0
+  UNION ALL SELECT crawl_url, abn, 'dd', 0, s1c, s2c FROM fsc
+    WHERE names_ok AND len(t1) > 0 AND len(t2) > 0
+  UNION ALL SELECT crawl_url, abn, 'dm', 0, domsq, namesq FROM fsc
+    WHERE dom_ok AND domsq <> '' AND namesq <> ''
+  UNION ALL SELECT crawl_url, abn, 'pw', CAST(w AS INT),
+      CASE WHEN len(crawl_name) <= len(abr_name)
+           THEN crawl_name ELSE abr_name END,
+      substr(CASE WHEN len(crawl_name) <= len(abr_name)
+                  THEN abr_name ELSE crawl_name END, CAST(w + 1 AS INT),
+             least(len(crawl_name), len(abr_name)))
+    FROM fsc, range(0, 256) rw(w)
+    WHERE names_ok AND w <= greatest(len(crawl_name), len(abr_name))
+      - least(len(crawl_name), len(abr_name))),
+dpin AS (SELECT crawl_url, abn, kind, widx, a, b,
+           length(a) AS n, length(b) AS m FROM tasks),
+dp(crawl_url, abn, kind, widx, a, b, n, m, d, prev2, prev1) AS (
+  SELECT crawl_url, abn, kind, widx, a, b, n, m, 1,
+    list_transform(range(0, n + 1), x -> 0),
+    list_transform(range(0, n + 1), x -> 0)
+  FROM dpin
+  UNION ALL
+  SELECT crawl_url, abn, kind, widx, a, b, n, m, d + 1, prev1,
+    list_transform(range(0, n + 1), i ->
+      CASE WHEN (d + 1 - i) < 1 OR (d + 1 - i) > m OR i < 1 THEN 0
+           ELSE greatest(
+             prev1[i],
+             prev1[i + 1],
+             prev2[i] + CASE WHEN substr(a, i, 1) = substr(b, d + 1 - i, 1)
+                             THEN 1 ELSE 0 END)
+      END)
+  FROM dp WHERE d < n + m),
+lcsr AS (
+  SELECT crawl_url, abn, kind, widx, n, m,
+    CASE WHEN n = 0 OR m = 0 THEN 0 ELSE prev1[n + 1] END AS l
+  FROM dp WHERE d = greatest(n + m, 1)),
+kv AS (
+  SELECT crawl_url, abn, kind,
+    CASE WHEN n + m = 0 THEN 1.0
+         ELSE 1.0 - CAST(n + m - 2 * l AS DOUBLE) / (n + m) END AS v
+  FROM lcsr WHERE kind <> 'pw'),
+pw AS (
+  SELECT crawl_url, abn, max(l) AS bl, min(m) AS pm
+  FROM lcsr WHERE kind = 'pw' GROUP BY 1, 2),
+wide AS (
+  SELECT f.crawl_url, f.abn, f.names_ok, f.t1, f.t2, f.si, f.dd1, f.dd2,
+    f.wnorm, f.anorm, f.state_std, f.postcode_std, f.raw_text,
+    coalesce(fz.v, 0.0) AS r_fz, coalesce(ts.v, 0.0) AS r_ts,
+    i1.v AS r_i1, i2.v AS r_i2, ddv.v AS r_dd,
+    coalesce(dm.v, 0.0) AS domain_name_match,
+    CASE WHEN p.bl IS NULL THEN 0.0
+         ELSE 1.0 - CAST(2 * (p.pm - p.bl) AS DOUBLE) / (2 * p.pm)
+    END AS name_partial_ratio,
+    CASE WHEN f.names_ok AND f.wnorm = f.anorm THEN 1.0 ELSE 0.0
+    END AS name_exact_match,
+    CASE WHEN f.dom_ok
+           AND len(list_filter(string_split_regex(lower(f.anorm), '\s+'),
+             p -> len(p) >= 4 AND contains(f.dom, p))) > 0
+         THEN 1.0 ELSE 0.0 END AS domain_contains_name,
+    CASE WHEN f.raw_text IS NOT NULL AND f.raw_text <> ''
+           AND f.state_std IS NOT NULL AND f.state_std <> ''
+           AND (CASE upper(f.state_std)
+                WHEN 'NSW' THEN contains(lower(f.raw_text),'nsw') OR contains(lower(f.raw_text),'new south wales') OR contains(lower(f.raw_text),'sydney')
+                WHEN 'VIC' THEN contains(lower(f.raw_text),'vic') OR contains(lower(f.raw_text),'victoria') OR contains(lower(f.raw_text),'melbourne')
+                WHEN 'QLD' THEN contains(lower(f.raw_text),'qld') OR contains(lower(f.raw_text),'queensland') OR contains(lower(f.raw_text),'brisbane')
+                WHEN 'SA'  THEN contains(lower(f.raw_text),'south australia') OR contains(lower(f.raw_text),'adelaide')
+                WHEN 'WA'  THEN contains(lower(f.raw_text),'western australia') OR contains(lower(f.raw_text),'perth')
+                WHEN 'TAS' THEN contains(lower(f.raw_text),'tasmania') OR contains(lower(f.raw_text),'hobart')
+                WHEN 'NT'  THEN contains(lower(f.raw_text),'northern territory') OR contains(lower(f.raw_text),'darwin')
+                WHEN 'ACT' THEN contains(lower(f.raw_text),'act') OR contains(lower(f.raw_text),'canberra') OR contains(lower(f.raw_text),'australian capital')
+                ELSE contains(lower(f.raw_text), lower(f.state_std)) END)
+         THEN 1.0 ELSE 0.0 END AS state_mentioned,
+    CASE WHEN f.raw_text IS NOT NULL AND f.raw_text <> ''
+           AND f.postcode_std IS NOT NULL AND f.postcode_std <> ''
+           AND contains(f.raw_text, f.postcode_std)
+         THEN 1.0 ELSE 0.0 END AS postcode_mentioned
+  FROM fsc f
+  LEFT JOIN kv fz ON fz.crawl_url = f.crawl_url AND fz.abn = f.abn AND fz.kind = 'fz'
+  LEFT JOIN kv ts ON ts.crawl_url = f.crawl_url AND ts.abn = f.abn AND ts.kind = 'ts'
+  LEFT JOIN kv i1 ON i1.crawl_url = f.crawl_url AND i1.abn = f.abn AND i1.kind = 'i1'
+  LEFT JOIN kv i2 ON i2.crawl_url = f.crawl_url AND i2.abn = f.abn AND i2.kind = 'i2'
+  LEFT JOIN kv ddv ON ddv.crawl_url = f.crawl_url AND ddv.abn = f.abn AND ddv.kind = 'dd'
+  LEFT JOIN kv dm ON dm.crawl_url = f.crawl_url AND dm.abn = f.abn AND dm.kind = 'dm'
+  LEFT JOIN pw p ON p.crawl_url = f.crawl_url AND p.abn = f.abn),
+final AS (
+  SELECT crawl_url, abn, r_fz AS name_fuzzy_ratio,
+    r_ts AS name_token_sort,
+    CASE WHEN NOT names_ok OR len(t1) = 0 OR len(t2) = 0 THEN 0.0
+         WHEN si <> '' AND (dd1 = '' OR dd2 = '') THEN 1.0
+         ELSE greatest(greatest(r_i1, r_i2), r_dd)
+    END AS name_token_set,
+    name_partial_ratio, domain_name_match,
+    name_exact_match, domain_contains_name, state_mentioned,
+    postcode_mentioned
+  FROM wide)
+SELECT crawl_url, abn, name_fuzzy_ratio, name_token_sort, name_token_set,
+  name_partial_ratio, domain_name_match,
+  (name_exact_match * CAST(0.30 AS DOUBLE)
+   + name_token_sort * CAST(0.20 AS DOUBLE)
+   + name_token_set * CAST(0.15 AS DOUBLE)
+   + domain_name_match * CAST(0.15 AS DOUBLE)
+   + domain_contains_name * CAST(0.10 AS DOUBLE)
+   + state_mentioned * CAST(0.05 AS DOUBLE)
+   + postcode_mentioned * CAST(0.05 AS DOUBLE)) / CAST(1.0 AS DOUBLE)
+    AS match_probability
+FROM final ORDER BY crawl_url, abn"""
+
   /** Multimodal demo payload is encode(text) and the documents corpus is
     * pure ASCII (verified at sf0.01/0.1), so DuckDB's VARCHAR md5/substr
     * mirror Spark's byte-level ops exactly. */

@@ -537,6 +537,23 @@ object SparkEntry {
           "domain_contains_name", "state_mentioned", "postcode_mentioned",
           "industry_present", "is_company")
         .orderBy("crawl_url", "abn")),
+    // §2.7 F26 RapidFuzz-kernel columns with a DuckDB oracle — all four
+    // nameRatios variants + domain_name_match + the weighted probability
+    // over an md5 ~1% pair sample; the oracle runs ONE shared
+    // anti-diagonal recursive-CTE LCS DP over every derived string pair
+    // (raw names, token-sorted, the three token_set constructions,
+    // every partial_ratio window, squashed domain/name) — the
+    // tokensort_indel move extended to the whole kernel family. With
+    // match_features_ansi this value-checks EVERY column the rows-only
+    // match_features emits.
+    "match_features_ratios" -> ((s, dir) =>
+      withFeatures(featurePairs(s, dir))
+        .filter(graft.operators.Sampling.bucket(
+          concat(col("crawl_url"), col("abn"))) < 100)
+        .select("crawl_url", "abn", "name_fuzzy_ratio", "name_token_sort",
+          "name_token_set", "name_partial_ratio", "domain_name_match",
+          "match_probability")
+        .orderBy("crawl_url", "abn")),
     // §2.8 L1/L2: uncertain-band LLM rescue (deterministic stub scorer)
     "etl_match_llm" -> ((s, dir) => matchLlmDf(s, dir).orderBy("crawl_url")),
     // §2.4 A6: per-method stats over the two-method match output
@@ -1780,8 +1797,13 @@ object SparkEntry {
     // are REAL images synthesized from the text (no image column in the
     // testdata) — even ids 24-bpp BMP (pure-JVM parser), odd ids PNG
     // (JDK javax.imageio) — width/height/brightness come from decoded
-    // rasters. No SQL oracle (rows-only); MultimodalSpec asserts fixture
-    // dimensions/brightness and BMP/PNG twin equality.
+    // rasters. Rows-only BY CONSTRUCTION: half the payloads decode
+    // through the JDK's imageio PNG codec, which no SQL engine can
+    // replay (the BMP half is replayable, and the hash-green
+    // dHash/pHash/decode_stats oracles DO replay exactly that pixel
+    // arithmetic). MultimodalSpec asserts fixture dimensions/brightness
+    // and BMP≡PNG twin equality; multimodal_decode_stats is the
+    // hash-green value check of this query's decoded outputs.
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val payloads = Demo.table(s, dir, "documents")
@@ -1796,8 +1818,13 @@ object SparkEntry {
     // Training-data ops: audio decode via typed mapPartitions. Payloads
     // are REAL RIFF/WAVE PCM synthesized from the text (no audio column
     // in the testdata) — duration/RMS/peak/clip-fraction come from the
-    // decoded samples (pure-JVM Wav parser). No SQL oracle (rows-only);
-    // WavSpec asserts roundtrips, truncation tolerance and stats.
+    // decoded samples (pure-JVM Wav parser). Rows-only BY CONSTRUCTION:
+    // rms is a sample-order-dependent DOUBLE accumulation inside the
+    // decoder loop (sqrt of a running float sum) — a SQL replay sums in
+    // engine-chosen order and diverges in the last ulp. The hash-green
+    // multimodal_audio_stats twin value-checks the same decode through
+    // integer-exact formulations; WavSpec asserts roundtrips,
+    // truncation tolerance and stats.
     "multimodal_audio" -> ((s, dir) => {
       import s.implicits._
       val payloads = Demo.table(s, dir, "documents")
@@ -1877,9 +1904,13 @@ object SparkEntry {
           col("brand"), col("duration_ms"), col("n_tracks"))
         .orderBy("doc_id")
     }),
-    // Training-data ops: one-pass per-column dataset profile (approx
-    // distinct is HLL-based — no SQL oracle, rows-only; StatsProfileSpec
-    // asserts exact metrics and HLL error bounds)
+    // Training-data ops: one-pass per-column dataset profile. Rows-only
+    // BY CONSTRUCTION: approx_distinct is Spark's HLL++; DuckDB's
+    // approx_count_distinct is ALSO HLL but a different implementation
+    // (register layout, hash, bias correction), so cross-engine VALUE
+    // equality is impossible for any approximate sketch — the exact
+    // twin profile_documents_exact is the hash-green value check and
+    // StatsProfileSpec bounds the HLL error against exact counts.
     "profile_documents" -> ((s, dir) =>
       Stats.profile(Demo.table(s, dir, "documents")).orderBy("column")),
     // The oracle-able subset of the profile: same single-pass plan minus
@@ -2038,6 +2069,7 @@ object SparkEntry {
     "etl_match_tokensort_sample" -> OracleSql.tokensortMatchSample,
     "etl_match_llm" -> OracleSql.entityMatchLlm,
     "match_features_ansi" -> OracleSql.matchFeaturesAnsi,
+    "match_features_ratios" -> OracleSql.matchFeaturesRatios,
     "etl_match_by_method" -> OracleSql.matchesByMethod,
     "merge_upsert" -> OracleSql.mergeUpsert,
     "merge_patch" -> OracleSql.mergePatch,
