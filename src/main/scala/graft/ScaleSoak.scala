@@ -155,6 +155,17 @@ object ScaleSoak {
     // query's loop entirely; the row reports edge_rows per factor
     // (must track docs, not pairs) as the boundedness evidence
     "dedup_audio_corpus",
+    // shift-tolerant audio dedup: windows/clip ∝ clip length (a
+    // constant factor over the whole-clip path), banding over DISTINCT
+    // window fingerprints — same output-bound shape as dedup_audio_pairs
+    "dedup_audio_pairs_shifted",
+    // KN trigram LM: model = hash aggs of the distinct-trigram relation,
+    // scoring = key joins — the scoreDocs shapes one order higher
+    "lm_kn_scores",
+    // domain curation: map-side regex + blocklist filter (flat), and the
+    // per-domain cap's ranking window (n·log n within domains)
+    "curate_domain_filter",
+    "sample_domain_cap",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,

@@ -194,14 +194,24 @@ object SparkEntry {
   private[graft] def audioEdgeRows(s: SparkSession, dir: String): Long =
     audioEdgesDf(s, dir).count()
 
-  /** Connected-component labels over the near-dup pairs, shared by the
-    * clustering query and the keeper-only corpus query (the iterative
-    * label-propagation loop is the expensive part). */
+  /** Text near-dup EDGE frame (star edges over identical-text groups +
+    * LSH bridges over distinct-text representatives) — connectivity-
+    * equivalent to the pair frame but linear in exact-dup group size,
+    * with banding/verification at distinct-text grain. Feeds CC. */
+  private def lshEdgesDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "lsh_edges")(
+      TextDedup.minhashLshEdges(
+        Demo.table(s, dir, "documents"), "text", "doc_id"))
+
+  /** Connected-component labels over the near-dup EDGES, shared by the
+    * clustering query, the keeper-only corpus query and keep-longest
+    * (the iterative label-propagation loop is the expensive part).
+    * Components are identical to labeling over the pair frame. */
   private def ccLabelsDf(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "cc_labels")(
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        lshPairsDf(s, dir), "doc_a", "doc_b"))
+        lshEdgesDf(s, dir), "doc_a", "doc_b"))
 
   /** Demo image payloads for the image-dedup queries: REAL 24-bpp BMPs
     * synthesized from document text with a FIXED salt (0) — padding then
@@ -345,7 +355,8 @@ object SparkEntry {
   def warmupSharedFrames(s: SparkSession, dir: String): Unit =
     Seq(webClean(s, dir), abrClean(s, dir), matchDf(s, dir),
       matchedDf(s, dir), matchLlmDf(s, dir), dimDf(s, dir),
-      lshPairsDf(s, dir), ccLabelsDf(s, dir), nbPredDf(s, dir),
+      lshPairsDf(s, dir), lshEdgesDf(s, dir), ccLabelsDf(s, dir),
+      nbPredDf(s, dir),
       imageFpsDf(s, dir), audioFpsDf(s, dir),
       imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
       imageEdgesDf(s, dir), audioEdgesDf(s, dir),
@@ -1057,13 +1068,13 @@ object SparkEntry {
       // fingerprint modalities contribute their LINEAR edge frames;
       // text/video contribute verified pairs (their candidate machinery
       // is doc-grain, not fingerprint-group-grain)
-      val textPairs = lshPairsDf(s, dir).select("doc_a", "doc_b")
+      val textEdges = lshEdgesDf(s, dir).select("doc_a", "doc_b")
       val imageEdges = imageEdgesDf(s, dir).select("doc_a", "doc_b")
       val audioEdges = audioEdgesDf(s, dir).select("doc_a", "doc_b")
       val videoPairs = videoPairsDf(s, dir).select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        textPairs.unionByName(imageEdges).unionByName(audioEdges)
+        textEdges.unionByName(imageEdges).unionByName(audioEdges)
           .unionByName(videoPairs).distinct(),
         "doc_a", "doc_b")
         .filter(col("node") === col("component"))

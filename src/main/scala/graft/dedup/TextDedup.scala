@@ -435,6 +435,54 @@ object TextDedup {
   }
 
   /**
+   * Connectivity-equivalent EDGE frame for the text near-dup graph —
+   * [[hammingEdgesWide]]'s star-edge move applied to MinHash-LSH. On an
+   * exact-dup-heavy corpus, [[minhashLshPairs]]' band self-join emits
+   * k²/2 candidate pairs for a group of k identical texts AND fetches
+   * k² full shingle arrays to verify them; when the consumer is
+   * connected components (the dedup corpus end states), only
+   * CONNECTIVITY matters. This variant emits:
+   *
+   *  - STAR edges within identical-text groups (md5 digest, group min
+   *    doc id → member, k−1 rows) — but ONLY for texts that produce at
+   *    least one shingle, because [[minhashLshPairs]] never pairs
+   *    shingle-less documents and the component structure must match
+   *    the pair formulation exactly;
+   *  - the full banding + exact-Jaccard verification run over ONE
+   *    representative per distinct text, each verified pair a BRIDGE
+   *    between group representatives.
+   *
+   * Jaccard is a pure function of the text, so a cross-group pair
+   * qualifies for every member iff it qualifies for the
+   * representatives — components from [[ConnectedComponents.label]]
+   * are identical to the pair-fed formulation, and corpus-end-state
+   * oracles are unchanged. Edge rows = (shingled docs − distinct
+   * texts) + verified distinct-text pairs; banding/verification work
+   * drops to distinct-text grain. Output: (doc_a, doc_b), doc_a < doc_b.
+   */
+  def minhashLshEdges(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val base = graft.operators.Materialized(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .filter(size(graft.functions.GraftFunctions
+          .hashed_shingles(col(textCol), n)) > 0)
+        .withColumn("__dg", md5(col("__text"))))
+    val rep = base.groupBy("__dg").agg(min(col("doc_id")).as("rep"))
+    val stars = base.join(rep, "__dg")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repDocs = base.join(rep.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("__text"))
+    val bridges = minhashLshPairs(repDocs, "__text", "doc_id",
+      n, numPerms, bandRows, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // disjoint by construction: star endpoints share a digest,
+    // bridge endpoints are reps of distinct digests
+    stars.unionByName(bridges)
+  }
+
+  /**
    * One representative per near-dup component chosen by QUALITY —
    * argmax on `quality` (ties → smallest id) instead of the min-id
    * keeper: what a production corpus pipeline actually keeps (the

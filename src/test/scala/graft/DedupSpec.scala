@@ -253,6 +253,43 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("minhashLshEdges: identical components to the pair frame; shingle-less groups stay separate") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val longA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar"
+    val nearA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november zulu"
+    val longB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen"
+    // a 20-doc identical-text clique (the quadratic case), one near-dup
+    // of it, a second group, and an identical-SHORT-text pair that
+    // produces no shingles (n=3 needs >= 3 tokens) — the pair
+    // formulation never pairs those, so the edge formulation must not
+    // star-connect them either
+    val corpus = ((0L until 20L).map(i => (i, longA)) :+
+      (100L, nearA) :+ (200L, longB) :+ (201L, longB) :+
+      (300L, "hi") :+ (301L, "hi")).toDF("doc_id", "text")
+    val nodes = corpus.select(col("doc_id"))
+    def comp(edges: org.apache.spark.sql.DataFrame) =
+      graft.dedup.ConnectedComponents.label(nodes, edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comp(TextDedup.minhashLshPairs(corpus, "text", "doc_id")
+      .select("doc_a", "doc_b"))
+    val viaEdges = comp(TextDedup.minhashLshEdges(corpus, "text", "doc_id"))
+    assert(viaEdges === viaPairs)
+    // short identical texts are singletons in BOTH formulations
+    assert(viaEdges(300L) === 300L && viaEdges(301L) === 301L)
+    // edge count is linear: 19 stars (clique) + 1 star (group B) +
+    // 1 bridge (nearA-clique); pair frame is quadratic (190 clique
+    // pairs + 20 near-dup pairs + 1)
+    val edgeCnt = TextDedup.minhashLshEdges(corpus, "text", "doc_id").count()
+    assert(edgeCnt === 21, s"edges=$edgeCnt")
+    val pairCnt = TextDedup.minhashLshPairs(corpus, "text", "doc_id").count()
+    assert(pairCnt === 211, s"pairs=$pairCnt")
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
