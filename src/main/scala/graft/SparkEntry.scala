@@ -1049,6 +1049,22 @@ object SparkEntry {
         audioShiftedDemoPayloads(s, dir), "payload", "doc_id",
         maxDist = 2)
         .orderBy("doc_a", "doc_b")),
+    // Shift-tolerant corpus END STATE: windowed fingerprints (one doc,
+    // MANY fingerprint rows) through the star+bridge edge frame — the
+    // multi-fingerprint case hammingEdgesWide is specified for — then
+    // connected components, one keeper per cluster
+    "dedup_audio_corpus_shifted" -> ((s, dir) => {
+      val fps = graft.multimodal.Multimodal.audioWindowedFingerprints(
+        audioShiftedDemoPayloads(s, dir), "payload", "doc_id")
+      val edges = TextDedup.hammingEdgesWide(fps, "doc_id", "afp",
+        maxDist = 2, chunkBits = 16)
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        edges, "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Multimodal dedup END STATE for the audio column — edge-fed: the
     // densifying audio corpus is exactly where the pair frame went
     // quadratic (~10⁸ rows at the 100× ladder)
@@ -1361,6 +1377,13 @@ object SparkEntry {
     "lm_kn_scores" -> ((s, dir) =>
       graft.text.LanguageModel.scoreDocsKN(
         Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // CCNet triage rebased on the KN trigram score (the stronger
+    // fluency signal) — same exact-quantile bucket machinery
+    "quality_perplexity_buckets_kn" -> ((s, dir) =>
+      graft.text.LanguageModel.bucketsByScore(
+        graft.text.LanguageModel.scoreDocsKN(
+          Demo.table(s, dir, "documents"), "text", "doc_id"), "kn_score")
         .orderBy("doc_id")),
     // Training-data ops: cross-corpus LM scoring — the actual CCNet
     // configuration: model trained on the benchmark-subset target,
@@ -2171,6 +2194,7 @@ object SparkEntry {
     "bm25_index_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "lm_kn_scores" -> TextOracles.lmKnScores,
+    "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,
@@ -2201,6 +2225,7 @@ object SparkEntry {
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
     "dedup_audio_pairs_shifted" -> DedupOracles.audioDedupPairsShifted(),
+    "dedup_audio_corpus_shifted" -> DedupOracles.audioCorpusShifted(),
     "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
     "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,

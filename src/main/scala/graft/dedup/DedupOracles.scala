@@ -735,7 +735,28 @@ SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
    * per-pair MIN window Hamming. All window arithmetic is integer, so
    * the replay is exact.
    */
-  def audioDedupPairsShifted(maxDist: Int = 2): String = s"""WITH s0 AS (
+  def audioDedupPairsShifted(maxDist: Int = 2): String =
+    s"""WITH ${afpShiftedCtes(maxDist)}
+SELECT doc_a, doc_b, min(hamming) AS hamming FROM allp
+GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+
+  /** Mirrors `dedup_audio_corpus_shifted`: the shift-tolerant pairs →
+    * the same recursive min-label component walk as [[audioCorpus]] →
+    * keepers only. */
+  def audioCorpusShifted(maxDist: Int = 2): String = s"""WITH RECURSIVE
+${afpShiftedCtes(maxDist)},
+pairs AS (SELECT doc_a, doc_b FROM allp GROUP BY 1, 2),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
+
+  private def afpShiftedCtes(maxDist: Int): String = s"""s0 AS (
   SELECT d.doc_id,
          CASE WHEN d.doc_id % 31 = 5 AND p.doc_id IS NOT NULL
               THEN p.text ELSE d.text END AS text,
@@ -813,9 +834,7 @@ allp AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
            greatest(x.doc_id, y.doc_id) AS doc_b, hamming
          FROM hp JOIN fp2 x ON x.hi = hp.ahi AND x.lo = hp.alo
                  JOIN fp2 y ON y.hi = hp.bhi AND y.lo = hp.blo
-         WHERE x.doc_id <> y.doc_id)
-SELECT doc_a, doc_b, min(hamming) AS hamming FROM allp
-GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+         WHERE x.doc_id <> y.doc_id)"""
 
   /** Mirrors Multimodal.audioDedupPairs. */
   def audioDedupPairs(maxDist: Int = 2): String =

@@ -230,17 +230,29 @@ object LanguageModel {
    */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5, headPermille: Int = 300,
-      midPermille: Int = 400): DataFrame = {
+      midPermille: Int = 400): DataFrame =
+    bucketsByScore(scoreDocs(docs, textCol, idCol, alpha), "lm_score",
+      headPermille, midPermille)
+
+  /**
+   * The bucketing half of [[perplexityBuckets]] over ANY 4-dp-grained
+   * fluency score — pass [[scoreDocsKN]] output with `kn_score` to
+   * rebase the CCNet triage on the Kneser–Ney trigram instead of the
+   * add-α bigram. Same exact-quantile machinery: bounded micro-unit
+   * histogram, one window over it, tie-inclusive integer thresholds.
+   */
+  def bucketsByScore(scored0: DataFrame, scoreCol: String,
+      headPermille: Int = 300, midPermille: Int = 400): DataFrame = {
     require(headPermille > 0 && midPermille >= 0 &&
       headPermille + midPermille <= 1000,
       "head/mid permille must be positive and sum to at most 1000")
     // two consumers (histogram + final labels): one computation
-    val scored = Materialized(scoreDocs(docs, textCol, idCol, alpha))
-    // exact micro-unit recovery: lm_score IS m/10⁴ for integer m, so
+    val scored = Materialized(scored0)
+    // exact micro-unit recovery: the score IS m/10⁴ for integer m, so
     // round(·×10⁴) is ≥ ½-ulp from any .5 boundary — identical in both
     // engines
     val grained = scored.withColumn("__m",
-      round(col("lm_score") * 10000).cast("long"))
+      round(col(scoreCol) * 10000).cast("long"))
     val hist = grained.groupBy("__m").agg(count(lit(1)).as("__cnt"))
     val byScoreDesc = Window.orderBy(col("__m").desc)
     val cum = hist

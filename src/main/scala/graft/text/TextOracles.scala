@@ -313,11 +313,12 @@ SELECT doc_id, n_bigrams,
     / 10000.0 AS lm_score
 FROM j2 ORDER BY doc_id"""
 
-  /** Mirrors LanguageModel.scoreDocsKN (interpolated Kneser–Ney
-    * trigram, D = 0.75): type counts over the distinct-trigram
-    * relation, probability expressions term-for-term in the engine's
-    * shapes, same 6-dp → DECIMAL → 4-dp micro-round tail. */
-  val lmKnScores: String = raw"""WITH t AS (
+  /** Shared CTE chain replaying LanguageModel.scoreDocsKN (interpolated
+    * Kneser–Ney trigram, D = 0.75): type counts over the distinct-
+    * trigram relation, probability expressions term-for-term in the
+    * engine's shapes, same 6-dp → DECIMAL → 4-dp micro-round tail;
+    * ends with `knsc(doc_id, n_trigrams, kn_score)`. */
+  private val knScoreCtes: String = raw"""t AS (
   SELECT doc_id, $toks AS toks FROM documents),
 tg AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
          unnest(toks[2:len(toks)-1]) AS w2,
@@ -341,12 +342,38 @@ j AS (SELECT tg.doc_id,
         JOIN mid USING (w2, w3) JOIN midctx USING (w2)
         JOIN low USING (w3) CROSS JOIN tot),
 j2 AS (SELECT doc_id, count(*) AS n_trigrams,
-         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
-SELECT doc_id, n_trigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id),
+knsc AS (SELECT doc_id, n_trigrams,
   (CASE WHEN s >= 0 THEN (2 * s + 100 * n_trigrams) // (200 * n_trigrams)
         ELSE -((2 * (-s) + 100 * n_trigrams) // (200 * n_trigrams)) END)
     / 10000.0 AS kn_score
-FROM j2 ORDER BY doc_id"""
+FROM j2)"""
+
+  /** Mirrors `lm_kn_scores`. */
+  val lmKnScores: String = s"""WITH $knScoreCtes
+SELECT doc_id, n_trigrams, kn_score FROM knsc ORDER BY doc_id"""
+
+  /** Mirrors `quality_perplexity_buckets_kn`: the CCNet triage rebased
+    * on the KN trigram score — same exact micro-unit histogram /
+    * tie-inclusive integer-threshold tail as [[lmPerplexityBuckets]]. */
+  val lmKnPerplexityBuckets: String = s"""WITH $knScoreCtes,
+g AS (SELECT doc_id, n_trigrams, kn_score,
+        CAST(round(kn_score * 10000) AS BIGINT) AS m FROM knsc),
+h AS (SELECT m, count(*) AS cnt FROM g GROUP BY m),
+c AS (SELECT m, cnt,
+        sum(cnt) OVER (ORDER BY m DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n
+      FROM h),
+thr AS (SELECT
+    max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
+    max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
+  FROM c)
+SELECT doc_id, n_trigrams, kn_score,
+  CASE WHEN m >= th THEN 'head'
+       WHEN m >= tm THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM g CROSS JOIN thr ORDER BY doc_id"""
 
   /** Mirrors LanguageModel.perplexityBuckets(300/400/300): exact
     * micro-unit histogram, descending cumulative counts, ⌈n·p/1000⌉
