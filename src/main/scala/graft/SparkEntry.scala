@@ -1395,6 +1395,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 3), d, "text", "doc_id")
         .orderBy("doc_id")
     }),
+    // Cross-corpus KN: the CCNet configuration at the trigram-KN order —
+    // model trained on the benchmark-subset target, every document
+    // scored against it with backoff down the interpolation chain
+    // (unseen trigram context → middle order → continuation unigram →
+    // 0.5 pseudo-count floor)
+    "lm_kn_cross_scores" -> ((s, dir) => {
+      val d = Demo.table(s, dir, "documents")
+      graft.text.LanguageModel.scoreDocsKNAgainst(
+        d.filter(col("doc_id") % 10 === 3), d, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Training-data ops: CCNet head/middle/tail perplexity triage
     // (Wenzek et al. 2020) — exact corpus quantiles of the LM score via
     // a bounded micro-unit histogram (no corpus-wide sort)
@@ -2195,6 +2206,7 @@ object SparkEntry {
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "lm_kn_scores" -> TextOracles.lmKnScores,
     "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
+    "lm_kn_cross_scores" -> TextOracles.lmKnCrossScores,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,

@@ -235,6 +235,68 @@ object LanguageModel {
       headPermille, midPermille)
 
   /**
+   * Cross-corpus Kneser–Ney scoring — the actual CCNet configuration
+   * at the KN order: the trigram model trains on a TARGET corpus and
+   * scores a DIFFERENT corpus against it, with standard backoff down
+   * the interpolation chain for unseen keys:
+   *
+   *  - trigram context (w₁,w₂) unseen in the target → score with the
+   *    middle order alone;
+   *  - middle context w₂ unseen → score with the continuation unigram;
+   *  - w₃ itself never a continuation in the target → a 0.5
+   *    pseudo-count floor over the target's continuation-type total
+   *    (the ⟨unk⟩ move at the lowest order — without it an unseen word
+   *    has probability 0 and ln diverges).
+   *
+   * On every SEEN path the arithmetic is expression-identical to
+   * [[scoreDocsKN]], so target ≡ scored degenerates to it EXACTLY
+   * (spec-asserted). Model relations aggregate the (smaller) target;
+   * scoring left-joins the corpus trigram stream by key — no driver
+   * model. Same engine-exact rounding tail. The target must contain at
+   * least one trigram (the continuation-type total is a divisor).
+   * Output: doc_id, n_trigrams, kn_score (4 dp).
+   */
+  def scoreDocsKNAgainst(target: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val t3 = Materialized(trigrams(target, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val top = t3.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3"))
+    val mid = Materialized(
+      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid")))
+    val midCtx = mid.groupBy("w2")
+      .agg(sum(col("n1mid")).as("nmidtot"), count(lit(1)).as("n2"))
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1low"))
+    val lowTot = mid.agg(count(lit(1)).as("ntypes"))
+    val d = lit(discount)
+    val pLow = coalesce(col("n1low").cast("double"), lit(0.5)) / col("ntypes")
+    val pMid = when(col("nmidtot").isNull, pLow).otherwise(
+      greatest(coalesce(col("n1mid"), lit(0L)) - d, lit(0.0)) / col("nmidtot") +
+        (d * col("n2") / col("nmidtot")) * pLow)
+    val pTop = when(col("c2").isNull, pMid).otherwise(
+      greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0)) / col("c2") +
+        (d * col("n3") / col("c2")) * pMid)
+    trigrams(docs, textCol, idCol)
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(top, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(midCtx, Seq("w2"), "left")
+      .join(low, Seq("w3"), "left")
+      .crossJoin(broadcast(lowTot))
+      .select(col("doc_id"),
+        round(log(pTop), 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          / 10000.0).as("kn_score"))
+  }
+
+  /**
    * The bucketing half of [[perplexityBuckets]] over ANY 4-dp-grained
    * fluency score — pass [[scoreDocsKN]] output with `kn_score` to
    * rebase the CCNet triage on the Kneser–Ney trigram instead of the

@@ -353,6 +353,49 @@ FROM j2)"""
   val lmKnScores: String = s"""WITH $knScoreCtes
 SELECT doc_id, n_trigrams, kn_score FROM knsc ORDER BY doc_id"""
 
+  /** Mirrors `lm_kn_cross_scores`: the KN model trained on the
+    * benchmark-subset target (doc_id % 10 = 3), the whole corpus scored
+    * with backoff down the interpolation chain — CASE shapes mirror the
+    * engine's when/otherwise expressions term-for-term (0.5 and the
+    * weights cast to DOUBLE). */
+  val lmKnCrossScores: String = {
+    val plow = "coalesce(CAST(n1low AS DOUBLE), CAST(0.5 AS DOUBLE)) / ntypes"
+    val pmid = s"""CASE WHEN nmidtot IS NULL THEN $plow
+             ELSE greatest(coalesce(n1mid, 0) - 0.75, 0) / nmidtot
+                  + (0.75 * n2 / nmidtot) * ($plow) END"""
+    val ptop = s"""CASE WHEN c2 IS NULL THEN $pmid
+             ELSE greatest(coalesce(c3, 0) - 0.75, 0) / c2
+                  + (0.75 * n3 / c2) * ($pmid) END"""
+    raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+tt AS (SELECT * FROM t WHERE doc_id % 10 = 3),
+ttg AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+          unnest(toks[2:len(toks)-1]) AS w2,
+          unnest(toks[3:len(toks)]) AS w3 FROM tt WHERE len(toks) >= 3),
+t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttg GROUP BY 1, 2, 3),
+top AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n3 FROM t3 GROUP BY 1, 2),
+mid AS (SELECT w2, w3, count(*) AS n1mid FROM t3 GROUP BY 1, 2),
+midctx AS (SELECT w2, sum(n1mid) AS nmidtot, count(*) AS n2
+           FROM mid GROUP BY 1),
+low AS (SELECT w3, count(*) AS n1low FROM mid GROUP BY 1),
+tot AS (SELECT count(*) AS ntypes FROM mid),
+bg AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+         unnest(toks[2:len(toks)-1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3 FROM t WHERE len(toks) >= 3),
+j AS (SELECT bg.doc_id,
+        CAST(round(ln($ptop), 6) AS DECIMAL(28,6)) AS lp
+      FROM bg LEFT JOIN t3 USING (w1, w2, w3) LEFT JOIN top USING (w1, w2)
+        LEFT JOIN mid USING (w2, w3) LEFT JOIN midctx USING (w2)
+        LEFT JOIN low USING (w3) CROSS JOIN tot),
+j2 AS (SELECT doc_id, count(*) AS n_trigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j GROUP BY doc_id)
+SELECT doc_id, n_trigrams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_trigrams) // (200 * n_trigrams)
+        ELSE -((2 * (-s) + 100 * n_trigrams) // (200 * n_trigrams)) END)
+    / 10000.0 AS kn_score
+FROM j2 ORDER BY doc_id"""
+  }
+
   /** Mirrors `quality_perplexity_buckets_kn`: the CCNet triage rebased
     * on the KN trigram score — same exact micro-unit histogram /
     * tie-inclusive integer-threshold tail as [[lmPerplexityBuckets]]. */

@@ -146,6 +146,29 @@ class RelevanceSpec extends SparkSpec {
     assert(again == kn)
   }
 
+  test("scoreDocsKNAgainst: degenerates to scoreDocsKN when target = scored; backoff orders unseen severity") {
+    val s = spark
+    import s.implicits._
+    val docs = Demo.table(spark, sf(), "documents")
+    val cross = LanguageModel.scoreDocsKNAgainst(docs, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val self = LanguageModel.scoreDocsKN(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(cross == self)
+    // backoff severity: a doc whose trigram is IN the target scores
+    // above one sharing only the middle order, which scores above one
+    // of entirely unseen words (the 0.5-pseudo-count floor)
+    val target = Seq((1L, "the quick fox jumps high")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "the quick fox"),   // seen trigram
+      (11L, "a quick fox"),     // unseen context, seen middle (quick fox)
+      (12L, "zz yy xx"))        // nothing seen → floor
+      .toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocsKNAgainst(target, probes, "text",
+      "doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(11L) && out(11L) > out(12L), out.toString)
+  }
+
   test("scoreDocsAgainst: degenerates to scoreDocs when target = scored; backoff penalizes out-of-target text") {
     val s = spark
     import s.implicits._
