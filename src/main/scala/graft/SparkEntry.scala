@@ -2032,6 +2032,16 @@ object SparkEntry {
       graft.operators.Sampling.balanced(assigned, "vec_id", "cluster")
         .orderBy("vec_id")
     }),
+    // Corpus pipeline with URL/domain curation as stage 0 — gate and
+    // cap the crawl BEFORE text-level quality/dedup work (the
+    // C4/RefinedWeb ordering); output = surviving keeper ids
+    "corpus_pipeline_curated" -> ((s, dir) =>
+      graft.corpus.CorpusPipeline.curatedKeepers(
+        docsWithUrl(s, dir), "url", "text", "doc_id",
+        blocked = Seq("src0-0.example.com", "src7-3.example.com",
+          "src15-2.example.com"),
+        keepSuffix = Some(".example.com"), domainCap = 15)
+        .select("doc_id").orderBy("doc_id")),
     // Training-data ops: URL/domain curation — C4 blocklist drop + the
     // reference's suffix gate over the extracted host (byte-exact
     // regex shared with the oracle); map-side only
@@ -2243,6 +2253,7 @@ object SparkEntry {
     "cluster_embeddings" -> TextOracles.clusterEmbeddings,
     "sample_balanced_clusters" -> TextOracles.balancedClusterSample,
     "curate_domain_filter" -> OracleSql.curateDomainFilter,
+    "corpus_pipeline_curated" -> DedupOracles.corpusPipelineCurated,
     "sample_domain_cap" -> OracleSql.sampleDomainCap,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

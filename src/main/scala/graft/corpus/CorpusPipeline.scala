@@ -112,6 +112,25 @@ object CorpusPipeline {
       idCol, langCol, epochFactors)
   }
 
+  /** Stage 0 + stages 1-3: URL/domain curation AHEAD of the keeper
+    * chain — the C4/RefinedWeb ordering (domain gating and per-domain
+    * caps run on the raw crawl BEFORE any text-level work, because a
+    * blocklisted or over-represented domain should not even pay for
+    * quality scoring and dedup). Blocklist/suffix gate, then the
+    * md5-rank per-domain cap over the survivors, then [[keepers]].
+    * The `domain` helper column is dropped before the text stages. */
+  def curatedKeepers(docs: DataFrame, urlCol: String, textCol: String,
+      idCol: String, blocked: Seq[String],
+      keepSuffix: Option[String] = None, domainCap: Long = Long.MaxValue,
+      minTokens: Int = 10): DataFrame = {
+    val gated = Curation.domainFilter(docs, urlCol, blocked, keepSuffix)
+    val capped =
+      if (domainCap == Long.MaxValue) gated
+      else Curation.capPerDomain(gated, urlCol, idCol, domainCap)
+        .drop("domain")
+    keepers(capped, textCol, idCol, minTokens)
+  }
+
   /** Per-document packed output of the full chain: doc_id, shard,
     * n_tokens, seq_id, seq_offset, spans_boundary for every surviving
     * document. */

@@ -226,11 +226,15 @@ WHERE rn = 1 ORDER BY doc_id"""
                                   for i in range(1, len(toks) - 1)])
                ELSE [] END"""
 
-  private val keeperCtes: String = {
+  private val keeperCtes: String = keeperCtesFrom("documents")
+
+  /** [[keeperCtes]] with the source relation parametrized — the curated
+    * pipeline feeds the chain from a domain-gated subset. */
+  private def keeperCtesFrom(src: String): String = {
     val bandSelects = (0 until 8).map(b =>
       s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
       .mkString("\nUNION ALL\n")
-    s"""t0 AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+    s"""t0 AS (SELECT doc_id, lang, text, $toks AS toks FROM $src),
 q AS (SELECT * FROM t0 WHERE len(toks) >= 10),
 ex AS (SELECT q.* FROM q
        JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) kx
@@ -320,6 +324,37 @@ FROM pp ORDER BY doc_id"""
   val corpusPipeline: String =
     s"""WITH RECURSIVE $keeperCtes,
 ${finishCtes("keepers")}"""
+
+  /** Mirrors `corpus_pipeline_curated` — CorpusPipeline.curatedKeepers:
+    * the synthesized crawl-URL domain gate (blocklist + suffix) and the
+    * md5-rank per-domain cap (15) run BEFORE the quality/dedup keeper
+    * chain, which then reads the curated subset. */
+  val corpusPipelineCurated: String = raw"""WITH RECURSIVE cu AS (
+  SELECT doc_id,
+    'https://www.' || source || '-' || CAST(doc_id % 5 AS VARCHAR)
+      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+cd AS (
+  SELECT doc_id,
+    lower(regexp_replace(regexp_extract(url, '://([^/?#]+)', 1),
+      '^www\.', '')) AS domain
+  FROM cu),
+cf AS (
+  SELECT doc_id, domain FROM cd
+  WHERE domain NOT IN ('src0-0.example.com', 'src7-3.example.com',
+                       'src15-2.example.com')
+    AND ends_with(domain, '.example.com')),
+crk AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY domain ORDER BY
+      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) % 10000 AS BIGINT), doc_id) AS rn
+  FROM cf),
+cur AS (
+  SELECT d2.* FROM documents d2
+  JOIN crk ON crk.doc_id = d2.doc_id WHERE crk.rn <= 15),
+""" + s"""${keeperCtesFrom("cur")}
+SELECT doc_id FROM keepers ORDER BY doc_id"""
 
   /** Mirrors the corpus_pipeline_full query — CorpusPipeline.prepare
     * with the SEMANTIC stage spliced in between dedup and
