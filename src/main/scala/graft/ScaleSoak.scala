@@ -166,6 +166,16 @@ object ScaleSoak {
     // per-domain cap's ranking window (n·log n within domains)
     "curate_domain_filter",
     "sample_domain_cap",
+    // curation-first pipeline: the domain gate/cap shapes + the keeper
+    // chain over the curated subset — inherits corpus_pipeline's
+    // shapes with a smaller text-stage input
+    "corpus_pipeline_curated",
+    // cross-corpus KN: target-side model aggs + corpus-side LEFT joins
+    // — lm_cross_scores' shapes at trigram order with backoff CASEs
+    "lm_kn_cross_scores",
+    // shift-tolerant corpus end state: windowed-fp star+bridge edges
+    // (multi-fingerprint docs) feeding CC
+    "dedup_audio_corpus_shifted",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
