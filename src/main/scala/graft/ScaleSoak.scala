@@ -155,10 +155,14 @@ object ScaleSoak {
     // query's loop entirely; the row reports edge_rows per factor
     // (must track docs, not pairs) as the boundedness evidence
     "dedup_audio_corpus",
-    // shift-tolerant audio dedup: windows/clip ∝ clip length (a
-    // constant factor over the whole-clip path), banding over DISTINCT
-    // window fingerprints — same output-bound shape as dedup_audio_pairs
-    "dedup_audio_pairs_shifted",
+    // NOTE dedup_audio_pairs_shifted is deliberately NOT laddered: its
+    // OUTPUT is the doc-pair set, and on the replica corpus — where the
+    // envelope's perceptual robustness already densified whole-clip
+    // pairs 62 800× (SOAK_r08 ‡) — the ~6 windows/clip multiply that
+    // into an OOM-scale pair frame. That is the pair REPORT being
+    // quadratic by definition, not a plan defect; the scale path for
+    // shifted dedup is the EDGE-fed corpus end state, laddered below.
+    "dedup_audio_corpus_shifted",
     // KN trigram LM: model = hash aggs of the distinct-trigram relation,
     // scoring = key joins — the scoreDocs shapes one order higher
     "lm_kn_scores",
@@ -173,9 +177,6 @@ object ScaleSoak {
     // cross-corpus KN: target-side model aggs + corpus-side LEFT joins
     // — lm_cross_scores' shapes at trigram order with backoff CASEs
     "lm_kn_cross_scores",
-    // shift-tolerant corpus end state: windowed-fp star+bridge edges
-    // (multi-fingerprint docs) feeding CC
-    "dedup_audio_corpus_shifted",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
@@ -249,6 +250,10 @@ object ScaleSoak {
           shape = planShape(df)
           (System.nanoTime() - t0) / 1e9
         }
+        // progress line PER ROW (flushed): a ladder that dies mid-run
+        // (the r9 first full-ladder OOM) must say which query killed it
+        // — the batch results only print at the very end
+        println(f"""{"progress":"$q","dir":"$dir","sec":${times.last}%.3f}""")
         q -> (times.last, shape)
       }.toMap
 

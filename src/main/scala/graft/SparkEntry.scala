@@ -171,6 +171,10 @@ object SparkEntry {
     cachedFrame(s, dir, "video_pairs")(
       graft.multimodal.Multimodal.videoDedupPairs(
         videoDemoPayloads(s, dir), "payload", "doc_id"))
+  private def videoEdgesDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "video_edges")(
+      graft.multimodal.Multimodal.videoDedupEdges(
+        videoDemoPayloads(s, dir), "payload", "doc_id"))
 
   /** Media near-dup EDGE frames — connectivity-equivalent to the pair
     * frames (star edges within identical-fingerprint groups + one
@@ -359,7 +363,7 @@ object SparkEntry {
       nbPredDf(s, dir),
       imageFpsDf(s, dir), audioFpsDf(s, dir),
       imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
-      imageEdgesDf(s, dir), audioEdgesDf(s, dir),
+      imageEdgesDf(s, dir), audioEdgesDf(s, dir), videoEdgesDf(s, dir),
       cachedFrame(s, dir, "corpus_keepers") {
         graft.corpus.CorpusPipeline.keepers(
           Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
@@ -1016,11 +1020,12 @@ object SparkEntry {
     // hash-green multimodal_frames query samples)
     "dedup_video_pairs" -> ((s, dir) =>
       videoPairsDf(s, dir).orderBy("doc_a", "doc_b")),
-    // Multimodal dedup END STATE for the video column
+    // Multimodal dedup END STATE for the video column — edge-fed
+    // (identical-frame-set stars + distinct-set bridges)
     "dedup_video_corpus" -> ((s, dir) =>
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
-        videoPairsDf(s, dir), "doc_a", "doc_b")
+        videoEdgesDf(s, dir), "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))
         .orderBy("doc_id")),
@@ -1087,11 +1092,11 @@ object SparkEntry {
       val textEdges = lshEdgesDf(s, dir).select("doc_a", "doc_b")
       val imageEdges = imageEdgesDf(s, dir).select("doc_a", "doc_b")
       val audioEdges = audioEdgesDf(s, dir).select("doc_a", "doc_b")
-      val videoPairs = videoPairsDf(s, dir).select("doc_a", "doc_b")
+      val videoEdges = videoEdgesDf(s, dir).select("doc_a", "doc_b")
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
         textEdges.unionByName(imageEdges).unionByName(audioEdges)
-          .unionByName(videoPairs).distinct(),
+          .unionByName(videoEdges).distinct(),
         "doc_a", "doc_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("doc_id"))

@@ -435,6 +435,36 @@ object TextDedup {
   }
 
   /**
+   * Connectivity-equivalent EDGE frame for [[setJaccardPairs]] — the
+   * star-edge move for SET-fingerprinted documents (video frame-digest
+   * sets): identical-set groups (canonical sorted-array key) become
+   * star edges, the df-capped inverted-index + exact-Jaccard pairing
+   * runs over ONE representative per distinct set, and verified pairs
+   * become bridges. Jaccard is a pure function of the set, so
+   * components from [[ConnectedComponents.label]] are identical to the
+   * pair-fed formulation; empty-set documents are excluded from stars
+   * (the pair formulation never pairs them). `withSh` must have
+   * columns `(doc_id, hs)` with `hs` distinct elements.
+   */
+  def setJaccardEdges(withSh: DataFrame, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+    val base = graft.operators.Materialized(
+      withSh.select(col("doc_id"), col("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("__key", array_sort(col("hs"))))
+    val rep = base.groupBy("__key").agg(min(col("doc_id")).as("rep"))
+    val stars = base.join(rep, "__key")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repSets = base.join(rep.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("hs"))
+    val bridges = setJaccardPairs(
+      graft.operators.Materialized(repSets), threshold, maxDfFrac,
+      maxDfFloor).select(col("doc_a"), col("doc_b"))
+    stars.unionByName(bridges)
+  }
+
+  /**
    * Connectivity-equivalent EDGE frame for the text near-dup graph —
    * [[hammingEdgesWide]]'s star-edge move applied to MinHash-LSH. On an
    * exact-dup-heavy corpus, [[minhashLshPairs]]' band self-join emits

@@ -321,6 +321,21 @@ object Multimodal {
       .groupBy("doc_a", "doc_b")
       .agg(min(col("hamming")).as("hamming"))
 
+  /** Video twin of [[imageDedupEdges]]: the sampled-frame digest sets
+    * through [[graft.dedup.TextDedup.setJaccardEdges]] — identical-set
+    * stars + one verified bridge per distinct-set pair, linear in
+    * videos where the pair frame is quadratic in dup-group size. */
+  def videoDedupEdges(df: DataFrame, binCol: String, idCol: String,
+      frameSize: Int = 64, every: Int = 4, threshold: Double = 0.8,
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+    val sets = frameRows(df, binCol, idCol, frameSize, every)
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(collect_set(
+        graft.dedup.TextDedup.strHash(col("frame_md5"))).as("hs"))
+    graft.dedup.TextDedup.setJaccardEdges(sets, threshold, maxDfFrac,
+      maxDfFloor)
+  }
+
   /** Connectivity-equivalent EDGE frame over precomputed image dHash
     * fingerprints ([[imageDhash]] output) — star edges within
     * identical-fingerprint groups plus one bridge per qualifying

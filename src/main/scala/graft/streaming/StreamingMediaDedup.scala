@@ -28,10 +28,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object StreamingMediaDedup {
 
-  /** Fingerprint kinds this harness can grow an index for. */
+  /** Fingerprint kinds this harness can grow an index for.
+    * [[AudioWindowed]] is the SHIFT-TOLERANT kind: one row per
+    * (clip, window offset) — the index grows by clipLen/hop rows per
+    * accepted asset (the standard fingerprint-density trade), and a
+    * time-shifted copy of stored history collides at Hamming 0 where
+    * [[AudioEnvelope]]'s positional whole-clip hash misses it. */
   sealed trait Fingerprint
   case object ImageDhash extends Fingerprint
   case object AudioEnvelope extends Fingerprint
+  final case class AudioWindowed(window: Int = 64, hop: Int = 16)
+    extends Fingerprint
 
   private def fingerprints(batch: DataFrame, binCol: String, idCol: String,
       kind: Fingerprint): DataFrame = kind match {
@@ -41,6 +48,9 @@ object StreamingMediaDedup {
     case AudioEnvelope =>
       Multimodal.audioFingerprint(batch, binCol, idCol)
         .withColumnRenamed("afp", "fp")
+    case AudioWindowed(w, h) =>
+      Multimodal.audioWindowedFingerprints(batch, binCol, idCol, w, h)
+        .select(col("doc_id"), col("afp").as("fp"))
   }
 
   /** One micro-batch: fingerprint → batch-internal exact dedup (keep
@@ -62,9 +72,17 @@ object StreamingMediaDedup {
     val fps = fingerprints(batch, binCol, idCol, kind)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keepIds = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val internal = fps.join(keepIds, Seq("doc_id"), "left_semi")
+      // batch-internal dedup, multi-fingerprint-safe: a doc drops when
+      // ANY of its fingerprints is owned (min doc id) by a smaller doc
+      // — for one-fp-per-doc kinds this is exactly the old keep-the-
+      // fp-minimum rule; for windowed audio it also catches a batch-
+      // internal time-shifted copy (which shares windows with the
+      // original but ALSO carries unique lead-in windows it owns).
+      val minOwner = fps.groupBy("fp").agg(min(col("doc_id")).as("__own"))
+      val dropped = fps.join(minOwner, "fp")
+        .where(col("doc_id") > col("__own"))
+        .select("doc_id").distinct()
+      val internal = fps.join(dropped, Seq("doc_id"), "left_anti")
       val survivorFps = GrowingIndex.read(spark, indexDir) match {
         case Some(idx) =>
           val matched = TextDedup.hammingMatchedIds(internal, "doc_id",

@@ -290,6 +290,34 @@ class DedupSpec extends SparkSpec {
     assert(pairCnt === 211, s"pairs=$pairCnt")
   }
 
+  test("setJaccardEdges: identical components to setJaccardPairs; empty sets stay separate") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 15-doc identical-set clique, a near-dup set (9/10 shared), a
+    // disjoint group, and two empty-set docs (never paired)
+    val full = (1L to 10L).toArray
+    val near = (2L to 10L).toArray :+ 99L
+    val other = (100L to 109L).toArray
+    val rows = (0L until 15L).map(i => (i, full)) ++
+      Seq((20L, near), (30L, other), (31L, other),
+        (40L, Array.empty[Long]), (41L, Array.empty[Long]))
+    val sets = rows.toDF("doc_id", "hs")
+    val nodes = sets.select(col("doc_id"))
+    def comp(edges: org.apache.spark.sql.DataFrame) =
+      graft.dedup.ConnectedComponents.label(nodes, edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comp(TextDedup.setJaccardPairs(sets, threshold = 0.8)
+      .select("doc_a", "doc_b"))
+    val viaEdges = comp(TextDedup.setJaccardEdges(sets, threshold = 0.8))
+    assert(viaEdges === viaPairs)
+    assert(viaEdges(40L) === 40L && viaEdges(41L) === 41L)
+    // linear: 14 stars (clique) + 1 star (other) + 1 bridge (near set,
+    // jaccard 9/11 ≥ 0.8); pair frame: 105 + 15 + 1 = 121
+    assert(TextDedup.setJaccardEdges(sets, 0.8).count() === 16)
+    assert(TextDedup.setJaccardPairs(sets, 0.8).count() === 121)
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),

@@ -65,6 +65,63 @@ class StreamingMediaDedupSpec extends SparkSpec {
     assert(out === Seq(3L, 9L))
   }
 
+  test("AudioWindowed: time-shifted copies of stored history drop; the positional kind misses them") {
+    import spark.implicits._
+    import graft.streaming.StreamingMediaDedup.{AudioEnvelope, AudioWindowed}
+    def clip(n: Int, seed: Int): Array[Int] = Array.tabulate(n) { i =>
+      val period = if ((i / 200) % 2 == 0) 8 else 24
+      val amp = 3000 + 200 * ((i / 100 + seed) % 7)
+      if ((i / period) % 2 == 0) amp else -amp
+    }
+    def wav(s: Array[Int]): Array[Byte] =
+      Wav.encode(8000, 1, s.map(_.toShort))
+    val base = clip(800, 7)
+    val shifted = Array.fill(32)(0) ++ base // 2 hops at hop 16
+    val noise = Array.tabulate(800)(i =>
+      (((i * 2654435761L + 11) % 7919) - 3959).toInt)
+
+    // windowed kind: the shifted copy in a LATER batch drops
+    val dir1 = java.nio.file.Files.createTempDirectory("awin1").toString
+    StreamingMediaDedup.processBatch(
+      Seq((1L, wav(base))).toDF("doc_id", "payload"), 0L, "payload",
+      "doc_id", s"$dir1/index", s"$dir1/out", AudioWindowed())
+    StreamingMediaDedup.processBatch(
+      Seq((2L, wav(shifted)), (3L, wav(noise))).toDF("doc_id", "payload"),
+      1L, "payload", "doc_id", s"$dir1/index", s"$dir1/out", AudioWindowed())
+    val out1 = spark.read.parquet(s"$dir1/out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out1 === Seq(1L, 3L), s"shifted copy not dropped: $out1")
+
+    // the positional whole-clip kind MISSES the same shifted copy
+    val dir2 = java.nio.file.Files.createTempDirectory("awin2").toString
+    StreamingMediaDedup.processBatch(
+      Seq((1L, wav(base))).toDF("doc_id", "payload"), 0L, "payload",
+      "doc_id", s"$dir2/index", s"$dir2/out", AudioEnvelope)
+    StreamingMediaDedup.processBatch(
+      Seq((2L, wav(shifted))).toDF("doc_id", "payload"),
+      1L, "payload", "doc_id", s"$dir2/index", s"$dir2/out", AudioEnvelope)
+    val out2 = spark.read.parquet(s"$dir2/out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out2 === Seq(1L, 2L))
+
+    // batch-INTERNAL shifted copy also drops with the windowed kind
+    // (the multi-fingerprint ownership rule: doc 12 shares windows
+    // owned by doc 11 even though it owns its unique lead-in windows)
+    val dir3 = java.nio.file.Files.createTempDirectory("awin3").toString
+    StreamingMediaDedup.processBatch(
+      Seq((11L, wav(base)), (12L, wav(shifted))).toDF("doc_id", "payload"),
+      0L, "payload", "doc_id", s"$dir3/index", s"$dir3/out", AudioWindowed())
+    val out3 = spark.read.parquet(s"$dir3/out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out3 === Seq(11L))
+    // replay stays exactly-once: the windowed index self-matches
+    StreamingMediaDedup.processBatch(
+      Seq((11L, wav(base)), (12L, wav(shifted))).toDF("doc_id", "payload"),
+      0L, "payload", "doc_id", s"$dir3/index", s"$dir3/out", AudioWindowed())
+    assert(spark.read.parquet(s"$dir3/out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(11L))
+  }
+
   test("half-commit replay is idempotent (index lost, corpus kept)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mediadedup3").toString
