@@ -155,6 +155,13 @@ object SparkEntry {
     cachedFrame(s, dir, "audio_fps")(
       graft.multimodal.Multimodal.audioFingerprint(
         audioDemoPayloads(s, dir), "payload", "doc_id"))
+  /** Windowed (shift-tolerant) fingerprints over the planted-shift demo
+    * corpus — shared by the shifted pairs query and the shifted corpus
+    * end state (decode + window fold runs once per (session, dir)). */
+  private def audioShiftedFpsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "audio_shifted_fps")(
+      graft.multimodal.Multimodal.audioWindowedFingerprints(
+        audioShiftedDemoPayloads(s, dir), "payload", "doc_id"))
 
   /** Media near-dup PAIR frames — consumed by the pair-report queries,
     * where the pairs themselves are the product. Banding runs over the
@@ -364,6 +371,7 @@ object SparkEntry {
       imageFpsDf(s, dir), audioFpsDf(s, dir),
       imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
       imageEdgesDf(s, dir), audioEdgesDf(s, dir), videoEdgesDf(s, dir),
+      audioShiftedFpsDf(s, dir),
       cachedFrame(s, dir, "corpus_keepers") {
         graft.corpus.CorpusPipeline.keepers(
           Demo.table(s, dir, "documents"), "text", "doc_id", minTokens = 10)
@@ -1050,19 +1058,18 @@ object SparkEntry {
     // over the planted-shift demo corpus (doc_id ≡ 5 mod 31 is the
     // previous doc's clip delayed 32 samples).
     "dedup_audio_pairs_shifted" -> ((s, dir) =>
-      graft.multimodal.Multimodal.audioDedupPairsShifted(
-        audioShiftedDemoPayloads(s, dir), "payload", "doc_id",
-        maxDist = 2)
+      TextDedup.hammingPairsWide(audioShiftedFpsDf(s, dir), "doc_id",
+        "afp", maxDist = 2, chunkBits = 16)
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("hamming")).as("hamming"))
         .orderBy("doc_a", "doc_b")),
     // Shift-tolerant corpus END STATE: windowed fingerprints (one doc,
     // MANY fingerprint rows) through the star+bridge edge frame — the
     // multi-fingerprint case hammingEdgesWide is specified for — then
     // connected components, one keeper per cluster
     "dedup_audio_corpus_shifted" -> ((s, dir) => {
-      val fps = graft.multimodal.Multimodal.audioWindowedFingerprints(
-        audioShiftedDemoPayloads(s, dir), "payload", "doc_id")
-      val edges = TextDedup.hammingEdgesWide(fps, "doc_id", "afp",
-        maxDist = 2, chunkBits = 16)
+      val edges = TextDedup.hammingEdgesWide(audioShiftedFpsDf(s, dir),
+        "doc_id", "afp", maxDist = 2, chunkBits = 16)
       graft.dedup.ConnectedComponents.label(
         Demo.table(s, dir, "documents").select("doc_id"),
         edges, "doc_a", "doc_b")
