@@ -298,6 +298,33 @@ object SparkEntry {
         (col("doc_id") % 5).cast("string"), lit(".example.com/p/"),
         col("doc_id").cast("string")))
 
+  /** Multi-line demo view of `documents` for the C4 line filter (the
+    * corpus text is single-line with no punctuation, so the filter
+    * would degenerate on it): tokens in 8-word lines, line i of doc d
+    * gaining " javascript." when (d+i)%17=0, "." when (d+i)%3=0, no
+    * terminal punctuation otherwise; docs d%41=7 append a
+    * "lorem ipsum" line and d%43=11 a "{" line — every C4 rule has
+    * planted hits, and the construction is pure array/when arithmetic
+    * the oracle replays byte-for-byte. */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame =
+    Demo.table(s, dir, "documents")
+      .withColumn("__toks", TextDedup.tokens(col("text")))
+      .withColumn("__nl",
+        greatest(lit(1), expr("(size(__toks) + 7) DIV 8")))
+      .withColumn("mtext",
+        concat(
+          array_join(transform(sequence(lit(0), col("__nl") - 1),
+            i => concat(
+              array_join(slice(col("__toks"), i * 8 + 1, lit(8)), " "),
+              when((col("doc_id") + i) % 17 === 0, lit(" javascript."))
+                .when((col("doc_id") + i) % 3 === 0, lit("."))
+                .otherwise(lit("")))), "\n"),
+          when(col("doc_id") % 41 === 7, lit("\nlorem ipsum dolor sit."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 43 === 11, lit("\nbrace { code line."))
+            .otherwise(lit(""))))
+      .select("doc_id", "mtext")
+
   /** Demo video payloads for the video-dedup queries: the raw UTF-8
     * text bytes stand in for the container stream — the SAME payload
     * the hash-green `multimodal_frames` query samples, so the frame
@@ -2054,6 +2081,14 @@ object SparkEntry {
           "src15-2.example.com"),
         keepSuffix = Some(".example.com"), domainCap = 15)
         .select("doc_id").orderBy("doc_id")),
+    // Training-data ops: C4 line-level cleaning (Raffel 2020 §2.2) —
+    // terminal-punctuation / min-words / javascript line rules + the
+    // lorem-ipsum / brace / min-sentences page gates, one map-side
+    // projection over the planted multi-line demo view
+    "c4_line_filter" -> ((s, dir) =>
+      graft.text.TextAnalysis.c4LineFilter(
+        multilineDocs(s, dir), "mtext", "doc_id")
+        .orderBy("doc_id")),
     // Training-data ops: URL/domain curation — C4 blocklist drop + the
     // reference's suffix gate over the extracted host (byte-exact
     // regex shared with the oracle); map-side only
@@ -2229,6 +2264,7 @@ object SparkEntry {
     "lm_kn_scores" -> TextOracles.lmKnScores,
     "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
     "lm_kn_cross_scores" -> TextOracles.lmKnCrossScores,
+    "c4_line_filter" -> TextOracles.c4LineFilter,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,

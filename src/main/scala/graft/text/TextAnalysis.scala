@@ -351,6 +351,49 @@ object TextAnalysis {
       .withColumn("mean_doc_tokens",
         col("total_tokens").cast("double") / col("n_docs"))
 
+  /**
+   * C4 line-level cleaning (Raffel et al. 2020 §2.2) — the classic
+   * within-document boilerplate pass that runs BEFORE document-level
+   * quality filters: keep only lines that end in a terminal punctuation
+   * mark, contain at least `minLineWords` words, and do not mention
+   * "javascript"; then gate the PAGE — drop documents whose cleaned
+   * text has fewer than `minSentences` sentences (terminal-punctuation
+   * count) or whose ORIGINAL text contains "lorem ipsum" or a curly
+   * brace (code/boilerplate markers). Everything is array/regex ops in
+   * one map-side projection — no shuffle, no UDF — and every rule is
+   * replayed by the DuckDB oracle.
+   *
+   * Output: doc_id, clean_md5 (digest of the kept-lines text — keeps
+   * verify rows small, like normalize_documents), n_lines,
+   * n_kept_lines, n_sentences, kept.
+   */
+  def c4LineFilter(docs: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l => {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => w =!= ""))
+      t.rlike("[.!?\"]$") && words >= minLineWords &&
+        !lower(t).contains("javascript")
+    })
+    val cleanText = array_join(keptLines, "\n")
+    val sentences =
+      (length(cleanText) -
+        length(regexp_replace(cleanText, "[.!?]", ""))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t"), lines.as("__lines"),
+        keptLines.as("__kept"), cleanText.as("__clean"),
+        sentences.as("n_sentences"))
+      .select(col("doc_id"),
+        md5(col("__clean")).as("clean_md5"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        col("n_sentences"),
+        (col("n_sentences") >= minSentences &&
+          !lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{")).as("kept"))
+  }
+
   /** Full analysis projection over a document frame. */
   def analyze(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -353,6 +353,56 @@ FROM j2)"""
   val lmKnScores: String = s"""WITH $knScoreCtes
 SELECT doc_id, n_trigrams, kn_score FROM knsc ORDER BY doc_id"""
 
+  /** Mirrors `c4_line_filter`: the multi-line demo synthesis (8-word
+    * lines with planted suffixes and page markers) and every C4 rule —
+    * terminal punctuation, min line words, javascript lines,
+    * lorem-ipsum/brace/min-sentences page gates — replayed with list
+    * ops (order-preserving, no unnest). */
+  val c4LineFilter: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+ln AS (SELECT doc_id, toks,
+         greatest(1, (len(toks) + 7) // 8) AS nl FROM t),
+mt AS (
+  SELECT doc_id,
+    array_to_string(
+      [array_to_string(toks[i*8+1 : i*8+8], ' ') ||
+       CASE WHEN (doc_id + i) % 17 = 0 THEN ' javascript.'
+            WHEN (doc_id + i) % 3 = 0 THEN '.'
+            ELSE '' END
+       for i in range(0, nl)], chr(10)) ||
+    CASE WHEN doc_id % 41 = 7 THEN chr(10) || 'lorem ipsum dolor sit.'
+         ELSE '' END ||
+    CASE WHEN doc_id % 43 = 11 THEN chr(10) || 'brace { code line.'
+         ELSE '' END AS mtext
+  FROM ln),
+res AS (
+  SELECT doc_id, mtext,
+    string_split(mtext, chr(10)) AS alllines,
+    list_filter(string_split(mtext, chr(10)), l ->
+      regexp_matches(trim(l), '[.!?"]$$')
+      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        x -> x <> '')) >= 3
+      AND NOT contains(lower(trim(l)), 'javascript')) AS keptl
+  FROM mt),
+res2 AS (
+  SELECT doc_id, mtext, alllines, keptl,
+    -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+    -- array_join is '' — coalesce to the Spark semantics
+    coalesce(array_to_string(keptl, chr(10)), '') AS cl
+  FROM res),
+res3 AS (
+  SELECT doc_id, md5(cl) AS clean_md5,
+    CAST(len(alllines) AS BIGINT) AS n_lines,
+    CAST(len(keptl) AS BIGINT) AS n_kept_lines,
+    CAST(length(cl) - length(regexp_replace(cl, '[.!?]', '', 'g'))
+      AS BIGINT) AS n_sentences,
+    mtext
+  FROM res2)
+SELECT doc_id, clean_md5, n_lines, n_kept_lines, n_sentences,
+  (n_sentences >= 5 AND NOT contains(lower(mtext), 'lorem ipsum')
+    AND NOT contains(mtext, '{')) AS kept
+FROM res3 ORDER BY doc_id"""
+
   /** Mirrors `lm_kn_cross_scores`: the KN model trained on the
     * benchmark-subset target (doc_id % 10 = 3), the whole corpus scored
     * with backoff down the interpolation chain — CASE shapes mirror the
