@@ -177,6 +177,9 @@ object ScaleSoak {
     // cross-corpus KN: target-side model aggs + corpus-side LEFT joins
     // — lm_cross_scores' shapes at trigram order with backoff CASEs
     "lm_kn_cross_scores",
+    // C4 line cleaning: one map-side array/regex projection — must
+    // ladder flat like the other kernel passes
+    "c4_line_filter",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
