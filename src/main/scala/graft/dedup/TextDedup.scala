@@ -448,16 +448,19 @@ object TextDedup {
    */
   def setJaccardEdges(withSh: DataFrame, threshold: Double = 0.8,
       maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+    // one stored copy of each set: the canonical sorted array is BOTH
+    // the grouping key and the representatives' `hs` (same distinct
+    // elements — Jaccard is order-blind), so the materialized relation
+    // never holds the set twice
     val base = graft.operators.Materialized(
-      withSh.select(col("doc_id"), col("hs"))
-        .filter(size(col("hs")) > 0)
-        .withColumn("__key", array_sort(col("hs"))))
+      withSh.select(col("doc_id"), array_sort(col("hs")).as("__key"))
+        .filter(size(col("__key")) > 0))
     val rep = base.groupBy("__key").agg(min(col("doc_id")).as("rep"))
     val stars = base.join(rep, "__key")
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val repSets = base.join(rep.select(col("rep").as("doc_id")), "doc_id")
-      .select(col("doc_id"), col("hs"))
+      .select(col("doc_id"), col("__key").as("hs"))
     val bridges = setJaccardPairs(
       graft.operators.Materialized(repSets), threshold, maxDfFrac,
       maxDfFloor).select(col("doc_a"), col("doc_b"))
@@ -493,18 +496,22 @@ object TextDedup {
   def minhashLshEdges(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // the materialized relation carries ONLY (doc_id, digest) — 24
+    // bytes/doc, never the corpus text (a full-text materialization
+    // would double the corpus's memory footprint at scale); the
+    // representatives' text is re-read from the source via a semi-join
     val base = graft.operators.Materialized(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          md5(col(textCol)).as("__dg"))
         .filter(size(graft.functions.GraftFunctions
-          .hashed_shingles(col(textCol), n)) > 0)
-        .withColumn("__dg", md5(col("__text"))))
+          .hashed_shingles(col(textCol), n)) > 0))
     val rep = base.groupBy("__dg").agg(min(col("doc_id")).as("rep"))
     val stars = base.join(rep, "__dg")
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repDocs = base.join(rep.select(col("rep").as("doc_id")), "doc_id")
-      .select(col("doc_id"), col("__text"))
-    val bridges = minhashLshPairs(repDocs, "__text", "doc_id",
+    val repDocs = docs.join(
+      rep.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val bridges = minhashLshPairs(repDocs, textCol, idCol,
       n, numPerms, bandRows, threshold)
       .select(col("doc_a"), col("doc_b"))
     // disjoint by construction: star endpoints share a digest,
