@@ -180,6 +180,9 @@ object ScaleSoak {
     // C4 line cleaning: one map-side array/regex projection — must
     // ladder flat like the other kernel passes
     "c4_line_filter",
+    // corpus-line dedup: posexplode + line-grain df agg + anti join +
+    // per-doc rebuild — the inverted-index shape at line grain
+    "dedup_corpus_lines",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,

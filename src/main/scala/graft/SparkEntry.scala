@@ -325,6 +325,21 @@ object SparkEntry {
             .otherwise(lit(""))))
       .select("doc_id", "mtext")
 
+  /** [[multilineDocs]] plus PLANTED boilerplate footers for the
+    * corpus-line-dedup demo: a footer in ~half the docs, a banner in
+    * ~1/29, one line landing EXACTLY on the minDocs=5 threshold
+    * (removed — the cut is ≥) and one in only 2 docs (survives). */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame =
+    multilineDocs(s, dir).withColumn("mtext", concat(col("mtext"),
+      when(col("doc_id") % 2 === 0,
+        lit("\ncontact us at example dot com.")).otherwise(lit("")),
+      when(col("doc_id") % 29 === 3,
+        lit("\nspecial offer ends soon.")).otherwise(lit("")),
+      when(col("doc_id") % 101 === 5,
+        lit("\nexactly at the threshold line.")).otherwise(lit("")),
+      when(col("doc_id") % 251 === 7,
+        lit("\nrare enough to survive here.")).otherwise(lit(""))))
+
   /** Demo video payloads for the video-dedup queries: the raw UTF-8
     * text bytes stand in for the container stream — the SAME payload
     * the hash-green `multimodal_frames` query samples, so the frame
@@ -2081,6 +2096,14 @@ object SparkEntry {
           "src15-2.example.com"),
         keepSuffix = Some(".example.com"), domainCap = 15)
         .select("doc_id").orderBy("doc_id")),
+    // Training-data ops: corpus-level duplicate-LINE removal
+    // (RefinedWeb/MassiveText) — lines appearing in ≥ 5 distinct docs
+    // (planted footers/banners in the demo view) are boilerplate and
+    // excised from EVERY document, order-preserving rebuild
+    "dedup_corpus_lines" -> ((s, dir) =>
+      TextDedup.removeBoilerplateLines(
+        boilerplateDocs(s, dir), "mtext", "doc_id", minDocs = 5)
+        .orderBy("doc_id")),
     // Training-data ops: C4 line-level cleaning (Raffel 2020 §2.2) —
     // terminal-punctuation / min-words / javascript line rules + the
     // lorem-ipsum / brace / min-sentences page gates, one map-side
@@ -2265,6 +2288,7 @@ object SparkEntry {
     "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
     "lm_kn_cross_scores" -> TextOracles.lmKnCrossScores,
     "c4_line_filter" -> TextOracles.c4LineFilter,
+    "dedup_corpus_lines" -> TextOracles.dedupCorpusLines,
     "quality_perplexity_buckets" -> TextOracles.lmPerplexityBuckets,
     "lm_cross_scores" -> TextOracles.lmCrossScores,
     "sample_mixture" -> OracleSql.sampleMixture,

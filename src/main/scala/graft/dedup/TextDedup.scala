@@ -435,6 +435,53 @@ object TextDedup {
   }
 
   /**
+   * Corpus-level duplicate-LINE removal (RefinedWeb/MassiveText's
+   * line-dedup pass): a line appearing in at least `minDocs` DISTINCT
+   * documents is boilerplate (nav bars, footers, cookie banners —
+   * content no single document owns) and is excised from EVERY
+   * document; surviving lines rebuild in original order. Distinct from
+   * [[SubstringDedup]] (pairwise w-token runs) and from the C4 line
+   * rules (document-local): the evidence here is corpus-wide line
+   * frequency.
+   *
+   * Scale shape: one posexplode + a line-grain hash aggregation
+   * (count of distinct docs per line — the inverted-index shape), a
+   * left-anti join on the line key, and one per-doc rebuild
+   * aggregation (sort_array over (idx, line) structs — line-grain
+   * shuffle, no windows, no driver state). Output: doc_id, clean_md5
+   * (digest of the rebuilt text; keeps verify rows small), n_lines,
+   * n_kept_lines.
+   */
+  def removeBoilerplateLines(docs: DataFrame, textCol: String,
+      idCol: String, minDocs: Long = 5): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = graft.operators.Materialized(
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line"))))
+    val boiler = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")), "\n").as("__clean"),
+        count(lit(1)).as("n_kept_lines"))
+    // every input doc emits a row — a doc whose lines were ALL
+    // boilerplate comes back empty, not absent
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"),
+        col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
+  }
+
+  /**
    * Connectivity-equivalent EDGE frame for [[setJaccardPairs]] — the
    * star-edge move for SET-fingerprinted documents (video frame-digest
    * sets): identical-set groups (canonical sorted-array key) become

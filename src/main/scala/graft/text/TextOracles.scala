@@ -358,7 +358,11 @@ SELECT doc_id, n_trigrams, kn_score FROM knsc ORDER BY doc_id"""
     * terminal punctuation, min line words, javascript lines,
     * lorem-ipsum/brace/min-sentences page gates — replayed with list
     * ops (order-preserving, no unnest). */
-  val c4LineFilter: String = raw"""WITH t AS (
+  /** The multi-line demo synthesis (SparkEntry.multilineDocs replayed):
+    * 8-word lines with planted punctuation/javascript suffixes and
+    * lorem/brace page markers — shared by the C4 and boilerplate-line
+    * oracles. Ends with `mt(doc_id, mtext)`. */
+  private val multilineCtes: String = raw"""t AS (
   SELECT doc_id, $toks AS toks FROM documents),
 ln AS (SELECT doc_id, toks,
          greatest(1, (len(toks) + 7) // 8) AS nl FROM t),
@@ -374,8 +378,10 @@ mt AS (
          ELSE '' END ||
     CASE WHEN doc_id % 43 = 11 THEN chr(10) || 'brace { code line.'
          ELSE '' END AS mtext
-  FROM ln),
-res AS (
+  FROM ln)"""
+
+  val c4LineFilter: String = s"""WITH $multilineCtes,
+""" + raw"""res AS (
   SELECT doc_id, mtext,
     string_split(mtext, chr(10)) AS alllines,
     list_filter(string_split(mtext, chr(10)), l ->
@@ -402,6 +408,39 @@ SELECT doc_id, clean_md5, n_lines, n_kept_lines, n_sentences,
   (n_sentences >= 5 AND NOT contains(lower(mtext), 'lorem ipsum')
     AND NOT contains(mtext, '{')) AS kept
 FROM res3 ORDER BY doc_id"""
+
+  /** Mirrors `dedup_corpus_lines`: the multiline base plus planted
+    * boilerplate footers, then corpus-level duplicate-line removal —
+    * lines in ≥ 5 distinct docs excised everywhere, order-preserving
+    * rebuild via list_filter against the collected boilerplate list. */
+  val dedupCorpusLines: String = s"""WITH $multilineCtes,
+mt2 AS (
+  SELECT doc_id, mtext ||
+    CASE WHEN doc_id % 2 = 0
+         THEN chr(10) || 'contact us at example dot com.' ELSE '' END ||
+    CASE WHEN doc_id % 29 = 3
+         THEN chr(10) || 'special offer ends soon.' ELSE '' END ||
+    CASE WHEN doc_id % 101 = 5
+         THEN chr(10) || 'exactly at the threshold line.' ELSE '' END ||
+    CASE WHEN doc_id % 251 = 7
+         THEN chr(10) || 'rare enough to survive here.' ELSE '' END
+    AS mtext
+  FROM mt),
+l0 AS (SELECT doc_id, unnest(string_split(mtext, chr(10))) AS line FROM mt2),
+bl AS (SELECT line FROM (
+         SELECT line, count(DISTINCT doc_id) AS df FROM l0 GROUP BY line)
+       WHERE df >= 5),
+bll AS (SELECT coalesce(list(line), []) AS bl_list FROM bl),
+res AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM mt2),
+out AS (SELECT doc_id,
+    list_filter(ls, l -> NOT list_contains(bl_list, l)) AS keptl,
+    len(ls) AS n_lines
+  FROM res CROSS JOIN bll)
+SELECT doc_id,
+  md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(len(keptl) AS BIGINT) AS n_kept_lines
+FROM out ORDER BY doc_id"""
 
   /** Mirrors `lm_kn_cross_scores`: the KN model trained on the
     * benchmark-subset target (doc_id % 10 = 3), the whole corpus scored

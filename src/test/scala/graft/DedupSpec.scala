@@ -318,6 +318,40 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.setJaccardPairs(sets, 0.8).count() === 121)
   }
 
+  test("removeBoilerplateLines: corpus-frequent lines excised everywhere, order preserved") {
+    val s = spark
+    import s.implicits._
+    val footer = "contact us today."
+    val docs = Seq(
+      (1L, s"unique alpha content.\n$footer\nmore alpha text."),
+      (2L, s"$footer\nunique beta content."),
+      (3L, s"unique gamma content.\n$footer"),
+      (4L, footer), // ALL lines boilerplate → empty but present
+      (5L, "entirely novel document.")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeBoilerplateLines(docs, "text", "doc_id",
+      minDocs = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // footer appears in 4 distinct docs >= minDocs → removed from all,
+    // remaining lines keep their original order
+    assert(out(1L) == ((md5("unique alpha content.\nmore alpha text."), 3L, 2L)))
+    assert(out(2L) == ((md5("unique beta content."), 2L, 1L)))
+    assert(out(3L) == ((md5("unique gamma content."), 2L, 1L)))
+    assert(out(4L) == ((md5(""), 1L, 0L)))
+    assert(out(5L) == ((md5("entirely novel document."), 1L, 1L)))
+    // below the threshold nothing is removed (footer df = 4 < 5)
+    val loose = TextDedup.removeBoilerplateLines(docs, "text", "doc_id",
+      minDocs = 5).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(loose(1L) == 3L && loose(4L) == 1L)
+    // threshold guard
+    intercept[IllegalArgumentException] {
+      TextDedup.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 1)
+    }
+  }
+
   test("hashed-shingle kernel equals the expression chain") {
     import org.apache.spark.sql.functions._
     val viaKernel = docs.select(col("doc_id"),
