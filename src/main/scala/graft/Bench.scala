@@ -103,7 +103,12 @@ object Bench {
       "pq_recall", "pq_recall_trained", "pq_rerank_recall")
     val exactSec = results.collect { case (k, v) if exactBaselines(k) => v }.sum
     val envelope = s""""suite_runs":$suiteRuns,"total_min":${f(totals.head)},"total_median":${f(totals(suiteRuns / 2))},"total_max":${f(totals.last)}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$envelope,"scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"build_sec":${f(buildSec)},"serve_sec":${f(serveSec)},"build_serve":$bsJson,"query_spread_top15":$spread,"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$envelope,"scale_path_sec":${f(total - exactSec)},"exact_baseline_sec":${f(exactSec)},"build_sec":${f(buildSec)},"serve_sec":${f(serveSec)},"build_serve":$bsJson,"exact_baseline_queries":${exactBaselines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    // The spread rides its OWN short line right before the final
+    // totals-only line: on the long per-query line its head was exactly
+    // what the driver's ~2 KB tail window truncated (BENCH_r09), so
+    // per-query drift could not be adjudicated from the artifact alone.
+    println(s"""{"metric":"query_spread_top15","spread":$spread}""")
     // Totals-only record LAST: the driver's tail capture window has
     // truncated the HEAD of the 3.5 KB per-query line (BENCH_r06.json
     // "parsed": null), so a short final line guarantees a parseable

@@ -341,15 +341,21 @@ tasks AS (
     WHERE names_ok AND len(t1) > 0 AND len(t2) > 0
   UNION ALL SELECT crawl_url, abn, 'dm', 0, domsq, namesq FROM fsc
     WHERE dom_ok AND domsq <> '' AND namesq <> ''
+  -- partial_ratio windows: the shift range is derived PER ROW from the
+  -- actual length difference (unnest over a scalar range list — the
+  -- table-function range() only takes constants), so the oracle slides
+  -- exactly the len(longer)-len(shorter)+1 offsets the engine's
+  -- SimilarityKernel.partialRatio slides; a fixed range(0, 256) silently
+  -- diverged for pairs with length difference > 255.
   UNION ALL SELECT crawl_url, abn, 'pw', CAST(w AS INT),
       CASE WHEN len(crawl_name) <= len(abr_name)
            THEN crawl_name ELSE abr_name END,
       substr(CASE WHEN len(crawl_name) <= len(abr_name)
                   THEN abr_name ELSE crawl_name END, CAST(w + 1 AS INT),
              least(len(crawl_name), len(abr_name)))
-    FROM fsc, range(0, 256) rw(w)
-    WHERE names_ok AND w <= greatest(len(crawl_name), len(abr_name))
-      - least(len(crawl_name), len(abr_name))),
+    FROM (SELECT *, unnest(range(0, greatest(len(crawl_name), len(abr_name))
+               - least(len(crawl_name), len(abr_name)) + 1)) AS w
+          FROM fsc WHERE names_ok)),
 dpin AS (SELECT crawl_url, abn, kind, widx, a, b,
            length(a) AS n, length(b) AS m FROM tasks),
 dp(crawl_url, abn, kind, widx, a, b, n, m, d, prev2, prev1) AS (

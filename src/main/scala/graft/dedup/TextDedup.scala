@@ -97,30 +97,50 @@ object TextDedup {
    * materialization (it feeds three consumers here).
    */
   def setJaccardPairs(withSh: DataFrame, threshold: Double = 0.8,
-      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
+      maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame =
+    pairsFromCapped(withSh,
+      cappedSetIndex(withSh, maxDfFrac, maxDfFloor, lit(1L)), threshold)
+
+  /** The df-capped inverted index behind [[setJaccardPairs]]: one row
+    * per (doc, element-hash) whose document frequency is under the cap
+    * (`max(floor, frac·ndocs)`, computed in-plan — the corpus count
+    * broadcasts as a 1-row side, no driver action; the floor keeps
+    * small corpora cap-free, the fraction is what matters at scale).
+    * `weight` is each input row's document MULTIPLICITY — `lit(1)` for
+    * a plain corpus, the identical-set group size when `withSh` holds
+    * one representative per distinct set ([[setJaccardEdges]]) — so df
+    * and ndocs are weighted sums and the cap engages at DOC grain no
+    * matter what grain the index is physically built at. */
+  private[graft] def cappedSetIndex(withSh: DataFrame, maxDfFrac: Double,
+      maxDfFloor: Long, weight: Column): DataFrame = {
     // `sz` rides the explode so the length filter below needs no extra
     // join/shuffle (8 bytes per index row).
     val inv = withSh.select(col("doc_id"), size(col("hs")).as("sz"),
-      explode(col("hs")).as("h"))
-    // Effective cap = max(floor, frac·ndocs), computed in-plan (the corpus
-    // count broadcasts as a 1-row side — no driver action). The floor
-    // keeps small corpora cap-free; the fraction is what matters at scale.
-    val ndocs = withSh.agg(count(lit(1)).as("ndocs"))
-    val keep = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      weight.cast("long").as("__w"), explode(col("hs")).as("h"))
+    val ndocs = withSh.select(weight.cast("long").as("__w"))
+      .agg(sum(col("__w")).as("ndocs"))
+    val keep = inv.groupBy("h").agg(sum(col("__w")).as("df"))
       .crossJoin(ndocs)
       .where(col("df") <= greatest(lit(maxDfFloor),
         ceil(col("ndocs") * maxDfFrac)))
       .select("h")
-    // Candidate generation on the capped index only; df-capped `inv` is
-    // already hash-partitioned by h for the self-join (exchange reuse).
-    // The join carries each side's shingle-set size so the exact LENGTH
-    // FILTER applies inside the join: jaccard ≥ t forces
+    inv.join(keep, "h").select("doc_id", "sz", "h")
+  }
+
+  /** Candidate generation + exact verification of [[setJaccardPairs]]
+    * over a prebuilt [[cappedSetIndex]]; `withSh` supplies the full
+    * sets for verification. */
+  private def pairsFromCapped(withSh: DataFrame, capped: DataFrame,
+      threshold: Double): DataFrame = {
+    // Candidate generation on the capped index only; df-capped `capped`
+    // is already hash-partitioned by h for the self-join (exchange
+    // reuse). The join carries each side's shingle-set size so the exact
+    // LENGTH FILTER applies inside the join: jaccard ≥ t forces
     // t·|A| ≤ |B| ≤ |A|/t (|∩| ≤ min, |∪| ≥ max), so size-incompatible
     // pairs can never pass verification — dropping them BEFORE the
     // distinct is output-identical and cuts the candidate volume (the
     // dominant cost: this corpus yields ~4× more raw pairs than sized
     // ones). Standard AllPairs/PPJoin practice.
-    val capped = inv.join(keep, "h")
     // Per-doc count of shingles that SURVIVED the cap: the gap sz−kept is
     // each doc's slack — shingles the index cannot see. 1 row/doc.
     val keptCnt = capped.groupBy("doc_id").agg(count(lit(1)).as("kept"))
@@ -487,11 +507,16 @@ object TextDedup {
    * sets): identical-set groups (canonical sorted-array key) become
    * star edges, the df-capped inverted-index + exact-Jaccard pairing
    * runs over ONE representative per distinct set, and verified pairs
-   * become bridges. Jaccard is a pure function of the set, so
+   * become bridges. Jaccard is a pure function of the set, and the df
+   * cap + corpus count are computed at DOC grain (the representative
+   * carries its group size as a weight into [[cappedSetIndex]]) with
+   * stars gated on the group keeping ≥1 hash under that cap, so
    * components from [[ConnectedComponents.label]] are identical to the
-   * pair-fed formulation; empty-set documents are excluded from stars
-   * (the pair formulation never pairs them). `withSh` must have
-   * columns `(doc_id, hs)` with `hs` distinct elements.
+   * pair-fed formulation EVEN when the cap engages on a dup-dense
+   * corpus (DedupSpec proves both regimes); empty-set documents are
+   * excluded from stars (the pair formulation never pairs them).
+   * `withSh` must have columns `(doc_id, hs)` with `hs` distinct
+   * elements.
    */
   def setJaccardEdges(withSh: DataFrame, threshold: Double = 0.8,
       maxDfFrac: Double = 0.01, maxDfFloor: Long = 100L): DataFrame = {
@@ -502,15 +527,32 @@ object TextDedup {
     val base = graft.operators.Materialized(
       withSh.select(col("doc_id"), array_sort(col("hs")).as("__key"))
         .filter(size(col("__key")) > 0))
-    val rep = base.groupBy("__key").agg(min(col("doc_id")).as("rep"))
-    val stars = base.join(rep, "__key")
+    // group size rides as the representative's WEIGHT: df and ndocs in
+    // the capped index below are weighted sums, i.e. computed at DOC
+    // grain exactly as the pair formulation computes them — a rep-grain
+    // df would under-count dup-dense hashes and keep index entries the
+    // pair formulation drops once the cap engages (round-9 advice).
+    val grp = base.groupBy("__key")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__w"))
+    val repSets = graft.operators.Materialized(
+      grp.select(col("rep").as("doc_id"), col("__key").as("hs"),
+        col("__w")))
+    val capped = graft.operators.Materialized(
+      cappedSetIndex(repSets, maxDfFrac, maxDfFloor, col("__w")))
+    val bridges = pairsFromCapped(repSets, capped, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // STAR edges only for groups whose set retains ≥1 hash under the
+    // doc-grain cap: the pair formulation connects an identical-set
+    // group iff its members share a KEPT hash (candidates come from the
+    // capped index; with ≥1 kept hash the jaccard-1 verify always
+    // passes), so a fully-capped group is disconnected there and must
+    // stay disconnected here — this is what makes the component claim
+    // hold even when the cap engages, not just in the cap-free case.
+    val keptReps = capped.select(col("doc_id").as("rep")).distinct()
+    val stars = base.join(grp, "__key")
       .where(col("doc_id") =!= col("rep"))
+      .join(keptReps, Seq("rep"), "left_semi")
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repSets = base.join(rep.select(col("rep").as("doc_id")), "doc_id")
-      .select(col("doc_id"), col("__key").as("hs"))
-    val bridges = setJaccardPairs(
-      graft.operators.Materialized(repSets), threshold, maxDfFrac,
-      maxDfFloor).select(col("doc_a"), col("doc_b"))
     stars.unionByName(bridges)
   }
 

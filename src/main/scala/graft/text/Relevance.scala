@@ -104,7 +104,13 @@ object Relevance {
     val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     require(qTerms.nonEmpty, "query must contain at least one token")
     val stats = spark.read.parquet(s"$path/stats")
-    // 1-row bounded collect: the bucket count the index was WRITTEN with
+    // 1-row bounded collect: the bucket count the index was WRITTEN with.
+    // An index written before buckets were persisted has no such column —
+    // fail with an actionable message instead of an opaque analysis error.
+    require(stats.columns.contains("buckets"),
+      s"BM25 index at $path predates the persisted bucket count " +
+        "(no 'buckets' column in stats/) — rebuild it with " +
+        "writeBm25Index, which records the count it partitioned with")
     val buckets = stats.select(col("buckets")).head().getInt(0)
     require(buckets > 0, s"index at $path has invalid bucket count $buckets")
     // the query terms' bucket ids, computed by the ENGINE's own

@@ -373,7 +373,11 @@ object TextAnalysis {
     val keptLines = filter(lines, l => {
       val t = trim(l)
       val words = size(filter(split(t, "\\s+"), w => w =!= ""))
-      t.rlike("[.!?\"]$") && words >= minLineWords &&
+      // \z, not $: Java's $ also matches before a final line terminator
+      // (\r, U+2028, U+2029 — which trim() does NOT strip), so a CRLF
+      // document's "foo.\r" line would pass here while the oracle's RE2
+      // $ (end-of-string only) drops it. \z anchors both engines alike.
+      t.rlike("[.!?\"]\\z") && words >= minLineWords &&
         !lower(t).contains("javascript")
     })
     val cleanText = array_join(keptLines, "\n")

@@ -318,6 +318,43 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.setJaccardPairs(sets, 0.8).count() === 121)
   }
 
+  test("setJaccardEdges: doc-grain df cap — components match pairs even when the cap engages") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // The round-9 advice scenario: a dup-dense group whose shared hashes
+    // exceed the DOC-grain cap. The pair formulation caps those hashes
+    // away (no candidates — even exact dups are missed, by design: the
+    // cap is the quadratic-fan-out guard), so the edge formulation must
+    // NOT star-connect the group either. A rep-grain df (1 per distinct
+    // set) would keep the hashes and diverge here.
+    val dense = (1L to 10L).toArray // 20 identical docs → df 20 > cap 5
+    val small = (200L to 209L).toArray // 3 identical docs → df 3 ≤ cap
+    val mixed = Array(500L, 501L, 1L) // hash 1 capped, 500/501 kept
+    val rows = (0L until 20L).map(i => (i, dense)) ++
+      Seq((40L, small), (41L, small), (42L, small),
+        (50L, (1L to 9L).toArray :+ 300L), // all-but-one capped, 300 unique
+        (60L, mixed), (61L, mixed))
+    val sets = rows.toDF("doc_id", "hs")
+    val nodes = sets.select(col("doc_id"))
+    def comp(edges: org.apache.spark.sql.DataFrame) =
+      graft.dedup.ConnectedComponents.label(nodes, edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = comp(TextDedup.setJaccardPairs(sets, threshold = 0.8,
+      maxDfFrac = 0.01, maxDfFloor = 5L).select("doc_a", "doc_b"))
+    val viaEdges = comp(TextDedup.setJaccardEdges(sets, threshold = 0.8,
+      maxDfFrac = 0.01, maxDfFloor = 5L))
+    assert(viaEdges === viaPairs)
+    // the dense group really is fully capped: every member a singleton
+    // in BOTH formulations
+    (0L until 20L).foreach(i => assert(viaEdges(i) === i))
+    assert(viaEdges(50L) === 50L)
+    // kept groups still connect: 2 stars (small) + 1 star (mixed) = 3
+    // edges vs 3 + 1 = 4 pairs
+    assert(TextDedup.setJaccardEdges(sets, 0.8, 0.01, 5L).count() === 3)
+    assert(TextDedup.setJaccardPairs(sets, 0.8, 0.01, 5L).count() === 4)
+  }
+
   test("removeBoilerplateLines: corpus-frequent lines excised everywhere, order preserved") {
     val s = spark
     import s.implicits._
