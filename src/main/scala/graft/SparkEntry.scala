@@ -357,6 +357,22 @@ object SparkEntry {
       graft.text.Classifier.nbPredict(Demo.table(s, dir, "documents"),
         "text", "doc_id", "lang"))
 
+  /** Weak label for the supervised quality classifier demo: the
+    * document mentions the seed word — the seed-term supervision a
+    * topical/quality filter is bootstrapped from when no human labels
+    * exist (the synthetic corpus's lang/source columns are independent
+    * of the text, so only text-derived labels are learnable here). */
+  private def lrLabel: Column =
+    array_contains(graft.dedup.TextDedup.tokens(col("text")), "spark")
+
+  /** Trained LR weight table shared by the quality-classifier queries
+    * (the 24-step descent is the expensive part; the model is ≤ 257
+    * rows — a LocalRelation, so the cache holds only the literal). */
+  private def lrWeightsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "lr_weights")(
+      graft.text.LogisticRegression.trainWeights(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel))
+
   /** Merge demo: existing = cleaned ABR snapshot; incoming = the ABNs
     * ending in 7 with a status change and a null postcode (exercises both
     * whole-row upsert and column-precedence patch). */
@@ -409,7 +425,7 @@ object SparkEntry {
     Seq(webClean(s, dir), abrClean(s, dir), matchDf(s, dir),
       matchedDf(s, dir), matchLlmDf(s, dir), dimDf(s, dir),
       lshPairsDf(s, dir), lshEdgesDf(s, dir), ccLabelsDf(s, dir),
-      nbPredDf(s, dir),
+      nbPredDf(s, dir), lrWeightsDf(s, dir),
       imageFpsDf(s, dir), audioFpsDf(s, dir),
       imagePairsDf(s, dir), audioPairsDf(s, dir), videoPairsDf(s, dir),
       imageEdgesDf(s, dir), audioEdgesDf(s, dir), videoEdgesDf(s, dir),
@@ -492,6 +508,14 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 2, cb, ksub = 16, cents,
         rerankK = 50)
         .orderBy("query_id", "rank")
+    }),
+    "classify_quality_lr_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("lrmodel", dir)
+      graft.text.LogisticRegression.writeModel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel, path)
+      () => graft.text.LogisticRegression.predictFromModel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel, path)
+        .orderBy("doc_id")
     }),
     "classify_lang_nb_from_model" -> ((s, dir) => {
       val path = tmpIndexDir("nbmodel", dir)
@@ -1489,6 +1513,28 @@ object SparkEntry {
     "classify_lang_nb_report" -> ((s, dir) =>
       graft.text.Classifier.accuracyReport(nbPredDf(s, dir))
         .orderBy("label")),
+    // Supervised quality classifier: fastText-style binary logistic
+    // regression over hashed unigram+bigram PRESENCE cells, trained by
+    // fixed-iteration full-batch gradient descent IN the engine — the
+    // discriminative model-based curation filter (GPT-3/CCNet/FineWeb
+    // pattern), seed-word weak supervision. The oracle replays every
+    // descent step as unrolled CTEs (the KmeansOracles discipline).
+    "classify_quality_lr" -> ((s, dir) =>
+      graft.text.LogisticRegression.predictWithWeights(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
+        lrWeightsDf(s, dir))
+        .orderBy("doc_id")),
+    // The descent's end state verified cell by cell (strictly finer
+    // than the prediction check: every weight the scorer sums)
+    "classify_quality_lr_weights" -> ((s, dir) =>
+      lrWeightsDf(s, dir)
+        .select(col("cell"), col("w").cast("double").as("w"))
+        .orderBy("cell")),
+    // Train-once/serve-many twin: decimal weights round-trip parquet
+    // exactly, so serving from the persisted model is bit-identical to
+    // classify_quality_lr (same oracle)
+    "classify_quality_lr_from_model" -> ((s, dir) =>
+      buildServe("classify_quality_lr_from_model")(s, dir)()),
     // Training-data ops: nearest-centroid (Rocchio) classifier over the
     // embedding column — per-class exact integer-sum mean vectors,
     // broadcast cosine argmax on the held-out slice. (The synthetic
@@ -2298,6 +2344,9 @@ object SparkEntry {
     "normalize_documents" -> OracleSql.normalizeDocuments,
     "sample_upsampled_mixture" -> OracleSql.sampleUpsampled,
     "classify_lang_nb" -> TextOracles.nbPredict,
+    "classify_quality_lr" -> TextOracles.classifyQualityLr(),
+    "classify_quality_lr_from_model" -> TextOracles.classifyQualityLr(),
+    "classify_quality_lr_weights" -> TextOracles.classifyQualityLrWeights(),
     // serving from the persisted model is bit-identical by construction
     "classify_lang_nb_from_model" -> TextOracles.nbPredict,
     "classify_lang_nb_hashed" -> TextOracles.nbPredictHashed(),

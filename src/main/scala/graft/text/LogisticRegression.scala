@@ -1,0 +1,197 @@
+package graft.text
+
+import graft.operators.{Materialized, Sampling}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Supervised quality classifier — binary logistic regression over
+ * hashed unigram+bigram PRESENCE features, trained IN the engine by
+ * fixed-iteration full-batch gradient descent. The discriminative
+ * sibling of [[Classifier.nbPredictHashed]] and the missing member of
+ * the model-based-curation family: the standard "quality classifier"
+ * of large-scale corpus pipelines (the GPT-3/CCNet/FineWeb pattern) is
+ * a fastText-style supervised linear model trained on weak labels
+ * (seed-domain membership, rule-derived gates, LLM judgments), not a
+ * generative counter.
+ *
+ * Model: p(y=1|d) = σ(b + Σ_{g ∈ cells(d)} w_g) over the DSIR hashed
+ * gram alphabet ([[Dsir]]'s codegen'd `dsir_cells` kernel — fastText's
+ * word + word-bigram hashing-trick construction), with each DISTINCT
+ * cell contributing once (binary bag: presence, not counts — repeated
+ * grams are one feature, which is also what makes the model robust to
+ * the duplicated-evidence overconfidence NB exhibits; the spec proves
+ * that calibration gap on a planted corpus).
+ *
+ * Training: `iters` full-batch GD steps, w ← w − η/n · Σ_d (p_d−y_d)·x.
+ * Everything is engine-exact and therefore oracle-replayable step by
+ * step (the descent unrolls into CTEs exactly as the Lloyd iterations
+ * of `text/KmeansOracles.scala` do):
+ *  - weights live as DECIMAL(18,6); with presence features z_d is a
+ *    plain decimal SUM of present-cell weights — exact and commutative,
+ *    so z is independent of partitioning (no per-term rounding at all);
+ *  - the only transcendental, σ(z) = 1/(1+exp(−z)), is computed once
+ *    per (doc, iteration) and rounded to 6 dp;
+ *  - the error p−y and every gradient component are exact decimal sums
+ *    of those 6-dp values;
+ *  - the step η·g/n is one double expression rounded to 6 dp and
+ *    SUBTRACTED in decimal (never re-rounding the accumulated weight).
+ *
+ * Scale shape: the feature relation is one map-side projection +
+ * explode of a bounded-alphabet array; each GD iteration is two
+ * broadcast joins against the ≤ `buckets`+1-row weight table and two
+ * hash aggregations (per-doc z, per-cell gradient) — shuffle keys are
+ * 8-byte doc ids / cell ids, cost linear in corpus grams per
+ * iteration, and the model is broadcastable at ANY corpus size. The
+ * train/test split is the deterministic md5 bucket
+ * ([[Sampling.bucket]]); documents with zero grams are excluded (no
+ * evidence, matching [[Dsir.importanceWeights]]).
+ */
+object LogisticRegression {
+
+  private val Dec = "decimal(18,6)"
+  private val Dec28 = "decimal(28,6)"
+  private def zeroDec: Column = lit(0).cast(Dec)
+
+  /** Exploded PRESENCE features: one row per (doc, distinct cell),
+    * with the binary label and split bucket riding along. */
+  private def featFrame(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        when(label, 1L).otherwise(0L).as("y"),
+        Dsir.gramCells(col(textCol), buckets).as("cells"),
+        Sampling.bucket(col(idCol)).as("_bk"))
+      .filter(size(col("cells")) > 0)
+      .select(col("doc_id"), col("y"), col("_bk"),
+        explode(array_distinct(col("cells"))).as("cell"))
+
+  /**
+   * The trained model: `(cell, w)` rows with `cell = -1` holding the
+   * intercept, weights DECIMAL(18,6) — exactly the values scoring
+   * sums, so a persisted model serves bit-identically. ≤ `buckets`+1
+   * rows at any corpus size.
+   */
+  def trainWeights(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, trainBuckets: Long = 8000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val spark = docs.sparkSession
+    // the corpus-sized relation every iteration re-reads: materialized
+    // once (feeds 2 joins × iters consumers)
+    val feats = Materialized(
+      featFrame(docs, textCol, idCol, label, buckets)
+        .filter(col("_bk") < trainBuckets)
+        .select("doc_id", "y", "cell"))
+    // n = train docs with ≥1 gram; a driver SCALAR (one bounded count),
+    // baked into the step expression as a literal
+    val n = feats.select("doc_id").distinct().count()
+    require(n > 0, "no training documents with at least one gram")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DecimalType(18, 6), nullable = true)))
+    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    var w: DataFrame = local(Seq(org.apache.spark.sql.Row(-1L,
+      new java.math.BigDecimal("0.000000"))))
+    for (_ <- 1 to iters) {
+      val wc = w.filter(col("cell") >= 0)
+      val wb = w.filter(col("cell") === -1).select(col("w").as("b"))
+      // z_d = b + Σ_{g∈d} w_g — exact decimal sum (presence features:
+      // no multiplication, no rounding); unseen cells contribute 0
+      val zs = feats.join(broadcast(wc), Seq("cell"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(coalesce(col("w"), zeroDec).cast(Dec28)).as("zsum"))
+      val errs = zs.crossJoin(broadcast(wb))
+        .select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) +
+            exp(-(col("b").cast("double") + col("zsum").cast("double")))), 6)
+            .cast(Dec) - col("y")).cast(Dec).as("err"))
+      // gradient: per-cell and intercept sums of the exact decimal errs
+      val gc = feats.join(errs, "doc_id")
+        .groupBy("cell").agg(sum(col("err").cast(Dec28)).as("g"))
+      val gb = errs.agg(sum(col("err").cast(Dec28)).as("g"))
+      def delta: Column =
+        round(lit(step) * col("g").cast("double") / lit(n), 6).cast(Dec)
+      val newC = gc.join(broadcast(wc), Seq("cell"), "left")
+        .select(col("cell"),
+          (coalesce(col("w"), zeroDec) - delta).cast(Dec).as("w"))
+      val newB = gb.crossJoin(broadcast(wb))
+        .select(lit(-1L).as("cell"), (col("b") - delta).cast(Dec).as("w"))
+      // The updated model comes back through the driver as a LOCAL
+      // relation — a BOUNDED collect (≤ buckets+1 rows by construction,
+      // like the Lloyd trainer's centroid loop). Deliberately NOT a
+      // checkpoint: a checkpointed frame carries its origin plan's
+      // sizeInBytes estimate, and with per-iteration joins those
+      // BigInt products COMPOUND across iterations (the stats visitor
+      // multiplies child sizes), turning planning time exponential by
+      // ~iteration 12. A local relation has exact tiny stats, every
+      // broadcast below it is trivially cheap, and the values are
+      // identical (exact decimals). Rows sorted by cell so the literal
+      // relation — and therefore every downstream plan — is
+      // deterministic.
+      val rows = newC.unionByName(newB).collect().sortBy(_.getLong(0))
+      w = local(rows.toSeq)
+    }
+    w
+  }
+
+  /** Score `docs` (every document with ≥1 gram in the given split
+    * slice) against a weight table from [[trainWeights]]. Output:
+    * (doc_id, label_true, prob, label_pred), prob the 6-dp sigmoid. */
+  private def score(feats: DataFrame, weights: DataFrame): DataFrame = {
+    val wc = weights.filter(col("cell") >= 0)
+    val wb = weights.filter(col("cell") === -1).select(col("w").as("b"))
+    feats.join(broadcast(wc), Seq("cell"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(coalesce(col("w"), zeroDec).cast(Dec28)).as("zsum"))
+      .crossJoin(broadcast(wb))
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("b").cast("double") + col("zsum").cast("double")))), 6)
+          .cast(Dec))
+      .select(col("doc_id"), col("y").as("label_true"),
+        col("p").cast("double").as("prob"),
+        when(col("p") >= 0.5, 1L).otherwise(0L).as("label_pred"))
+  }
+
+  /** Train on the `bucket(id) < trainBuckets` slice, predict the rest. */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, trainBuckets: Long = 8000): DataFrame =
+    predictWithWeights(docs, textCol, idCol, label,
+      trainWeights(docs, textCol, idCol, label, buckets, iters, step,
+        trainBuckets), buckets, trainBuckets)
+
+  /** [[predict]] over a PRECOMPUTED weight table — pass the shared
+    * frame when several consumers score with the same model (training
+    * is the expensive part). */
+  def predictWithWeights(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, weights: DataFrame, buckets: Int = 256,
+      trainBuckets: Long = 8000): DataFrame =
+    score(
+      featFrame(docs, textCol, idCol, label, buckets)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
+      weights)
+
+  /** Persist the trained weight table — decimals round-trip parquet
+    * exactly, so serving from disk is bit-identical to [[predict]]. */
+  def writeModel(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, path: String, buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, trainBuckets: Long = 8000): Unit =
+    trainWeights(docs, textCol, idCol, label, buckets, iters, step,
+      trainBuckets).write.mode("overwrite").parquet(path)
+
+  /** Score the held-out slice from a model persisted by
+    * [[writeModel]]. Row-identical to [[predict]]. */
+  def predictFromModel(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, path: String, buckets: Int = 256,
+      trainBuckets: Long = 8000): DataFrame =
+    score(
+      featFrame(docs, textCol, idCol, label, buckets)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
+      docs.sparkSession.read.parquet(path))
+}

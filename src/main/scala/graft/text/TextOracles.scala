@@ -1480,4 +1480,90 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cosine DESC, label) AS rn FROM sc) t
 WHERE rn = 1 ORDER BY vec_id"""
   }
+
+  /**
+   * CTE chain replaying `LogisticRegression.trainWeights` over
+   * documents with the seed-word label `list_contains(toks, 'spark')`
+   * — every gradient-descent iteration unrolled (the
+   * [[KmeansOracles]] discipline applied to a distributed trainer):
+   * hashed unigram+bigram PRESENCE cells, md5-bucket train slice,
+   * per-iteration exact-decimal z sums, the 6-dp-rounded sigmoid as
+   * the only transcendental, exact-decimal gradients, and the 6-dp
+   * step subtracted in decimal. Ends in `qlw{iters}(cell, w)` — the
+   * engine's weight table bit-for-bit.
+   */
+  private def lrChain(buckets: Int, iters: Int, step: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""qlb AS MATERIALIZED (
+  SELECT doc_id, text, ${bucketSql("doc_id")} AS bk,
+         CASE WHEN list_contains($toks, 'spark') THEN 1 ELSE 0 END AS y
+  FROM documents),
+qlg AS MATERIALIZED (SELECT doc_id, y, bk,
+    list_concat(toks, CASE WHEN len(toks) >= 2
+      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id, y, bk, $toks AS toks FROM qlb) qlg0),
+qlf AS MATERIALIZED (SELECT DISTINCT doc_id, y, bk,
+    (CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 1000000007) % $buckets AS cell
+  FROM (SELECT doc_id, y, bk, unnest(grams) AS gr FROM qlg) qlf0),
+qltr AS MATERIALIZED (SELECT doc_id, y, cell FROM qlf WHERE bk < 8000),
+qln AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM qltr),
+qlw0 AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS cell, CAST(0 AS DECIMAL(18,6)) AS w)"""
+    for (i <- 1 to iters) {
+      val prev = s"qlw${i - 1}"
+      sb ++= s""",
+qlz$i AS MATERIALIZED (SELECT f.doc_id, f.y,
+    sum(CAST(coalesce(w.w, 0) AS DECIMAL(28,6))) AS zsum
+  FROM qltr f LEFT JOIN (SELECT * FROM $prev WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+qle$i AS MATERIALIZED (SELECT z.doc_id,
+    CAST(CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST(b.w AS DOUBLE) + CAST(z.zsum AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) - z.y AS DECIMAL(18,6)) AS err
+  FROM qlz$i z CROSS JOIN (SELECT w FROM $prev WHERE cell = -1) b),
+qlgc$i AS MATERIALIZED (SELECT f.cell, sum(CAST(e.err AS DECIMAL(28,6))) AS g
+  FROM qltr f JOIN qle$i e USING (doc_id) GROUP BY 1),
+qlgb$i AS MATERIALIZED (SELECT sum(CAST(err AS DECIMAL(28,6))) AS g FROM qle$i),
+qlw$i AS MATERIALIZED (
+  SELECT g.cell,
+    CAST(coalesce(w.w, 0) - CAST(round(CAST($step AS DOUBLE)
+        * CAST(g.g AS DOUBLE) / n.n, 6) AS DECIMAL(18,6))
+      AS DECIMAL(18,6)) AS w
+  FROM qlgc$i g CROSS JOIN qln n
+  LEFT JOIN (SELECT * FROM $prev WHERE cell >= 0) w USING (cell)
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT),
+    CAST(b.w - CAST(round(CAST($step AS DOUBLE)
+        * CAST(g.g AS DOUBLE) / n.n, 6) AS DECIMAL(18,6))
+      AS DECIMAL(18,6))
+  FROM qlgb$i g CROSS JOIN qln n
+  CROSS JOIN (SELECT w FROM $prev WHERE cell = -1) b)"""
+    }
+    sb.toString
+  }
+
+  /** Mirrors the classify_quality_lr query (and its from-model serve
+    * twin — persistence is a decimal pass-through): the trained weight
+    * table scored over the held-out slice. */
+  def classifyQualityLr(buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0): String = s"""WITH ${lrChain(buckets, iters, step)},
+qlte AS MATERIALIZED (SELECT doc_id, y, cell FROM qlf WHERE bk >= 8000),
+qlzt AS MATERIALIZED (SELECT f.doc_id, f.y,
+    sum(CAST(coalesce(w.w, 0) AS DECIMAL(28,6))) AS zsum
+  FROM qlte f LEFT JOIN (SELECT * FROM qlw$iters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+qlp AS MATERIALIZED (SELECT z.doc_id, z.y,
+    CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST(b.w AS DOUBLE) + CAST(z.zsum AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) AS p
+  FROM qlzt z CROSS JOIN (SELECT w FROM qlw$iters WHERE cell = -1) b)
+SELECT doc_id, CAST(y AS BIGINT) AS label_true, CAST(p AS DOUBLE) AS prob,
+  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS label_pred
+FROM qlp ORDER BY doc_id"""
+
+  /** Mirrors the classify_quality_lr_weights query: the descent's end
+    * state verified cell by cell. */
+  def classifyQualityLrWeights(buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0): String = s"""WITH ${lrChain(buckets, iters, step)}
+SELECT cell, CAST(w AS DOUBLE) AS w FROM qlw$iters ORDER BY cell"""
 }
