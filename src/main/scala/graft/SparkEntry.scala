@@ -509,6 +509,34 @@ object SparkEntry {
         rerankK = 50)
         .orderBy("query_id", "rank")
     }),
+    // Hybrid retrieval: BOTH persisted serve paths (BM25 bucketed
+    // postings + trained IVF+PQ with exact rerank) built once, then
+    // fused at serve time by reciprocal-rank fusion — the standard RAG
+    // composition; oracle replays both ranking chains + the rank fold
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+        nlist = 8)
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      val annPath = tmpIndexDir("hybridann", dir)
+      ProductQuantization.writeIvfPqIndex(emb, "embedding", "vec_id", 8,
+        annPath, cb, m = 8, ksub = 16, Some(cents))
+      val bm25Path = tmpIndexDir("hybridbm25", dir)
+      graft.text.Relevance.writeBm25Index(
+        Demo.table(s, dir, "documents"), "text", "doc_id", bm25Path)
+      () => {
+        val lex = graft.text.Relevance.bm25FromIndex(s, bm25Path,
+          query = "spark window merge")
+        val vec = ProductQuantization.ivfPqRerankTopKFromIndex(
+          emb.filter(col("vec_id") === 0L), annPath, emb, "embedding",
+          "vec_id", k = 20, nprobe = 2, cb, ksub = 16, cents,
+          rerankK = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.text.Relevance.rrfFuse(lex, vec, k = 60, topK = 20)
+          .orderBy("rank")
+      }
+    }),
     "classify_quality_lr_from_model" -> ((s, dir) => {
       val path = tmpIndexDir("lrmodel", dir)
       graft.text.LogisticRegression.writeModel(
@@ -1535,6 +1563,11 @@ object SparkEntry {
     // classify_quality_lr (same oracle)
     "classify_quality_lr_from_model" -> ((s, dir) =>
       buildServe("classify_quality_lr_from_model")(s, dir)()),
+    // Hybrid retrieval: RRF fusion (k=60) of the persisted BM25 and
+    // IVF+PQ-rerank serve paths — integer rank arithmetic, so the
+    // fused ranking is exactly oracle-checkable end to end
+    "search_hybrid_rrf" -> ((s, dir) =>
+      buildServe("search_hybrid_rrf")(s, dir)()),
     // Training-data ops: nearest-centroid (Rocchio) classifier over the
     // embedding column — per-class exact integer-sum mean vectors,
     // broadcast cosine argmax on the held-out slice. (The synthetic
@@ -2418,6 +2451,7 @@ object SparkEntry {
     "pq_encode_trained" -> graft.text.KmeansOracles.pqEncodeTrained,
     "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
+    "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

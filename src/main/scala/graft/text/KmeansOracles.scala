@@ -238,7 +238,9 @@ SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub"""
     * to k. Persistence is a pass-through (the engine serves from the
     * written index; values must equal the in-memory computation), so
     * the oracle replays the computation. */
-  def annProductionTopK(rerankK: Int = 50): String =
+  def annProductionTopK(rerankK: Int = 50, k: Int = 5,
+      queryWhere: String =
+        s"n.vec_id < ${EmbeddingOps.DemoQueryCount}"): String =
     s"""WITH ${TextOracles.pqChain(trainedCbv())},
 ${centroidChain()},
 assign AS (
@@ -254,7 +256,7 @@ probes AS (
     SELECT n.vec_id, c.cid, n.v, n.nrm,
            row_number() OVER (PARTITION BY n.vec_id
              ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
-    FROM n CROSS JOIN kcents c WHERE n.vec_id < ${EmbeddingOps.DemoQueryCount}) t
+    FROM n CROSS JOIN kcents c WHERE $queryWhere) t
   WHERE rn <= 2),
 cand AS (
   SELECT query_id, neighbor_id,
@@ -274,5 +276,29 @@ rr AS (SELECT ca.query_id, ca.neighbor_id,
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine DESC, neighbor_id) AS rank FROM rr) t
-WHERE rank <= 5 ORDER BY query_id, rank"""
+WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Mirrors the search_hybrid_rrf query: reciprocal-rank fusion
+    * (k=60) of the BM25 ranking (score desc, doc_id ties) and the
+    * IVF+PQ exact-rerank ranking for query vector 0 — both chains
+    * replayed in full, then the integer-rank fold. */
+  def searchHybridRrf(rrfK: Int = 60, topK: Int = 20): String = s"""WITH
+hlex AS MATERIALIZED (SELECT * FROM (${TextOracles.bm25Search}) hlq),
+hvec AS MATERIALIZED (SELECT * FROM (
+  ${annProductionTopK(50, 20, "n.vec_id = 0")}) hvq),
+hlr AS (SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM hlex),
+hvr AS (SELECT neighbor_id AS doc_id, rank AS vec_rank FROM hvec),
+hj AS (SELECT doc_id, lex_rank, vec_rank
+       FROM hlr FULL OUTER JOIN hvr USING (doc_id)),
+hf AS (SELECT doc_id, lex_rank, vec_rank,
+    round(coalesce(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), 0)
+        + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), 0), 6) AS rrf
+  FROM hj)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+  CAST(vec_rank AS BIGINT) AS vec_rank, rrf, rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM hf) hr
+WHERE rank <= $topK ORDER BY rank"""
 }

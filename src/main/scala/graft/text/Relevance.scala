@@ -135,6 +135,43 @@ object Relevance {
   }
 
   /**
+   * Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+   * lexical ranking and a vector ranking — the standard RAG composition
+   * of BM25 and ANN serve paths. `lexical` is a scored result list
+   * `(doc_id, score)` (e.g. [[bm25FromIndex]]); `vectorRanked` is an
+   * already-ranked list `(doc_id, rank)` (e.g. the exact-rerank rank of
+   * `ProductQuantization.ivfPqRerankTopKFromIndex`). Each document
+   * contributes 1/(k + rank) per list it appears in (absent → 0), ranks
+   * are integers, the two divisions + one add are a fixed-order IEEE
+   * expression rounded to 6 dp — exactly oracle-replayable. Ties break
+   * by doc_id ascending at every ranking step.
+   *
+   * Scale note: the global row_number windows run over query RESULT
+   * lists (top-k bounded serve outputs), never over a corpus — a
+   * single-partition sort of ≤ a few hundred rows per query.
+   */
+  def rrfFuse(lexical: DataFrame, vectorRanked: DataFrame, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k > 0, s"rrf constant k must be positive, got $k")
+    val lr = lexical
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "lex_rank")
+    val vr = vectorRanked.select(col("doc_id"), col("rank").as("vec_rank"))
+    val fused = lr.join(vr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("vec_rank")), lit(0.0)), 6))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("lex_rank").cast("long").as("lex_rank"),
+        col("vec_rank").cast("long").as("vec_rank"), col("rrf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * BM25 scores of every document against a query string (Robertson
    * k1/b, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5))). Output:
    * doc_id, score (4 dp) — documents sharing at least one term with the

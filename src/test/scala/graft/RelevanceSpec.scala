@@ -248,4 +248,28 @@ class RelevanceSpec extends SparkSpec {
     assert(n == Demo.table(spark, sf(), "documents").count())
     assert(out.filter(col("lm_score") >= 0).count() == 0)
   }
+
+  test("rrfFuse: consensus doc wins over either ranker's top-1; absent docs score one-sided") {
+    val s = spark
+    import s.implicits._
+    // lexical top-1 = doc 1, vector top-1 = doc 5; doc 3 is rank 2 in
+    // BOTH lists → 2/(60+2+... ) beats a single 1/(60+1): fusion must
+    // put a doc first that neither ranker puts first.
+    val lexical = Seq((1L, 3.0), (3L, 2.0), (2L, 1.0))
+      .toDF("doc_id", "score")
+    val vector = Seq((5L, 1L), (3L, 2L), (9L, 3L)).toDF("doc_id", "rank")
+    val out = Relevance.rrfFuse(lexical, vector, k = 60, topK = 10)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(0) === 3L, "consensus doc 3 must fuse to top-1")
+    assert(out.head.getLong(4) === 1L)
+    // 1/62 + 1/62 rounded to 6 dp
+    assert(out.head.getDouble(3) === 0.032258)
+    val byDoc = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    // docs present in only one list carry a null rank on the other side
+    assert(byDoc(1L)._1.contains(1L) && byDoc(1L)._2.isEmpty)
+    assert(byDoc(5L)._1.isEmpty && byDoc(5L)._2.contains(1L))
+    // all 5 distinct docs survive the full-outer fuse
+    assert(out.length === 5)
+  }
 }
