@@ -1484,6 +1484,19 @@ object SparkEntry {
       graft.text.LanguageModel.scoreDocsKN(
         Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // MODIFIED KN (Chen & Goodman's recommended variant): three
+    // count-specific discounts per order, derived in-plan from the
+    // count-of-counts relation — one more integer aggregation on the
+    // trigram tables, fully oracle-replayed
+    "lm_kn_mod_scores" -> ((s, dir) =>
+      graft.text.LanguageModel.scoreDocsKNMod(
+        Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // The derived discount row itself — the D_k derivation verified
+    // value-exactly, not just through the scores it produces
+    "lm_kn_mod_discounts" -> ((s, dir) =>
+      graft.text.LanguageModel.knModDiscounts(
+        Demo.table(s, dir, "documents"), "text", "doc_id")),
     // CCNet triage rebased on the KN trigram score (the stronger
     // fluency signal) — same exact-quantile bucket machinery
     "quality_perplexity_buckets_kn" -> ((s, dir) =>
@@ -2364,6 +2377,8 @@ object SparkEntry {
     "bm25_index_search" -> TextOracles.bm25Search,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "lm_kn_scores" -> TextOracles.lmKnScores,
+    "lm_kn_mod_scores" -> TextOracles.lmKnModScores,
+    "lm_kn_mod_discounts" -> TextOracles.lmKnModDiscounts,
     "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
     "lm_kn_cross_scores" -> TextOracles.lmKnCrossScores,
     "c4_line_filter" -> TextOracles.c4LineFilter,

@@ -2,7 +2,7 @@ package graft.text
 
 import graft.dedup.TextDedup
 import graft.operators.Materialized
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,127 @@ object LanguageModel {
       .join(midCtx, Seq("w2"))
       .join(low, Seq("w3"))
       .crossJoin(broadcast(lowTot))
+      .select(col("doc_id"),
+        round(log(pTop), 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_trigrams) DIV (200 * n_trigrams)"))
+          / 10000.0).as("kn_score"))
+  }
+
+  /** Count-of-counts n₁..n₄ of a count column — the Chen–Goodman
+    * relation the modified-KN discounts derive from. One hash
+    * aggregation; 1 row. */
+  private def countOfCounts(counted: DataFrame, cntCol: String,
+      prefix: String): DataFrame =
+    counted.agg(
+      sum(when(col(cntCol) === 1, 1L).otherwise(0L)).as(s"${prefix}1"),
+      sum(when(col(cntCol) === 2, 1L).otherwise(0L)).as(s"${prefix}2"),
+      sum(when(col(cntCol) === 3, 1L).otherwise(0L)).as(s"${prefix}3"),
+      sum(when(col(cntCol) === 4, 1L).otherwise(0L)).as(s"${prefix}4"))
+
+  /** The three modified-KN discounts from a count-of-counts row:
+    * Y = n₁/(n₁+2n₂), D_k = k − (k+1)·Y·n_{k+1}/n_k, clamped at 0. A
+    * discount whose count class is EMPTY (n_k = 0) falls back to the
+    * fixed 0.75 — it never multiplies a nonzero follower count, so the
+    * fallback only keeps the expression total. */
+  private def modDiscounts(coc: DataFrame, prefix: String,
+      outPrefix: String): DataFrame = {
+    val (n1, n2, n3, n4) = (col(s"${prefix}1"), col(s"${prefix}2"),
+      col(s"${prefix}3"), col(s"${prefix}4"))
+    val y = when(n1 + lit(2L) * n2 > 0,
+      n1.cast("double") / (n1 + lit(2L) * n2)).otherwise(lit(0.0))
+    def dk(k: Int, nk: Column, nk1: Column): Column =
+      when(nk > 0, greatest(lit(0.0),
+        lit(k.toDouble) - lit(k + 1.0) * y * (nk1.cast("double") / nk)))
+        .otherwise(lit(0.75))
+    coc.select(dk(1, n1, n2).as(s"${outPrefix}1"),
+      dk(2, n2, n3).as(s"${outPrefix}2"),
+      dk(3, n3, n4).as(s"${outPrefix}3"))
+  }
+
+  /** The derived discount row of [[scoreDocsKNMod]] — (d1t, d2t, d3t)
+    * for the trigram order and (d1m, d2m, d3m) for the continuation
+    * middle order, exposed so the derivation itself is checkable. */
+  def knModDiscounts(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t3 = Materialized(trigrams(docs, textCol, idCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val mid = t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid"))
+    modDiscounts(countOfCounts(t3, "c3", "tn"), "tn", "dt")
+      .select(col("dt1").as("d1t"), col("dt2").as("d2t"),
+        col("dt3").as("d3t"))
+      .crossJoin(
+        modDiscounts(countOfCounts(mid, "n1mid", "mn"), "mn", "dm")
+          .select(col("dm1").as("d1m"), col("dm2").as("d2m"),
+            col("dm3").as("d3m")))
+  }
+
+  /**
+   * MODIFIED Kneser–Ney trigram scoring (Chen & Goodman 1999 §3's
+   * recommended variant): instead of one fixed discount, three
+   * count-specific discounts D₁/D₂/D₃₊ per order, derived from the
+   * order's count-of-counts relation — Y = n₁/(n₁+2n₂),
+   * D_k = k − (k+1)·Y·n_{k+1}/n_k (clamped at 0; an empty count class
+   * falls back to 0.75, where it multiplies nothing). A count-1 gram is
+   * discounted by D₁, count-2 by D₂, count-≥3 by D₃₊; the backoff mass
+   * becomes γ = (D₁N₁ + D₂N₂ + D₃₊N₃₊)/total over the context's
+   * followers BY COUNT CLASS — on a singleton-heavy corpus D₁ rises
+   * above the fixed 0.75, shifting probability from one-off noise to
+   * the continuation distribution.
+   *
+   * Everything is one more integer aggregation (count-of-counts, 1 row
+   * per order) on top of [[scoreDocsKN]]'s relations — same join
+   * shapes, same 6-dp/decimal/4-dp-integer rounding tail, same exact
+   * DuckDB replay. Output: doc_id, n_trigrams, kn_score (4 dp).
+   */
+  def scoreDocsKNMod(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tg = Materialized(trigrams(docs, textCol, idCol))
+    val t3 = Materialized(
+      tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    // follower counts per context BY COUNT CLASS (N₁/N₂/N₃₊ of the γ)
+    val top = t3.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c2"),
+        sum(when(col("c3") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c3") === 2, 1L).otherwise(0L)).as("f2"),
+        sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("f3p"))
+    val mid = Materialized(
+      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid")))
+    val midCtx = mid.groupBy("w2")
+      .agg(sum(col("n1mid")).as("nmidtot"),
+        sum(when(col("n1mid") === 1, 1L).otherwise(0L)).as("g1"),
+        sum(when(col("n1mid") === 2, 1L).otherwise(0L)).as("g2"),
+        sum(when(col("n1mid") >= 3, 1L).otherwise(0L)).as("g3p"))
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1low"))
+    val lowTot = mid.agg(count(lit(1)).as("ntypes"))
+    val discTop = modDiscounts(countOfCounts(t3, "c3", "tn"), "tn", "dt")
+    val discMid = modDiscounts(countOfCounts(mid, "n1mid", "mn"), "mn", "dm")
+    def dOf(c: Column, d1: Column, d2: Column, d3: Column): Column =
+      when(c === 1, d1).when(c === 2, d2).otherwise(d3)
+    val pLow = col("n1low").cast("double") / col("ntypes")
+    val gammaMid = (col("dm1") * col("g1") + col("dm2") * col("g2") +
+      col("dm3") * col("g3p")) / col("nmidtot")
+    val pMid = greatest(col("n1mid") -
+        dOf(col("n1mid"), col("dm1"), col("dm2"), col("dm3")), lit(0.0)) /
+      col("nmidtot") + gammaMid * pLow
+    val gammaTop = (col("dt1") * col("f1") + col("dt2") * col("f2") +
+      col("dt3") * col("f3p")) / col("c2")
+    val pTop = greatest(col("c3") -
+        dOf(col("c3"), col("dt1"), col("dt2"), col("dt3")), lit(0.0)) /
+      col("c2") + gammaTop * pMid
+    tg.join(t3, Seq("w1", "w2", "w3"))
+      .join(top, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2"))
+      .join(low, Seq("w3"))
+      .crossJoin(broadcast(lowTot))
+      .crossJoin(broadcast(discTop))
+      .crossJoin(broadcast(discMid))
       .select(col("doc_id"),
         round(log(pTop), 6).cast("decimal(28,6)").as("lp"))
       .groupBy("doc_id")

@@ -353,6 +353,101 @@ FROM j2)"""
   val lmKnScores: String = s"""WITH $knScoreCtes
 SELECT doc_id, n_trigrams, kn_score FROM knsc ORDER BY doc_id"""
 
+  /** Shared CTEs replaying `LanguageModel.scoreDocsKNMod`: the
+    * [[knScoreCtes]] relations widened with follower counts BY COUNT
+    * CLASS, the two count-of-counts rows, and the Chen–Goodman
+    * modified discounts D_k = k − (k+1)·Y·n_{k+1}/n_k (clamped at 0;
+    * empty class → 0.75) — expression-for-expression the engine's
+    * arithmetic. Ends in `knmsc(doc_id, n_trigrams, kn_score)` and
+    * exposes `dt`/`dm` (the discount rows). */
+  private val knModCtes: String = raw"""t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+tg AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+         unnest(toks[2:len(toks)-1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3 FROM t WHERE len(toks) >= 3),
+t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+top AS (SELECT w1, w2, sum(c3) AS c2,
+          sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS f1,
+          sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS f2,
+          sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS f3p
+        FROM t3 GROUP BY 1, 2),
+mid AS (SELECT w2, w3, count(*) AS n1mid FROM t3 GROUP BY 1, 2),
+midctx AS (SELECT w2, sum(n1mid) AS nmidtot,
+             sum(CASE WHEN n1mid = 1 THEN 1 ELSE 0 END) AS g1,
+             sum(CASE WHEN n1mid = 2 THEN 1 ELSE 0 END) AS g2,
+             sum(CASE WHEN n1mid >= 3 THEN 1 ELSE 0 END) AS g3p
+           FROM mid GROUP BY 1),
+low AS (SELECT w3, count(*) AS n1low FROM mid GROUP BY 1),
+tot AS (SELECT count(*) AS ntypes FROM mid),
+coct AS (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS kn1,
+                sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS kn2,
+                sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS kn3,
+                sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS kn4 FROM t3),
+cocm AS (SELECT sum(CASE WHEN n1mid = 1 THEN 1 ELSE 0 END) AS kn1,
+                sum(CASE WHEN n1mid = 2 THEN 1 ELSE 0 END) AS kn2,
+                sum(CASE WHEN n1mid = 3 THEN 1 ELSE 0 END) AS kn3,
+                sum(CASE WHEN n1mid = 4 THEN 1 ELSE 0 END) AS kn4 FROM mid),
+dt AS (SELECT
+  CASE WHEN kn1 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn2 AS DOUBLE) / kn1)) ELSE 0.75 END AS dt1,
+  CASE WHEN kn2 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn3 AS DOUBLE) / kn2)) ELSE 0.75 END AS dt2,
+  CASE WHEN kn3 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn4 AS DOUBLE) / kn3)) ELSE 0.75 END AS dt3
+  FROM coct),
+dm AS (SELECT
+  CASE WHEN kn1 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn2 AS DOUBLE) / kn1)) ELSE 0.75 END AS dm1,
+  CASE WHEN kn2 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn3 AS DOUBLE) / kn2)) ELSE 0.75 END AS dm2,
+  CASE WHEN kn3 > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * (CASE WHEN kn1 + 2 * kn2 > 0
+      THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)
+      * (CAST(kn4 AS DOUBLE) / kn3)) ELSE 0.75 END AS dm3
+  FROM cocm),
+jm AS (SELECT tg.doc_id,
+        CAST(round(ln(
+          greatest(c3 - (CASE WHEN c3 = 1 THEN dt1
+                              WHEN c3 = 2 THEN dt2 ELSE dt3 END),
+                   CAST(0 AS DOUBLE)) / c2 +
+          ((dt1 * f1 + dt2 * f2 + dt3 * f3p) / c2) * (
+            greatest(n1mid - (CASE WHEN n1mid = 1 THEN dm1
+                                   WHEN n1mid = 2 THEN dm2 ELSE dm3 END),
+                     CAST(0 AS DOUBLE)) / nmidtot +
+            ((dm1 * g1 + dm2 * g2 + dm3 * g3p) / nmidtot) *
+              (CAST(n1low AS DOUBLE) / ntypes))), 6)
+          AS DECIMAL(28,6)) AS lp
+      FROM tg JOIN t3 USING (w1, w2, w3) JOIN top USING (w1, w2)
+        JOIN mid USING (w2, w3) JOIN midctx USING (w2)
+        JOIN low USING (w3) CROSS JOIN tot CROSS JOIN dt CROSS JOIN dm),
+jm2 AS (SELECT doc_id, count(*) AS n_trigrams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM jm GROUP BY doc_id),
+knmsc AS (SELECT doc_id, n_trigrams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_trigrams) // (200 * n_trigrams)
+        ELSE -((2 * (-s) + 100 * n_trigrams) // (200 * n_trigrams)) END)
+    / 10000.0 AS kn_score
+FROM jm2)"""
+
+  /** Mirrors `lm_kn_mod_scores`. */
+  val lmKnModScores: String = s"""WITH $knModCtes
+SELECT doc_id, n_trigrams, kn_score FROM knmsc ORDER BY doc_id"""
+
+  /** Mirrors `lm_kn_mod_discounts`: the derived discount row itself. */
+  val lmKnModDiscounts: String = s"""WITH $knModCtes
+SELECT dt1 AS d1t, dt2 AS d2t, dt3 AS d3t, dm1 AS d1m, dm2 AS d2m,
+  dm3 AS d3m
+FROM dt CROSS JOIN dm"""
+
   /** Mirrors `c4_line_filter`: the multi-line demo synthesis (8-word
     * lines with planted suffixes and page markers) and every C4 rule —
     * terminal punctuation, min line words, javascript lines,

@@ -249,6 +249,71 @@ class RelevanceSpec extends SparkSpec {
     assert(out.filter(col("lm_score") >= 0).count() == 0)
   }
 
+  test("modified-KN discounts equal the Chen–Goodman formula computed independently") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // abc trigrams at count 3
+      (2L, "a b c d e f"), // bcd/cde/def singletons + one more abc
+      (3L, "x y z"), (4L, "p q r"), (5L, "x y z")) // a count-2 trigram
+      .toDF("doc_id", "text")
+    // independent driver-side replica: trigram counts → count-of-counts
+    // → Y and D_k, with plain Scala collections
+    val texts = Seq("a b c a b c a b c", "a b c d e f", "x y z", "p q r",
+      "x y z")
+    val triCnt = texts.flatMap(_.split(" ").toSeq.sliding(3))
+      .map(_.mkString(" ")).groupBy(identity).view.mapValues(_.size).toMap
+    def coc(counts: Iterable[Int], k: Int) = counts.count(_ == k).toLong
+    val c3s = triCnt.values
+    val (n1, n2, n3, n4) =
+      (coc(c3s, 1), coc(c3s, 2), coc(c3s, 3), coc(c3s, 4))
+    val y = n1.toDouble / (n1 + 2 * n2)
+    def dk(k: Int, nk: Long, nk1: Long): Double =
+      if (nk > 0) math.max(0.0, k - (k + 1.0) * y * (nk1.toDouble / nk))
+      else 0.75
+    val row = LanguageModel.knModDiscounts(docs, "text", "doc_id").head()
+    assert(row.getDouble(0) === dk(1, n1, n2), "d1t")
+    assert(row.getDouble(1) === dk(2, n2, n3), "d2t")
+    assert(row.getDouble(2) === dk(3, n3, n4), "d3t")
+  }
+
+  test("modified KN on a singleton-heavy corpus: D1 rises above 0.75 and noise scores drop") {
+    val s = spark
+    import s.implicits._
+    // many one-off noise trigrams + one robust repeated pattern
+    val noise = (0L until 40L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val pattern = (100L until 110L).map(i =>
+      (i, "the quick brown fox jumps"))
+    val docs = (noise ++ pattern).toDF("doc_id", "text")
+    val d1 = LanguageModel.knModDiscounts(docs, "text", "doc_id")
+      .head().getDouble(0)
+    assert(d1 > 0.75, s"singleton-heavy corpus should derive D1 > 0.75, got $d1")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fixed = scores(LanguageModel.scoreDocsKN(docs, "text", "doc_id"))
+    val mod = scores(LanguageModel.scoreDocsKNMod(docs, "text", "doc_id"))
+    // a higher singleton discount strictly lowers every singleton
+    // trigram's probability (p = (1−D1) + γ·p_mid with γ = D1 here), so
+    // noise documents must score LOWER under modified KN...
+    noise.foreach { case (id, _) =>
+      assert(mod(id) < fixed(id), s"noise doc $id: mod ${mod(id)} vs fixed ${fixed(id)}")
+    }
+    // ...and the pattern-vs-noise separation must WIDEN: the derived
+    // discounts take more mass from one-off noise than from the robust
+    // repeated pattern (whose count-10 trigrams sit in the D₃₊ class),
+    // which is exactly the fixed-D underdiscounting Chen & Goodman
+    // correct
+    def mean(ids: Seq[Long], m: Map[Long, Double]): Double =
+      ids.map(m).sum / ids.size
+    val noiseIds = noise.map(_._1)
+    val patIds = pattern.map(_._1)
+    val fixedGap = mean(patIds, fixed) - mean(noiseIds, fixed)
+    val modGap = mean(patIds, mod) - mean(noiseIds, mod)
+    assert(modGap > fixedGap,
+      s"separation should widen: mod $modGap vs fixed $fixedGap")
+  }
+
   test("rrfFuse: consensus doc wins over either ranker's top-1; absent docs score one-sided") {
     val s = spark
     import s.implicits._
