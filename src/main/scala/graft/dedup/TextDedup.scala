@@ -406,16 +406,52 @@ object TextDedup {
     graft.functions.GraftFunctions.minhash_sig(hashArr, numPerms)
 
   /**
+   * Derive the LSH banding `(numBands, bandRows)` for a signature
+   * budget and target Jaccard threshold — the datasketch-style
+   * parameter derivation constrained to exact divisors. The
+   * band-candidate S-curve P(candidate | j) = 1 − (1 − j^r)^b crosses
+   * ½ at the midpoint m = (1/b)^(1/r); among divisors r | numPerms the
+   * chosen r is the LARGEST whose midpoint does not exceed the
+   * threshold (the recall-safe side: a pair AT the threshold keeps
+   * > ½ per-probe candidate probability, where a midpoint above the
+   * threshold would halve recall exactly where the operator promises
+   * it), falling back to r = 1 if even that overshoots (threshold
+   * below 1/numPerms). Deterministic and corpus-independent; for the
+   * default (32, 0.8) budget it derives (8 bands, 4 rows) — midpoint
+   * ≈ 0.59, candidate probability ≈ 0.985 at j = 0.8.
+   */
+  def bandingForThreshold(numPerms: Int, threshold: Double): (Int, Int) = {
+    require(numPerms > 0, s"numPerms must be positive, got $numPerms")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val divisors = (1 to numPerms).filter(numPerms % _ == 0)
+    def midpoint(r: Int): Double =
+      math.pow(r.toDouble / numPerms, 1.0 / r)
+    val safe = divisors.filter(r => midpoint(r) <= threshold)
+    val r = if (safe.nonEmpty) safe.max else 1
+    (numPerms / r, r)
+  }
+
+  /** The `bandRows` a 0 (= derive) default resolves to. */
+  private def resolveBandRows(numPerms: Int, bandRows: Int,
+      threshold: Double): Int =
+    if (bandRows > 0) bandRows
+    else bandingForThreshold(numPerms, threshold)._2
+
+  /**
    * Near-duplicate pairs via MinHash-LSH banding: documents sharing any
-   * band of the signature become candidates; candidates are verified with
-   * the exact shingle Jaccard. With numPerms=32, bandRows=4 (8 bands) the
-   * S-curve crosses ~0.5 at j≈0.77 — tuned for threshold 0.8.
+   * band of the signature become candidates; candidates are verified
+   * with the exact shingle Jaccard. `bandRows = 0` (the default)
+   * derives the banding from the threshold via
+   * [[bandingForThreshold]] — at the default (32, 0.8) budget that is
+   * 8 bands × 4 rows, the previously hand-tuned configuration.
    */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
+      n: Int = 3, numPerms: Int = 32, bandRows: Int = 0,
       threshold: Double = 0.8): DataFrame = {
-    require(numPerms % bandRows == 0, "bandRows must divide numPerms")
-    val numBands = numPerms / bandRows
+    val rows = resolveBandRows(numPerms, bandRows, threshold)
+    require(numPerms % rows == 0, "bandRows must divide numPerms")
+    val numBands = numPerms / rows
     // The signature relation is materialized: it feeds both sides of the
     // band self-join plus the verification joins (4 consumers), and the
     // signature expression is a higher-order array transform that runs
@@ -432,7 +468,7 @@ object TextDedup {
     val bands = withSh.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(numBands - 1)),
           b => struct(b.as("band_id"),
-            concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
+            concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))
               .as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -583,7 +619,7 @@ object TextDedup {
    * drops to distinct-text grain. Output: (doc_a, doc_b), doc_a < doc_b.
    */
   def minhashLshEdges(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
+      n: Int = 3, numPerms: Int = 32, bandRows: Int = 0,
       threshold: Double = 0.8): DataFrame = {
     // the materialized relation carries ONLY (doc_id, digest) — 24
     // bytes/doc, never the corpus text (a full-text materialization
@@ -655,7 +691,7 @@ object TextDedup {
    */
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, n: Int = 3, numPerms: Int = 32,
-      bandRows: Int = 4, threshold: Double = 0.8): DataFrame =
+      bandRows: Int = 0, threshold: Double = 0.8): DataFrame =
     dedupAgainstIndex(batch, corpusIndex(corpus, textCol, idCol, n),
       textCol, idCol, n, numPerms, bandRows, threshold)
 
@@ -673,16 +709,17 @@ object TextDedup {
     * the corpus digests/shingles. */
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
       textCol: String, idCol: String, n: Int = 3, numPerms: Int = 32,
-      bandRows: Int = 4, threshold: Double = 0.8): DataFrame = {
-    require(numPerms % bandRows == 0, "bandRows must divide numPerms")
-    val numBands = numPerms / bandRows
+      bandRows: Int = 0, threshold: Double = 0.8): DataFrame = {
+    val rows = resolveBandRows(numPerms, bandRows, threshold)
+    require(numPerms % rows == 0, "bandRows must divide numPerms")
+    val numBands = numPerms / rows
     def bandsOf(sig: DataFrame): DataFrame = sig
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignature(col("hs"), numPerms))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(numBands - 1)),
           b => struct(b.as("band_id"),
-            concat_ws("-", slice(col("sig"), b * bandRows + 1, lit(bandRows)))
+            concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows)))
               .as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band_id"), col("bs.band_sig"))
     val bSig = graft.operators.Materialized(corpusIndex(batch, textCol, idCol, n))

@@ -33,7 +33,7 @@ object StreamingDedup {
     * `batchId` — [[GrowingIndex.commit]]). */
   def processBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexDir: String, outDir: String, n: Int = 3,
-      numPerms: Int = 32, bandRows: Int = 4,
+      numPerms: Int = 32, bandRows: Int = 0,
       threshold: Double = 0.8): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -57,7 +57,7 @@ object StreamingDedup {
     * dedup against their own index rows). */
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
-      n: Int = 3, numPerms: Int = 32, bandRows: Int = 4,
+      n: Int = 3, numPerms: Int = 32, bandRows: Int = 0,
       threshold: Double = 0.8): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -318,6 +318,37 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.setJaccardPairs(sets, 0.8).count() === 121)
   }
 
+  test("bandingForThreshold: recall-safe midpoint; derived banding catches a pair the fixed config misses") {
+    import graft.dedup.TextDedup.bandingForThreshold
+    val s = spark
+    import s.implicits._
+    // the default budget derives the previously hand-tuned configuration
+    assert(bandingForThreshold(32, 0.8) === ((8, 4)))
+    // midpoint on the recall-safe side, and no steeper divisor stays
+    // under the threshold
+    for ((np, t) <- Seq((32, 0.8), (16, 0.5), (64, 0.9), (32, 0.3))) {
+      val (b, r) = bandingForThreshold(np, t)
+      assert(b * r === np)
+      assert(math.pow(1.0 / b, 1.0 / r) <= t)
+      ((r + 1) to np).filter(np % _ == 0).foreach { r2 =>
+        assert(math.pow(r2.toDouble / np, 1.0 / r2) > t,
+          s"divisor $r2 would be closer for ($np, $t)")
+      }
+    }
+    // planted near-threshold pair (jaccard ≈ 0.64, threshold 0.5,
+    // budget 16): the derived 8×2 banding collides it in some band, the
+    // fixed rows=4 banding does not — deterministic (the minhash
+    // permutations are fixed, no RNG)
+    val a = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val b = ((0 until 16).map(i => s"tok$i") ++
+      (0 until 4).map(k => s"alt3_$k")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(TextDedup.minhashLshPairs(docs, "text", "doc_id",
+      numPerms = 16, threshold = 0.5).count() === 1)
+    assert(TextDedup.minhashLshPairs(docs, "text", "doc_id",
+      numPerms = 16, bandRows = 4, threshold = 0.5).count() === 0)
+  }
+
   test("setJaccardEdges: doc-grain df cap — components match pairs even when the cap engages") {
     import org.apache.spark.sql.functions._
     val s = spark
