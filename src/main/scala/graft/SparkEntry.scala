@@ -162,6 +162,14 @@ object SparkEntry {
     cachedFrame(s, dir, "audio_shifted_fps")(
       graft.multimodal.Multimodal.audioWindowedFingerprints(
         audioShiftedDemoPayloads(s, dir), "payload", "doc_id"))
+  /** Silence-trimmed windowed fingerprints over the arbitrary-offset +
+    * re-encode demo corpus — shared by the aligned pairs query and the
+    * aligned corpus end state. */
+  private def audioAlignedFpsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "audio_aligned_fps")(
+      graft.multimodal.Multimodal.audioWindowedFingerprints(
+        audioAlignedDemoPayloads(s, dir), "payload", "doc_id",
+        silenceEps = 255))
 
   /** Media near-dup PAIR frames — consumed by the pair-report queries,
     * where the pairs themselves are the product. Banding runs over the
@@ -281,6 +289,51 @@ object SparkEntry {
           val out = new Array[Short](samples.length + 32)
           var i = 0
           while (i < samples.length) { out(i + 32) = samples(i).toShort; i += 1 }
+          (id, graft.multimodal.Wav.encode(8000, 1, out))
+        }
+      }).toDF("doc_id", "payload")
+  }
+
+  /** The arbitrary-offset/re-encode demo corpus: doc_id ≡ 5 (mod 31)
+    * becomes the PREVIOUS doc's clip delayed by 5 zero samples (a
+    * NON-hop-multiple offset the hop-16 windowed formulation cannot
+    * catch positionally), and doc_id ≡ 9 (mod 31) becomes the previous
+    * doc's clip re-encoded at 8-bit depth (amplitudes floored to
+    * 256-multiples — the playback expansion of a 16→8-bit round trip).
+    * Both plants are replayed integer-exactly by the DuckDB oracle. */
+  private def audioAlignedDemoPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Demo.table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prev = d.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    d.join(prev, Seq("doc_id"), "left")
+      .as[(Long, String, Option[String])]
+      .mapPartitions(_.map { case (id, t, pt) =>
+        val kind =
+          if (pt.isEmpty) 0 else if (id % 31 == 5) 1
+          else if (id % 31 == 9) 2 else 0
+        val baseText = if (kind != 0) pt.get else t
+        val trunc = baseText.substring(0, math.min(baseText.length, 120))
+        val base = graft.multimodal.Wav.syntheticWav(0L, trunc)
+        if (kind == 0) (id, base)
+        else {
+          val samples = graft.multimodal.Wav.decodeSamples(base).get.samples
+          val out =
+            if (kind == 1) {
+              val o = new Array[Short](samples.length + 5)
+              var i = 0
+              while (i < samples.length) {
+                o(i + 5) = samples(i).toShort; i += 1
+              }
+              o
+            } else {
+              val o = new Array[Short](samples.length)
+              var i = 0
+              while (i < samples.length) {
+                o(i) = ((samples(i) >> 8) << 8).toShort; i += 1
+              }
+              o
+            }
           (id, graft.multimodal.Wav.encode(8000, 1, out))
         }
       }).toDF("doc_id", "payload")
@@ -1157,6 +1210,29 @@ object SparkEntry {
         .groupBy("doc_a", "doc_b")
         .agg(min(col("hamming")).as("hamming"))
         .orderBy("doc_a", "doc_b")),
+    // ALIGNMENT-FREE audio dedup: silence-trimmed windowed
+    // fingerprints — catches a copy delayed by ANY offset (the demo
+    // plants a NON-hop-multiple +5-sample delay) and a 16→8-bit
+    // re-encoded copy, both of which the positional and the
+    // hop-granular formulations miss
+    "dedup_audio_pairs_aligned" -> ((s, dir) =>
+      TextDedup.hammingPairsWide(audioAlignedFpsDf(s, dir), "doc_id",
+        "afp", maxDist = 2, chunkBits = 16)
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("hamming")).as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+    // Alignment-free corpus END STATE — edge-fed like every dup-dense
+    // corpus path
+    "dedup_audio_corpus_aligned" -> ((s, dir) => {
+      val edges = TextDedup.hammingEdgesWide(audioAlignedFpsDf(s, dir),
+        "doc_id", "afp", maxDist = 2, chunkBits = 16)
+      graft.dedup.ConnectedComponents.label(
+        Demo.table(s, dir, "documents").select("doc_id"),
+        edges, "doc_a", "doc_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Shift-tolerant corpus END STATE: windowed fingerprints (one doc,
     // MANY fingerprint rows) through the star+bridge edge frame — the
     // multi-fingerprint case hammingEdgesWide is specified for — then
@@ -2416,6 +2492,8 @@ object SparkEntry {
     "audio_fingerprint" -> DedupOracles.audioFingerprint,
     "dedup_audio_pairs" -> DedupOracles.audioDedupPairs(),
     "dedup_audio_pairs_shifted" -> DedupOracles.audioDedupPairsShifted(),
+    "dedup_audio_pairs_aligned" -> DedupOracles.audioDedupPairsAligned(),
+    "dedup_audio_corpus_aligned" -> DedupOracles.audioCorpusAligned(),
     "dedup_audio_corpus_shifted" -> DedupOracles.audioCorpusShifted(),
     "dedup_audio_corpus" -> DedupOracles.audioCorpus(),
     "dedup_multimodal_corpus" -> DedupOracles.multimodalCorpus(),

@@ -791,6 +791,128 @@ SELECT node AS doc_id FROM (
   SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
 WHERE comp = node ORDER BY doc_id"""
 
+  /** Mirrors `dedup_audio_pairs_aligned`: the arbitrary-offset +
+    * re-encode planting (+5 zero samples / 8-bit floor), the
+    * eps-255 leading/trailing silence trim, then the same windowed
+    * fingerprint + banding replay — all integer. */
+  def audioDedupPairsAligned(maxDist: Int = 2): String =
+    s"""WITH ${afpAlignedCtes(maxDist)}
+SELECT doc_a, doc_b, min(hamming) AS hamming FROM allp
+GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+
+  /** Mirrors `dedup_audio_corpus_aligned`: aligned pairs → recursive
+    * min-label components → keepers. */
+  def audioCorpusAligned(maxDist: Int = 2): String = s"""WITH RECURSIVE
+${afpAlignedCtes(maxDist)},
+pairs AS (SELECT doc_a, doc_b FROM allp GROUP BY 1, 2),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node)
+SELECT node AS doc_id FROM (
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+WHERE comp = node ORDER BY doc_id"""
+
+  /** [[afpShiftedCtes]] with the aligned-kind planting and the
+    * silence trim: doc ≡ 5 (mod 31) is the previous doc's clip behind
+    * 5 zero samples (NON-hop-multiple), doc ≡ 9 (mod 31) the previous
+    * doc's clip floored to 256-multiples (8-bit re-encode, the Scala
+    * `(s >> 8) << 8` = s − mod(s, 256) with mod in [0, 256)); samples
+    * with |v| ≤ 255 are trimmed from both ends before windowing. */
+  private def afpAlignedCtes(maxDist: Int): String = s"""s0 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 31 IN (5, 9) AND p.doc_id IS NOT NULL
+              THEN p.text ELSE d.text END AS text,
+         CASE WHEN d.doc_id % 31 = 5 AND p.doc_id IS NOT NULL
+              THEN CAST(5 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sh,
+         d.doc_id % 31 = 9 AND p.doc_id IS NOT NULL AS req
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+s1 AS (
+  SELECT doc_id, text, sh, req,
+         CAST(least(120, strlen(coalesce(text, ''))) AS BIGINT) AS tlen,
+         CAST(greatest(8, least(4096,
+           least(120, strlen(coalesce(text, ''))))) AS BIGINT) + sh AS rawn
+  FROM s0),
+rsm AS (
+  SELECT doc_id, rawn, i,
+    CASE WHEN req THEN bv - ((bv % 256 + 256) % 256) ELSE bv END AS v
+  FROM (
+    SELECT doc_id, rawn, req, i,
+      CASE WHEN i < sh THEN 0
+           WHEN (i - sh) % 97 = 0 THEN 32767
+           WHEN tlen = 0 THEN (CAST((i - sh) % 251 AS INT) - 128) * 250
+                + CAST((i - sh) % 17 AS INT)
+           ELSE (ord(substr(text, CAST((i - sh) % tlen AS INT) + 1, 1)) - 128)
+                * 250 + CAST((i - sh) % 17 AS INT)
+      END AS bv
+    FROM s1, range(0, 4128) ri(i) WHERE i < rawn) rsm0),
+tb AS (
+  SELECT doc_id, min(i) AS i0, max(i) AS i1
+  FROM rsm WHERE abs(v) > 255 GROUP BY doc_id),
+smp AS (
+  SELECT rsm.doc_id, tb.i1 - tb.i0 + 1 AS n, rsm.i - tb.i0 AS i, rsm.v
+  FROM rsm JOIN tb USING (doc_id)
+  WHERE rsm.i BETWEEN tb.i0 AND tb.i1),
+s AS (SELECT doc_id, i1 - i0 + 1 AS n FROM tb),
+wins AS (
+  SELECT doc_id, w,
+         CASE WHEN n < 64 THEN CAST(0 AS BIGINT) ELSE w * 16 END AS woff,
+         CASE WHEN n < 64 THEN n ELSE CAST(64 AS BIGINT) END AS wn
+  FROM s, range(0, 256) rw(w)
+  WHERE (n < 64 AND w = 0) OR (n >= 64 AND w <= (n - 64) // 16)),
+wsm AS (
+  SELECT wins.doc_id, wins.w, smp.i - wins.woff AS j, smp.v,
+    lag(smp.v) OVER (PARTITION BY wins.doc_id, wins.w ORDER BY smp.i) AS pv
+  FROM wins JOIN smp ON smp.doc_id = wins.doc_id
+    AND smp.i >= wins.woff AND smp.i < wins.woff + wins.wn),
+fb AS (
+  SELECT doc_id, w, f, (f * wn) // 33 AS lo,
+    least(wn, greatest((f * wn) // 33 + 1, ((f + 1) * wn) // 33)) AS hi
+  FROM wins, range(0, 33) rf(f)),
+fe AS (
+  SELECT fb.doc_id, fb.w, fb.f,
+    sum(CAST(p.v AS BIGINT) * p.v) AS e,
+    sum(CASE WHEN p.j >= 1 AND ((p.v < 0) <> (p.pv < 0))
+             THEN 1 ELSE 0 END) AS z,
+    count(*) AS c
+  FROM fb JOIN wsm p
+    ON p.doc_id = fb.doc_id AND p.w = fb.w AND p.j >= fb.lo AND p.j < fb.hi
+  GROUP BY 1, 2, 3),
+tr AS (
+  SELECT l.doc_id, l.w, l.f,
+    CASE WHEN CAST(r.e AS HUGEINT) * l.c > CAST(l.e AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS eb,
+    CASE WHEN CAST(r.z AS HUGEINT) * l.c > CAST(l.z AS HUGEINT) * r.c
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS zb
+  FROM fe l JOIN fe r ON r.doc_id = l.doc_id AND r.w = l.w AND r.f = l.f + 1
+  WHERE l.f < 32),
+bits AS (
+  SELECT doc_id, w, f AS bit, eb AS b FROM tr
+  UNION ALL SELECT doc_id, w, 32 + f AS bit, zb AS b FROM tr),
+fp0 AS (
+  SELECT doc_id, w, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bits GROUP BY 1, 2),
+fp2 AS (SELECT doc_id, c1 * 65536 + c0 AS lo, c3 * 65536 + c2 AS hi FROM fp0),
+d AS (SELECT DISTINCT hi, lo FROM fp2),
+ch AS (SELECT hi, lo, k,
+         CASE k WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS v
+       FROM d, range(0, 4) r(k)),
+cand AS (SELECT DISTINCT a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         FROM ch a JOIN ch b ON a.k = b.k AND a.v = b.v
+           AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo <= b.lo))),
+hp AS (SELECT ahi, alo, bhi, blo,
+         bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= $maxDist),
+allp AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b, hamming
+         FROM hp JOIN fp2 x ON x.hi = hp.ahi AND x.lo = hp.alo
+                 JOIN fp2 y ON y.hi = hp.bhi AND y.lo = hp.blo
+         WHERE x.doc_id <> y.doc_id)"""
+
   private def afpShiftedCtes(maxDist: Int): String = s"""s0 AS (
   SELECT d.doc_id,
          CASE WHEN d.doc_id % 31 = 5 AND p.doc_id IS NOT NULL

@@ -86,6 +86,30 @@ object AudioFingerprint {
    * rows per clip = ⌊(n−window)/hop⌋+1 — linear in clip length, the
    * standard fingerprint-density trade.
    */
+  /**
+   * Strip leading and trailing near-silence (|s| ≤ eps) — the
+   * alignment-free normalization that closes [[windowedFingerprints]]'
+   * hop-granularity gap: windows only reproduce under hop-MULTIPLE
+   * delays, but a copy padded with (or trimmed of) silence reduces to
+   * the same trimmed signal for ANY delay amount, so every window
+   * collides at Hamming 0. `eps = 255` additionally tolerates one
+   * 16→8-bit quantization step, so a re-encoded copy (amplitudes
+   * floored to 256-multiples) trims at the same boundaries as the
+   * original whenever the first/last audible sample exceeds the step —
+   * a sample INSIDE (255, 512) can still round across the eps
+   * boundary, the usual epsilon-trim caveat, documented rather than
+   * hidden.
+   */
+  def trimSilence(samples: Array[Int], eps: Int): Array[Int] = {
+    require(eps >= 0, s"silence epsilon must be non-negative, got $eps")
+    var i = 0
+    var j = samples.length
+    while (i < j && math.abs(samples(i)) <= eps) i += 1
+    while (j > i && math.abs(samples(j - 1)) <= eps) j -= 1
+    if (i == 0 && j == samples.length) samples
+    else java.util.Arrays.copyOfRange(samples, i, j)
+  }
+
   def windowedFingerprints(samples: Array[Int], window: Int,
       hop: Int): Seq[(Int, Long)] = {
     require(window > 0 && hop > 0 && hop * 2 <= window,

@@ -288,7 +288,8 @@ object Multimodal {
    * (doc_id, win, afp).
    */
   def audioWindowedFingerprints(df: DataFrame, binCol: String,
-      idCol: String, window: Int = 64, hop: Int = 16): DataFrame = {
+      idCol: String, window: Int = 64, hop: Int = 16,
+      silenceEps: Int = -1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(binCol), col(idCol).cast("long"))
@@ -296,8 +297,16 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (bytes, id) =>
         (try Wav.decodeSamples(bytes)
          catch { case scala.util.control.NonFatal(_) => None })
-          .toSeq.flatMap(w =>
-            AudioFingerprint.windowedFingerprints(w.samples, window, hop))
+          .toSeq.flatMap { w =>
+            // silenceEps >= 0 trims leading/trailing near-silence first
+            // (AudioFingerprint.trimSilence) so ARBITRARY-offset
+            // silence-padded copies window identically; -1 preserves
+            // the positional hop-multiple-only semantics
+            val s = if (silenceEps >= 0)
+              AudioFingerprint.trimSilence(w.samples, silenceEps)
+            else w.samples
+            AudioFingerprint.windowedFingerprints(s, window, hop)
+          }
           .map { case (win, fp) => (id, win, fp) }
       })
       .toDF("doc_id", "win", "afp")
@@ -317,6 +326,26 @@ object Multimodal {
       maxDist: Int = 2, window: Int = 64, hop: Int = 16): DataFrame =
     graft.dedup.TextDedup.hammingPairsWide(
       audioWindowedFingerprints(df, binCol, idCol, window, hop),
+      "doc_id", "afp", maxDist, chunkBits = 16)
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("hamming")).as("hamming"))
+
+  /**
+   * ALIGNMENT-FREE near-duplicate audio pairs: [[audioDedupPairsShifted]]
+   * with leading/trailing near-silence stripped before windowing
+   * ([[AudioFingerprint.trimSilence]], eps one 8-bit quantization
+   * step). Closes the hop-granularity gap of the windowed formulation:
+   * a copy delayed by ANY amount of silence (hop multiple or not)
+   * reduces to the same trimmed signal and collides at Hamming 0, and
+   * a 16→8-bit re-encoded copy — amplitudes floored to 256-multiples —
+   * keeps the gain-invariant energy/zero-crossing trend bits and trims
+   * at the same boundaries, colliding within `maxDist`.
+   */
+  def audioDedupPairsAligned(df: DataFrame, binCol: String, idCol: String,
+      maxDist: Int = 2, window: Int = 64, hop: Int = 16,
+      silenceEps: Int = 255): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      audioWindowedFingerprints(df, binCol, idCol, window, hop, silenceEps),
       "doc_id", "afp", maxDist, chunkBits = 16)
       .groupBy("doc_a", "doc_b")
       .agg(min(col("hamming")).as("hamming"))

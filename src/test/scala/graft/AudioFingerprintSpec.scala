@@ -126,6 +126,49 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(!win.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
   }
 
+  test("aligned dedup: non-hop-multiple delay and 8-bit re-encode both caught; hop-granular path misses the offset") {
+    import graft.multimodal.{AudioFingerprint, Multimodal, Wav}
+    // well-mixed pseudorandom noise: unlike smooth/periodic tones
+    // (whose coarse envelopes self-collide across windows), every
+    // window is globally distinguishable, so the +5 offset genuinely
+    // defeats hop-granular matching
+    def mix(i: Int): Int = {
+      var x = i * 0x9E3779B1
+      x ^= x >>> 16
+      x *= 0x85EBCA77
+      x ^= x >>> 13
+      math.floorMod(x, 8000) - 4000
+    }
+    val base = Array.tabulate(900)(mix)
+    val delayed5 = Array.fill(5)(0) ++ base // NON-multiple of hop 16
+    val re8 = base.map(s => (s >> 8) << 8) // 16→8-bit floor re-encode
+    val rows = Seq(
+      (1L, Wav.encode(8000, 1, base.map(_.toShort))),
+      (2L, Wav.encode(8000, 1, delayed5.map(_.toShort))),
+      (3L, Wav.encode(8000, 1, re8.map(_.toShort))))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    // the hop-granular windowed path cannot catch a +5-sample offset
+    // (windows only reproduce under hop-multiple delays)
+    val hopOnly = Multimodal.audioDedupPairsShifted(df, "payload",
+      "doc_id", maxDist = 2, window = 64, hop = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!hopOnly.contains((1L, 2L)),
+      s"hop-granular path unexpectedly matched the +5 offset: ${hopOnly.toSeq}")
+    // the silence-trimmed path catches BOTH planted dupes
+    val aligned = Multimodal.audioDedupPairsAligned(df, "payload",
+      "doc_id", maxDist = 2, window = 64, hop = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(aligned.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"aligned path missed the +5-sample delay: ${aligned.toSeq}")
+    assert(aligned.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 2),
+      s"aligned path missed the 8-bit re-encode: ${aligned.toSeq}")
+    // trim is exact: leading/trailing near-silence stripped, interior kept
+    val trimmed = AudioFingerprint.trimSilence(
+      Array(0, 10, -255, 4000, 0, -4000, 255, 0), eps = 255)
+    assert(trimmed.toSeq === Seq(4000, 0, -4000))
+    assert(AudioFingerprint.trimSilence(Array(1, 2, 3), 255).isEmpty)
+  }
+
   test("decodeSamples: round-trips the encoder, sign-extends, tolerates truncation") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 5, -5)
     val wav = Wav.encode(8000, 1, samples)
