@@ -136,6 +136,44 @@ object GrowingIndex {
       compactOne(spark, fs, indexDir, targetFiles))
   }
 
+  /**
+   * RIGHT-TO-BE-FORGOTTEN on the growing corpus+index pair — deletion
+   * propagation ([[graft.io.ParquetSink.deleteByKeys]], which rewrites
+   * only partitions containing a doomed key) applied to BOTH relations
+   * of a streaming dedup operator, in the one order that preserves the
+   * exactly-once replay property: CORPUS first, index second. The
+   * crash windows:
+   *
+   *  - crash inside either relation's rewrite: deleteByKeys itself
+   *    leaves every partition either old or rewritten (never missing);
+   *  - crash BETWEEN the two relations: corpus cleaned, index intact —
+   *    the SAFE direction, because a retained fingerprint row can only
+   *    cause future or replayed copies of the deleted content to be
+   *    DROPPED, never resurrected (the reverse order would let a
+   *    replayed batch re-admit content whose corpus rows still exist);
+   *  - any interrupted state converges by RE-RUNNING the delete — the
+   *    operation is idempotent (doomed keys are simply absent on the
+   *    second pass).
+   *
+   * Run ONLY while the stream is stopped with its checkpoint committed
+   * (the [[compact]] discipline): the keys' index rows are removed
+   * too, so an UNcommitted in-flight batch containing a doomed key
+   * would re-admit it on replay. Deletion is not a blocklist — a fresh
+   * copy of the same content arriving in a future batch is new data by
+   * definition; compose with the decontamination operators when a
+   * durable content block is needed. Returns the surviving
+   * (corpusRows, indexRows).
+   */
+  def deleteKeys(spark: SparkSession, outDir: String, indexDir: String,
+      keyCol: String, keys: DataFrame): (Long, Long) = {
+    graft.io.ParquetSink.deleteByKeys(spark, outDir, "batch_id", keyCol,
+      keys)
+    graft.io.ParquetSink.deleteByKeys(spark, indexDir, "batch_id", keyCol,
+      keys)
+    (spark.read.parquet(outDir).count(),
+      spark.read.parquet(indexDir).count())
+  }
+
   private[streaming] def compactOne(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       targetFiles: Int): Long = {

@@ -384,6 +384,45 @@ class StreamsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 10L))
   }
 
+  test("deleteKeys: retention reaches corpus and index; the delete's crash windows converge safely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gi-delete").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    StreamingDedup.processBatch(Seq((1L, base)).toDF("doc_id", "text"),
+      0L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    StreamingDedup.processBatch(Seq((2L, fresh)).toDF("doc_id", "text"),
+      1L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    def ids(path: String): Seq[Long] = spark.read.parquet(path).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids(outDir) === Seq(1L, 2L) && ids(indexDir) === Seq(1L, 2L))
+
+    val doomed = Seq(1L).toDF("doc_id")
+    // crash window: the delete dies BETWEEN the two relations — corpus
+    // cleaned, index intact. This is the SAFE direction: the retained
+    // fingerprint can only DROP copies of the deleted content.
+    graft.io.ParquetSink.deleteByKeys(spark, outDir, "batch_id",
+      "doc_id", doomed)
+    assert(ids(outDir) === Seq(2L) && ids(indexDir) === Seq(1L, 2L))
+    StreamingDedup.processBatch(Seq((50L, base)).toDF("doc_id", "text"),
+      2L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    assert(ids(outDir) === Seq(2L),
+      "deleted content must not resurrect while its index rows remain")
+    // recovery = re-run the (idempotent) delete: converges to both-clean
+    val (nOut, nIdx) = GrowingIndex.deleteKeys(spark, outDir, indexDir,
+      "doc_id", doomed)
+    assert(nOut === 1L && nIdx === 1L)
+    assert(ids(outDir) === Seq(2L) && ids(indexDir) === Seq(2L))
+    // post-delete semantics (documented): the same content arriving in a
+    // FUTURE batch is new data — deletion is not a blocklist
+    StreamingDedup.processBatch(Seq((60L, base)).toDF("doc_id", "text"),
+      3L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
+    assert(ids(outDir) === Seq(2L, 60L) && ids(indexDir) === Seq(2L, 60L))
+  }
+
   test("semdedup compaction: folded replay relies on ADC self-match and holds") {
     // The semantic operator's post-compaction replay guarantee is the
     // ADC cosine of a vector against its OWN int8 codes (≈ 0.999),
