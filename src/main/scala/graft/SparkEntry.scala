@@ -247,6 +247,28 @@ object SparkEntry {
       }).toDF("doc_id", "payload")
   }
 
+  /** Demo corpus for the orientation-invariant image dedup queries:
+    * every 5th document's payload PLUS a planted orientation-edited
+    * copy (doc_id + 1000000, dihedral transform 1 + doc_id mod 7 — a
+    * real re-encoded BMP of the rotated/flipped raster). The 1-in-5
+    * base keeps the 8-transform-per-image oracle replay bounded; the
+    * planted copies are what the canonical fingerprint must catch at
+    * Hamming 0 and the plain pHash provably misses. */
+  private def imageDihedralDemoPayloads(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val base = Demo.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 5 === 0)
+      .as[(Long, String)]
+    base.mapPartitions(_.flatMap { case (id, t) =>
+      Iterator(
+        (id, graft.multimodal.Multimodal.syntheticBmp(0L, t)),
+        (id + 1000000L, graft.multimodal.Multimodal
+          .syntheticBmpTransformed(0L, t, (1 + id % 7).toInt)))
+    }).toDF("doc_id", "payload")
+  }
+
   /** Demo audio payloads for the audio-dedup queries: REAL 16-bit PCM
     * WAVs from a fixed-length EXCERPT of the document text (first 120
     * bytes), with the same fixed-salt rationale as
@@ -1151,6 +1173,29 @@ object SparkEntry {
     "dedup_image_pairs_phash" -> ((s, dir) =>
       graft.multimodal.Multimodal.imagePhashDedupPairs(
         imageDemoPayloads(s, dir), "payload", "doc_id", maxDist = 2)
+        .orderBy("doc_a", "doc_b")),
+    // ORIENTATION-INVARIANT pHash: the unsigned-min of the 8 dihedral
+    // transforms' fingerprints — a rotated/mirrored re-upload collides
+    // at Hamming 0 where plain pHash misses (its transform matrix gap).
+    // Corpus plants a real re-encoded rotated BMP per base image; the
+    // oracle replays all 8 cell/DCT chains per image and takes the
+    // (c3,c2,c1,c0)-lexicographic min.
+    "image_phash_dihedral" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePhashDihedral(
+        imageDihedralDemoPayloads(s, dir), "payload", "doc_id")
+        .select(col("doc_id"),
+          expr("(phash >> 0) & 65535").as("c0"),
+          expr("(phash >> 16) & 65535").as("c1"),
+          expr("(phash >> 32) & 65535").as("c2"),
+          expr("(phash >> 48) & 65535").as("c3"))
+        .orderBy("doc_id")),
+    // Near-dup pairs on the canonical fingerprint over the planted
+    // corpus: every (base, rotated copy) pair must appear at distance 0,
+    // through the unchanged wide-key Hamming banding kernel
+    "dedup_image_pairs_dihedral" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePhashDedupPairsDihedral(
+        imageDihedralDemoPayloads(s, dir), "payload", "doc_id",
+        maxDist = 2)
         .orderBy("doc_a", "doc_b")),
     // Training-data ops: multimodal near-dup dedup — image pairs within
     // Hamming 2 on dHash, paired through the SAME Manku wide-key
@@ -2486,6 +2531,8 @@ object SparkEntry {
     "image_phash" -> DedupOracles.imagePhash,
     "dedup_image_pairs" -> DedupOracles.imageDedupPairs(),
     "dedup_image_pairs_phash" -> DedupOracles.imagePhashPairs(),
+    "image_phash_dihedral" -> DedupOracles.imagePhashDihedral,
+    "dedup_image_pairs_dihedral" -> DedupOracles.imagePhashDihedralPairs(),
     "dedup_video_pairs" -> DedupOracles.videoDedupPairs(),
     "dedup_video_corpus" -> DedupOracles.videoCorpus(),
     "dedup_image_corpus" -> DedupOracles.imageCorpus(),

@@ -655,6 +655,125 @@ fp AS (
   val imagePhash: String = s"""WITH $phashCtes
 SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
 
+  /**
+   * CTE chain replaying the ORIENTATION-CANONICAL pHash over the
+   * planted-rotation demo corpus (`imageDihedralDemoPayloads`): every
+   * 5th document's 16-wide synthetic raster, plus a planted copy
+   * (doc_id + 1000000) carrying dihedral transform 1 + doc_id mod 7.
+   * Both the plant and the canonicalization are FORWARD pixel remaps —
+   * each base pixel lands at its destination coordinate under the
+   * transform (the same D₄ maps as `graft.multimodal.Dihedral`, written
+   * as CASE arms over destination formulas) — then each of an image's 8
+   * re-orientations runs the full cell/DCT/median/bits chain with ITS
+   * OWN width/height, and the canonical fingerprint is the
+   * (c3,c2,c1,c0)-lexicographic minimum of the 8 chunk rows (unsigned
+   * 64-bit min without ever materializing a signed-overflowing BIGINT).
+   */
+  private val dihedralPhashCtes: String = {
+    val n = graft.multimodal.Phash.GridN
+    val tvals = graft.multimodal.Phash.T.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (t, x) => s"($u,$x,$t)" }
+    }.mkString(", ")
+    def byteAt(i: String): String =
+      s"CASE WHEN $i < len THEN ord(substr(text, CAST($i + 1 AS INT), 1)) ELSE CAST(($i) % 251 AS INT) END"
+    // forward destination of source pixel (px, py) in a (w, h) raster
+    // under transform g: x/y CASE arms index the same D₄ table the
+    // engine's Dihedral object encodes
+    def fwdX(g: String, w: String, h: String, px: String, py: String) =
+      s"""CASE $g WHEN 0 THEN $px WHEN 1 THEN $h - 1 - $py
+        WHEN 2 THEN $w - 1 - $px WHEN 3 THEN $py WHEN 4 THEN $w - 1 - $px
+        WHEN 5 THEN $px WHEN 6 THEN $py ELSE $h - 1 - $py END"""
+    def fwdY(g: String, w: String, h: String, px: String, py: String) =
+      s"""CASE $g WHEN 0 THEN $py WHEN 1 THEN $px
+        WHEN 2 THEN $h - 1 - $py WHEN 3 THEN $w - 1 - $px WHEN 4 THEN $py
+        WHEN 5 THEN $h - 1 - $py WHEN 6 THEN $px ELSE $w - 1 - $px END"""
+    s"""s5 AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+         CAST(greatest(1, least(64, (length(text) + 47) // 48)) AS BIGINT) AS h0
+  FROM documents WHERE doc_id % 5 = 0),
+px5 AS (
+  SELECT doc_id, x, y,
+    (${byteAt("3 * (y * 16 + x)")} + ${byteAt("3 * (y * 16 + x) + 1")} +
+     ${byteAt("3 * (y * 16 + x) + 2")}) AS lum
+  FROM s5, range(0, 16) rx(x), range(0, 64) ry(y)
+  WHERE y < h0),
+imgs AS (
+  SELECT doc_id AS img_id, doc_id AS base, CAST(0 AS BIGINT) AS g FROM s5
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, 1 + doc_id % 7 FROM s5),
+idim AS (
+  SELECT i.img_id, i.base, i.g,
+    CASE WHEN i.g IN (1,3,6,7) THEN s.h0 ELSE 16 END AS w,
+    CASE WHEN i.g IN (1,3,6,7) THEN 16 ELSE s.h0 END AS h
+  FROM imgs i JOIN s5 s ON s.doc_id = i.base),
+pxi AS (
+  SELECT d.img_id,
+    ${fwdX("d.g", "16", "s.h0", "p.x", "p.y")} AS x,
+    ${fwdY("d.g", "16", "s.h0", "p.x", "p.y")} AS y,
+    p.lum
+  FROM idim d JOIN s5 s ON s.doc_id = d.base
+  JOIN px5 p ON p.doc_id = d.base),
+udim AS (
+  SELECT d.img_id, u.u,
+    CASE WHEN u.u IN (1,3,6,7) THEN d.h ELSE d.w END AS w,
+    CASE WHEN u.u IN (1,3,6,7) THEN d.w ELSE d.h END AS h
+  FROM idim d, range(0, 8) u(u)),
+pxu AS (
+  SELECT d.img_id, u.u,
+    ${fwdX("u.u", "d.w", "d.h", "p.x", "p.y")} AS x,
+    ${fwdY("u.u", "d.w", "d.h", "p.x", "p.y")} AS y,
+    p.lum
+  FROM idim d JOIN pxi p ON p.img_id = d.img_id, range(0, 8) u(u)),
+cellD AS (
+  SELECT ud.img_id, ud.u, gx.gi, gy.gj,
+    (gx.gi * ud.w) // $n AS xlo,
+    least(ud.w, greatest((gx.gi * ud.w) // $n + 1, ((gx.gi + 1) * ud.w) // $n)) AS xhi,
+    (gy.gj * ud.h) // $n AS ylo,
+    least(ud.h, greatest((gy.gj * ud.h) // $n + 1, ((gy.gj + 1) * ud.h) // $n)) AS yhi
+  FROM udim ud, range(0, $n) gx(gi), range(0, $n) gy(gj)),
+cvD AS (
+  SELECT c.img_id, c.u, c.gi, c.gj, (sum(p.lum) * 64) // count(*) AS cv
+  FROM cellD c JOIN pxu p ON p.img_id = c.img_id AND p.u = c.u
+    AND p.x >= c.xlo AND p.x < c.xhi AND p.y >= c.ylo AND p.y < c.yhi
+  GROUP BY 1, 2, 3, 4),
+tt(u, x, t) AS (VALUES $tvals),
+dctD AS (
+  SELECT cv.img_id, cv.u AS ou, tu.u AS fu, tv.u AS fv,
+    sum(tu.t * tv.t * cv.cv) AS f
+  FROM cvD cv JOIN tt tu ON tu.x = cv.gi JOIN tt tv ON tv.x = cv.gj
+  GROUP BY 1, 2, 3, 4),
+medD AS (
+  SELECT img_id, ou, max(f) AS med FROM (
+    SELECT img_id, ou, f,
+      row_number() OVER (PARTITION BY img_id, ou ORDER BY f) AS rn
+    FROM dctD WHERE NOT (fu = 0 AND fv = 0)) q
+  WHERE rn <= 32 GROUP BY 1, 2),
+bitsD AS (
+  SELECT d.img_id, d.ou, d.fv * 8 + d.fu AS bit,
+    CASE WHEN d.f > m.med THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM dctD d JOIN medD m ON m.img_id = d.img_id AND m.ou = d.ou
+  WHERE NOT (d.fu = 0 AND d.fv = 0)),
+h8 AS (
+  SELECT img_id, ou, ${chunk(0)}, ${chunk(1)}, ${chunk(2)}, ${chunk(3)}
+  FROM bitsD GROUP BY 1, 2),
+fp AS (
+  SELECT img_id AS doc_id, c0, c1, c2, c3 FROM (
+    SELECT img_id, c0, c1, c2, c3,
+      row_number() OVER (PARTITION BY img_id
+        ORDER BY c3, c2, c1, c0) AS rn
+    FROM h8) q WHERE rn = 1)"""
+  }
+
+  /** Mirrors `image_phash_dihedral`: the canonical fingerprint per
+    * image of the planted-rotation corpus, as chunk columns. */
+  val imagePhashDihedral: String = s"""WITH $dihedralPhashCtes
+SELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"""
+
+  /** Mirrors `dedup_image_pairs_dihedral` — the shared banded pair
+    * expansion over the canonical fingerprint chain. */
+  def imagePhashDihedralPairs(maxDist: Int = 2): String =
+    chunkPairsSql(dihedralPhashCtes, maxDist)
+
   /** Mirrors Multimodal.imagePhashDedupPairs — the shared banded pair
     * expansion over the pHash fingerprint chain. */
   def imagePhashPairs(maxDist: Int = 2): String =

@@ -255,6 +255,36 @@ object Multimodal {
       maxDist, chunkBits = 16)
 
   /**
+   * Orientation-canonical pHash ([[Phash.dihedral64]]): same decode map
+   * side as [[imagePhash]], but the fingerprint is EXACTLY invariant
+   * under 90°-multiple rotations and mirror flips — a rotated upload of
+   * a crawled image collides at Hamming 0 instead of missing entirely
+   * (orientation edits break both plain perceptual hashes; see the
+   * transform matrix in docs/API.md). Output: doc_id, phash.
+   */
+  def imagePhashDihedral(df: DataFrame, binCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol), col(idCol).cast("long"))
+      .as[(Array[Byte], Long)]
+      .mapPartitions(_.flatMap { case (bytes, id) =>
+        Dhash.decodePixels(bytes).map(p =>
+          (id, Phash.dihedral64(p.width, p.height, p.lum)))
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate image pairs on the orientation-canonical pHash —
+    * the banding kernel is unchanged (one 64-bit key per image); only
+    * the fingerprint got orientation-invariant. */
+  def imagePhashDedupPairsDihedral(df: DataFrame, binCol: String,
+      idCol: String, maxDist: Int = 2): DataFrame =
+    graft.dedup.TextDedup.hammingPairsWide(
+      imagePhashDihedral(df, binCol, idCol), "doc_id", "phash",
+      maxDist, chunkBits = 16)
+
+  /**
    * Per-clip 64-bit audio fingerprint ([[AudioFingerprint]]) via typed
    * mapPartitions: WAV decode → integer PCM → banded envelope hash.
    * Undecodable or empty clips get no fingerprint row.
@@ -449,5 +479,38 @@ object Multimodal {
       i += 1
     }
     Bmp.encode(width, height, rgb)
+  }
+
+  /** The `t`-th dihedral transform of the [[syntheticBmp]] payload — a
+    * REAL BMP whose decoded raster is the rotated/flipped original,
+    * pixel for pixel. The demo's stand-in for an orientation-edited
+    * upload of an already-crawled image. */
+  def syntheticBmpTransformed(id: Long, text: String, t: Int): Array[Byte] = {
+    require(t >= 0 && t < Dihedral.Count, s"transform must be 0..7, got $t")
+    val bytes = syntheticBmp(id, text)
+    val p = Dhash.bmpPixels(bytes).getOrElse(
+      sys.error("syntheticBmp must decode"))
+    // rebuild the RGB plane in transformed order from the same
+    // deterministic formula the base payload used
+    val tb = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    def rgbAt(i: Int): Byte = if (i < tb.length) tb(i) else ((id + i) % 251).toByte
+    val (w, h) = (p.width, p.height)
+    val (wt, ht) = if (Dihedral.swaps(t)) (h, w) else (w, h)
+    val out = new Array[Byte](wt * ht * 3)
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < wt) {
+        val src = Dihedral.srcIndex(t, w, h, x, y)
+        var c = 0
+        while (c < 3) {
+          out(3 * (y * wt + x) + c) = rgbAt(3 * src + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Bmp.encode(wt, ht, out)
   }
 }

@@ -118,4 +118,86 @@ object Phash {
     }
     hash
   }
+
+  /**
+   * Dihedral-canonical pHash: the unsigned-64-bit minimum of [[phash64]]
+   * over all 8 dihedral transforms of the raster (identity, the three
+   * 90° rotations, both mirror flips, transpose, anti-transpose). A
+   * rotated or mirrored copy hashes the SAME 8-element orbit — t·g runs
+   * over the group as t does — and the minimum of a set is visit-order
+   * independent, so the fingerprint is EXACTLY invariant under any
+   * orientation edit, closing the plain pHash's documented orientation
+   * gap (docs/API.md transform matrix: rotations/flips break both dHash
+   * and pHash). The canonical choice (unsigned min) is the
+   * lexicographic minimum of the (c3,c2,c1,c0) chunk columns, which is
+   * how the signed-BIGINT DuckDB oracle replays it.
+   *
+   * Cost: 8 cell-grid + DCT passes per image — all far below the decode
+   * the caller already paid; pairing is unchanged (banding runs on the
+   * single canonical hash exactly as on [[phash64]]).
+   */
+  def dihedral64(width: Int, height: Int, lum: Array[Int]): Long = {
+    var best = phash64(width, height, lum)
+    var t = 1
+    while (t < Dihedral.Count) {
+      val wt = if (Dihedral.swaps(t)) height else width
+      val ht = if (Dihedral.swaps(t)) width else height
+      val out = new Array[Int](wt * ht)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < wt) {
+          out(y * wt + x) = lum(Dihedral.srcIndex(t, width, height, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val h = phash64(wt, ht, out)
+      if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+      t += 1
+    }
+    best
+  }
+}
+
+/**
+ * The 8 symmetries of a rectangle (the dihedral group D₄ acting on
+ * rasters): 0 identity, 1 rot90 CW, 2 rot180, 3 rot270, 4 horizontal
+ * mirror, 5 vertical mirror, 6 transpose, 7 anti-transpose. Shared by
+ * [[Phash.dihedral64]], the transformed synthetic payloads and the
+ * invariance specs so every consumer agrees on the same mapping.
+ */
+object Dihedral {
+
+  val Count = 8
+
+  /** Whether transform t swaps width and height. */
+  def swaps(t: Int): Boolean = t == 1 || t == 3 || t == 6 || t == 7
+
+  /** Row-major index INTO the original (width×height) raster of the
+    * source pixel for output coordinate (x, y) of transform t — output
+    * dims are (height, width) when [[swaps]], else (width, height). */
+  def srcIndex(t: Int, width: Int, height: Int, x: Int, y: Int): Int = {
+    val sx = t match {
+      case 0 => x
+      case 1 => y //               rot90 CW:   out(x,y) = in(y, h-1-x)
+      case 2 => width - 1 - x //   rot180:     out(x,y) = in(w-1-x, h-1-y)
+      case 3 => width - 1 - y //   rot270:     out(x,y) = in(w-1-y, x)
+      case 4 => width - 1 - x //   mirror-h:   out(x,y) = in(w-1-x, y)
+      case 5 => x //               mirror-v:   out(x,y) = in(x, h-1-y)
+      case 6 => y //               transpose:  out(x,y) = in(y, x)
+      case _ => width - 1 - y //   anti-tr:    out(x,y) = in(w-1-y, h-1-x)
+    }
+    val sy = t match {
+      case 0 => y
+      case 1 => height - 1 - x
+      case 2 => height - 1 - y
+      case 3 => x
+      case 4 => y
+      case 5 => height - 1 - y
+      case 6 => x
+      case _ => height - 1 - x
+    }
+    sy * width + sx
+  }
 }

@@ -204,6 +204,83 @@ class PhashSpec extends SparkSpec {
     assert(pd(pc, pcb) === 0)
   }
 
+  test("dihedral64: exactly invariant over the full rotation/flip orbit; plain phash64 is not") {
+    // Independent transforms, written from the textbook definitions —
+    // NOT the engine's Dihedral table: rot90 CW and horizontal mirror
+    // generate the whole 8-element group by composition, so closing the
+    // orbit under them covers every engine transform arm.
+    type Img = (Int, Int, Array[Byte])
+    def rot90(t: Img): Img = {
+      val (w, h, rgb) = t
+      val out = new Array[Byte](w * h * 3)
+      for (y <- 0 until w; x <- 0 until h; c <- 0 until 3)
+        out((y * h + x) * 3 + c) = rgb(((h - 1 - x) * w + y) * 3 + c)
+      (h, w, out)
+    }
+    def mirrorH(t: Img): Img = {
+      val (w, h, rgb) = t
+      val out = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out((y * w + x) * 3 + c) = rgb((y * w + (w - 1 - x)) * 3 + c)
+      (w, h, out)
+    }
+    def hashes(t: Img): (Long, Long) = {
+      val p = Dhash.decodePixels(Bmp.encode(t._1, t._2, t._3)).get
+      (Phash.dihedral64(p.width, p.height, p.lum),
+        Phash.phash64(p.width, p.height, p.lum))
+    }
+    // non-square, asymmetric content so no transform is a fixed point
+    for ((w, h, seed) <- Seq((40, 24, 3), (16, 5, 8), (33, 47, 21))) {
+      val base: Img = (w, h, raster(w, h, seed))
+      // close the orbit under the two generators
+      var orbit = Map[Int, Img]() // keyed by a content digest
+      def key(t: Img) = (t._1, t._2, java.util.Arrays.hashCode(t._3)).hashCode
+      var frontier = List(base)
+      while (frontier.nonEmpty) {
+        val t = frontier.head; frontier = frontier.tail
+        if (!orbit.contains(key(t))) {
+          orbit += key(t) -> t
+          frontier = rot90(t) :: mirrorH(t) :: frontier
+        }
+      }
+      assert(orbit.size === 8, s"${w}x$h orbit size ${orbit.size}")
+      val (canonBase, plainBase) = hashes(base)
+      var plainMoved = false
+      for (t <- orbit.values) {
+        val (canon, plain) = hashes(t)
+        assert(canon === canonBase, s"${w}x$h canonical drifted")
+        if (plain != plainBase) plainMoved = true
+      }
+      // the gap is real: SOME orientation moves the plain fingerprint
+      assert(plainMoved, s"${w}x$h plain phash survived every transform")
+    }
+    // distinct content still separates
+    assert(hashes((40, 24, raster(40, 24, 3)))._1
+      !== hashes((40, 24, raster(40, 24, 77)))._1)
+  }
+
+  test("planted rotated re-encode pairs at hamming 0 through the dihedral fingerprint") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val rows = (0 until 8).map { t =>
+      (100L + t, Multimodal.syntheticBmpTransformed(0L, text, t))
+    } :+ ((999L, Multimodal.syntheticBmp(0L, "completely different content " * 10)))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    // transform 0 reproduces the base payload bit-for-bit
+    assert(java.util.Arrays.equals(
+      Multimodal.syntheticBmpTransformed(0L, text, 0),
+      Multimodal.syntheticBmp(0L, text)))
+    val fp = Multimodal.imagePhashDihedral(df, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until 8).map(t => fp(100L + t)).toSet.size === 1,
+      "all 8 orientations must share one canonical fingerprint")
+    assert(fp(999L) !== fp(100L))
+    val pairs = Multimodal.imagePhashDedupPairsDihedral(df, "payload",
+      "doc_id", maxDist = 0).collect()
+    // all C(8,2) orientation pairs at distance 0, nothing touching 999
+    assert(pairs.length === 28)
+    assert(pairs.forall(r => r.getInt(2) === 0 && r.getLong(1) < 999L))
+  }
+
   test("undecodable rows drop out; identical payloads pair at hamming 0") {
     val img = Bmp.encode(16, 8, raster(16, 8, 11))
     val rows = Seq((10L, img), (20L, img), (30L, Array[Byte](9, 9, 9)))
