@@ -192,6 +192,13 @@ object ScaleSoak {
     // modified-KN: lm_kn_scores' shapes + one count-of-counts agg per
     // order (the discount relation is O(1) rows)
     "lm_kn_mod_scores",
+    // 5-gram modified-KN (the CCNet order): the same recursion over
+    // five vocab-sized type-count relations — wider keys, same join
+    // grain, so the ladder should match the trigram α
+    "lm_kn5_scores",
+    // orientation-canonical pHash fingerprints: decode + 8 cell/DCT
+    // passes per image, pure map side (mapPartitions — not prunable)
+    "image_phash_dihedral",
     // alignment-free (silence-trimmed) audio corpus end state — the
     // edge-fed formulation; its PAIR report (dedup_audio_pairs_aligned)
     // is deliberately not laddered for the same reason as the shifted

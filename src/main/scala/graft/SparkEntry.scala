@@ -1618,6 +1618,20 @@ object SparkEntry {
     "lm_kn_mod_discounts" -> ((s, dir) =>
       graft.text.LanguageModel.knModDiscounts(
         Demo.table(s, dir, "documents"), "text", "doc_id")),
+    // MODIFIED KN at order FIVE — the published CCNet configuration
+    // (5-gram KenLM): the same recursion unrolled 5→4→3→2→1, each
+    // order with its own count-of-counts-derived discount triple and
+    // by-count-class backoff mass, base case the order-1 continuation
+    // distribution; joins stay key-joins of vocab-sized relations
+    "lm_kn5_scores" -> ((s, dir) =>
+      graft.text.LanguageModel.scoreDocsKNMod5(
+        Demo.table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // The four per-order discount triples of the 5-gram model,
+    // value-verified directly
+    "lm_kn5_discounts" -> ((s, dir) =>
+      graft.text.LanguageModel.kn5ModDiscounts(
+        Demo.table(s, dir, "documents"), "text", "doc_id")),
     // CCNet triage rebased on the KN trigram score (the stronger
     // fluency signal) — same exact-quantile bucket machinery
     "quality_perplexity_buckets_kn" -> ((s, dir) =>
@@ -2500,6 +2514,8 @@ object SparkEntry {
     "lm_kn_scores" -> TextOracles.lmKnScores,
     "lm_kn_mod_scores" -> TextOracles.lmKnModScores,
     "lm_kn_mod_discounts" -> TextOracles.lmKnModDiscounts,
+    "lm_kn5_scores" -> TextOracles.lmKn5Scores,
+    "lm_kn5_discounts" -> TextOracles.lmKn5Discounts,
     "quality_perplexity_buckets_kn" -> TextOracles.lmKnPerplexityBuckets,
     "lm_kn_cross_scores" -> TextOracles.lmKnCrossScores,
     "c4_line_filter" -> TextOracles.c4LineFilter,

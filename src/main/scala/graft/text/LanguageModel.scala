@@ -325,6 +325,132 @@ object LanguageModel {
           / 10000.0).as("kn_score"))
   }
 
+  /** Exploded (doc_id, w1..w5) 5-gram stream; documents with fewer
+    * than 5 tokens contribute no rows. */
+  def fivegrams(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 5),
+          i => struct((1 to 5).map(k =>
+            element_at(col("toks"), i + k).as(s"w$k")): _*))).as("p"))
+      .select(col("doc_id") +: (1 to 5).map(k =>
+        col(s"p.w$k").as(s"w$k")): _*)
+  }
+
+  /** The four derived discount rows of [[scoreDocsKNMod5]] — one
+    * (D₁,D₂,D₃₊) triple per order 5..2, exposed so the derivation is
+    * checkable: columns d1_o5..d3_o5, d1_o4..d3_o4, d1_o3.., d1_o2... */
+  def kn5ModDiscounts(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val g5 = Materialized(fivegrams(docs, textCol, idCol)
+      .groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c5")))
+    val m4 = g5.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("k4"))
+    val m3 = m4.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("k3"))
+    val m2 = m3.groupBy("w4", "w5").agg(count(lit(1)).as("k2"))
+    def row(rel: DataFrame, cnt: String, o: Int): DataFrame =
+      modDiscounts(countOfCounts(rel, cnt, s"n$o"), s"n$o", s"d")
+        .select(col("d1").as(s"d1_o$o"), col("d2").as(s"d2_o$o"),
+          col("d3").as(s"d3_o$o"))
+    row(g5, "c5", 5).crossJoin(row(m4, "k4", 4))
+      .crossJoin(row(m3, "k3", 3)).crossJoin(row(m2, "k2", 2))
+  }
+
+  /**
+   * MODIFIED Kneser–Ney at order FIVE — the published CCNet filter
+   * configuration (Wenzek et al. 2020 train a 5-gram KenLM, whose
+   * default smoothing is modified KN; [[scoreDocsKNMod]] is the same
+   * estimator one order down). The structure is [[scoreDocsKNMod]]'s
+   * recursion unrolled over orders 5→4→3→2→1: each level's relation is
+   * the TYPE-count aggregation of the one above (the KN continuation
+   * insight applied at every backoff), each of orders 5..2 carries its
+   * own count-of-counts-derived (D₁,D₂,D₃₊) triple and a by-count-class
+   * backoff mass γ, and the base case is the order-1 continuation
+   * distribution:
+   *
+   *   P₅(w₅|w₁..w₄) = (c₅−D₅(c₅))⁺/c₄ + γ₅·P₄
+   *   P₄(w₅|w₂..w₄) = (N1+(•w₂..w₅)−D₄)⁺/N1+(•w₂..w₄•) + γ₄·P₃   …
+   *   P₁(w₅)        = N1+(•w₅)/N1+(••)
+   *
+   * All counts are integer aggregates of the distinct-5-gram relation
+   * (vocab-sized, not corpus-sized); scoring joins the corpus 5-gram
+   * stream to the level relations by key — no driver model; the same
+   * 6-dp-round → DECIMAL sum → 4-dp integer micro-round tail as every
+   * LM scorer, so the DuckDB oracle replays it exactly. Documents with
+   * fewer than 5 tokens contribute no rows (the order's support
+   * convention, same as [[scoreDocsKN]] at 3).
+   * Output: doc_id, n_5grams, kn_score (4 dp).
+   */
+  def scoreDocsKNMod5(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val gs = Materialized(fivegrams(docs, textCol, idCol))
+    val g5 = Materialized(
+      gs.groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c5")))
+    def classes(cnt: String, p: String) = Seq(
+      sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+      sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+      sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(s"${p}3p"))
+    val ctx5 = g5.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum(col("c5")).as("tot5"), classes("c5", "a"): _*)
+    val m4 = Materialized(
+      g5.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("k4")))
+    val ctx4 = m4.groupBy("w2", "w3", "w4")
+      .agg(sum(col("k4")).as("tot4"), classes("k4", "b"): _*)
+    val m3 = Materialized(
+      m4.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("k3")))
+    val ctx3 = m3.groupBy("w3", "w4")
+      .agg(sum(col("k3")).as("tot3"), classes("k3", "e"): _*)
+    val m2 = Materialized(
+      m3.groupBy("w4", "w5").agg(count(lit(1)).as("k2")))
+    val ctx2 = m2.groupBy("w4")
+      .agg(sum(col("k2")).as("tot2"), classes("k2", "g"): _*)
+    val m1 = m2.groupBy("w5").agg(count(lit(1)).as("k1"))
+    val tot1 = m2.agg(count(lit(1)).as("ntypes"))
+    def disc(rel: DataFrame, cnt: String, p: String): DataFrame =
+      modDiscounts(countOfCounts(rel, cnt, s"cc$p"), s"cc$p", p)
+    val (d5, d4, d3, d2) = (disc(g5, "c5", "u"), disc(m4, "k4", "v"),
+      disc(m3, "k3", "x"), disc(m2, "k2", "z"))
+    def dOf(c: Column, p: String): Column =
+      when(c === 1, col(s"${p}1")).when(c === 2, col(s"${p}2"))
+        .otherwise(col(s"${p}3"))
+    def gamma(p: String, cls: String, tot: String): Column =
+      (col(s"${p}1") * col(s"${cls}1") + col(s"${p}2") * col(s"${cls}2") +
+        col(s"${p}3") * col(s"${cls}3p")) / col(tot)
+    val p1 = col("k1").cast("double") / col("ntypes")
+    val p2 = greatest(col("k2") - dOf(col("k2"), "z"), lit(0.0)) /
+      col("tot2") + gamma("z", "g", "tot2") * p1
+    val p3 = greatest(col("k3") - dOf(col("k3"), "x"), lit(0.0)) /
+      col("tot3") + gamma("x", "e", "tot3") * p2
+    val p4 = greatest(col("k4") - dOf(col("k4"), "v"), lit(0.0)) /
+      col("tot4") + gamma("v", "b", "tot4") * p3
+    val p5 = greatest(col("c5") - dOf(col("c5"), "u"), lit(0.0)) /
+      col("tot5") + gamma("u", "a", "tot5") * p4
+    gs.join(g5, Seq("w1", "w2", "w3", "w4", "w5"))
+      .join(ctx5, Seq("w1", "w2", "w3", "w4"))
+      .join(m4, Seq("w2", "w3", "w4", "w5"))
+      .join(ctx4, Seq("w2", "w3", "w4"))
+      .join(m3, Seq("w3", "w4", "w5"))
+      .join(ctx3, Seq("w3", "w4"))
+      .join(m2, Seq("w4", "w5"))
+      .join(ctx2, Seq("w4"))
+      .join(m1, Seq("w5"))
+      .crossJoin(broadcast(tot1))
+      .crossJoin(broadcast(d5)).crossJoin(broadcast(d4))
+      .crossJoin(broadcast(d3)).crossJoin(broadcast(d2))
+      .select(col("doc_id"),
+        round(log(p5), 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_5grams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_5grams) DIV (200 * n_5grams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_5grams) DIV (200 * n_5grams)"))
+          / 10000.0).as("kn_score"))
+  }
+
   /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): label
    * every document `head` / `middle` / `tail` by its corpus-relative

@@ -448,6 +448,118 @@ SELECT dt1 AS d1t, dt2 AS d2t, dt3 AS d3t, dm1 AS d1m, dm2 AS d2m,
   dm3 AS d3m
 FROM dt CROSS JOIN dm"""
 
+  /** One (D₁,D₂,D₃₊) Chen–Goodman discount triple as SELECT columns
+    * over a count-of-counts row (kn1..kn4 in scope) — the same CASE
+    * shapes as the trigram `dt`/`dm` blocks, shared by every order of
+    * the 5-gram chain. */
+  private def cgDiscounts(p: String): String = {
+    val y = s"(CASE WHEN kn1 + 2 * kn2 > 0 THEN CAST(kn1 AS DOUBLE) / (kn1 + 2 * kn2) ELSE CAST(0 AS DOUBLE) END)"
+    def dk(k: Int, nk: String, nk1: String): String =
+      s"""CASE WHEN $nk > 0 THEN greatest(CAST(0 AS DOUBLE),
+    CAST($k AS DOUBLE) - CAST(${k + 1} AS DOUBLE) * $y
+      * (CAST($nk1 AS DOUBLE) / $nk)) ELSE 0.75 END"""
+    s"""${dk(1, "kn1", "kn2")} AS ${p}1,
+  ${dk(2, "kn2", "kn3")} AS ${p}2,
+  ${dk(3, "kn3", "kn4")} AS ${p}3"""
+  }
+
+  /** Count-of-counts (kn1..kn4) of column `cnt` in relation `rel`. */
+  private def cocSql(rel: String, cnt: String): String =
+    s"""SELECT sum(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS kn1,
+       sum(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS kn2,
+       sum(CASE WHEN $cnt = 3 THEN 1 ELSE 0 END) AS kn3,
+       sum(CASE WHEN $cnt = 4 THEN 1 ELSE 0 END) AS kn4 FROM $rel"""
+
+  /** By-count-class follower columns of `cnt` (cls1/cls2/cls3p). */
+  private def clsSql(cnt: String, p: String): String =
+    s"""sum(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS ${p}1,
+       sum(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS ${p}2,
+       sum(CASE WHEN $cnt >= 3 THEN 1 ELSE 0 END) AS ${p}3p"""
+
+  /** Shared CTEs replaying `LanguageModel.scoreDocsKNMod5` — the
+    * modified-KN recursion unrolled over orders 5→4→3→2→1: each
+    * level's relation is the type-count aggregation of the level
+    * above, orders 5..2 carry count-of-counts-derived discounts and a
+    * by-count-class γ, base case the order-1 continuation
+    * distribution; probability arithmetic nested in exactly the
+    * engine's expression shapes, same 6-dp/DECIMAL/4-dp tail. Ends in
+    * `kn5sc(doc_id, n_5grams, kn_score)`; exposes du/dv/dx/dz (the
+    * order-5..2 discount rows). */
+  private val kn5Ctes: String = {
+    def dOf(c: String, p: String): String =
+      s"(CASE WHEN $c = 1 THEN ${p}1 WHEN $c = 2 THEN ${p}2 ELSE ${p}3 END)"
+    def gamma(p: String, cls: String, tot: String): String =
+      s"((${p}1 * ${cls}1 + ${p}2 * ${cls}2 + ${p}3 * ${cls}3p) / $tot)"
+    raw"""t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+gs AS MATERIALIZED (SELECT doc_id, unnest(toks[1:len(toks)-4]) AS w1,
+         unnest(toks[2:len(toks)-3]) AS w2,
+         unnest(toks[3:len(toks)-2]) AS w3,
+         unnest(toks[4:len(toks)-1]) AS w4,
+         unnest(toks[5:len(toks)]) AS w5 FROM t WHERE len(toks) >= 5),
+g5 AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, count(*) AS c5 FROM gs
+       GROUP BY 1, 2, 3, 4, 5),
+ctx5 AS (SELECT w1, w2, w3, w4, sum(c5) AS tot5, ${clsSql("c5", "a")}
+         FROM g5 GROUP BY 1, 2, 3, 4),
+m4 AS MATERIALIZED (SELECT w2, w3, w4, w5, count(*) AS k4 FROM g5 GROUP BY 1, 2, 3, 4),
+ctx4 AS (SELECT w2, w3, w4, sum(k4) AS tot4, ${clsSql("k4", "b")}
+         FROM m4 GROUP BY 1, 2, 3),
+m3 AS MATERIALIZED (SELECT w3, w4, w5, count(*) AS k3 FROM m4 GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w3, w4, sum(k3) AS tot3, ${clsSql("k3", "e")}
+         FROM m3 GROUP BY 1, 2),
+m2 AS MATERIALIZED (SELECT w4, w5, count(*) AS k2 FROM m3 GROUP BY 1, 2),
+ctx2 AS (SELECT w4, sum(k2) AS tot2, ${clsSql("k2", "g")}
+         FROM m2 GROUP BY 1),
+m1 AS (SELECT w5, count(*) AS k1 FROM m2 GROUP BY 1),
+tot1 AS (SELECT count(*) AS ntypes FROM m2),
+coc5 AS (${cocSql("g5", "c5")}),
+coc4 AS (${cocSql("m4", "k4")}),
+coc3 AS (${cocSql("m3", "k3")}),
+coc2 AS (${cocSql("m2", "k2")}),
+du AS (SELECT ${cgDiscounts("u")} FROM coc5),
+dv AS (SELECT ${cgDiscounts("v")} FROM coc4),
+dx AS (SELECT ${cgDiscounts("x")} FROM coc3),
+dz AS (SELECT ${cgDiscounts("z")} FROM coc2),
+j5 AS (SELECT gs.doc_id,
+        CAST(round(ln(
+          greatest(c5 - ${dOf("c5", "u")}, CAST(0 AS DOUBLE)) / tot5 +
+          ${gamma("u", "a", "tot5")} * (
+          greatest(k4 - ${dOf("k4", "v")}, CAST(0 AS DOUBLE)) / tot4 +
+          ${gamma("v", "b", "tot4")} * (
+          greatest(k3 - ${dOf("k3", "x")}, CAST(0 AS DOUBLE)) / tot3 +
+          ${gamma("x", "e", "tot3")} * (
+          greatest(k2 - ${dOf("k2", "z")}, CAST(0 AS DOUBLE)) / tot2 +
+          ${gamma("z", "g", "tot2")} *
+            (CAST(k1 AS DOUBLE) / ntypes))))), 6)
+          AS DECIMAL(28,6)) AS lp
+      FROM gs JOIN g5 USING (w1, w2, w3, w4, w5)
+        JOIN ctx5 USING (w1, w2, w3, w4)
+        JOIN m4 USING (w2, w3, w4, w5) JOIN ctx4 USING (w2, w3, w4)
+        JOIN m3 USING (w3, w4, w5) JOIN ctx3 USING (w3, w4)
+        JOIN m2 USING (w4, w5) JOIN ctx2 USING (w4)
+        JOIN m1 USING (w5) CROSS JOIN tot1
+        CROSS JOIN du CROSS JOIN dv CROSS JOIN dx CROSS JOIN dz),
+j52 AS (SELECT doc_id, count(*) AS n_5grams,
+         CAST(sum(lp) * 1000000 AS BIGINT) AS s FROM j5 GROUP BY doc_id),
+kn5sc AS (SELECT doc_id, n_5grams,
+  (CASE WHEN s >= 0 THEN (2 * s + 100 * n_5grams) // (200 * n_5grams)
+        ELSE -((2 * (-s) + 100 * n_5grams) // (200 * n_5grams)) END)
+    / 10000.0 AS kn_score
+FROM j52)"""
+  }
+
+  /** Mirrors `lm_kn5_scores`. */
+  val lmKn5Scores: String = s"""WITH $kn5Ctes
+SELECT doc_id, n_5grams, kn_score FROM kn5sc ORDER BY doc_id"""
+
+  /** Mirrors `lm_kn5_discounts`: the four per-order discount rows. */
+  val lmKn5Discounts: String = s"""WITH $kn5Ctes
+SELECT u1 AS d1_o5, u2 AS d2_o5, u3 AS d3_o5,
+  v1 AS d1_o4, v2 AS d2_o4, v3 AS d3_o4,
+  x1 AS d1_o3, x2 AS d2_o3, x3 AS d3_o3,
+  z1 AS d1_o2, z2 AS d2_o2, z3 AS d3_o2
+FROM du CROSS JOIN dv CROSS JOIN dx CROSS JOIN dz"""
+
   /** Mirrors `c4_line_filter`: the multi-line demo synthesis (8-word
     * lines with planted suffixes and page markers) and every C4 rule —
     * terminal punctuation, min line words, javascript lines,

@@ -314,6 +314,104 @@ class RelevanceSpec extends SparkSpec {
       s"separation should widen: mod $modGap vs fixed $fixedGap")
   }
 
+  test("5-gram modified KN equals an independent reference; probability mass conserves") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps again and again today",
+      3L -> "the quick brown fox jumps over the lazy dog", // doc 1 dup → count-2 grams
+      4L -> "one two three four five six seven",
+      5L -> "alpha beta gamma delta epsilon",
+      6L -> "u1 u2 u3 u4 u5 u6 u7 u8", // singleton noise
+      7L -> "short doc") // < 5 tokens: contributes nothing
+    val docs = texts.toDF("doc_id", "text")
+
+    // ── independent reference: plain-collections modified KN at order
+    // 5, written from the Chen & Goodman formulas (NOT the engine's
+    // relation algebra) ──
+    val grams = texts.flatMap { case (id, t) =>
+      t.split(" ").toSeq.sliding(5).filter(_.size == 5).map(g => (id, g.toList))
+    }
+    val c5 = grams.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val m4 = c5.keys.groupBy(_.tail).view.mapValues(_.size).toMap
+    val m3 = m4.keys.groupBy(_.tail).view.mapValues(_.size).toMap
+    val m2 = m3.keys.groupBy(_.tail).view.mapValues(_.size).toMap
+    val m1 = m2.keys.groupBy(_.tail).view.mapValues(_.size).toMap
+    val ntypes = m2.size
+    def discounts(counts: Iterable[Int]): Int => Double = {
+      def coc(k: Int) = counts.count(_ == k).toLong
+      val (n1, n2, n3, n4) = (coc(1), coc(2), coc(3), coc(4))
+      val y = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2) else 0.0
+      def dk(k: Int, nk: Long, nk1: Long) =
+        if (nk > 0) math.max(0.0, k - (k + 1.0) * y * (nk1.toDouble / nk))
+        else 0.75
+      val (d1, d2, d3) = (dk(1, n1, n2), dk(2, n2, n3), dk(3, n3, n4))
+      c => if (c == 1) d1 else if (c == 2) d2 else d3
+    }
+    val (d5, d4, d3f, d2f) = (discounts(c5.values), discounts(m4.values),
+      discounts(m3.values), discounts(m2.values))
+    // level evaluators: count, context total, γ from by-class mass
+    def level[K](rel: Map[K, Int], ctxOf: K => List[String],
+        d: Int => Double): (Map[List[String], (Long, Double)]) =
+      rel.groupBy { case (k, _) => ctxOf(k) }.map { case (ctx, m) =>
+        val tot = m.values.map(_.toLong).sum
+        val gm = m.values.map(c => d(c)).sum // Σ D(c) over followers
+        ctx -> (tot, gm / tot)
+      }
+    val l5 = level[List[String]](c5, _.init, d5)
+    val l4 = level[List[String]](m4, _.init, d4)
+    val l3 = level[List[String]](m3, _.init, d3f)
+    val l2 = level[List[String]](m2, _.init, d2f)
+    def p(g: List[String]): Double = {
+      val p1 = m1.getOrElse(List(g(4)), 0).toDouble / ntypes
+      def step(rel: Map[List[String], Int], lv: Map[List[String], (Long, Double)],
+          key: List[String], d: Int => Double, prev: Double): Double = {
+        val (tot, gmma) = lv(key.init)
+        val c = rel.getOrElse(key, 0)
+        math.max(c - d(c), 0.0) / tot + gmma * prev
+      }
+      val p2 = step(m2, l2, g.drop(3), d2f, p1)
+      val p3 = step(m3, l3, g.drop(2), d3f, p2)
+      val p4 = step(m4, l4, g.drop(1), d4, p3)
+      step(c5, l5, g, d5, p4)
+    }
+    // mass conservation: for every observed 4-context, Σ over the full
+    // continuation vocab of P(w5|ctx) is EXACTLY 1 (the γ accounting)
+    for (ctx <- l5.keys) {
+      // .toSeq: keys is a Set, and mapping to probabilities over a Set
+      // would collapse equal values before the sum
+      val mass = m1.keys.toSeq.map(w5 => p(ctx :+ w5.head)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"ctx $ctx mass $mass")
+    }
+    // per-doc scores with the engine's exact rounding tail
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def docScore(lps: Seq[Double]): Double = {
+      val s = lps.map(lp => JBD.valueOf(lp).setScale(6, RoundingMode.HALF_UP))
+        .reduce(_ add _).movePointRight(6).longValueExact()
+      val n = lps.size
+      val q = if (s >= 0) (2 * s + 100L * n) / (200L * n)
+        else -((2 * -s + 100L * n) / (200L * n))
+      q / 10000.0
+    }
+    val expected = grams.groupBy(_._1).view.mapValues(gs =>
+      (gs.size.toLong, docScore(gs.map(g => math.log(p(g._2)))))).toMap
+
+    val out = LanguageModel.scoreDocsKNMod5(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === expected.keySet)
+    assert(!out.contains(7L), "sub-5-token doc must contribute nothing")
+    for ((id, (n, sc)) <- expected) {
+      assert(out(id)._1 === n, s"doc $id n_5grams")
+      assert(out(id)._2 === sc, s"doc $id score")
+    }
+    // (No doc-ranking assertion here: at this corpus size the derived
+    // count-of-counts discounts are degenerate — n₄ = 0 gives D₃₊ = 3,
+    // fully discounting count-3 grams — so rankings are not the
+    // small-corpus property to pin; exact equality + mass conservation
+    // above are.)
+  }
+
   test("rrfFuse: consensus doc wins over either ranker's top-1; absent docs score one-sided") {
     val s = spark
     import s.implicits._
