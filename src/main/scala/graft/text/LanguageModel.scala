@@ -340,22 +340,68 @@ object LanguageModel {
         col(s"p.w$k").as(s"w$k")): _*)
   }
 
+  /** 60-bit md5 key over token columns — the engine's gram/context join
+    * key. Hashing is the scale move: the five-level relation chain and
+    * its joins shuffle ONE long per key instead of up-to-five-string
+    * tuples (the string-keyed first cut OOM'd the soak's 100× leg at
+    * ~25M gram rows; this one ladders). The 2⁶⁰ key space keeps
+    * expected collisions ≪ 1 up to ~10⁹ distinct grams — and the
+    * DuckDB oracle deliberately stays STRING-keyed, so any collision
+    * that DID distort a count at verify scale would surface as a hash
+    * mismatch rather than being replayed. */
+  private def gramKey(cols: Column*): Column =
+    conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The hashed-key level relations of the 5-gram chain, shared by
+    * [[scoreDocsKNMod5]] and [[kn5ModDiscounts]]: the keyed stream
+    * `gsk` (the ONLY materialized frame — at 100× nearly every gram is
+    * a distinct type, so caching the per-level relations too holds
+    * ~5 corpus-sized frames at once and OOMs; everything below is left
+    * lazy and Spark's exchange reuse dedups the identical aggregation
+    * subplans among a level's consumers), the distinct-gram relation
+    * `g5` (occurrence count c5) and the type-count relations m4/m3/m2,
+    * each derived DIRECTLY from the stream: N1+ at level k is
+    * `countDistinct` of the level-(k+1) key — e.g. distinct w₂..w₅
+    * preceding (w₃w₄w₅) ≡ distinct k4 per k3. Context keys ride along
+    * in the grouping (each is a function of the level key, so the
+    * groups are unchanged). */
+  private def kn5Relations(docs: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val w = (1 to 5).map(k => col(s"w$k"))
+    val gsk = Materialized(fivegrams(docs, textCol, idCol).select(
+      col("doc_id"),
+      gramKey(w: _*).as("k5"),
+      gramKey(w.take(4): _*).as("c5k"),
+      gramKey(w.drop(1): _*).as("k4"),
+      gramKey(w.slice(1, 4): _*).as("c4k"),
+      gramKey(w.drop(2): _*).as("k3"),
+      gramKey(w.slice(2, 4): _*).as("c3k"),
+      gramKey(w.drop(3): _*).as("k2"),
+      gramKey(w(3)).as("c2k"),
+      gramKey(w(4)).as("k1")))
+    val g5 = gsk.groupBy("k5", "c5k").agg(count(lit(1)).as("c5"))
+    val m4 = gsk.groupBy("k4", "c4k")
+      .agg(countDistinct(col("k5")).as("k4c"))
+    val m3 = gsk.groupBy("k3", "c3k")
+      .agg(countDistinct(col("k4")).as("k3c"))
+    val m2 = gsk.groupBy("k2", "c2k", "k1")
+      .agg(countDistinct(col("k3")).as("k2c"))
+    (gsk, g5, m4, m3, m2)
+  }
+
   /** The four derived discount rows of [[scoreDocsKNMod5]] — one
     * (D₁,D₂,D₃₊) triple per order 5..2, exposed so the derivation is
     * checkable: columns d1_o5..d3_o5, d1_o4..d3_o4, d1_o3.., d1_o2... */
   def kn5ModDiscounts(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val g5 = Materialized(fivegrams(docs, textCol, idCol)
-      .groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c5")))
-    val m4 = g5.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("k4"))
-    val m3 = m4.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("k3"))
-    val m2 = m3.groupBy("w4", "w5").agg(count(lit(1)).as("k2"))
+    val (_, g5, m4, m3, m2) = kn5Relations(docs, textCol, idCol)
     def row(rel: DataFrame, cnt: String, o: Int): DataFrame =
       modDiscounts(countOfCounts(rel, cnt, s"n$o"), s"n$o", s"d")
         .select(col("d1").as(s"d1_o$o"), col("d2").as(s"d2_o$o"),
           col("d3").as(s"d3_o$o"))
-    row(g5, "c5", 5).crossJoin(row(m4, "k4", 4))
-      .crossJoin(row(m3, "k3", 3)).crossJoin(row(m2, "k2", 2))
+    row(g5, "c5", 5).crossJoin(row(m4, "k4c", 4))
+      .crossJoin(row(m3, "k3c", 3)).crossJoin(row(m2, "k2c", 2))
   }
 
   /**
@@ -385,57 +431,61 @@ object LanguageModel {
    */
   def scoreDocsKNMod5(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val gs = Materialized(fivegrams(docs, textCol, idCol))
-    val g5 = Materialized(
-      gs.groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c5")))
+    val (gsk, g5, m4, m3, m2) = kn5Relations(docs, textCol, idCol)
     def classes(cnt: String, p: String) = Seq(
       sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"${p}1"),
       sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"${p}2"),
       sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(s"${p}3p"))
-    val ctx5 = g5.groupBy("w1", "w2", "w3", "w4")
+    val ctx5 = g5.groupBy("c5k")
       .agg(sum(col("c5")).as("tot5"), classes("c5", "a"): _*)
-    val m4 = Materialized(
-      g5.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("k4")))
-    val ctx4 = m4.groupBy("w2", "w3", "w4")
-      .agg(sum(col("k4")).as("tot4"), classes("k4", "b"): _*)
-    val m3 = Materialized(
-      m4.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("k3")))
-    val ctx3 = m3.groupBy("w3", "w4")
-      .agg(sum(col("k3")).as("tot3"), classes("k3", "e"): _*)
-    val m2 = Materialized(
-      m3.groupBy("w4", "w5").agg(count(lit(1)).as("k2")))
-    val ctx2 = m2.groupBy("w4")
-      .agg(sum(col("k2")).as("tot2"), classes("k2", "g"): _*)
-    val m1 = m2.groupBy("w5").agg(count(lit(1)).as("k1"))
+    val ctx4 = m4.groupBy("c4k")
+      .agg(sum(col("k4c")).as("tot4"), classes("k4c", "b"): _*)
+    val ctx3 = m3.groupBy("c3k")
+      .agg(sum(col("k3c")).as("tot3"), classes("k3c", "e"): _*)
+    val ctx2 = m2.groupBy("c2k")
+      .agg(sum(col("k2c")).as("tot2"), classes("k2c", "g"): _*)
+    val m1 = m2.groupBy("k1").agg(count(lit(1)).as("k1c"))
     val tot1 = m2.agg(count(lit(1)).as("ntypes"))
     def disc(rel: DataFrame, cnt: String, p: String): DataFrame =
       modDiscounts(countOfCounts(rel, cnt, s"cc$p"), s"cc$p", p)
-    val (d5, d4, d3, d2) = (disc(g5, "c5", "u"), disc(m4, "k4", "v"),
-      disc(m3, "k3", "x"), disc(m2, "k2", "z"))
+    val (d5, d4, d3, d2) = (disc(g5, "c5", "u"), disc(m4, "k4c", "v"),
+      disc(m3, "k3c", "x"), disc(m2, "k2c", "z"))
     def dOf(c: Column, p: String): Column =
       when(c === 1, col(s"${p}1")).when(c === 2, col(s"${p}2"))
         .otherwise(col(s"${p}3"))
     def gamma(p: String, cls: String, tot: String): Column =
       (col(s"${p}1") * col(s"${cls}1") + col(s"${p}2") * col(s"${cls}2") +
         col(s"${p}3") * col(s"${cls}3p")) / col(tot)
-    val p1 = col("k1").cast("double") / col("ntypes")
-    val p2 = greatest(col("k2") - dOf(col("k2"), "z"), lit(0.0)) /
+    val p1 = col("k1c").cast("double") / col("ntypes")
+    val p2 = greatest(col("k2c") - dOf(col("k2c"), "z"), lit(0.0)) /
       col("tot2") + gamma("z", "g", "tot2") * p1
-    val p3 = greatest(col("k3") - dOf(col("k3"), "x"), lit(0.0)) /
+    val p3 = greatest(col("k3c") - dOf(col("k3c"), "x"), lit(0.0)) /
       col("tot3") + gamma("x", "e", "tot3") * p2
-    val p4 = greatest(col("k4") - dOf(col("k4"), "v"), lit(0.0)) /
+    val p4 = greatest(col("k4c") - dOf(col("k4c"), "v"), lit(0.0)) /
       col("tot4") + gamma("v", "b", "tot4") * p3
     val p5 = greatest(col("c5") - dOf(col("c5"), "u"), lit(0.0)) /
       col("tot5") + gamma("u", "a", "tot5") * p4
-    gs.join(g5, Seq("w1", "w2", "w3", "w4", "w5"))
-      .join(ctx5, Seq("w1", "w2", "w3", "w4"))
-      .join(m4, Seq("w2", "w3", "w4", "w5"))
-      .join(ctx4, Seq("w2", "w3", "w4"))
-      .join(m3, Seq("w3", "w4", "w5"))
-      .join(ctx3, Seq("w3", "w4"))
-      .join(m2, Seq("w4", "w5"))
-      .join(ctx2, Seq("w4"))
-      .join(m1, Seq("w5"))
+    // every join is a single-long key join at the stream's own columns;
+    // the relations' derivation keys are projected away first. All nine
+    // relation sides are merge-hinted (sort-merge join): they are
+    // vocab-sized — up to corpus-sized at high dup-free scale — and the
+    // static planner's post-aggregation size guesses otherwise elect
+    // driver broadcasts that cannot build at 100× (observed: broadcast
+    // OOM on the soak's 500k-doc leg), while shuffle_hash's per-task
+    // hash builds cannot acquire execution memory with 32 concurrent
+    // tasks × 9 joins (also observed). SMJ sorts and SPILLS — the only
+    // join that degrades gracefully here; the 1-row totals/discount
+    // frames below stay explicit broadcasts
+    def sh(df: DataFrame): DataFrame = df.hint("merge")
+    gsk.join(sh(g5.select("k5", "c5")), Seq("k5"))
+      .join(sh(ctx5), Seq("c5k"))
+      .join(sh(m4.select("k4", "k4c")), Seq("k4"))
+      .join(sh(ctx4), Seq("c4k"))
+      .join(sh(m3.select("k3", "k3c")), Seq("k3"))
+      .join(sh(ctx3), Seq("c3k"))
+      .join(sh(m2.select("k2", "k2c")), Seq("k2"))
+      .join(sh(ctx2), Seq("c2k"))
+      .join(sh(m1), Seq("k1"))
       .crossJoin(broadcast(tot1))
       .crossJoin(broadcast(d5)).crossJoin(broadcast(d4))
       .crossJoin(broadcast(d3)).crossJoin(broadcast(d2))
