@@ -306,6 +306,13 @@ object ScaleSoak {
         // (the r9 first full-ladder OOM) must say which query killed it
         // — the batch results only print at the very end
         println(f"""{"progress":"$q","dir":"$dir","sec":${times.last}%.3f}""")
+        // outside the timed region: a GC lets the ContextCleaner reap
+        // the query's now-unreachable localCheckpoint blocks — its own
+        // periodic GC is 30 min, far longer than a leg, so checkpoint
+        // zombies from earlier queries otherwise pile up until a later
+        // query's broadcast build OOMs (observed twice at 100×, at
+        // DIFFERENT queries — classic accumulated-pressure flakiness)
+        System.gc()
         q -> (times.last, shape)
       }.toMap
 
@@ -315,8 +322,14 @@ object ScaleSoak {
       // drop this factor's shared cached frames before the next corpus:
       // three corpora's worth of persisted pair frames (the 100× audio
       // frame alone is ~10⁸ rows) otherwise accumulate and starve the
-      // broadcast builds of the later factors
+      // broadcast builds of the later factors. The registry sweep does
+      // not see Materialized localCheckpoints, so finish with a full
+      // persistent-RDD sweep + GC — between legs NOTHING should stay
+      // cached, warm frames are rebuilt per corpus anyway
       SparkEntry.releaseSharedFrames(spark, dir)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       out
     }.toMap
     println(s"=== SOAK RESULTS (${fMax}x corpus vs 1x, steady-state seconds) ===")
