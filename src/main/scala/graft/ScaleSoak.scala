@@ -135,6 +135,14 @@ object ScaleSoak {
     // BPE encoding: numMerges codegen'd replaces per token, map-side
     // only — linear in corpus characters like tokenize_documents
     "bpe_encode",
+    // unigram-LM trainer: corpus work is ONE explode + hash agg to the
+    // bounded type sample; the Viterbi-EM loop is driver-bounded
+    // (≤ topK types) — must ladder like bpe_train_merges
+    "tokenize_unigram_vocab",
+    // unigram encoding: one O(len × maxPieceLen) Viterbi kernel DP per
+    // word, model as a plan literal, map-side only — linear in corpus
+    // characters; digest action (pure projection, count() would prune)
+    "tokenize_unigram",
     // trained counts driving the per-shard packing windows
     "pack_sequences_trained",
     // label-filtered IVF probe path: same probe-bounded shape as
@@ -237,7 +245,8 @@ object ScaleSoak {
     * one O(1)-row aggregate. The fold is bit_xor, not sum: sum over
     * full-range 64-bit hashes overflows under ANSI mode, xor cannot. */
   private val DigestQueries = Set(
-    "c4_line_filter", "normalize_documents", "gopher_repetition")
+    "c4_line_filter", "normalize_documents", "gopher_repetition",
+    "tokenize_unigram")
 
   private def digestAction(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))

@@ -660,6 +660,19 @@ object SparkEntry {
       () => graft.text.Bpe.encodeFromModel(s,
         Demo.table(s, dir, "documents"), "text", "doc_id", path)
         .orderBy("doc_id")
+    }),
+    // Trained unigram-LM vocabulary persisted once, encoding served
+    // from it — stored (piece, score) longs ARE what the kernel
+    // applies, so serve output is bit-identical to tokenize_unigram
+    "tokenize_unigram_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("unigramvocab", dir)
+      graft.text.UnigramLm.writeModel(s, Demo.table(s, dir, "documents"),
+        "text", topK = 256, seedSize = 256, maxPieceLen = 8,
+        emIters = 3, path)
+      () => graft.text.UnigramLm.encodeFromModel(s,
+        Demo.table(s, dir, "documents"), "text", "doc_id", path,
+        maxPieceLen = 8)
+        .orderBy("doc_id")
     }))
 
   def entry(spark: SparkSession): DataFrame =
@@ -1781,6 +1794,31 @@ object SparkEntry {
     // Train-once/serve-many: encoding served from the persisted merge
     // table — must be bit-identical to bpe_encode (same oracle)
     "bpe_encode_from_model" -> ((s, dir) => buildServe("bpe_encode_from_model")(s, dir)()),
+    // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
+    // in-engine by deterministic Viterbi-EM over a bounded type sample
+    // — the third tokenizer family (wordpiece, BPE, unigram). The
+    // oracle REPLAYS seed + every EM iteration (recursive Viterbi DP
+    // CTEs over per-word score maps), no baked-in literals.
+    "tokenize_unigram_vocab" -> ((s, dir) =>
+      graft.text.UnigramLm.trainedVocabDf(s,
+        Demo.table(s, dir, "documents"), "text",
+        topK = 256, seedSize = 256, maxPieceLen = 8, emIters = 3)
+        .orderBy("piece")),
+    // The trained unigram model applied to every document — map-side
+    // only (model rides the plan as a literal blob; one codegen'd
+    // Viterbi kernel per word, exact LONG micro-unit scores)
+    "tokenize_unigram" -> ((s, dir) => {
+      val model = graft.text.UnigramLm.train(s,
+        Demo.table(s, dir, "documents"), "text",
+        topK = 256, seedSize = 256, maxPieceLen = 8, emIters = 3)
+      graft.text.UnigramLm.encodeDocs(Demo.table(s, dir, "documents"),
+        "text", "doc_id", model, maxPieceLen = 8)
+        .orderBy("doc_id")
+    }),
+    // Train-once/serve-many: unigram encoding served from the persisted
+    // vocabulary — bit-identical to tokenize_unigram (same oracle)
+    "tokenize_unigram_from_model" -> ((s, dir) =>
+      buildServe("tokenize_unigram_from_model")(s, dir)()),
     // The trained BPE counts driving sequence packing — the full
     // "derive the tokenizer, then pack on ITS counts" composition
     "pack_sequences_trained" -> ((s, dir) => {
@@ -2501,6 +2539,9 @@ object SparkEntry {
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
+    "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),
+    "tokenize_unigram" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
+    "tokenize_unigram_from_model" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "tokenizer_fertility_by_lang" -> TextOracles.tokenizerFertility,

@@ -50,6 +50,15 @@ object TokenizerAdapters extends Serializable {
         if (text == null) null else text.toString,
         graft.text.VocabRegistry.get(vocabName.toString))
         .map(UTF8String.fromString))
+
+  /** Unigram-LM Viterbi segmentation of one word — the model blob is a
+    * string LITERAL riding the plan (cluster-safe; no side files),
+    * parsed once per JVM and memoized ([[graft.text.UnigramLm]]). */
+  def unigramWordPieces(word: UTF8String, blob: UTF8String,
+      maxPieceLen: Int): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.UnigramLm.wordPiecesBlob(word.toString, blob.toString,
+        maxPieceLen).map(UTF8String.fromString))
 }
 
 /** Text canonicalization kernel — the C4/CCNet-style normalization a
@@ -813,6 +822,19 @@ object GraftFunctions {
       ArrayType(StringType, containsNull = false), "wordpieceTokensVocab",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(vocabName))),
       inputTypes = Seq(StringType, StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** Unigram-LM Viterbi pieces of one WORD column under a trained model
+    * blob ([[graft.text.UnigramLm.blob]]) — used inside a `transform`
+    * over the tokenized text, so tokenization parity stays with the
+    * engine's own lower/split expressions. */
+  def unigram_word_pieces(word: Column, blob: Column,
+      maxPieceLen: Int): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(StringType, containsNull = false), "unigramWordPieces",
+      Seq(expr(word), expr(blob),
+        expr(org.apache.spark.sql.functions.lit(maxPieceLen))),
+      inputTypes = Seq(StringType, StringType, IntegerType),
       propagateNull = true, returnNullable = false))
 
   /** Misra-Gries heavy-hitters aggregate: at most k counters, mergeable,
