@@ -143,6 +143,13 @@ object ScaleSoak {
     // word, model as a plan literal, map-side only — linear in corpus
     // characters; digest action (pure projection, count() would prune)
     "tokenize_unigram",
+    // PCA fit: the mean pass + the d²-key outer-product hash agg (O(d²)
+    // map-side work per row, 4096-key shuffle); the eigen-solve is
+    // matrix-bounded — the ladder tracks the two corpus passes
+    "embed_pca_components",
+    // PCA projection (includes its fit): map-side exact integer dots,
+    // model as plan literals; digest action (pure projection)
+    "embed_pca_project",
     // trained counts driving the per-shard packing windows
     "pack_sequences_trained",
     // label-filtered IVF probe path: same probe-bounded shape as
@@ -246,7 +253,7 @@ object ScaleSoak {
     * full-range 64-bit hashes overflows under ANSI mode, xor cannot. */
   private val DigestQueries = Set(
     "c4_line_filter", "normalize_documents", "gopher_repetition",
-    "tokenize_unigram")
+    "tokenize_unigram", "embed_pca_project")
 
   private def digestAction(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))

@@ -673,6 +673,20 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", path,
         maxPieceLen = 8)
         .orderBy("doc_id")
+    }),
+    // Fitted PCA model persisted once (micro weights + integer mean),
+    // projection served from it — the stored integers ARE what the
+    // projection kernel multiplies, so serve output is bit-identical
+    // to embed_pca_project (same oracle)
+    "embed_pca_project_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("pcamodel", dir)
+      val model = graft.embeddings.Pca.fit(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 4, iters = 32)
+      graft.embeddings.Pca.writeModel(s, model, path)
+      () => graft.embeddings.Pca.projectFromModel(s,
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id", path)
+        .orderBy("vec_id")
     }))
 
   def entry(spark: SparkSession): DataFrame =
@@ -1819,6 +1833,40 @@ object SparkEntry {
     // vocabulary — bit-identical to tokenize_unigram (same oracle)
     "tokenize_unigram_from_model" -> ((s, dir) =>
       buildServe("tokenize_unigram_from_model")(s, dir)()),
+    // Training-data ops: PCA over the embedding column (fixed-iteration
+    // orthogonal iteration on the exact-integer scatter matrix) — the
+    // trained counterpart of the JL random projection; the oracle
+    // REPLAYS the corpus statistics AND every power/Gram–Schmidt step
+    // as single-row list CTEs (KmeansOracles discipline)
+    "embed_pca_components" -> ((s, dir) => {
+      val model = graft.embeddings.Pca.fit(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 4, iters = 32)
+      graft.embeddings.Pca.componentsDf(s, model)
+        .orderBy("component", "dim")
+    }),
+    // Eigen report of the same fit: raw Rayleigh quotients (IEEE-
+    // deterministic, no rounding anywhere) + trace-guarded shares
+    "embed_pca_eigenvalues" -> ((s, dir) => {
+      val model = graft.embeddings.Pca.fit(
+        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 4, iters = 32)
+      graft.embeddings.Pca.eigenvaluesDf(s, model).orderBy("component")
+    }),
+    // The fitted components applied to every vector — map-side only
+    // (mean + micro weights ride the plan as literal arrays, one exact
+    // integer dot per component per row)
+    "embed_pca_project" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = graft.embeddings.Pca.fit(emb, "embedding", "vec_id",
+        k = 4, iters = 32)
+      graft.embeddings.Pca.project(emb, "embedding", "vec_id", model)
+        .orderBy("vec_id")
+    }),
+    // Train-once/serve-many: projection served from the persisted
+    // integer model — bit-identical to embed_pca_project (same oracle)
+    "embed_pca_project_from_model" -> ((s, dir) =>
+      buildServe("embed_pca_project_from_model")(s, dir)()),
     // The trained BPE counts driving sequence packing — the full
     // "derive the tokenizer, then pack on ITS counts" composition
     "pack_sequences_trained" -> ((s, dir) => {
@@ -2542,6 +2590,10 @@ object SparkEntry {
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),
     "tokenize_unigram" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "tokenize_unigram_from_model" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
+    "embed_pca_components" -> graft.embeddings.PcaOracles.componentsSql(4, 32),
+    "embed_pca_eigenvalues" -> graft.embeddings.PcaOracles.eigenvaluesSql(4, 32),
+    "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),
+    "embed_pca_project_from_model" -> graft.embeddings.PcaOracles.projectSql(4, 32),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "tokenizer_fertility_by_lang" -> TextOracles.tokenizerFertility,

@@ -124,6 +124,34 @@ object VectorAdapters extends Serializable {
     math.sqrt(s)
   }
 
+  /** PCA projection kernel ([[graft.embeddings.Pca.project]]): micro-
+    * quantize the vector (floor(x·1e6 + 0.5) — the expression twin's
+    * exact arithmetic), center on the integer mean, and accumulate the
+    * EXACT LONG dot against each of the k row-major micro weight
+    * vectors, rescaled once to value units. One call replaces k
+    * interpreted zip_with+aggregate folds; bit-identical within the
+    * fit-time magnitude guard (|micro| < 1e9 — products cannot reach
+    * 2⁶³). */
+  def pcaProject(v: ArrayData, mean: ArrayData, w: ArrayData): ArrayData = {
+    val x = v.toDoubleArray(); val mb = mean.toLongArray()
+    val ww = w.toLongArray()
+    val d = mb.length
+    val k = if (d == 0) 0 else ww.length / d
+    val out = new Array[Double](k)
+    val c = new Array[Long](d)
+    var i = 0
+    while (i < d) { c(i) = math.floor(x(i) * 1e6 + 0.5).toLong - mb(i); i += 1 }
+    var q = 0
+    while (q < k) {
+      var s = 0L
+      i = 0
+      while (i < d) { s += c(i) * ww(q * d + i); i += 1 }
+      out(q) = s.toDouble / 1e12
+      q += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Nearest centroid by cosine, ties → the EARLIEST row (centroid rows
     * must be in ascending-id order — both centroid builders emit that).
     * `cents` is the row-major nlist×dim flattening, `norms`/`ids` the
@@ -656,6 +684,17 @@ object GraftFunctions {
   def l2_norm(a: Column): Column =
     col(StaticInvoke(VectorAdapters.getClass, DoubleType, "norm",
       Seq(expr(a)), inputTypes = Seq(DoubleArray),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd PCA projection: k exact integer dots of the micro-
+    * centered vector against the flattened k×d micro weight matrix
+    * (both literals riding the plan). Returns array<double> of the k
+    * projections. */
+  def pca_project_k(v: Column, mean: Column, w: Column): Column =
+    col(StaticInvoke(VectorAdapters.getClass,
+      ArrayType(DoubleType, containsNull = false), "pcaProject",
+      Seq(expr(v), expr(mean), expr(w)),
+      inputTypes = Seq(DoubleArray, ArrayType(LongType), ArrayType(LongType)),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd distinct hashed n-gram shingles of a text column. */
