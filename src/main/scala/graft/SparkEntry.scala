@@ -1867,6 +1867,24 @@ object SparkEntry {
     // integer model — bit-identical to embed_pca_project (same oracle)
     "embed_pca_project_from_model" -> ((s, dir) =>
       buildServe("embed_pca_project_from_model")(s, dir)()),
+    // Streaming incremental PCA composed as a batch: three epochs of
+    // ADDITIVE exact-integer statistics (StreamingPca's per-batch
+    // commit payload) merged and fitted — BIT-IDENTICAL to the batch
+    // fit by the raw-moment identity, so the UNCHANGED batch-projection
+    // oracle is the gate; the oracle knows nothing about batching.
+    // Plan shapes are embed_pca_project's (same two aggregations per
+    // epoch + a stat-grain union-sum, bounded at d²+2d+1 rows/epoch),
+    // so the fit/project soak rows cover it.
+    "embed_pca_incremental" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val stats = (0 until 3).map(b => graft.embeddings.Pca.batchStats(
+        emb.filter(col("vec_id") % 3 === b), "embedding", "vec_id", 64))
+        .reduce(_ unionByName _)
+      val model = graft.embeddings.Pca.fitFromStats(s, stats, k = 4,
+        iters = 32)
+      graft.embeddings.Pca.project(emb, "embedding", "vec_id", model)
+        .orderBy("vec_id")
+    }),
     // The trained BPE counts driving sequence packing — the full
     // "derive the tokenizer, then pack on ITS counts" composition
     "pack_sequences_trained" -> ((s, dir) => {
@@ -2594,6 +2612,7 @@ object SparkEntry {
     "embed_pca_eigenvalues" -> graft.embeddings.PcaOracles.eigenvaluesSql(4, 32),
     "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),
     "embed_pca_project_from_model" -> graft.embeddings.PcaOracles.projectSql(4, 32),
+    "embed_pca_incremental" -> graft.embeddings.PcaOracles.projectSql(4, 32),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "tokenizer_fertility_by_lang" -> TextOracles.tokenizerFertility,

@@ -147,9 +147,17 @@ object Pca {
     val a = new Array[Double](d * d)
     aRows.foreach(r => a(r.getInt(0)) = r.getDouble(1))
 
-    // ---- driver eigen-loop: every fold order below is replayed
-    // verbatim by PcaOracles (ascending-index sums, strict-> argmax,
-    // the 1e-12 norm guard, the ascending-j Gram–Schmidt sweeps) ----
+    solve(a, d, n, meanU, k, iters)
+  }
+
+  /** The driver eigen-loop over a collected scatter-over-n matrix:
+    * every fold order below is replayed verbatim by PcaOracles
+    * (ascending-index sums, strict-> argmax, the 1e-12 norm guard, the
+    * ascending-j Gram–Schmidt sweeps). Shared by [[fit]] and
+    * [[fitFromStats]] — bit-identical inputs give bit-identical
+    * models. */
+  private def solve(a: Array[Double], d: Int, n: Long, meanU: Array[Long],
+      k: Int, iters: Int): Model = {
     def matvec(m: Array[Double], v: Array[Double]): Array[Double] = {
       val y = new Array[Double](d)
       var i = 0
@@ -304,4 +312,117 @@ object Pca {
   def projectFromModel(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String): DataFrame =
     project(df, vecCol, idCol, loadModel(spark, path))
+
+  // ------------------------------------------- incremental statistics
+
+  /**
+   * ADDITIVE sufficient statistics of one batch, as rows
+   * `(stat, idx, val DECIMAL(38,0))`:
+   *
+   *  - `n`   (idx 0): row count
+   *  - `sum` (idx i): per-dimension micro sum
+   *  - `mx`  (idx i): per-dimension max |micro| (merges by MAX — the
+   *          magnitude guard)
+   *  - `raw` (idx i·d+j): UNCENTERED micro second moments Σ μ_i·μ_j
+   *
+   * Everything is an exact integer, so states from ANY batch split
+   * merge (sum / max) to exactly the totals of one pass over the
+   * union — incremental fitting is bit-identical to a batch refit
+   * ([[fitFromStats]]), which is what lets the streaming trainer
+   * ([[graft.streaming.StreamingPca]]) share the batch oracle.
+   * Two corpus passes per batch, the same shapes as [[fit]].
+   */
+  def batchStats(df: DataFrame, vecCol: String, idCol: String,
+      d: Int): DataFrame = {
+    val vecs = graft.operators.Materialized(microFrame(df, vecCol, idCol, d))
+    val dims = vecs.select(posexplode(col("mu")).as(Seq("dim", "m")))
+      .groupBy("dim")
+      .agg(sum(col("m").cast("decimal(38,0)")).as("s"),
+        max(abs(col("m"))).cast("decimal(38,0)").as("mx"),
+        count(lit(1)).cast("decimal(38,0)").as("cnt"))
+    val sums = dims.select(lit("sum").as("stat"), col("dim").as("idx"),
+      col("s").as("val"))
+    val mxs = dims.select(lit("mx").as("stat"), col("dim").as("idx"),
+      col("mx").as("val"))
+    val nRow = dims.filter(col("dim") === 0)
+      .select(lit("n").as("stat"), lit(0).as("idx"), col("cnt").as("val"))
+    val raws = vecs
+      .select(posexplode(flatten(transform(col("mu"),
+        mi => transform(col("mu"), mj => mi * mj)))).as(Seq("pos", "p")))
+      .groupBy(col("pos").as("idx"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("val"))
+      .select(lit("raw").as("stat"), col("idx"), col("val"))
+    nRow.unionByName(sums).unionByName(mxs).unionByName(raws)
+  }
+
+  /**
+   * Fit from accumulated statistics (any union of [[batchStats]]
+   * frames, e.g. the growing stats index of a stream) —
+   * BIT-IDENTICAL to [[fit]] over the concatenated batches:
+   * the centered scatter derives from the raw moments by the exact
+   * integer identity Σ(μ_i−m̄_i)(μ_j−m̄_j) =
+   * raw_ij − m̄_j·sum_i − m̄_i·sum_j + n·m̄_i·m̄_j, the integer mean
+   * uses the same in-plan floor expression, and the decimal→double
+   * conversion goes through the same in-plan cast, so [[solve]]
+   * receives the same matrix.
+   */
+  def fitFromStats(spark: SparkSession, stats: DataFrame, k: Int = 4,
+      iters: Int = 32): Model = {
+    val totals = stats.groupBy("stat", "idx")
+      .agg(sum("val").as("sv"), max("val").as("mv"))
+      .select(col("stat"), col("idx"),
+        when(col("stat") === "mx", col("mv")).otherwise(col("sv")).as("val"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDecimal(2))).toSeq
+    val byStat = totals.groupBy(_._1)
+    require(byStat.contains("n") && byStat.contains("sum") &&
+      byStat.contains("mx") && byStat.contains("raw"),
+      "stats frame is missing required rows")
+    val n = byStat("n").head._3.toBigInteger.longValueExact()
+    require(n > 0, "no rows in the accumulated statistics")
+    val sums = byStat("sum").sortBy(_._2)
+    val d = sums.size
+    require(k <= d, s"k=$k exceeds embedding dimension $d")
+    val maxAbs = byStat("mx").map(_._3.toBigInteger.longValueExact()).max
+    require(maxAbs < MaxAbsMicro,
+      s"embedding magnitude too large for exact micro arithmetic: " +
+        s"max |micro| = $maxAbs >= $MaxAbsMicro (|x| must stay < 1000)")
+    // bounded (idx, DECIMAL(38,0)) local relation — EXPLICIT schema:
+    // the tuple-encoder default of DECIMAL(38,18) has only 20 integer
+    // digits and would overflow raw moments at corpus scale
+    def localDec(rows: Seq[(Int, java.math.BigDecimal)]): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*)), schema)
+    }
+    // integer mean via the same in-plan floor expression as fit
+    val meanU = new Array[Long](d)
+    localDec(sums.map { case (_, i, s) => (i, s) })
+      .select(col("idx"),
+        floor(col("s").cast("double") / lit(n.toDouble) + lit(0.5))
+          .cast("long").as("mb"))
+      .collect().foreach(r => meanU(r.getInt(0)) = r.getLong(1))
+    // centered scatter by the exact integer identity, then the same
+    // in-plan decimal→double/n/1e12 conversion fit's aggregation uses
+    val sumI = new Array[BigInt](d)
+    sums.foreach { case (_, i, s) => sumI(i) = BigInt(s.toBigInteger) }
+    val rawI = new Array[BigInt](d * d)
+    byStat("raw").foreach { case (_, p, s) => rawI(p) = BigInt(s.toBigInteger) }
+    val cent = for (i <- 0 until d; j <- 0 until d) yield {
+      val s = rawI(i * d + j) - BigInt(meanU(j)) * sumI(i) -
+        BigInt(meanU(i)) * sumI(j) + BigInt(n) * BigInt(meanU(i)) * BigInt(meanU(j))
+      (i * d + j, new java.math.BigDecimal(s.bigInteger))
+    }
+    val a = new Array[Double](d * d)
+    localDec(cent)
+      .select(col("idx"),
+        (col("s").cast("double") / lit(n.toDouble) / lit(1e12)).as("a"))
+      .collect().foreach(r => a(r.getInt(0)) = r.getDouble(1))
+    solve(a, d, n, meanU, k, iters)
+  }
 }

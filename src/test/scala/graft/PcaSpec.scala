@@ -168,6 +168,35 @@ class PcaSpec extends SparkSpec {
     assert(served === fresh)
   }
 
+  test("incremental fit from batch statistics is bit-identical to the batch fit, in any batch order") {
+    val df = realEmbeddings
+    val batch = Pca.fit(df, "embedding", "vec_id", k = 4, iters = 32)
+    val d = batch.dim
+    val parts = (0 until 3).map(b =>
+      Pca.batchStats(df.filter(col("vec_id") % 3 === b), "embedding",
+        "vec_id", d))
+    val inc = Pca.fitFromStats(spark,
+      parts(0).unionByName(parts(1)).unionByName(parts(2)), k = 4, iters = 32)
+    assert(inc.n === batch.n)
+    assert(inc.meanU.toSeq === batch.meanU.toSeq)
+    assert(inc.comps.flatten.toSeq === batch.comps.flatten.toSeq)
+    assert(inc.lambdas.toSeq === batch.lambdas.toSeq)
+    assert(inc.trace === batch.trace)
+    // additive statistics: merge order cannot matter
+    val rev = Pca.fitFromStats(spark,
+      parts(2).unionByName(parts(0)).unionByName(parts(1)), k = 4, iters = 32)
+    assert(rev.comps.flatten.toSeq === batch.comps.flatten.toSeq)
+    assert(rev.lambdas.toSeq === batch.lambdas.toSeq)
+    // the guard rides the stats too
+    val hot = Seq((999L, Array.fill(d)(2000.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fitFromStats(spark,
+        parts(0).unionByName(Pca.batchStats(hot, "embedding", "vec_id", d)),
+        k = 4, iters = 32)
+    }
+    assert(e.getMessage.contains("micro"))
+  }
+
   test("magnitude guard rejects embeddings outside the exact-arithmetic range") {
     val df = Seq((1L, Array.fill(4)(2000.0f)), (2L, Array.fill(4)(1.0f)))
       .toDF("vec_id", "embedding")
