@@ -57,6 +57,21 @@ object SparkEntry {
     countCache.computeIfAbsent((s, dir, table),
       _ => Demo.table(s, dir, table).count())
 
+  /** One PCA fit per (session, sfDir), shared by the CONSUMER queries
+    * (eigenvalues / projection / persisted serve) — the fit is
+    * deterministic (exact-integer statistics), so sharing changes no
+    * result; same immutable-sfDir contract as [[countCache]].
+    * embed_pca_components is the TRAINER query and always refits (its
+    * bench/soak rows measure the statistics passes), and
+    * embed_pca_incremental deliberately fits from merged batch
+    * statistics (that is its point). */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.embeddings.Pca.Model]()
+  private def cachedPcaModel(s: SparkSession, dir: String): graft.embeddings.Pca.Model =
+    pcaCache.computeIfAbsent((s, dir),
+      _ => graft.embeddings.Pca.fit(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 4, iters = 32))
+
   /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
     * queries: repeated invocations (bench medians, verify) overwrite the
     * same directory instead of leaking temp dirs. */
@@ -680,10 +695,7 @@ object SparkEntry {
     // to embed_pca_project (same oracle)
     "embed_pca_project_from_model" -> ((s, dir) => {
       val path = tmpIndexDir("pcamodel", dir)
-      val model = graft.embeddings.Pca.fit(
-        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 4, iters = 32)
-      graft.embeddings.Pca.writeModel(s, model, path)
+      graft.embeddings.Pca.writeModel(s, cachedPcaModel(s, dir), path)
       () => graft.embeddings.Pca.projectFromModel(s,
         Demo.table(s, dir, "embeddings"), "embedding", "vec_id", path)
         .orderBy("vec_id")
@@ -1838,31 +1850,26 @@ object SparkEntry {
     // trained counterpart of the JL random projection; the oracle
     // REPLAYS the corpus statistics AND every power/Gram–Schmidt step
     // as single-row list CTEs (KmeansOracles discipline)
-    "embed_pca_components" -> ((s, dir) => {
-      val model = graft.embeddings.Pca.fit(
-        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 4, iters = 32)
-      graft.embeddings.Pca.componentsDf(s, model)
-        .orderBy("component", "dim")
-    }),
+    "embed_pca_components" -> ((s, dir) =>
+      // the TRAINER query: always a fresh fit, so bench/soak rows
+      // measure the two corpus statistics passes (the bpe_train_merges
+      // discipline); the other three consumers share cachedPcaModel
+      graft.embeddings.Pca.componentsDf(s,
+        graft.embeddings.Pca.fit(Demo.table(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 4, iters = 32))
+        .orderBy("component", "dim")),
     // Eigen report of the same fit: raw Rayleigh quotients (IEEE-
     // deterministic, no rounding anywhere) + trace-guarded shares
-    "embed_pca_eigenvalues" -> ((s, dir) => {
-      val model = graft.embeddings.Pca.fit(
-        Demo.table(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 4, iters = 32)
-      graft.embeddings.Pca.eigenvaluesDf(s, model).orderBy("component")
-    }),
+    "embed_pca_eigenvalues" -> ((s, dir) =>
+      graft.embeddings.Pca.eigenvaluesDf(s, cachedPcaModel(s, dir))
+        .orderBy("component")),
     // The fitted components applied to every vector — map-side only
     // (mean + micro weights ride the plan as literal arrays, one exact
     // integer dot per component per row)
-    "embed_pca_project" -> ((s, dir) => {
-      val emb = Demo.table(s, dir, "embeddings")
-      val model = graft.embeddings.Pca.fit(emb, "embedding", "vec_id",
-        k = 4, iters = 32)
-      graft.embeddings.Pca.project(emb, "embedding", "vec_id", model)
-        .orderBy("vec_id")
-    }),
+    "embed_pca_project" -> ((s, dir) =>
+      graft.embeddings.Pca.project(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", cachedPcaModel(s, dir))
+        .orderBy("vec_id")),
     // Train-once/serve-many: projection served from the persisted
     // integer model — bit-identical to embed_pca_project (same oracle)
     "embed_pca_project_from_model" -> ((s, dir) =>
