@@ -150,6 +150,10 @@ object ScaleSoak {
     // PCA projection (includes its fit): map-side exact integer dots,
     // model as plan literals; digest action (pure projection)
     "embed_pca_project",
+    // the four-gate quality stack: Gopher/C4 map-side projections, the
+    // LR broadcast-model scoring agg, the LM bounded-histogram triage,
+    // joined at doc grain — the composed curation decision plan
+    "curate_quality_stack",
     // trained counts driving the per-shard packing windows
     "pack_sequences_trained",
     // label-filtered IVF probe path: same probe-bounded shape as
@@ -262,6 +266,19 @@ object ScaleSoak {
   }
 
   def main(args: Array[String]): Unit = {
+    // Storage must never starve execution at the 100× leg: the default
+    // storageFraction (0.5) PROTECTS up to half the unified region for
+    // cached blocks, and with 32 concurrent sorters a leg that still
+    // holds Materialized/localCheckpoint blocks from the running
+    // query's own shared frames can leave execution "got 0" on a 64 KB
+    // request (UNABLE_TO_ACQUIRE_MEMORY — observed twice on different
+    // queries that individually pass). Shrinking the protected floor
+    // to 10% lets execution evict cached blocks to disk instead of
+    // dying; correctness is unaffected (blocks are MEMORY_AND_DISK)
+    // and timing rows keep their meaning (eviction cost is the honest
+    // price of the pressure). Set BEFORE the session is created —
+    // memory-manager fractions are read at SparkEnv construction.
+    System.setProperty("spark.memory.storageFraction", "0.1")
     val spark = GraftSession.local("graft-soak")
     val src = sys.env.getOrElse("SOAK_SRC", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SOAK_DIR", "/tmp/graft_soak")

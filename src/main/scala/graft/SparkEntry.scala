@@ -2460,6 +2460,17 @@ object SparkEntry {
             "src15-2.example.com"),
           keepSuffix = Some(".example.com")), "url")
         .select("doc_id", "domain").orderBy("doc_id")),
+    // Training-data ops: the FineWeb-style QUALITY STACK — the Gopher
+    // battery, the C4 page gate, the trained LR probability, and the
+    // corpus-LM perplexity triage composed into one per-document keep
+    // decision WITH its reasons. The LR leg serves the shared cached
+    // weight table (training is once-per-corpus); the oracle replays
+    // all four chains plus the left-join null semantics.
+    "curate_quality_stack" -> ((s, dir) =>
+      graft.corpus.CorpusPipeline.qualityStack(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
+        lrWeightsDf(s, dir))
+        .orderBy("doc_id")),
     // Training-data ops: per-domain frequency cap (RefinedWeb) — at
     // most 2 docs per domain by md5-rank total order; the demo corpus
     // has ~5 docs per domain so the cap genuinely bites
@@ -2683,6 +2694,7 @@ object SparkEntry {
     "sample_balanced_clusters" -> TextOracles.balancedClusterSample,
     "curate_domain_filter" -> OracleSql.curateDomainFilter,
     "corpus_pipeline_curated" -> DedupOracles.corpusPipelineCurated,
+    "curate_quality_stack" -> TextOracles.qualityStack(),
     "sample_domain_cap" -> OracleSql.sampleDomainCap,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

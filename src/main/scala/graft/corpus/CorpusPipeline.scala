@@ -3,7 +3,7 @@ package graft.corpus
 import graft.dedup.{ConnectedComponents, TextDedup}
 import graft.operators.Sampling
 import graft.text.{SequencePacking, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -187,5 +187,57 @@ object CorpusPipeline {
       "exact_dedup" -> exact.count(), "near_dedup" -> keepers.count(),
       "decontaminated" -> decon.count(), "mixed" -> mixed.count())
     finally Seq(quality, exact, keepers, decon).foreach(_.unpersist())
+  }
+
+  /**
+   * FineWeb-style QUALITY STACK: every model+rule curation gate the
+   * library trains or derives, composed into ONE per-document decision
+   * frame — the rule gates (the Gopher signal battery, the C4
+   * terminal-punctuation page gate) and the model gates (the
+   * supervised logistic-regression quality probability, the corpus-LM
+   * perplexity triage):
+   *
+   *   keep = gopher_pass AND c4_pass AND lr_prob ≥ 0.5
+   *          AND ppl_bucket ∈ {head, middle}
+   *
+   * A document INVISIBLE to a model gate (no hashed grams for LR, no
+   * bigrams for the LM) FAILS that gate — absence of evidence is not
+   * quality; its `lr_prob` is null and its `ppl_bucket` reads `none`,
+   * so the report still says WHY the document was dropped.
+   *
+   * Scale shape: four doc-grain branches over one materialized scan
+   * (Gopher and C4 are map-side projections; LR scoring is one
+   * broadcast-model join + hash agg; the LM leg is the bounded-
+   * histogram triage), joined back on the 8-byte doc id. Callers pass
+   * a PRETRAINED weight table — training is the expensive once-per-
+   * corpus step and must not ride a report query.
+   */
+  def qualityStack(docs: DataFrame, textCol: String, idCol: String,
+      lrLabel: Column, lrWeights: DataFrame,
+      minLineWords: Int = 3, minSentences: Int = 1): DataFrame = {
+    val d = graft.operators.Materialized(
+      docs.select(col(idCol), col(textCol)))
+    val gopher = TextAnalysis.gopherSignals(d, textCol, idCol)
+      .select("doc_id", "gopher_pass")
+    val c4 = TextAnalysis.c4LineFilter(d, textCol, idCol, minLineWords,
+      minSentences).select(col("doc_id"), col("kept").as("c4_pass"))
+    val lr = graft.text.LogisticRegression.predictWithWeights(d, textCol,
+      idCol, lrLabel, lrWeights, trainBuckets = 0)
+      .select(col("doc_id"), col("prob").as("lr_prob"))
+    val ppl = graft.text.LanguageModel.perplexityBuckets(d, textCol, idCol)
+      .select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    d.select(col(idCol).as("doc_id"))
+      .join(gopher, Seq("doc_id"), "left")
+      .join(c4, Seq("doc_id"), "left")
+      .join(lr, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher_pass"), col("c4_pass"),
+        col("lr_prob"),
+        coalesce(col("ppl_bucket"), lit("none")).as("ppl_bucket"),
+        (coalesce(col("gopher_pass"), lit(false)) &&
+          coalesce(col("c4_pass"), lit(false)) &&
+          coalesce(col("lr_prob") >= 0.5, lit(false)) &&
+          coalesce(col("ppl_bucket").isin("head", "middle"), lit(false)))
+          .as("keep"))
   }
 }

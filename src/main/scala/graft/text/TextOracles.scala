@@ -1773,4 +1773,73 @@ FROM qlp ORDER BY doc_id"""
   def classifyQualityLrWeights(buckets: Int = 256, iters: Int = 24,
       step: Double = 3.0): String = s"""WITH ${lrChain(buckets, iters, step)}
 SELECT cell, CAST(w AS DOUBLE) AS w FROM qlw$iters ORDER BY cell"""
+
+  /**
+   * Mirrors `CorpusPipeline.qualityStack` (curate_quality_stack): the
+   * four gates composed — the full LR descent chain scored over ALL
+   * gram-bearing documents (trainBuckets = 0 serving), the corpus-LM
+   * perplexity triage (the [[lmPerplexityBuckets]] histogram chain),
+   * the Gopher battery (nested [[gopherQuality]] subquery), and a
+   * single-line C4 page gate with the stack's parameters — LEFT-joined
+   * back to every document with the engine's null semantics (a
+   * document invisible to a model gate fails it; its bucket reads
+   * `none`).
+   */
+  def qualityStack(buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, minLineWords: Int = 3,
+      minSentences: Int = 1): String =
+    s"""WITH ${lrChain(buckets, iters, step)},
+$lmScoreCtes,
+qsz AS MATERIALIZED (
+  SELECT f.doc_id, sum(CAST(coalesce(w.w, 0) AS DECIMAL(28,6))) AS zsum
+  FROM qlf f LEFT JOIN (SELECT * FROM qlw$iters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1),
+qsl AS MATERIALIZED (
+  SELECT z.doc_id,
+    CAST(CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST(b.w AS DOUBLE) + CAST(z.zsum AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) AS DOUBLE) AS lr_prob
+  FROM qsz z CROSS JOIN (SELECT w FROM qlw$iters WHERE cell = -1) b),
+qsg AS (SELECT doc_id, CAST(round(lm_score * 10000) AS BIGINT) AS m FROM sc),
+qsh AS (SELECT m, count(*) AS cnt FROM qsg GROUP BY m),
+qscm AS (SELECT m,
+        sum(cnt) OVER (ORDER BY m DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n
+      FROM qsh),
+qsthr AS (SELECT
+    max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
+    max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
+  FROM qscm),
+qsp AS (SELECT doc_id,
+    CASE WHEN m >= th THEN 'head'
+         WHEN m >= tm THEN 'middle' ELSE 'tail' END AS bucket
+  FROM qsg CROSS JOIN qsthr),
+qsgo AS ($gopherQuality),
+qsc4 AS (
+  SELECT doc_id,
+    (CAST(length(cl) - length(regexp_replace(cl, '[.!?]', '', 'g'))
+       AS BIGINT) >= $minSentences
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')) AS c4_pass
+  FROM (SELECT doc_id, text,
+          coalesce(array_to_string(
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?"]$$')
+              AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                x -> x <> '')) >= $minLineWords
+              AND NOT contains(lower(trim(l)), 'javascript')),
+            chr(10)), '') AS cl
+        FROM documents) q)
+SELECT d.doc_id, g.gopher_pass, c.c4_pass, l.lr_prob,
+  coalesce(p.bucket, 'none') AS ppl_bucket,
+  (coalesce(g.gopher_pass, false) AND coalesce(c.c4_pass, false)
+    AND coalesce(l.lr_prob >= 0.5, false)
+    AND coalesce(p.bucket IN ('head', 'middle'), false)) AS keep
+FROM documents d
+LEFT JOIN qsgo g USING (doc_id)
+LEFT JOIN qsc4 c USING (doc_id)
+LEFT JOIN qsl l USING (doc_id)
+LEFT JOIN qsp p USING (doc_id)
+ORDER BY d.doc_id"""
 }

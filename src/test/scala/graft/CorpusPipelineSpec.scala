@@ -62,4 +62,50 @@ class CorpusPipelineSpec extends SparkSpec {
     }
     assert(stats("mixed") > 0)
   }
+
+  test("quality stack: each gate fails its planted offender; the good docs pass all four") {
+    val s = spark
+    import s.implicits._
+    // a gopher-passing, c4-passing base line: > 50 words, mean word
+    // length in [3,10], >= 80% alpha words, two stopword hits, ends in
+    // a terminal-punctuation line of >= 3 words
+    val good = (("the spark engine and that data " * 10).trim + " done.")
+    val noSpark = (("the engine with all that data " * 10).trim + " done.")
+    val docs = Seq.tabulate(8)(i => (i.toLong, good)) ++ Seq(
+      (100L, noSpark),            // fails only the LR gate (no seed word)
+      (101L, "too few words."),   // fails gopher (word floor)
+      (102L, good.dropRight(1)),  // fails c4 (no terminal punctuation)
+      (103L, ""))                 // invisible to the model gates
+    val df = docs.toDF("doc_id", "text")
+    val label = array_contains(
+      graft.dedup.TextDedup.tokens(col("text")), "spark")
+    val w = graft.text.LogisticRegression.trainWeights(
+      df, "text", "doc_id", label)
+    val out = CorpusPipeline.qualityStack(df, "text", "doc_id", label, w)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // keep is exactly the conjunction of its reason columns, every row
+    out.values.foreach { r =>
+      val expect = Option(r.getAs[java.lang.Boolean]("gopher_pass")).exists(_.booleanValue) &&
+        Option(r.getAs[java.lang.Boolean]("c4_pass")).exists(_.booleanValue) &&
+        !r.isNullAt(r.fieldIndex("lr_prob")) && r.getAs[Double]("lr_prob") >= 0.5 &&
+        Seq("head", "middle").contains(r.getAs[String]("ppl_bucket"))
+      assert(r.getAs[Boolean]("keep") === expect, s"row $r")
+    }
+    (0L to 7L).foreach { id =>
+      assert(out(id).getAs[Boolean]("keep"), s"good doc $id dropped: ${out(id)}")
+    }
+    assert(!out(100L).getAs[Boolean]("keep") &&
+      out(100L).getAs[Boolean]("gopher_pass") &&
+      out(100L).getAs[Boolean]("c4_pass") &&
+      out(100L).getAs[Double]("lr_prob") < 0.5, s"${out(100L)}")
+    assert(!out(101L).getAs[Boolean]("keep") &&
+      !out(101L).getAs[Boolean]("gopher_pass"), s"${out(101L)}")
+    assert(!out(102L).getAs[Boolean]("keep") &&
+      !out(102L).getAs[Boolean]("c4_pass"), s"${out(102L)}")
+    val empty = out(103L)
+    assert(!empty.getAs[Boolean]("keep") &&
+      empty.isNullAt(empty.fieldIndex("lr_prob")) &&
+      empty.getAs[String]("ppl_bucket") === "none", s"$empty")
+  }
 }
