@@ -1874,6 +1874,13 @@ object SparkEntry {
     // integer model — bit-identical to embed_pca_project (same oracle)
     "embed_pca_project_from_model" -> ((s, dir) =>
       buildServe("embed_pca_project_from_model")(s, dir)()),
+    // Whitened (unit-variance, decorrelated) projection — the standard
+    // representation fed to clustering/SemDeDup/OPQ; scales are the
+    // IEEE √λ of the shared fit's Rayleigh quotients
+    "embed_pca_whiten" -> ((s, dir) =>
+      graft.embeddings.Pca.whiten(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", cachedPcaModel(s, dir))
+        .orderBy("vec_id")),
     // Streaming incremental PCA composed as a batch: three epochs of
     // ADDITIVE exact-integer statistics (StreamingPca's per-batch
     // commit payload) merged and fitted — BIT-IDENTICAL to the batch
@@ -2631,6 +2638,7 @@ object SparkEntry {
     "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),
     "embed_pca_project_from_model" -> graft.embeddings.PcaOracles.projectSql(4, 32),
     "embed_pca_incremental" -> graft.embeddings.PcaOracles.projectSql(4, 32),
+    "embed_pca_whiten" -> graft.embeddings.PcaOracles.whitenSql(4, 32),
     "pack_sequence_stats" -> TextOracles.packSequenceStats,
     "tokenize_documents" -> TextOracles.tokenizeDocuments,
     "tokenizer_fertility_by_lang" -> TextOracles.tokenizerFertility,

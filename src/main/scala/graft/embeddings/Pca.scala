@@ -275,6 +275,29 @@ object Pca {
     base.select(col("vec_id") +: projCols: _*)
   }
 
+  /** Whitened projection: each component's exact-integer projection
+    * divided by √λ (norm-guarded like every scale) so the output
+    * coordinates have ~unit variance — the standard decorrelated
+    * representation fed to clustering/SemDeDup/OPQ. Map-side like
+    * [[project]]; the scales are IEEE-deterministic functions of the
+    * Rayleigh quotients, so the oracle reproduces them exactly.
+    * Output columns w0..w{k−1}. Requires a model with eigenvalues
+    * (a fresh [[fit]] — the persisted serve model stores only
+    * projection integers). */
+  def whiten(df: DataFrame, vecCol: String, idCol: String,
+      model: Model): DataFrame = {
+    require(!model.lambdas.exists(_.isNaN),
+      "whiten needs a model with eigenvalues (a fresh fit; the " +
+        "persisted model stores only the projection integers)")
+    val p = project(df, vecCol, idCol, model)
+    val cols = model.lambdas.indices.map { c =>
+      val scale = math.sqrt(
+        if (model.lambdas(c) > 1e-12) model.lambdas(c) else 1e-12)
+      (col(s"p$c") / lit(scale)).as(s"w$c")
+    }
+    p.select(col("vec_id") +: cols: _*)
+  }
+
   /** Persist a fitted model: (component, dim, w_u) rows for the k
     * components plus component = −1 rows carrying the integer mean —
     * every number the projection consumes, so serving is bit-identical

@@ -130,12 +130,12 @@ pcrank AS MATERIALIZED (
   SELECT c, row_number() OVER (ORDER BY lam DESC, c) - 1 AS rk, lam
   FROM pcall),
 pcwall AS MATERIALIZED (
-  SELECT r.rk, w.W
+  SELECT r.rk, w.W, r.lam
   FROM (
   $wUnion) w JOIN pcrank r USING (c))"""
     for (r <- 0 until k) {
       sb ++= s""",
-pcwr$r AS MATERIALIZED (SELECT W FROM pcwall WHERE rk = $r)"""
+pcwr$r AS MATERIALIZED (SELECT W, lam FROM pcwall WHERE rk = $r)"""
     }
     sb.toString
   }
@@ -164,6 +164,23 @@ FROM pcrank CROSS JOIN pctr ORDER BY component"""
     val cols = (0 until k).map(c =>
       s"""CAST(list_reduce(list_transform(list_zip(c.c, w$c.W),
        z -> z[1] * z[2]), $fold) AS DOUBLE) / 1e12 AS p$c""")
+      .mkString(",\n  ")
+    val joins = (0 until k).map(c => s"CROSS JOIN pcwr$c w$c").mkString(" ")
+    s"""WITH ${chain(k, iters, d)}
+SELECT c.vec_id,
+  $cols
+FROM pcc c $joins ORDER BY c.vec_id"""
+  }
+
+  /** Mirrors embed_pca_whiten: the projection divided by the
+    * norm-guarded √λ of its (rank-ordered) component — the same IEEE
+    * sqrt/divide of the same Rayleigh quotient the engine bakes in as
+    * a literal scale. */
+  def whitenSql(k: Int = 4, iters: Int = 32, d: Int = D): String = {
+    val cols = (0 until k).map(c =>
+      s"""CAST(list_reduce(list_transform(list_zip(c.c, w$c.W),
+       z -> z[1] * z[2]), $fold) AS DOUBLE) / 1e12
+       / sqrt(greatest(w$c.lam, 1e-12)) AS w$c""")
       .mkString(",\n  ")
     val joins = (0 until k).map(c => s"CROSS JOIN pcwr$c w$c").mkString(" ")
     s"""WITH ${chain(k, iters, d)}

@@ -155,6 +155,44 @@ class PcaSpec extends SparkSpec {
       s"var(p0) = $v0 vs lambda0 = ${model.lambdas(0)}")
   }
 
+  test("whitening yields ~unit variance per component and ~zero cross-covariance") {
+    val df = realEmbeddings
+    val model = Pca.fit(df, "embedding", "vec_id", k = 4, iters = 32)
+    val w = Pca.whiten(df, "embedding", "vec_id", model)
+      .orderBy("vec_id").collect()
+    val cols = (0 until 4).map(c => w.map(_.getDouble(c + 1)))
+    val n = w.length
+    cols.zipWithIndex.foreach { case (xs, c) =>
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(v - 1.0) < 0.03, s"var(w$c) = $v")
+    }
+    for (a <- 0 until 4; b <- (a + 1) until 4) {
+      val (xa, xb) = (cols(a), cols(b))
+      val (ma, mb) = (xa.sum / n, xb.sum / n)
+      val cov = xa.zip(xb).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      assert(math.abs(cov) < 0.05, s"cov(w$a, w$b) = $cov")
+    }
+    // equals the plain projection rescaled by the guarded 1/sqrt(lambda)
+    val p = Pca.project(df, "embedding", "vec_id", model)
+      .orderBy("vec_id").collect()
+    w.zip(p).foreach { case (wr, pr) =>
+      for (c <- 0 until 4) {
+        val scale = math.sqrt(
+          if (model.lambdas(c) > 1e-12) model.lambdas(c) else 1e-12)
+        assert(wr.getDouble(c + 1) === pr.getDouble(c + 1) / scale)
+      }
+    }
+    // the persisted serve model has no eigenvalues - whiten must refuse
+    val path = java.nio.file.Files
+      .createTempDirectory("pca_whiten").toString + "/m"
+    Pca.writeModel(spark, model, path)
+    val e = intercept[IllegalArgumentException] {
+      Pca.whiten(df, "embedding", "vec_id", Pca.loadModel(spark, path))
+    }
+    assert(e.getMessage.contains("eigenvalues"))
+  }
+
   test("persisted model serves bit-identically") {
     val df = realEmbeddings
     val model = Pca.fit(df, "embedding", "vec_id", k = 4, iters = 32)
