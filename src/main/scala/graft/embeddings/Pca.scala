@@ -89,11 +89,15 @@ object Pca {
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
       .select(col(idCol).as("vec_id"), microArr(vecCol).as("mu"))
 
-  /** Probe the embedding dimensionality from one row (bounded). */
+  /** Probe the embedding dimensionality: the MAXIMUM width over the
+    * table (one bounded aggregate) — deterministic under any scan
+    * order, unlike a first-row probe, so a mixed-width table always
+    * fits the same (widest) population. */
   private def probeDim(df: DataFrame, vecCol: String): Int = {
     val head = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).head(1)
-    require(head.nonEmpty, "no non-null embeddings to fit PCA on")
+      .agg(max(size(col(vecCol))).as("d")).head(1)
+    require(head.nonEmpty && !head(0).isNullAt(0),
+      "no non-null embeddings to fit PCA on")
     head(0).getInt(0)
   }
 

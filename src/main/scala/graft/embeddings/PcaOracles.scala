@@ -127,7 +127,10 @@ pcw$c AS MATERIALIZED (
 pcall AS MATERIALIZED (
   $lamUnion),
 pcrank AS MATERIALIZED (
-  SELECT c, row_number() OVER (ORDER BY lam DESC, c) - 1 AS rk, lam
+  -- lam + 0.0 pins a −0.0/+0.0 pair to a TIE (found-order wins),
+  -- matching the driver's ==-then-index comparison; SQL's total
+  -- double order would otherwise rank +0.0 above −0.0
+  SELECT c, row_number() OVER (ORDER BY lam + 0.0 DESC, c) - 1 AS rk, lam
   FROM pcall),
 pcwall AS MATERIALIZED (
   SELECT r.rk, w.W, r.lam
