@@ -86,10 +86,19 @@ object Bench {
     val spread = {
       val byQuery = suites.flatMap(_.perQuery)
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val bsByQuery = median.buildServe.map(t => t._1 -> (t._2, t._3)).toMap
       median.perQuery.sortBy(-_._2).take(15).map { case (k, _) =>
         val ts = byQuery(k)
+        // Trainer queries carry their build/serve split IN the spread
+        // entry (r10 verdict ask #7): the conflated total is build-
+        // dominated (e.g. 24 GD iterations) and must never read as a
+        // serve regression in a round-over-round per-query diff.
+        val bs = bsByQuery.get(k).map { case (b, s) =>
+          ",\"build\":" + f(b) + ",\"serve\":" + f(s)
+        }.getOrElse("")
         "\"" + k + "\":{\"min\":" + f(ts.head) +
-          ",\"med\":" + f(ts(ts.size / 2)) + ",\"max\":" + f(ts.last) + "}"
+          ",\"med\":" + f(ts(ts.size / 2)) + ",\"max\":" + f(ts.last) +
+          bs + "}"
       }.mkString("{", ",", "}")
     }
     val total = median.total

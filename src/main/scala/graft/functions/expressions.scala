@@ -140,7 +140,21 @@ object VectorAdapters extends Serializable {
     val out = new Array[Double](k)
     val c = new Array[Long](d)
     var i = 0
-    while (i < d) { c(i) = math.floor(x(i) * 1e6 + 0.5).toLong - mb(i); i += 1 }
+    while (i < d) {
+      val xi = x(i)
+      // Serve-time twin of Pca.fit's MaxAbsMicro guard: fit validates
+      // only the TRAINING corpus, but this kernel projects arbitrary new
+      // frames, where a non-finite or |x| >= 1000 component would
+      // silently saturate the floor(..).toLong quantization and can
+      // overflow the exact LONG accumulation below — fail loud instead
+      // (the ANSI expression twin would).
+      if (xi.isNaN || xi.isInfinite || math.abs(xi) >= 1000.0)
+        throw new IllegalArgumentException(
+          s"pca_project input component $i is $xi — components must be " +
+            "finite with |x| < 1000 (the fit-time micro-quantization bound)")
+      c(i) = math.floor(xi * 1e6 + 0.5).toLong - mb(i)
+      i += 1
+    }
     var q = 0
     while (q < k) {
       var s = 0L

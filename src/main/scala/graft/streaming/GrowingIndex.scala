@@ -170,8 +170,22 @@ object GrowingIndex {
       keys)
     graft.io.ParquetSink.deleteByKeys(spark, indexDir, "batch_id", keyCol,
       keys)
-    (spark.read.parquet(outDir).count(),
-      spark.read.parquet(indexDir).count())
+    (survivorCount(spark, outDir), survivorCount(spark, indexDir))
+  }
+
+  /** Survivor count after a delete. A delete that dooms every remaining
+    * key leaves the root with no batch_id partition dirs at all, and
+    * `spark.read.parquet` on a partition-less directory throws (unable
+    * to infer schema) AFTER the delete itself succeeded — an emptied
+    * relation is simply 0 rows. */
+  private def survivorCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory || n.endsWith(".parquet")
+    }
+    if (hasData) spark.read.parquet(dir).count() else 0L
   }
 
   private[streaming] def compactOne(spark: SparkSession,

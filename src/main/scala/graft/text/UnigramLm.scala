@@ -296,19 +296,28 @@ object UnigramLm {
       .map(e => e.piece + FieldSep + e.scoreU)
       .mkString(EntrySep.toString)
 
-  private val blobCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  // Bounded memo: an encode plan only ever carries ONE model literal,
+  // so a single most-recent entry suffices — an unbounded map keyed by
+  // the full blob string would retain every model a long-lived executor
+  // JVM ever encoded under (retraining sessions, multi-corpus soaks).
+  @volatile private var blobCache: (String, Map[String, Long]) = ("", Map.empty)
 
-  /** Parse a model blob (memoized per executor JVM — one parse, all
-    * tasks share the map). */
-  def modelFromBlob(b: String): Map[String, Long] =
-    blobCache.computeIfAbsent(b, blobStr => {
-      if (blobStr.isEmpty) Map.empty
-      else blobStr.split(EntrySep).iterator.map { e =>
-        val i = e.indexOf(FieldSep)
-        e.substring(0, i) -> e.substring(i + 1).toLong
-      }.toMap
-    })
+  /** Parse a model blob (single-entry memo per executor JVM — one parse
+    * per model switch, all tasks of a plan share the map). */
+  def modelFromBlob(b: String): Map[String, Long] = {
+    val hit = blobCache
+    if (hit._1 == b) hit._2
+    else {
+      val parsed =
+        if (b.isEmpty) Map.empty[String, Long]
+        else b.split(EntrySep).iterator.map { e =>
+          val i = e.indexOf(FieldSep)
+          e.substring(0, i) -> e.substring(i + 1).toLong
+        }.toMap
+      blobCache = (b, parsed)
+      parsed
+    }
+  }
 
   /** Kernel entry: Viterbi pieces of one word under a blob model. */
   def wordPiecesBlob(word: String, blobStr: String,

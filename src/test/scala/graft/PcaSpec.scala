@@ -243,4 +243,25 @@ class PcaSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("micro"))
   }
+
+  test("serve-time kernel rejects out-of-range and non-finite NEW frames (fit only guards the training corpus)") {
+    val train = realEmbeddings
+    val model = Pca.fit(train, "embedding", "vec_id", k = 2, iters = 8)
+    // |x| >= 1000 saturates the micro quantization; NaN/Inf would ride
+    // through floor(..).toLong silently — both must fail loud at serve
+    val d = model.dim
+    for (bad <- Seq(Array.fill(d)(5000.0f),
+        Array.tabulate(d)(i => if (i == 3) Float.NaN else 1.0f))) {
+      val df = Seq((1L, bad)).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Pca.project(df, "embedding", "vec_id", model).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pca_project")), msgs(e).mkString("; "))
+    }
+    // in-range serves still work untouched
+    assert(Pca.project(Seq((1L, Array.fill(d)(1.0f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", model).collect().length === 1)
+  }
 }

@@ -421,6 +421,12 @@ class StreamsSpec extends SparkSpec {
     StreamingDedup.processBatch(Seq((60L, base)).toDF("doc_id", "text"),
       3L, "text", "doc_id", indexDir, outDir, threshold = 0.7)
     assert(ids(outDir) === Seq(2L, 60L) && ids(indexDir) === Seq(2L, 60L))
+    // delete EVERY remaining key: the rewrite drops all batch_id
+    // partition dirs, and the survivor read-back must report 0 rows
+    // instead of throwing on the now-partition-less roots (r10 ADVICE)
+    val (zOut, zIdx) = GrowingIndex.deleteKeys(spark, outDir, indexDir,
+      "doc_id", Seq(2L, 60L).toDF("doc_id"))
+    assert(zOut === 0L && zIdx === 0L)
   }
 
   test("semdedup compaction: folded replay relies on ADC self-match and holds") {

@@ -164,6 +164,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(served === fresh)
   }
 
+  test("blob memo is bounded: alternating models parse correctly and re-parse on switch-back") {
+    // The executor-side blob memo holds ONE most-recent entry (r10
+    // ADVICE: the unbounded map retained every model a long-lived JVM
+    // ever encoded under). Correctness under model switching is what
+    // matters: A → B → A must segment under the RIGHT model each time.
+    val mA = Map("ab" -> -1000000L, "a" -> -3000000L, "b" -> -3000000L)
+    val mB = Map("a" -> -1000000L, "b" -> -1000000L) // no "ab" piece
+    def blobOf(m: Map[String, Long]): String =
+      UnigramLm.blob(m.toSeq.map { case (p, s) =>
+        UnigramLm.Entry(p, 1L, s) })
+    assert(UnigramLm.wordPiecesBlob("ab", blobOf(mA), 8).toSeq === Seq("ab"))
+    assert(UnigramLm.wordPiecesBlob("ab", blobOf(mB), 8).toSeq === Seq("a", "b"))
+    assert(UnigramLm.wordPiecesBlob("ab", blobOf(mA), 8).toSeq === Seq("ab"))
+    // repeated calls under one model hit the memo (same result)
+    assert(UnigramLm.wordPiecesBlob("ab", blobOf(mA), 8).toSeq === Seq("ab"))
+  }
+
   test("single-code-point coverage pieces survive pruning at floor score") {
     val docs = Seq((1L, "aaa aaa aaa bca")).toDF("doc_id", "text")
     val model = UnigramLm.train(spark, docs, "text",
