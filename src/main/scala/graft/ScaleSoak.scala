@@ -223,6 +223,13 @@ object ScaleSoak {
     // is deliberately not laddered for the same reason as the shifted
     // pair row above
     "dedup_audio_corpus_aligned",
+    // ── round-11 additions ──
+    // multiclass softmax LR training: per iteration one broadcast-model
+    // join, two doc-partitioned windows over the (docs × K) frame, one
+    // doc_id join and two bounded-key gradient aggs — K× the binary
+    // trainer's per-iteration cost, iterations corpus-size-independent,
+    // so the train should ladder linearly like classify_quality_lr
+    "classify_langid_lr",
     // SERVE-ONLY rows (round-7 verdict #7): the artifact is built once
     // per factor OUTSIDE the timed region via SparkEntry.buildServe,
     // and only the read path is laddered — the serving α is measured,
@@ -237,7 +244,11 @@ object ScaleSoak {
     "classify_quality_lr_serve",
     // RRF fusion of the two persisted serve paths: postings-bounded
     // lexical + probe-bounded vector + an O(topK) rank fold
-    "search_hybrid_rrf_serve")
+    "search_hybrid_rrf_serve",
+    // softmax scoring from the persisted (cell, class) weight table:
+    // broadcast-model join + two doc-partitioned windows — the serve
+    // path must ladder like the binary LR serve row
+    "classify_langid_lr_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -245,7 +256,8 @@ object ScaleSoak {
     "ann_ivf_pq_index_serve" -> "ann_ivf_pq_index_topk",
     "bm25_index_serve" -> "bm25_index_search",
     "classify_quality_lr_serve" -> "classify_quality_lr_from_model",
-    "search_hybrid_rrf_serve" -> "search_hybrid_rrf")
+    "search_hybrid_rrf_serve" -> "search_hybrid_rrf",
+    "classify_langid_lr_serve" -> "classify_langid_lr_from_model")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

@@ -463,6 +463,14 @@ object SparkEntry {
       graft.text.LogisticRegression.trainWeights(
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel))
 
+  /** Trained softmax (multiclass) LR weight table over the `lang`
+    * label, shared by the langid-classifier queries — same train-once
+    * discipline as [[lrWeightsDf]]; the model is ≤ buckets·K + K rows. */
+  private def softmaxWeightsDf(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "softmax_weights")(
+      graft.text.LogisticRegression.trainSoftmaxWeights(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang"))
+
   /** Merge demo: existing = cleaned ABR snapshot; incoming = the ABNs
     * ending in 7 with a status change and a null postcode (exercises both
     * whole-row upsert and column-precedence patch). */
@@ -633,6 +641,14 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel, path)
       () => graft.text.LogisticRegression.predictFromModel(
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel, path)
+        .orderBy("doc_id")
+    }),
+    "classify_langid_lr_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("softmaxmodel", dir)
+      graft.text.LogisticRegression.writeSoftmaxModel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang", path)
+      () => graft.text.LogisticRegression.softmaxPredictFromModel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang", path)
         .orderBy("doc_id")
     }),
     "classify_lang_nb_from_model" -> ((s, dir) => {
@@ -1750,6 +1766,30 @@ object SparkEntry {
     // classify_quality_lr (same oracle)
     "classify_quality_lr_from_model" -> ((s, dir) =>
       buildServe("classify_quality_lr_from_model")(s, dir)()),
+    // Multiclass (softmax) logistic regression — the trained language
+    // identifier shape (fastText's headline use): per-class weight rows
+    // keyed (cell, class), dense exact-decimal logits, max-shifted
+    // softmax, same fixed-iteration decimal-exact descent. The oracle
+    // replays every descent step as unrolled CTEs. (The synthetic
+    // corpus's lang column is independent of its text, so demo accuracy
+    // is data-bounded — LogisticRegressionSpec proves the operator
+    // learns a planted confusable-language corpus and beats hashed NB.)
+    "classify_langid_lr" -> ((s, dir) =>
+      graft.text.LogisticRegression.predictWithSoftmaxWeights(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang",
+        softmaxWeightsDf(s, dir))
+        .orderBy("doc_id")),
+    // The softmax descent's end state verified (cell, class) by
+    // (cell, class) — every weight the scorer sums
+    "classify_langid_lr_weights" -> ((s, dir) =>
+      softmaxWeightsDf(s, dir)
+        .select(col("cell"), col("cls"), col("w").cast("double").as("w"))
+        .orderBy("cell", "cls")),
+    // Train-once/serve-many twin: decimal weights round-trip parquet
+    // exactly, so serving from the persisted model is bit-identical to
+    // classify_langid_lr (same oracle)
+    "classify_langid_lr_from_model" -> ((s, dir) =>
+      buildServe("classify_langid_lr_from_model")(s, dir)()),
     // Hybrid retrieval: RRF fusion (k=60) of the persisted BM25 and
     // IVF+PQ-rerank serve paths — integer rank arithmetic, so the
     // fused ranking is exactly oracle-checkable end to end
@@ -2670,6 +2710,9 @@ object SparkEntry {
     "classify_quality_lr" -> TextOracles.classifyQualityLr(),
     "classify_quality_lr_from_model" -> TextOracles.classifyQualityLr(),
     "classify_quality_lr_weights" -> TextOracles.classifyQualityLrWeights(),
+    "classify_langid_lr" -> TextOracles.classifyLangidLr(),
+    "classify_langid_lr_from_model" -> TextOracles.classifyLangidLr(),
+    "classify_langid_lr_weights" -> TextOracles.classifyLangidLrWeights(),
     // serving from the persisted model is bit-identical by construction
     "classify_lang_nb_from_model" -> TextOracles.nbPredict,
     "classify_lang_nb_hashed" -> TextOracles.nbPredictHashed(),

@@ -194,4 +194,192 @@ object LogisticRegression {
       featFrame(docs, textCol, idCol, label, buckets)
         .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
       docs.sparkSession.read.parquet(path))
+
+  // ------------------------------------------------- multiclass softmax
+
+  /** Exploded presence features with a STRING class label (the
+    * multiclass sibling of [[featFrame]]): one row per (doc, distinct
+    * cell) with the raw label and split bucket riding along. */
+  private def featFrameMulti(docs: DataFrame, textCol: String,
+      idCol: String, labelCol: String, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("string").as("y"),
+        Dsir.gramCells(col(textCol), buckets).as("cells"),
+        Sampling.bucket(col(idCol)).as("_bk"))
+      .filter(col("y").isNotNull && size(col("cells")) > 0)
+      .select(col("doc_id"), col("y"), col("_bk"),
+        explode(array_distinct(col("cells"))).as("cell"))
+
+  /** Dense per-(doc, class) logits under a weight table: z_{d,c} =
+    * b_c + Σ_{g∈d} w_{g,c}, everything exact decimal. `feats` is
+    * (doc_id, y, cell); output (doc_id, y, cls, zt DECIMAL(28,6)).
+    * The densification (every training doc gets a row for EVERY class,
+    * even classes none of its cells carry weights for yet) is what
+    * makes the softmax denominator complete. */
+  private def softmaxLogits(feats: DataFrame, weights: DataFrame): DataFrame = {
+    val wc = weights.filter(col("cell") >= 0)
+    val wb = weights.filter(col("cell") === -1)
+      .select(col("cls"), col("w").as("b"))
+    val zs = feats.join(broadcast(wc), Seq("cell"))
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("w").cast(Dec28)).as("zs"))
+    feats.select("doc_id", "y").distinct()
+      .crossJoin(broadcast(wb))
+      .join(zs, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("y"), col("cls"),
+        (col("b").cast(Dec28) + coalesce(col("zs"), lit(0).cast(Dec28)))
+          .cast(Dec28).as("zt"))
+  }
+
+  /** Softmax probabilities from [[softmaxLogits]] output — the engine-
+    * exact discipline: z_max per doc over exact decimals, one exp per
+    * (doc, class) of the exact decimal difference rounded to 6 dp, the
+    * denominator an exact decimal sum, the probability one division
+    * rounded to 6 dp. Output adds `p DECIMAL(18,6)`. */
+  private def softmaxProbs(logits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id")
+    logits
+      .withColumn("e",
+        round(exp((col("zt") - max(col("zt")).over(wDoc)).cast("double")), 6)
+          .cast(Dec))
+      .withColumn("den", sum(col("e").cast(Dec28)).over(wDoc))
+      .withColumn("p",
+        round(col("e").cast("double") / col("den").cast("double"), 6)
+          .cast(Dec))
+      .drop("e", "den")
+  }
+
+  /**
+   * Multiclass (softmax) logistic regression — the trained language /
+   * domain identifier shape (fastText's headline use): K classes from a
+   * label COLUMN, per-class weight rows keyed (cell, cls) with the
+   * intercepts at cell = −1, trained by the same fixed-iteration
+   * full-batch decimal-exact descent as [[trainWeights]]:
+   *
+   *   p_{d,c} = softmax_c(b_c + Σ_{g∈d} w_{g,c})
+   *   w ← w − η/n · Σ_d (p_{d,c} − 1[y_d = c]) · x_d
+   *
+   * Determinism: logits are exact decimal sums; the max-shift is an
+   * exact decimal comparison; exp(z − z_max) is the only transcendental,
+   * rounded to 6 dp; the denominator is an exact decimal sum over the
+   * bounded class set; the probability and the step are each one
+   * double expression rounded to 6 dp — every iteration replays
+   * bit-for-bit as oracle CTEs.
+   *
+   * Scale shape: per iteration one broadcast join against the
+   * ≤ buckets·K + K-row model, two windows over the (train docs × K)
+   * frame partitioned by the 8-byte doc id, one doc_id join and two
+   * hash aggregations — cost linear in corpus grams × K, and the model
+   * is broadcastable at any corpus size (the [[Classifier.nbPredictHashed]]
+   * bound with a discriminative objective).
+   */
+  def trainSoftmaxWeights(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0, trainBuckets: Long = 8000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val spark = docs.sparkSession
+    val feats = Materialized(
+      featFrameMulti(docs, textCol, idCol, labelCol, buckets)
+        .filter(col("_bk") < trainBuckets)
+        .select("doc_id", "y", "cell"))
+    val n = feats.select("doc_id").distinct().count()
+    require(n > 0, "no training documents with at least one gram")
+    // the class alphabet: a BOUNDED collect (K distinct labels),
+    // sorted so the initial model — and every downstream plan — is
+    // deterministic
+    val classes = feats.select("y").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(classes.size >= 2,
+      s"softmax needs at least 2 classes, got ${classes.size}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cls",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DecimalType(18, 6), nullable = true)))
+    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    var w: DataFrame = local(classes.map(c => org.apache.spark.sql.Row(
+      -1L, c, new java.math.BigDecimal("0.000000"))))
+    for (_ <- 1 to iters) {
+      val wc = w.filter(col("cell") >= 0)
+      val wb = w.filter(col("cell") === -1)
+        .select(col("cls"), col("w").as("b"))
+      val errs = softmaxProbs(softmaxLogits(feats, w))
+        .select(col("doc_id"), col("cls"),
+          (col("p") - when(col("y") === col("cls"), 1L).otherwise(0L))
+            .cast(Dec).as("err"))
+      val gc = feats.join(errs, "doc_id")
+        .groupBy("cell", "cls").agg(sum(col("err").cast(Dec28)).as("g"))
+      val gb = errs.groupBy("cls").agg(sum(col("err").cast(Dec28)).as("g"))
+      def delta: Column =
+        round(lit(step) * col("g").cast("double") / lit(n), 6).cast(Dec)
+      val newC = gc.join(broadcast(wc), Seq("cell", "cls"), "left")
+        .select(col("cell"), col("cls"),
+          (coalesce(col("w"), zeroDec) - delta).cast(Dec).as("w"))
+      val newB = gb.join(broadcast(wb), Seq("cls"))
+        .select(lit(-1L).as("cell"), col("cls"),
+          (col("b") - delta).cast(Dec).as("w"))
+      // the LocalRelation round-trip of [[trainWeights]] (bounded at
+      // buckets·K + K rows), sorted by (cell, cls) for determinism
+      val rows = newC.unionByName(newB).collect()
+        .sortBy(r => (r.getLong(0), r.getString(1)))
+      w = local(rows.toSeq)
+    }
+    w
+  }
+
+  /** Score `feats` (held-out docs) against a softmax weight table:
+    * argmax class with ties to the ascending class name. Output:
+    * (doc_id, label_true, label_pred, prob) — prob the 6-dp softmax of
+    * the predicted class. */
+  private def scoreSoftmax(feats: DataFrame, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("doc_id")
+      .orderBy(col("p").desc, col("cls").asc)
+    softmaxProbs(softmaxLogits(feats, weights))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("y").as("label_true"),
+        col("cls").as("label_pred"), col("p").cast("double").as("prob"))
+  }
+
+  /** Train on the `bucket(id) < trainBuckets` slice, predict the rest. */
+  def predictSoftmax(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0, trainBuckets: Long = 8000): DataFrame =
+    predictWithSoftmaxWeights(docs, textCol, idCol, labelCol,
+      trainSoftmaxWeights(docs, textCol, idCol, labelCol, buckets, iters,
+        step, trainBuckets), buckets, trainBuckets)
+
+  /** [[predictSoftmax]] over a PRECOMPUTED weight table. */
+  def predictWithSoftmaxWeights(docs: DataFrame, textCol: String,
+      idCol: String, labelCol: String, weights: DataFrame,
+      buckets: Int = 256, trainBuckets: Long = 8000): DataFrame =
+    scoreSoftmax(
+      featFrameMulti(docs, textCol, idCol, labelCol, buckets)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
+      weights)
+
+  /** Persist the trained softmax weight table — decimals round-trip
+    * parquet exactly, so serving from disk is bit-identical. */
+  def writeSoftmaxModel(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, path: String, buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0, trainBuckets: Long = 8000): Unit =
+    trainSoftmaxWeights(docs, textCol, idCol, labelCol, buckets, iters,
+      step, trainBuckets).write.mode("overwrite").parquet(path)
+
+  /** Score the held-out slice from a model persisted by
+    * [[writeSoftmaxModel]]. Row-identical to [[predictSoftmax]]. */
+  def softmaxPredictFromModel(docs: DataFrame, textCol: String,
+      idCol: String, labelCol: String, path: String, buckets: Int = 256,
+      trainBuckets: Long = 8000): DataFrame =
+    scoreSoftmax(
+      featFrameMulti(docs, textCol, idCol, labelCol, buckets)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
+      docs.sparkSession.read.parquet(path))
 }

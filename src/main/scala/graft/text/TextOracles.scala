@@ -1775,6 +1775,117 @@ FROM qlp ORDER BY doc_id"""
 SELECT cell, CAST(w AS DOUBLE) AS w FROM qlw$iters ORDER BY cell"""
 
   /**
+   * CTE chain replaying `LogisticRegression.trainSoftmaxWeights` over
+   * documents with the `lang` column as the K-class label — the
+   * [[lrChain]] discipline extended to softmax: per-class weight rows
+   * keyed (cell, cls), dense per-(doc, class) exact-decimal logits with
+   * the intercept added in decimal, the max-shifted exp as the only
+   * transcendental (6 dp), an exact-decimal denominator over the
+   * bounded class set, and the 6-dp step subtracted in decimal. Ends in
+   * `mlw{iters}(cell, cls, w)` — the engine's weight table bit-for-bit.
+   */
+  private def softmaxChain(buckets: Int, iters: Int, step: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""mlb AS MATERIALIZED (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS y, ${bucketSql("doc_id")} AS bk, text
+  FROM documents WHERE lang IS NOT NULL),
+mlg AS MATERIALIZED (SELECT doc_id, y, bk,
+    list_concat(toks, CASE WHEN len(toks) >= 2
+      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id, y, bk, $toks AS toks FROM mlb) mlg0),
+mlf AS MATERIALIZED (SELECT DISTINCT doc_id, y, bk,
+    (CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 1000000007) % $buckets AS cell
+  FROM (SELECT doc_id, y, bk, unnest(grams) AS gr FROM mlg) mlf0),
+mltr AS MATERIALIZED (SELECT doc_id, y, cell FROM mlf WHERE bk < 8000),
+mln AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM mltr),
+mld AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM mltr),
+mlw0 AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS cell, cls,
+  CAST(0 AS DECIMAL(18,6)) AS w
+  FROM (SELECT DISTINCT y AS cls FROM mltr) c0)"""
+    for (i <- 1 to iters) {
+      val prev = s"mlw${i - 1}"
+      sb ++= s""",
+mlz$i AS MATERIALIZED (SELECT f.doc_id, w.cls,
+    sum(CAST(w.w AS DECIMAL(28,6))) AS zs
+  FROM mltr f JOIN (SELECT * FROM $prev WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+mlt$i AS MATERIALIZED (SELECT d.doc_id, d.y, b.cls,
+    CAST(CAST(b.w AS DECIMAL(28,6)) + coalesce(z.zs, 0) AS DECIMAL(28,6)) AS zt
+  FROM mld d CROSS JOIN (SELECT cls, w FROM $prev WHERE cell = -1) b
+  LEFT JOIN mlz$i z ON z.doc_id = d.doc_id AND z.cls = b.cls),
+mlp$i AS MATERIALIZED (SELECT doc_id, y, cls,
+    CAST(round(CAST(e AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM (SELECT doc_id, y, cls, e,
+      sum(CAST(e AS DECIMAL(28,6))) OVER (PARTITION BY doc_id) AS den
+    FROM (SELECT doc_id, y, cls,
+        CAST(round(exp(CAST(zt - max(zt) OVER (PARTITION BY doc_id)
+          AS DOUBLE)), 6) AS DECIMAL(18,6)) AS e
+      FROM mlt$i) q1) q2),
+mle$i AS MATERIALIZED (SELECT doc_id, cls,
+    CAST(p - CASE WHEN y = cls THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS err
+  FROM mlp$i),
+mlgc$i AS MATERIALIZED (SELECT f.cell, e.cls,
+    sum(CAST(e.err AS DECIMAL(28,6))) AS g
+  FROM mltr f JOIN mle$i e USING (doc_id) GROUP BY 1, 2),
+mlgb$i AS MATERIALIZED (SELECT cls, sum(CAST(err AS DECIMAL(28,6))) AS g
+  FROM mle$i GROUP BY 1),
+mlw$i AS MATERIALIZED (
+  SELECT g.cell, g.cls,
+    CAST(coalesce(w.w, 0) - CAST(round(CAST($step AS DOUBLE)
+        * CAST(g.g AS DOUBLE) / n.n, 6) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS w
+  FROM mlgc$i g CROSS JOIN mln n
+  LEFT JOIN (SELECT * FROM $prev WHERE cell >= 0) w
+    ON w.cell = g.cell AND w.cls = g.cls
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), g.cls,
+    CAST(b.w - CAST(round(CAST($step AS DOUBLE)
+        * CAST(g.g AS DOUBLE) / n.n, 6) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+  FROM mlgb$i g CROSS JOIN mln n
+  JOIN (SELECT cls, w FROM $prev WHERE cell = -1) b ON b.cls = g.cls)"""
+    }
+    sb.toString
+  }
+
+  /** Mirrors the classify_langid_lr query (and its from-model serve
+    * twin — persistence is a decimal pass-through): the trained softmax
+    * weight table scored over the held-out slice, argmax class with
+    * ties to the ascending class name. */
+  def classifyLangidLr(buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0): String =
+    s"""WITH ${softmaxChain(buckets, iters, step)},
+mlte AS MATERIALIZED (SELECT doc_id, y, cell FROM mlf WHERE bk >= 8000),
+mltd AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM mlte),
+mlzs AS MATERIALIZED (SELECT f.doc_id, w.cls,
+    sum(CAST(w.w AS DECIMAL(28,6))) AS zs
+  FROM mlte f JOIN (SELECT * FROM mlw$iters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+mlts AS MATERIALIZED (SELECT d.doc_id, d.y, b.cls,
+    CAST(CAST(b.w AS DECIMAL(28,6)) + coalesce(z.zs, 0) AS DECIMAL(28,6)) AS zt
+  FROM mltd d CROSS JOIN (SELECT cls, w FROM mlw$iters WHERE cell = -1) b
+  LEFT JOIN mlzs z ON z.doc_id = d.doc_id AND z.cls = b.cls),
+mlps AS MATERIALIZED (SELECT doc_id, y, cls,
+    CAST(round(CAST(e AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM (SELECT doc_id, y, cls, e,
+      sum(CAST(e AS DECIMAL(28,6))) OVER (PARTITION BY doc_id) AS den
+    FROM (SELECT doc_id, y, cls,
+        CAST(round(exp(CAST(zt - max(zt) OVER (PARTITION BY doc_id)
+          AS DOUBLE)), 6) AS DECIMAL(18,6)) AS e
+      FROM mlts) q1) q2)
+SELECT doc_id, y AS label_true, cls AS label_pred, CAST(p AS DOUBLE) AS prob
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY p DESC, cls) AS rn FROM mlps) t
+WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Mirrors the classify_langid_lr_weights query: the softmax
+    * descent's end state verified (cell, class) by (cell, class). */
+  def classifyLangidLrWeights(buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0): String =
+    s"""WITH ${softmaxChain(buckets, iters, step)}
+SELECT cell, cls, CAST(w AS DOUBLE) AS w FROM mlw$iters
+ORDER BY cell, cls"""
+
+  /**
    * Mirrors `CorpusPipeline.qualityStack` (curate_quality_stack): the
    * four gates composed — the full LR descent chain scored over ALL
    * gram-bearing documents (trainBuckets = 0 serving), the corpus-LM

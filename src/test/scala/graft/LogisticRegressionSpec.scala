@@ -86,6 +86,158 @@ class LogisticRegressionSpec extends SparkSpec {
     assert(fresh.toSeq === served.toSeq)
   }
 
+  // ------------------------------------------------- multiclass softmax
+
+  /** ids pre-sorted into the engine's own md5 train/held-out slices so
+    * planted corpora can place documents deliberately. */
+  private def splitIds(n: Int, train: Boolean): Seq[Long] =
+    (0L until 4000L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val bk = java.lang.Long.parseLong(hex, 16) % 10000L
+      if (train) bk < 8000 else bk >= 8000
+    }.take(n)
+
+  test("softmax langid on a planted confusable corpus: learns the markers and beats hashed NB accuracy") {
+    // Three languages share a filler vocabulary; language bb's TRAINING
+    // docs repeat the fillers heavily, so count-based NB learns
+    // P(filler|bb) >> P(filler|aa/cc). Held-out docs repeat fillers
+    // 20× around one marker token — NB's per-occurrence evidence
+    // overwhelms the marker, while softmax-LR's PRESENCE features see
+    // each filler once (and its weight near zero, being present in
+    // every class) so the marker decides.
+    val langs = Seq("aa", "bb", "cc")
+    val markers = Seq("marka", "markb", "markc")
+    val fill = "lorem ipsum dolor"
+    val fillHeavy = (Seq.fill(6)("lorem") ++ Seq.fill(6)("ipsum") ++
+      Seq.fill(6)("dolor")).mkString(" ")
+    val trainDocs = splitIds(120, train = true).zipWithIndex.map {
+      case (id, j) =>
+        val c = j % 3
+        val t = if (c == 1) s"${markers(c)} $fillHeavy"
+                else s"${markers(c)} $fill"
+        (id, t, langs(c))
+    }
+    val heavy = (Seq.fill(20)("lorem") ++ Seq.fill(20)("ipsum")).mkString(" ")
+    val testDocs = splitIds(60, train = false).zipWithIndex.map {
+      case (id, j) =>
+        val c = j % 3
+        (id, s"${markers(c)} $heavy", langs(c))
+    }
+    val docs = (trainDocs ++ testDocs).toDF("doc_id", "text", "lang")
+
+    val lr = LogisticRegression.predictSoftmax(docs, "text", "doc_id",
+      "lang", buckets = 64, iters = 30).collect()
+    val nb = graft.text.Classifier.nbPredictHashed(docs, "text", "doc_id",
+      "lang", buckets = 1024).collect()
+    def acc(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => r.getString(1) == r.getString(2)).toDouble / rows.length
+    assert(lr.nonEmpty && nb.nonEmpty)
+    val (accLr, accNb) = (acc(lr), acc(nb))
+    assert(accLr > 0.95, s"softmax LR should learn the markers, acc $accLr")
+    assert(accNb < 0.67,
+      s"NB should fall for the duplicated filler evidence, acc $accNb")
+    assert(accLr > accNb, s"LR $accLr must beat NB $accNb")
+  }
+
+  test("softmax model bounded at buckets*K + K rows; serve-from-disk bit-identical") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} filler words here",
+        Seq("x", "y", "z")((i % 3).toInt))).toDF("doc_id", "text", "lang")
+    val w = LogisticRegression.trainSoftmaxWeights(docs, "text", "doc_id",
+      "lang", buckets = 16, iters = 4)
+    assert(w.count() <= 16 * 3 + 3)
+    assert(w.filter(col("cell") === -1).count() === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("softmaxmodel").toString + "/m"
+    LogisticRegression.writeSoftmaxModel(docs, "text", "doc_id", "lang",
+      path, buckets = 16, iters = 4)
+    val fresh = LogisticRegression.predictSoftmax(docs, "text", "doc_id",
+      "lang", buckets = 16, iters = 4).orderBy("doc_id").collect()
+    val served = LogisticRegression.softmaxPredictFromModel(docs, "text",
+      "doc_id", "lang", path, buckets = 16).orderBy("doc_id").collect()
+    assert(fresh.toSeq === served.toSeq)
+  }
+
+  test("softmax descent equals an independent driver-side reference implementation") {
+    // Plain-Scala replica written against the MATH (maps and loops):
+    // dense per-(doc, class) logits, max-shifted 6-dp exp, exact
+    // decimal denominator, 6-dp probability and step — independent of
+    // the Column plan.
+    val langs = Seq("p", "q", "r")
+    val texts = Seq("red fox jumps", "blue crab swims", "green owl glides")
+    val docs = (0L until 60L).map(i =>
+      (i, texts((i % 3).toInt), langs((i % 3).toInt)))
+      .toDF("doc_id", "text", "lang")
+    val buckets = 16
+    val iters = 5
+    val step = 3.0
+
+    def strHash(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000007L
+    }
+    def cells(text: String): Set[Long] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = toks ++ toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      grams.map(g => strHash(g) % buckets).toSet
+    }
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10000L
+    }
+    def r6(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+
+    val train = (0L until 60L).filter(bucketOf(_) < 8000)
+      .map(i => (cells(texts((i % 3).toInt)), langs((i % 3).toInt)))
+    val n = train.length
+    val classes = langs.sorted
+    var wRef = Map.empty[(Long, String), BigDecimal] // cell >= 0
+    var bRef = classes.map(_ -> BigDecimal(0)).toMap
+    for (_ <- 1 to iters) {
+      val errs = train.map { case (cs, y) =>
+        val z = classes.map(c => c ->
+          (cs.toSeq.map(g => wRef.getOrElse((g, c), BigDecimal(0))).sum
+            + bRef(c))).toMap
+        val zmax = z.values.max
+        val e = classes.map(c => c -> r6(math.exp((z(c) - zmax).toDouble))).toMap
+        val den = e.values.sum
+        val p = classes.map(c =>
+          c -> r6(e(c).toDouble / den.toDouble)).toMap
+        (cs, classes.map(c => c -> (p(c) - (if (c == y) 1 else 0))).toMap)
+      }
+      val gradC = errs.flatMap { case (cs, em) =>
+        for (g <- cs.toSeq; c <- classes) yield ((g, c), em(c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val gradB = classes.map(c => c -> errs.map(_._2(c)).sum).toMap
+      wRef = gradC.map { case (k, g) =>
+        k -> (wRef.getOrElse(k, BigDecimal(0)) - r6(step * g.toDouble / n))
+      }
+      bRef = classes.map(c =>
+        c -> (bRef(c) - r6(step * gradB(c).toDouble / n))).toMap
+    }
+
+    val engine = LogisticRegression.trainSoftmaxWeights(docs, "text",
+      "doc_id", "lang", buckets = buckets, iters = iters, step = step)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    classes.foreach(c => assert(engine((-1L, c)) === bRef(c), s"intercept $c"))
+    val engineCells = engine.filter(_._1._1 >= 0)
+    assert(engineCells.keySet === wRef.keySet)
+    engineCells.foreach { case (k, v) =>
+      assert(v === wRef(k), s"$k: engine $v vs reference ${wRef(k)}")
+    }
+  }
+
   test("descent equals an independent driver-side reference implementation") {
     // Plain-Scala replica of the trainer: same hashed cells, same
     // decimal/rounding discipline, written against the MATH (maps and
