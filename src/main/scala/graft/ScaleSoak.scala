@@ -248,7 +248,13 @@ object ScaleSoak {
     // softmax scoring from the persisted (cell, class) weight table:
     // broadcast-model join + two doc-partitioned windows — the serve
     // path must ladder like the binary LR serve row
-    "classify_langid_lr_serve")
+    "classify_langid_lr_serve",
+    // batched BM25 serving: the DPP-pruned postings join — must scale
+    // with the batch's postings, not the corpus
+    "bm25_multi_serve",
+    // multi-query hybrid fusion: per-query_id windows over the two
+    // batched serve paths
+    "search_hybrid_rrf_multi_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -257,7 +263,9 @@ object ScaleSoak {
     "bm25_index_serve" -> "bm25_index_search",
     "classify_quality_lr_serve" -> "classify_quality_lr_from_model",
     "search_hybrid_rrf_serve" -> "search_hybrid_rrf",
-    "classify_langid_lr_serve" -> "classify_langid_lr_from_model")
+    "classify_langid_lr_serve" -> "classify_langid_lr_from_model",
+    "bm25_multi_serve" -> "bm25_multi_query",
+    "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

@@ -447,6 +447,15 @@ object SparkEntry {
       graft.text.Classifier.nbPredict(Demo.table(s, dir, "documents"),
         "text", "doc_id", "lang"))
 
+  /** The batched-retrieval demo query relation: ids align with the ANN
+    * demo's query vector ids (the hybrid demo fuses queries 0-1); terms
+    * are drawn from the synthetic corpus vocabulary. */
+  private val multiQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark window merge", 1L -> "vector stream join",
+    2L -> "filter scan batch")
+  private def multiQueryTerms(n: Int): Seq[(Long, Seq[String])] =
+    multiQueries.take(n).map { case (id, q) => (id, q.split(" ").toSeq) }
+
   /** Weak label for the supervised quality classifier demo: the
     * document mentions the seed word — the seed-term supervision a
     * topical/quality filter is bootstrapped from when no human labels
@@ -633,6 +642,49 @@ object SparkEntry {
           .select(col("neighbor_id").as("doc_id"), col("rank"))
         graft.text.Relevance.rrfFuse(lex, vec, k = 60, topK = 20)
           .orderBy("rank")
+      }
+    }),
+    // Batched BM25 serving: a RELATION of queries scored in one plan
+    // against the persisted bucket-partitioned index — DPP prunes the
+    // postings scan to the batch's bucket directories
+    "bm25_multi_query" -> ((s, dir) => {
+      val path = tmpIndexDir("bm25multi", dir)
+      graft.text.Relevance.writeBm25Index(
+        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+      () => {
+        import s.implicits._
+        graft.text.Relevance.bm25MultiFromIndex(s, path,
+          multiQueries.toDF("query_id", "query"))
+          .orderBy("query_id", "doc_id")
+      }
+    }),
+    // Batched hybrid retrieval: multi-query BM25 + multi-vector IVF+PQ
+    // rerank fused per query_id — every ranking window partitioned by
+    // query, the production serving shape
+    "search_hybrid_rrf_multi" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+        nlist = 8)
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      val annPath = tmpIndexDir("hymultiann", dir)
+      ProductQuantization.writeIvfPqIndex(emb, "embedding", "vec_id", 8,
+        annPath, cb, m = 8, ksub = 16, Some(cents))
+      val bm25Path = tmpIndexDir("hymultibm25", dir)
+      graft.text.Relevance.writeBm25Index(
+        Demo.table(s, dir, "documents"), "text", "doc_id", bm25Path)
+      () => {
+        import s.implicits._
+        val lex = graft.text.Relevance.bm25MultiFromIndex(s, bm25Path,
+          multiQueries.take(2).toDF("query_id", "query"))
+        val vec = ProductQuantization.ivfPqRerankTopKFromIndex(
+          emb.filter(col("vec_id") < 2L), annPath, emb, "embedding",
+          "vec_id", k = 20, nprobe = 2, cb, ksub = 16, cents,
+          rerankK = 50)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        graft.text.Relevance.rrfFuseMulti(lex, vec, k = 60, topK = 20)
+          .orderBy("query_id", "rank")
       }
     }),
     "classify_quality_lr_from_model" -> ((s, dir) => {
@@ -1795,6 +1847,15 @@ object SparkEntry {
     // fused ranking is exactly oracle-checkable end to end
     "search_hybrid_rrf" -> ((s, dir) =>
       buildServe("search_hybrid_rrf")(s, dir)()),
+    // Batched retrieval serving: a query RELATION scored in one plan
+    // from the persisted BM25 index (DPP-pruned postings scan); each
+    // query's rows bit-identical to the single-query call
+    "bm25_multi_query" -> ((s, dir) =>
+      buildServe("bm25_multi_query")(s, dir)()),
+    // Multi-query hybrid fusion: both batched serve paths fused with
+    // per-query_id ranking windows (the production serving shape)
+    "search_hybrid_rrf_multi" -> ((s, dir) =>
+      buildServe("search_hybrid_rrf_multi")(s, dir)()),
     // Training-data ops: nearest-centroid (Rocchio) classifier over the
     // embedding column — per-class exact integer-sum mean vectors,
     // broadcast cosine argmax on the held-out slice. (The synthetic
@@ -2790,6 +2851,9 @@ object SparkEntry {
     "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
+    "bm25_multi_query" -> TextOracles.bm25MultiSearch(multiQueryTerms(3)),
+    "search_hybrid_rrf_multi" ->
+      graft.text.KmeansOracles.searchHybridRrfMulti(multiQueryTerms(2)),
     "profile_documents_exact" -> TextOracles.profileExact,
     "q1_agg" -> OracleSql.q1Agg)
 }

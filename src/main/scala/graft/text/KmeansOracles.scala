@@ -282,13 +282,14 @@ WHERE rank <= $k ORDER BY query_id, rank"""
     * (k=60) of the BM25 ranking (score desc, doc_id ties) and the
     * IVF+PQ exact-rerank ranking for query vector 0 — both chains
     * replayed in full, then the integer-rank fold. */
-  def searchHybridRrf(rrfK: Int = 60, topK: Int = 20): String = s"""WITH
+  def searchHybridRrf(rrfK: Int = 60, topK: Int = 20,
+      rankCutoff: Int = 1000): String = s"""WITH
 hlex AS MATERIALIZED (SELECT * FROM (${TextOracles.bm25Search}) hlq),
 hvec AS MATERIALIZED (SELECT * FROM (
   ${annProductionTopK(50, 20, "n.vec_id = 0")}) hvq),
-hlr AS (SELECT doc_id,
+hlr AS (SELECT doc_id, lex_rank FROM (SELECT doc_id,
     row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
-  FROM hlex),
+  FROM hlex) hlr0 WHERE lex_rank <= $rankCutoff),
 hvr AS (SELECT neighbor_id AS doc_id, rank AS vec_rank FROM hvec),
 hj AS (SELECT doc_id, lex_rank, vec_rank
        FROM hlr FULL OUTER JOIN hvr USING (doc_id)),
@@ -301,4 +302,34 @@ SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
 FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
       FROM hf) hr
 WHERE rank <= $topK ORDER BY rank"""
+
+  /** Mirrors the search_hybrid_rrf_multi query: the BATCHED fusion —
+    * both serve chains replayed for the whole query relation, every
+    * ranking window partitioned by query_id, per-query lexical cutoff,
+    * then the integer-rank fold per (query, doc). */
+  def searchHybridRrfMulti(queries: Seq[(Long, Seq[String])],
+      rrfK: Int = 60, topK: Int = 20, rankCutoff: Int = 1000): String = {
+    val nq = queries.map(_._1).max + 1
+    s"""WITH
+mlex AS MATERIALIZED (SELECT * FROM (
+  ${graft.text.TextOracles.bm25MultiSearch(queries)}) mlq),
+mvec AS MATERIALIZED (SELECT * FROM (
+  ${annProductionTopK(50, 20, s"n.vec_id < $nq")}) mvq),
+mlr AS (SELECT query_id, doc_id, lex_rank FROM (SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS lex_rank
+  FROM mlex) mlr0 WHERE lex_rank <= $rankCutoff),
+mvr AS (SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank FROM mvec),
+mj AS (SELECT query_id, doc_id, lex_rank, vec_rank
+       FROM mlr FULL OUTER JOIN mvr USING (query_id, doc_id)),
+mf AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+    round(coalesce(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), 0)
+        + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), 0), 6) AS rrf
+  FROM mj)
+SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+  CAST(vec_rank AS BIGINT) AS vec_rank, rrf, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, doc_id) AS rank FROM mf) mr
+WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
 }

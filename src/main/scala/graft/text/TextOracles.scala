@@ -256,6 +256,36 @@ c AS (SELECT doc_id,
 SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
 FROM c GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors Relevance.bm25MultiFromIndex over a literal query
+    * relation: per-(query, doc) BM25 with the index's corpus-wide df
+    * (for a term, the docs carrying it are the same set under every
+    * query, so count(DISTINCT doc_id) per term IS the index df). */
+  def bm25MultiSearch(queries: Seq[(Long, Seq[String])]): String = {
+    val vals = queries.map { case (id, ts) =>
+      s"($id, ${ts.map(t => s"'$t'").mkString("[", ",", "]")})"
+    }.mkString(", ")
+    raw"""WITH qrel(query_id, qterms) AS (VALUES $vals),
+qt AS (SELECT query_id, unnest(qterms) AS term FROM qrel),
+t AS (SELECT doc_id, $toks AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+q AS (SELECT qt.query_id, tok.doc_id, tok.dl, tok.term
+      FROM tok JOIN qt USING (term)),
+tf AS (SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
+       FROM q GROUP BY 1, 2, 3),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+            CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+c AS (SELECT query_id, doc_id,
+        CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          (tf * (1.2 + 1)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6)
+          AS DECIMAL(28,6)) AS c
+      FROM tf JOIN df USING (term) CROSS JOIN stats)
+SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
+FROM c GROUP BY query_id, doc_id ORDER BY query_id, doc_id"""
+  }
+
   /** Shared CTE chain mirroring LanguageModel.scoreDocs(alpha=0.5),
     * ending in a relation `sc(doc_id, n_bigrams, lm_score)` — the prefix
     * of both the raw-score and perplexity-bucket oracles. */

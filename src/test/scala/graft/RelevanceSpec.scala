@@ -435,4 +435,72 @@ class RelevanceSpec extends SparkSpec {
     // all 5 distinct docs survive the full-outer fuse
     assert(out.length === 5)
   }
+
+  test("rrfFuse: lexical cutoff is a distributed top-k (TakeOrderedAndProject), and drops beyond-cutoff lexical evidence") {
+    val s = spark
+    import s.implicits._
+    val lexical = (1L to 50L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
+    val vector = Seq((40L, 1L), (7L, 2L)).toDF("doc_id", "rank")
+    val fused = Relevance.rrfFuse(lexical, vector, k = 60, topK = 10,
+      rankCutoff = 5)
+    // the cut must be the distributed orderBy+limit shape, not a global
+    // single-task rank window over the full lexical list
+    assert(fused.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "lexical cut must be top-k")
+    val out = fused.collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    // doc 40 is lexical rank 40 > cutoff 5: its lexical evidence is
+    // gone (null), only the vector side contributes
+    assert(byDoc(40L)._1.isEmpty && byDoc(40L)._2.contains(1L))
+    // docs inside the cutoff keep their exact global ranks
+    assert(byDoc(1L)._1.contains(1L) && byDoc(5L)._1.contains(5L))
+    assert(!byDoc.contains(6L), "rank 6 is beyond the cutoff and unranked by vector")
+  }
+
+  test("multi-query serving: per-query results identical to N single-query calls; postings scan prunes dynamically") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25multi").toString + "/idx"
+    Relevance.writeBm25Index(docs, "text", "doc_id", path)
+    val queries = Seq((0L, "spark window merge"), (1L, "vector stream join"),
+      (2L, "filter scan batch"))
+    val multi = Relevance.bm25MultiFromIndex(s, path,
+      queries.toDF("query_id", "query"))
+    // per-query slices must be bit-identical to the single-query call
+    val multiRows = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Relevance.bm25FromIndex(s, path, q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val slice = multiRows.collect { case ((id, d), sc) if id == qid => d -> sc }
+      assert(slice.toMap === single, s"query $qid diverges from single-query serve")
+    }
+    // the postings scan must carry a dynamic partition filter on the
+    // bucket directory column (the broadcast query side prunes it)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      (plan.contains("PartitionFilters") && plan.contains("bucket")),
+      s"postings scan not bucket-pruned:\n${plan.take(2000)}")
+
+    // multi-fusion: per-query output equals rrfFuse on that query's lists
+    val vec = Seq((0L, 10L, 1L), (0L, 20L, 2L), (1L, 30L, 1L), (2L, 40L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val fusedMulti = Relevance.rrfFuseMulti(multi, vec, k = 60, topK = 10)
+      .collect()
+    queries.foreach { case (qid, q) =>
+      val single = Relevance.rrfFuse(
+        Relevance.bm25FromIndex(s, path, q),
+        vec.filter(col("query_id") === qid).select("doc_id", "rank"),
+        k = 60, topK = 10)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getDouble(3), r.getLong(4))).toSet
+      val slice = fusedMulti.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getDouble(4), r.getLong(5))).toSet
+      assert(slice === single, s"fusion for query $qid diverges")
+    }
+  }
 }
