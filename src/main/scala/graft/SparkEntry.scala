@@ -2579,6 +2579,17 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
         lrWeightsDf(s, dir))
         .orderBy("doc_id")),
+    // The ablation MART over the stack's reason columns: per
+    // (lang, source), each gate's pass count and the kept fraction —
+    // the FineWeb-style curation-review surface (one conditional
+    // aggregation over the stack, mart-sized output)
+    "curate_quality_report" -> ((s, dir) =>
+      graft.corpus.CorpusPipeline.qualityReport(
+        graft.corpus.CorpusPipeline.qualityStack(
+          Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
+          lrWeightsDf(s, dir)),
+        Demo.table(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")),
     // Training-data ops: per-domain frequency cap (RefinedWeb) — at
     // most 2 docs per domain by md5-rank total order; the demo corpus
     // has ~5 docs per domain so the cap genuinely bites
@@ -2807,6 +2818,7 @@ object SparkEntry {
     "curate_domain_filter" -> OracleSql.curateDomainFilter,
     "corpus_pipeline_curated" -> DedupOracles.corpusPipelineCurated,
     "curate_quality_stack" -> TextOracles.qualityStack(),
+    "curate_quality_report" -> TextOracles.qualityReportMart(),
     "sample_domain_cap" -> OracleSql.sampleDomainCap,
     "embedding_projection" -> TextOracles.randomProjection(),
     "zscore_acctbal" -> OracleSql.zscoreAcctbal,

@@ -240,4 +240,37 @@ object CorpusPipeline {
           coalesce(col("ppl_bucket").isin("head", "middle"), lit(false)))
           .as("keep"))
   }
+
+  /**
+   * The FineWeb-style ABLATION MART over [[qualityStack]]'s reason
+   * columns: per dimension group (language, source/domain — any
+   * caller-chosen document columns), how many documents each gate
+   * passes and what fraction survives the conjunction — the report a
+   * curation team actually reads when tuning gates. A null gate value
+   * (document invisible to a model) counts as a fail, matching the
+   * stack's keep semantics. One join on the 8-byte doc id + one
+   * conditional aggregation — group count is bounded by the dimension
+   * cardinality, so the output is a mart-sized relation at any corpus
+   * size.
+   */
+  def qualityReport(stack: DataFrame, docs: DataFrame, idCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "report needs at least one dimension column")
+    val d = docs.select(col(idCol).as("doc_id") +: dims.map(col): _*)
+    stack.join(d, "doc_id")
+      .groupBy(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_pass") === true, 1L).otherwise(0L))
+          .as("gopher_pass_n"),
+        sum(when(col("c4_pass") === true, 1L).otherwise(0L))
+          .as("c4_pass_n"),
+        sum(when(col("lr_prob") >= 0.5, 1L).otherwise(0L))
+          .as("lr_pass_n"),
+        sum(when(col("ppl_bucket").isin("head", "middle"), 1L)
+          .otherwise(0L)).as("ppl_pass_n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_n"))
+      .withColumn("kept_frac",
+        round(col("kept_n").cast("double") / col("n_docs"), 4))
+  }
 }

@@ -1983,4 +1983,27 @@ LEFT JOIN qsc4 c USING (doc_id)
 LEFT JOIN qsl l USING (doc_id)
 LEFT JOIN qsp p USING (doc_id)
 ORDER BY d.doc_id"""
+
+  /** Mirrors `CorpusPipeline.qualityReport` over the stack (the
+    * curate_quality_report query): per-(lang, source) gate pass counts
+    * and kept fraction — the full [[qualityStack]] chain as a subquery,
+    * then one conditional aggregation. */
+  def qualityReportMart(buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, minLineWords: Int = 3,
+      minSentences: Int = 1): String = s"""WITH qsr AS MATERIALIZED (
+SELECT * FROM (${qualityStack(buckets, iters, step, minLineWords,
+      minSentences)}) qsr0)
+SELECT d.lang, d.source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN r.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS gopher_pass_n,
+  CAST(sum(CASE WHEN r.c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS c4_pass_n,
+  CAST(sum(CASE WHEN r.lr_prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS lr_pass_n,
+  CAST(sum(CASE WHEN r.ppl_bucket IN ('head', 'middle') THEN 1 ELSE 0 END)
+    AS BIGINT) AS ppl_pass_n,
+  CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_n,
+  round(CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 4) AS kept_frac
+FROM qsr r JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
 }

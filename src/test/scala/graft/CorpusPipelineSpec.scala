@@ -108,4 +108,46 @@ class CorpusPipelineSpec extends SparkSpec {
       empty.isNullAt(empty.fieldIndex("lr_prob")) &&
       empty.getAs[String]("ppl_bucket") === "none", s"$empty")
   }
+
+  test("quality report: per-group gate counts equal hand-tallied stack rows; null gates count as fails") {
+    val s = spark
+    import s.implicits._
+    val good = (("the spark engine and that data " * 10).trim + " done.")
+    val docs = (Seq.tabulate(6)(i => (i.toLong, good)) ++ Seq(
+      (100L, "too few words."), (101L, ""))).map { case (id, t) =>
+      (id, t, if (id % 2 == 0) "en" else "de", s"src${id % 3}")
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val label = array_contains(
+      graft.dedup.TextDedup.tokens(col("text")), "spark")
+    val w = graft.text.LogisticRegression.trainWeights(
+      df, "text", "doc_id", label)
+    val stack = CorpusPipeline.qualityStack(df, "text", "doc_id", label, w)
+    val stackRows = stack.collect().map(r => r.getLong(0) -> r).toMap
+    val report = CorpusPipeline.qualityReport(stack, df, "doc_id",
+      Seq("lang", "source")).collect()
+    // hand-tally each group from the stack rows (plain Scala, not SQL)
+    val byGroup = docs.groupBy(d => (d._3, d._4))
+    assert(report.length === byGroup.size)
+    report.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val members = byGroup(key).map(d => stackRows(d._1))
+      assert(r.getLong(2) === members.size, s"n_docs for $key")
+      def tally(f: org.apache.spark.sql.Row => Boolean): Long =
+        members.count(f).toLong
+      assert(r.getLong(3) === tally(m =>
+        Option(m.getAs[java.lang.Boolean]("gopher_pass")).exists(_.booleanValue)),
+        s"gopher for $key")
+      assert(r.getLong(5) === tally(m =>
+        !m.isNullAt(m.fieldIndex("lr_prob")) &&
+          m.getAs[Double]("lr_prob") >= 0.5), s"lr for $key")
+      assert(r.getLong(7) === tally(_.getAs[Boolean]("keep")), s"kept for $key")
+      assert(r.getDouble(8) ===
+        math.round(r.getLong(7).toDouble / r.getLong(2) * 10000) / 10000.0,
+        s"kept_frac for $key")
+    }
+    // the empty doc 101 (null gates) sits in group (de, src2) and fails
+    val g = report.find(r => r.getString(0) == "de" && r.getString(1) == "src2").get
+    assert(g.getLong(7) < g.getLong(2), "null-gate doc must not count as kept")
+  }
 }
