@@ -254,7 +254,10 @@ object ScaleSoak {
     "bm25_multi_serve",
     // multi-query hybrid fusion: per-query_id windows over the two
     // batched serve paths
-    "search_hybrid_rrf_multi_serve")
+    "search_hybrid_rrf_multi_serve",
+    // WARC-story extraction kernel: one codegen'd block-classification
+    // pass per row, zero shuffle — digest action (pure projection)
+    "extract_html_text")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -277,7 +280,7 @@ object ScaleSoak {
     * full-range 64-bit hashes overflows under ANSI mode, xor cannot. */
   private val DigestQueries = Set(
     "c4_line_filter", "normalize_documents", "gopher_repetition",
-    "tokenize_unigram", "embed_pca_project")
+    "tokenize_unigram", "embed_pca_project", "extract_html_text")
 
   private def digestAction(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))

@@ -1847,6 +1847,25 @@ object SparkEntry {
     // fused ranking is exactly oracle-checkable end to end
     "search_hybrid_rrf" -> ((s, dir) =>
       buildServe("search_hybrid_rrf")(s, dir)()),
+    // WARC→HTML main-content extraction: each document's text wrapped
+    // in a realistic page (nav, cookie banner, footer — the planted
+    // boilerplate) and run through the jusText-style block classifier;
+    // the GOLDEN oracle reconstructs the expected main text from the
+    // known page structure (independent of the kernel — it asserts the
+    // semantic outcome, not a replay)
+    "extract_html_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Page</title><style>p{color:red}</style>" +
+          "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About" +
+          "</a> <a href=\"/c\">Contact</a></nav><div><a href=\"/ok\">" +
+          "Accept cookies</a> <a href=\"/no\">Decline</a></div><p>"),
+        col("text"),
+        lit("</p><footer>Copyright 2020 Example Corp <a href=\"/l\">" +
+          "Legal</a></footer></body></html>"))
+      Demo.table(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.html_main_text(html).as("main_text"))
+        .orderBy("doc_id")
+    }),
     // Batched retrieval serving: a query RELATION scored in one plan
     // from the persisted BM25 index (DPP-pruned postings scan); each
     // query's rows bit-identical to the single-query call
@@ -2864,6 +2883,7 @@ object SparkEntry {
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
     "bm25_multi_query" -> TextOracles.bm25MultiSearch(multiQueryTerms(3)),
+    "extract_html_text" -> TextOracles.extractHtmlText(),
     "search_hybrid_rrf_multi" ->
       graft.text.KmeansOracles.searchHybridRrfMulti(multiQueryTerms(2)),
     "profile_documents_exact" -> TextOracles.profileExact,

@@ -533,6 +533,13 @@ object VectorAdapters extends Serializable {
     * incrementally over streams/chunks — the complement of the
     * token-set fingerprint in TextAnalysis (which is order-insensitive;
     * this one is order-sensitive). */
+  /** HTML main-content kernel ([[graft.text.HtmlExtract.mainContent]]):
+    * single-pass block segmentation + jusText-style classification. */
+  def htmlMainText(html: UTF8String, minWords: Int, maxLinkDensity: Double,
+      minStopRatio: Double): UTF8String =
+    UTF8String.fromString(graft.text.HtmlExtract.mainContent(
+      html.toString, minWords, maxLinkDensity, minStopRatio))
+
   def rollingHash(text: UTF8String): Long = {
     if (text == null) return 0L
     val bytes = text.getBytes
@@ -735,6 +742,19 @@ object GraftFunctions {
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(w)),
         expr(org.apache.spark.sql.functions.lit(stride))),
       inputTypes = Seq(StringType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Codegen'd HTML main-content extraction: block segmentation +
+    * link-density / word-count / stopword-density / bad-container
+    * classification, surviving blocks newline-joined
+    * ([[graft.text.HtmlExtract]]). */
+  def html_main_text(html: Column, minWords: Int = 3,
+      maxLinkDensity: Double = 0.33, minStopRatio: Double = 0.0): Column =
+    col(StaticInvoke(VectorAdapters.getClass, StringType, "htmlMainText",
+      Seq(expr(html), expr(org.apache.spark.sql.functions.lit(minWords)),
+        expr(org.apache.spark.sql.functions.lit(maxLinkDensity)),
+        expr(org.apache.spark.sql.functions.lit(minStopRatio))),
+      inputTypes = Seq(StringType, IntegerType, DoubleType, DoubleType),
       propagateNull = true, returnNullable = false))
 
   /** Codegen'd Rabin-Karp rolling-hash fingerprint of a text column. */

@@ -14,6 +14,9 @@ import scala.collection.mutable.ArrayBuffer
   * src/ingest/parse_commoncrawl.py:79-122). */
 case class WetRecord(source_file: String, url: String, content: String)
 
+case class WarcRecord(source_file: String, url: String, http_status: String,
+  content_type: String, html: String)
+
 /** One raw ABR register row as extracted from the XML bulk extract
   * (reference: src/ingest/parse_abr.py:16-28). All string-typed; cleaning
   * and typing happen downstream in graft.etl.Clean. */
@@ -132,6 +135,101 @@ object Sources {
       case _: EOFException => flush()
     }
     out.iterator
+  }
+
+  /**
+   * Streaming WARC `response`-record splitter — the RAW-crawl sibling
+   * of [[parseWetStream]] (same line-based state machine, same
+   * truncation tolerance): WARC header block up to a blank line, then
+   * the HTTP status line + headers up to a blank line, then the HTML
+   * payload until the next `WARC/` marker. Captures the HTTP status
+   * code and Content-Type so callers can gate on `200` / `text/html`
+   * BEFORE paying for extraction. Non-`response` records (request,
+   * metadata, warcinfo) are skipped.
+   */
+  private[graft] def parseWarcStream(file: String,
+      raw: InputStream): Iterator[WarcRecord] = {
+    val reader = new BufferedReader(new InputStreamReader(
+      new TruncationTolerant(new GZIPInputStream(raw)),
+      StandardCharsets.UTF_8), 1 << 16)
+    val out = ArrayBuffer.empty[WarcRecord]
+    var recType: String = null
+    var uri: String = null
+    var status: String = null
+    var contentType: String = null
+    // 0 = in WARC headers, 1 = awaiting HTTP status line, 2 = in HTTP
+    // headers, 3 = in payload, -1 = outside any record
+    var state = -1
+    var body: StringBuilder = null
+
+    def flush(): Unit = {
+      if (recType == "response" && uri != null && body != null &&
+          body.nonEmpty)
+        out += WarcRecord(file, uri,
+          if (status == null) "" else status,
+          if (contentType == null) "" else contentType,
+          body.toString)
+      recType = null; uri = null; status = null; contentType = null
+      body = null
+    }
+
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("WARC/")) {
+          flush()
+          state = 0
+          body = new StringBuilder
+        } else state match {
+          case 0 =>
+            if (line.isEmpty) state = 1
+            else if (line.startsWith("WARC-Type:"))
+              recType = line.substring("WARC-Type:".length).trim
+            else if (line.startsWith("WARC-Target-URI:"))
+              uri = line.substring("WARC-Target-URI:".length).trim
+          case 1 =>
+            // the HTTP status line ("HTTP/1.1 200 OK"); a record whose
+            // body is NOT an HTTP message (e.g. warcinfo) drops
+            // straight to payload accumulation
+            if (line.startsWith("HTTP/")) {
+              val parts = line.split(" ", 3)
+              if (parts.length >= 2) status = parts(1)
+              state = 2
+            } else if (line.nonEmpty) {
+              state = 3
+              if (body != null) body.append(line)
+            }
+          case 2 =>
+            if (line.isEmpty) state = 3
+            else if (line.toLowerCase.startsWith("content-type:"))
+              contentType = line.substring("content-type:".length).trim
+          case 3 if body != null =>
+            if (body.nonEmpty) body.append('\n')
+            body.append(line)
+          case _ => ()
+        }
+        line = reader.readLine()
+      }
+      flush()
+    } catch {
+      case _: EOFException => flush() // truncated gzip: keep the prefix
+    }
+    out.iterator
+  }
+
+  /** Parse WARC response archives into (source_file, url, http_status,
+    * content_type, html) rows — the raw-HTML ingest ahead of
+    * [[graft.text.HtmlExtract]]. */
+  def warcRecords(spark: SparkSession, path: String,
+      minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    import spark.implicits._
+    binaryFiles(spark, path, mp).flatMap { case (file, pds) =>
+      val in = pds.open()
+      try parseWarcStream(file, in)
+      finally in.close()
+    }.toDF()
   }
 
   /**

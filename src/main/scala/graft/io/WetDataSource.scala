@@ -126,6 +126,32 @@ object WetDataSource {
     StructField("content", StringType)))
 }
 
+/** `spark.read.format("warc").load(path)` — raw WARC response archives
+  * via [[Sources.parseWarcStream]] (truncation-tolerant gzip): one row
+  * per HTTP response with its status and Content-Type, the HTML payload
+  * ready for [[graft.text.HtmlExtract]] main-content extraction. */
+class WarcDataSource extends StreamFileSource {
+  override def shortName(): String = "warc"
+  override def sourceSchema: StructType = WarcDataSource.Schema
+  override def read(file: String, in: InputStream,
+      columns: Array[String]): Iterator[InternalRow] =
+    Sources.parseWarcStream(file, in).map { r =>
+      InternalRow.fromSeq(columns.toSeq.map {
+        case "source_file" => UTF8String.fromString(r.source_file)
+        case "url" => UTF8String.fromString(r.url)
+        case "http_status" => UTF8String.fromString(r.http_status)
+        case "content_type" => UTF8String.fromString(r.content_type)
+        case "html" => UTF8String.fromString(r.html)
+      })
+    }
+}
+
+object WarcDataSource {
+  val Schema: StructType = StructType(
+    Seq("source_file", "url", "http_status", "content_type", "html")
+      .map(StructField(_, StringType)))
+}
+
 /** `spark.read.format("abr-xml").load(path)` — ABR bulk-extract XML via
   * the streaming StAX parser [[Sources.parseAbrStream]]. */
 class AbrXmlDataSource extends StreamFileSource {

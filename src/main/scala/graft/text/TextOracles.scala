@@ -286,6 +286,21 @@ SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
 FROM c GROUP BY query_id, doc_id ORDER BY query_id, doc_id"""
   }
 
+  /** GOLDEN oracle for extract_html_text: the demo page wraps each
+    * document's text in one `<p>` block surrounded by planted
+    * boilerplate (nav, link-dense cookie banner, footer, short title),
+    * so the expected main content is exactly the whitespace-normalized
+    * text when it carries >= minWords words, else empty — reconstructed
+    * from the KNOWN structure, independent of the extraction kernel. */
+  def extractHtmlText(minWords: Int = 3): String =
+    raw"""SELECT doc_id,
+  CASE WHEN len(list_filter(string_split(cl, ' '), x -> x <> ''))
+         >= $minWords
+       THEN cl ELSE '' END AS main_text
+FROM (SELECT doc_id,
+        trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS cl
+      FROM documents) q ORDER BY doc_id"""
+
   /** Shared CTE chain mirroring LanguageModel.scoreDocs(alpha=0.5),
     * ending in a relation `sc(doc_id, n_bigrams, lm_score)` — the prefix
     * of both the raw-score and perplexity-bucket oracles. */
