@@ -257,7 +257,12 @@ object ScaleSoak {
     "search_hybrid_rrf_multi_serve",
     // WARC-story extraction kernel: one codegen'd block-classification
     // pass per row, zero shuffle — digest action (pure projection)
-    "extract_html_text")
+    "extract_html_text",
+    // OPQ trainer + rotated-space ADC: the alternation is driver-side
+    // over the bounded ≤4096-row sample (corpus-size-independent, like
+    // bpe_train_merges), then one map-side rotation kernel per row
+    // ahead of ann_pq_topk's linear ADC scan — α must track the PQ row
+    "ann_opq_topk")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -72,6 +72,17 @@ object SparkEntry {
       _ => graft.embeddings.Pca.fit(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", k = 4, iters = 32))
 
+  /** One OPQ fit per (session, sfDir) — same deterministic-trainer
+    * sharing discipline as [[cachedPcaModel]]. ann_opq_topk is the
+    * TRAINER query and always refits (its bench/soak rows measure the
+    * alternation); opq_recall consumes the shared fit. */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.embeddings.Opq.Model]()
+  private def cachedOpqModel(s: SparkSession, dir: String): graft.embeddings.Opq.Model =
+    opqCache.computeIfAbsent((s, dir),
+      _ => graft.embeddings.Opq.train(Demo.table(s, dir, "embeddings"),
+        "embedding", "vec_id", m = 8, ksub = 16))
+
   /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
     * queries: repeated invocations (bench medians, verify) overwrite the
     * same directory instead of leaking temp dirs. */
@@ -2331,6 +2342,33 @@ object SparkEntry {
     // stored codes) + exact float rerank of the bounded candidate list.
     // IVF8,PQ8,Refine(Flat) end to end; the oracle replays every stage.
     "ann_production_topk" -> ((s, dir) => buildServe("ann_production_topk")(s, dir)()),
+    // OPQ: learned rotation (PCA-allocated init + Procrustes
+    // alternation, driver-trained on the bounded sample) before PQ —
+    // rotated-space ADC top-k; the oracle replays the ENTIRE
+    // alternation (eigen iteration, allocation, Lloyd, SVD) plus the
+    // exact-integer serve rotation
+    "ann_opq_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      // TRAINER query: always a fresh alternation (the
+      // embed_pca_components discipline); opq_recall shares the cache
+      val model = graft.embeddings.Opq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      opqCache.put((s, dir), model)
+      graft.embeddings.Opq.adcTopK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, model)
+        .orderBy("query_id", "rank")
+    }),
+    // OPQ quality report: recall@5 against the exact float top-k on the
+    // ORIGINAL vectors + mean reconstruction error in rotated space —
+    // the row OpqSpec compares against plain PQ (err ≤, recall ≥)
+    "opq_recall" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = cachedOpqModel(s, dir)
+      graft.embeddings.Opq.recallAtK(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), emb,
+        "embedding", "vec_id", k = 5, model)
+    }),
     // Training-data ops: Johnson–Lindenstrauss random projection to 8
     // dims (deterministic literal planes, map-side; exploded to rows for
     // the oracle compare)
@@ -2880,6 +2918,8 @@ object SparkEntry {
     "ann_ivf_trained_topk" -> graft.text.KmeansOracles.annIvfTrainedTopK,
     "pq_encode_trained" -> graft.text.KmeansOracles.pqEncodeTrained,
     "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
+    "ann_opq_topk" -> graft.embeddings.OpqOracles.annOpqTopK(),
+    "opq_recall" -> graft.embeddings.OpqOracles.opqRecall(),
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
     "bm25_multi_query" -> TextOracles.bm25MultiSearch(multiQueryTerms(3)),
