@@ -778,6 +778,28 @@ object SparkEntry {
       () => graft.embeddings.Pca.projectFromModel(s,
         Demo.table(s, dir, "embeddings"), "embedding", "vec_id", path)
         .orderBy("vec_id")
+    }),
+    // Streaming quality stack composed as a batch: the four gates
+    // served from PERSISTED artifacts (LR weight table, LM bigram
+    // relations, fixed perplexity thresholds) over three disjoint
+    // micro-batch epochs, unioned — BIT-IDENTICAL to the batch
+    // qualityStack (decimals round-trip, the LM left joins degenerate
+    // when every bigram matches its own relations, the thresholds ARE
+    // the corpus cut points), so the UNCHANGED curate_quality_stack
+    // oracle is the gate; the oracle knows nothing about batching.
+    "curate_quality_stack_streaming" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val path = tmpIndexDir("qstack", dir)
+      graft.streaming.StreamingQualityStack.buildArtifacts(
+        docs, "text", "doc_id", lrWeightsDf(s, dir), path)
+      () => {
+        val art = graft.streaming.StreamingQualityStack.loadArtifacts(s, path)
+        (0 until 3).map(b =>
+          graft.streaming.StreamingQualityStack.serveStack(
+            docs.filter(col("doc_id") % 3 === b), "text", "doc_id", art))
+          .reduce(_ unionByName _)
+          .orderBy("doc_id")
+      }
     }))
 
   def entry(spark: SparkSession): DataFrame =
@@ -2640,6 +2662,11 @@ object SparkEntry {
     // (lang, source), each gate's pass count and the kept fraction —
     // the FineWeb-style curation-review surface (one conditional
     // aggregation over the stack, mart-sized output)
+    // Streaming deploy-time twin: the same four gates served from
+    // persisted artifacts over micro-batch epochs (see buildServe) —
+    // gated by the UNCHANGED batch oracle, so bit-exactness is the gate
+    "curate_quality_stack_streaming" -> ((s, dir) =>
+      buildServe("curate_quality_stack_streaming")(s, dir)()),
     "curate_quality_report" -> ((s, dir) =>
       graft.corpus.CorpusPipeline.qualityReport(
         graft.corpus.CorpusPipeline.qualityStack(
@@ -2875,6 +2902,9 @@ object SparkEntry {
     "curate_domain_filter" -> OracleSql.curateDomainFilter,
     "corpus_pipeline_curated" -> DedupOracles.corpusPipelineCurated,
     "curate_quality_stack" -> TextOracles.qualityStack(),
+    // streaming twin gated by the UNCHANGED batch oracle — the
+    // embed_pca_incremental discipline: bit-exactness IS the gate
+    "curate_quality_stack_streaming" -> TextOracles.qualityStack(),
     "curate_quality_report" -> TextOracles.qualityReportMart(),
     "sample_domain_cap" -> OracleSql.sampleDomainCap,
     "embedding_projection" -> TextOracles.randomProjection(),

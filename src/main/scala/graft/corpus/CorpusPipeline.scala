@@ -226,7 +226,17 @@ object CorpusPipeline {
       .select(col("doc_id"), col("prob").as("lr_prob"))
     val ppl = graft.text.LanguageModel.perplexityBuckets(d, textCol, idCol)
       .select(col("doc_id"), col("bucket").as("ppl_bucket"))
-    d.select(col(idCol).as("doc_id"))
+    composeGates(d.select(col(idCol).as("doc_id")), gopher, c4, lr, ppl)
+  }
+
+  /** The four-gate join + keep conjunction shared by [[qualityStack]]
+    * and the streaming serve path
+    * ([[graft.streaming.StreamingQualityStack]]): left joins on the
+    * 8-byte doc id, null gate values fail explicitly, keep is the
+    * conjunction of the reasons. */
+  private[graft] def composeGates(ids: DataFrame, gopher: DataFrame,
+      c4: DataFrame, lr: DataFrame, ppl: DataFrame): DataFrame =
+    ids
       .join(gopher, Seq("doc_id"), "left")
       .join(c4, Seq("doc_id"), "left")
       .join(lr, Seq("doc_id"), "left")
@@ -239,7 +249,6 @@ object CorpusPipeline {
           coalesce(col("lr_prob") >= 0.5, lit(false)) &&
           coalesce(col("ppl_bucket").isin("head", "middle"), lit(false)))
           .as("keep"))
-  }
 
   /**
    * The FineWeb-style ABLATION MART over [[qualityStack]]'s reason

@@ -96,10 +96,26 @@ object LanguageModel {
     // materialization, one aggregation pass
     val pairCnt = bigrams(target, textCol, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val ctxCnt = pairCnt.groupBy("w1").agg(sum(col("c")).as("n"))
     val vocab = target
       .select(explode(TextDedup.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("vsz"))
+    scoreDocsFromRelations(docs, textCol, idCol, pairCnt, vocab, alpha)
+  }
+
+  /**
+   * The serving half of [[scoreDocsAgainst]] over PRECOMPUTED model
+   * relations — `pairCnt` is the target's `(w1, w2, c)` bigram counts,
+   * `vocab` its single-row `(vsz)` distinct-token count, both of which
+   * round-trip parquet exactly (pure longs/strings). This is the
+   * deploy-time shape: the model relations are persisted once and
+   * every micro-batch scores against them
+   * ([[graft.streaming.StreamingQualityStack]]); context counts derive
+   * from the vocab-sized pair relation, never from the corpus.
+   */
+  def scoreDocsFromRelations(docs: DataFrame, textCol: String,
+      idCol: String, pairCnt: DataFrame, vocab: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    val ctxCnt = pairCnt.groupBy("w1").agg(sum(col("c")).as("n"))
     val bg = bigrams(docs, textCol, idCol)
     val logp = log((coalesce(col("c"), lit(0L)) + alpha) /
       (coalesce(col("n"), lit(0L)) + lit(alpha) * col("vsz")))
@@ -602,15 +618,30 @@ object LanguageModel {
    */
   def bucketsByScore(scored0: DataFrame, scoreCol: String,
       headPermille: Int = 300, midPermille: Int = 400): DataFrame = {
+    // two consumers (histogram + final labels): one computation
+    val scored = Materialized(scored0)
+    bucketByThresholds(scored, scoreCol,
+      scoreThresholds(scored, scoreCol, headPermille, midPermille))
+  }
+
+  /**
+   * The threshold half of [[bucketsByScore]]: the two tie-inclusive
+   * integer micro-unit cut points as a SINGLE-ROW relation
+   * `(thr_head, thr_mid)` — a persistable serving artifact (pure
+   * longs, exact parquet round-trip). Derive once on the reference
+   * corpus, then label any other frame with [[bucketByThresholds]];
+   * composing the two over the SAME scored frame is exactly
+   * [[bucketsByScore]].
+   */
+  def scoreThresholds(scored0: DataFrame, scoreCol: String,
+      headPermille: Int = 300, midPermille: Int = 400): DataFrame = {
     require(headPermille > 0 && midPermille >= 0 &&
       headPermille + midPermille <= 1000,
       "head/mid permille must be positive and sum to at most 1000")
-    // two consumers (histogram + final labels): one computation
-    val scored = Materialized(scored0)
     // exact micro-unit recovery: the score IS m/10⁴ for integer m, so
     // round(·×10⁴) is ≥ ½-ulp from any .5 boundary — identical in both
     // engines
-    val grained = scored.withColumn("__m",
+    val grained = scored0.withColumn("__m",
       round(col(scoreCol) * 10000).cast("long"))
     val hist = grained.groupBy("__m").agg(count(lit(1)).as("__cnt"))
     val byScoreDesc = Window.orderBy(col("__m").desc)
@@ -621,18 +652,27 @@ object LanguageModel {
         byScoreDesc.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
     val headMid = headPermille + midPermille
-    val thr = cum.agg(
+    cum.agg(
       max(when(col("__cum") >=
         expr(s"(__n * $headPermille + 999) DIV 1000"), col("__m")))
-        .as("__thr_head"),
+        .as("thr_head"),
       max(when(col("__cum") >=
         expr(s"(__n * $headMid + 999) DIV 1000"), col("__m")))
-        .as("__thr_mid"))
-    grained.crossJoin(broadcast(thr))
-      .withColumn("bucket",
-        when(col("__m") >= col("__thr_head"), lit("head"))
-          .when(col("__m") >= col("__thr_mid"), lit("middle"))
-          .otherwise(lit("tail")))
-      .drop("__m", "__thr_head", "__thr_mid")
+        .as("thr_mid"))
   }
+
+  /** Label a scored frame against FIXED thresholds (a single-row
+    * `(thr_head, thr_mid)` relation from [[scoreThresholds]], possibly
+    * read back from parquet) — the labeling half of [[bucketsByScore]]
+    * and the per-batch serving shape: one broadcast of the 1-row
+    * threshold relation, map-side labels, no corpus-wide window. */
+  def bucketByThresholds(scored0: DataFrame, scoreCol: String,
+      thr: DataFrame): DataFrame =
+    scored0.withColumn("__m", round(col(scoreCol) * 10000).cast("long"))
+      .crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("__m") >= col("thr_head"), lit("head"))
+          .when(col("__m") >= col("thr_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__m", "thr_head", "thr_mid")
 }
