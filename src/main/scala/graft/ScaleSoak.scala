@@ -262,7 +262,19 @@ object ScaleSoak {
     // over the bounded ≤4096-row sample (corpus-size-independent, like
     // bpe_train_merges), then one map-side rotation kernel per row
     // ahead of ann_pq_topk's linear ADC scan — α must track the PQ row
-    "ann_opq_topk")
+    "ann_opq_topk",
+    // streaming quality stack SERVE path: artifacts built once per
+    // factor outside the timed region; the ladder prices the per-batch
+    // gate plan (two kernel projections + the broadcast-model LR agg +
+    // the bigram join against the vocab-sized pair relation + a 1-row
+    // threshold broadcast) — must inherit its components' linear αs
+    "curate_quality_stack_serve",
+    // the full CCNet composition: softmax langid serve (broadcast
+    // model + per-doc windows) + per-language bigram LMs in one plan
+    // (scoreDocs' shapes with (lang, gram) keys) + per-language
+    // quantile windows over the bounded (langs × score-range)
+    // histogram — the α must track quality_perplexity_buckets'
+    "ccnet_lang_triage")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -273,7 +285,8 @@ object ScaleSoak {
     "search_hybrid_rrf_serve" -> "search_hybrid_rrf",
     "classify_langid_lr_serve" -> "classify_langid_lr_from_model",
     "bm25_multi_serve" -> "bm25_multi_query",
-    "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi")
+    "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi",
+    "curate_quality_stack_serve" -> "curate_quality_stack_streaming")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

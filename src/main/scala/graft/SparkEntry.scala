@@ -1772,6 +1772,26 @@ object SparkEntry {
     "lm_kn5_discounts" -> ((s, dir) =>
       graft.text.LanguageModel.kn5ModDiscounts(
         Demo.table(s, dir, "documents"), "text", "doc_id")),
+    // The FULL CCNet composition (Wenzek et al. 2020): the trained
+    // softmax language identifier served over every gram-bearing
+    // document, ONE add-α bigram LM per predicted language trained in
+    // a single plan (model relations keyed by (lang, gram)), and the
+    // head/middle/tail exact-quantile cut applied WITHIN each language
+    // — low-resource languages are not triaged by the high-resource
+    // distribution. The oracle replays the softmax descent, the
+    // per-group LM, and the per-group quantile windows end to end.
+    "ccnet_lang_triage" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val pred = graft.text.LogisticRegression.predictWithSoftmaxWeights(
+        docs, "text", "doc_id", "lang", softmaxWeightsDf(s, dir),
+        trainBuckets = 0)
+        .select(col("doc_id"), col("label_pred").as("pred_lang"))
+      val scored = graft.text.LanguageModel.scoreDocsPerGroup(
+        docs.join(pred, "doc_id"), "text", "doc_id", "pred_lang")
+      graft.text.LanguageModel.bucketsByScorePerGroup(scored, "lm_score",
+        "pred_lang")
+        .orderBy("doc_id")
+    }),
     // CCNet triage rebased on the KN trigram score (the stronger
     // fluency signal) — same exact-quantile bucket machinery
     "quality_perplexity_buckets_kn" -> ((s, dir) =>
@@ -2867,6 +2887,7 @@ object SparkEntry {
     "classify_quality_lr_from_model" -> TextOracles.classifyQualityLr(),
     "classify_quality_lr_weights" -> TextOracles.classifyQualityLrWeights(),
     "classify_langid_lr" -> TextOracles.classifyLangidLr(),
+    "ccnet_lang_triage" -> TextOracles.ccnetLangTriage(),
     "classify_langid_lr_from_model" -> TextOracles.classifyLangidLr(),
     "classify_langid_lr_weights" -> TextOracles.classifyLangidLrWeights(),
     // serving from the persisted model is bit-identical by construction

@@ -201,11 +201,17 @@ object ProductQuantization {
   def adcTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, k: Int, cb: Array[Double], m: Int,
       ksub: Int): DataFrame = {
-    val rec = encode(corpus, vecCol, idCol, cb, m, ksub)
-      .withColumn("rv",
-        graft.functions.GraftFunctions.pq_decode(col("codes"), cbLit(cb), ksub))
-      .select(col("vec_id").as("neighbor_id"), col("rv"),
-        guardedNorm(col("rv")).as("rn"))
+    // Materialized: without the barrier Catalyst collapses the whole
+    // reconstruction (any vecCol expression — e.g. OPQ's rotation —
+    // plus encode + decode) into the projection ABOVE the broadcast
+    // join, re-evaluating it once per (query, row) PAIR instead of
+    // once per corpus row — measured 20× slower at the 100× soak leg
+    val rec = graft.operators.Materialized(
+      encode(corpus, vecCol, idCol, cb, m, ksub)
+        .withColumn("rv",
+          graft.functions.GraftFunctions.pq_decode(col("codes"), cbLit(cb), ksub))
+        .select(col("vec_id").as("neighbor_id"), col("rv"),
+          guardedNorm(col("rv")).as("rn")))
     val q = EmbeddingOps.prepared(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))

@@ -78,6 +78,59 @@ object LanguageModel {
   }
 
   /**
+   * Per-group self-trained add-α bigram scoring — ONE plan trains a
+   * SEPARATE model for every group and scores each document against
+   * ITS group's model: the CCNet per-language LM shape (Wenzek et al.
+   * 2020 partition the crawl by language id and train/score one LM per
+   * language). `docs` must carry `groupCol` (typically the PREDICTED
+   * language from the trained softmax identifier). Model relations are
+   * the [[scoreDocs]] aggregations with the group riding in every key
+   * — (g, w1, w2) pair counts, (g, w1) contexts derived from them,
+   * per-group distinct-token counts — so the plan shapes (two hash
+   * aggs + key joins) and the engine-exact decimal rounding tail are
+   * unchanged; only the shuffle keys widen by the group id. Documents
+   * in a singleton group score against a model trained on themselves —
+   * the honest degenerate case, same as running [[scoreDocs]] on that
+   * slice alone (spec-asserted).
+   * Output: doc_id, groupCol, n_bigrams, lm_score (4 dp).
+   */
+  def scoreDocsPerGroup(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, alpha: Double = 0.5): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("__g"), toks.as("toks"))
+    // two consumers (pair counts + the scoring join): materialize once
+    val bg = Materialized(base
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("__g"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("__g"), col("p.w1").as("w1"),
+        col("p.w2").as("w2")))
+    val pairCnt = bg.groupBy("__g", "w1", "w2").agg(count(lit(1)).as("c"))
+    val model = pairCnt.join(
+      pairCnt.groupBy("__g", "w1").agg(sum(col("c")).as("n")),
+      Seq("__g", "w1"))
+    val vocab = base
+      .select(col("__g"), explode(col("toks")).as("tok"))
+      .groupBy("__g").agg(count_distinct(col("tok")).as("vsz"))
+    val logp = log((col("c") + alpha) / (col("n") + lit(alpha) * col("vsz")))
+    bg.join(model, Seq("__g", "w1", "w2"))
+      .join(vocab, Seq("__g"))
+      .select(col("doc_id"), col("__g"),
+        round(logp, 6).cast("decimal(28,6)").as("lp"))
+      .groupBy("doc_id", "__g")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) * 1000000).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("__g").as(groupCol), col("n_bigrams"),
+        (when(col("s_micro") >= 0,
+          expr("(2 * s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          .otherwise(-expr("(2 * -s_micro + 100 * n_bigrams) DIV (200 * n_bigrams)"))
+          / 10000.0).as("lm_score"))
+  }
+
+  /**
    * Cross-corpus fluency scoring — the actual CCNet configuration:
    * the bigram model trains on a TARGET corpus (Wikipedia-like
    * reference) and scores a DIFFERENT corpus against it. Bigrams and
@@ -659,6 +712,51 @@ object LanguageModel {
       max(when(col("__cum") >=
         expr(s"(__n * $headMid + 999) DIV 1000"), col("__m")))
         .as("thr_mid"))
+  }
+
+  /**
+   * Per-group exact-quantile bucketing — [[bucketsByScore]] with the
+   * thresholds derived WITHIN each group: the CCNet head/middle/tail
+   * cut applied per language, so a low-resource language's triage is
+   * not dominated by the high-resource languages' score distribution.
+   * Same machinery (micro-unit histogram, tie-inclusive integer
+   * targets), with the histogram keyed by (group, cell), the
+   * cumulative window PARTITIONED by group (parallel across groups,
+   * each over a bounded score-range histogram — never over documents),
+   * and the per-group 2-long threshold relation broadcast back.
+   */
+  def bucketsByScorePerGroup(scored0: DataFrame, scoreCol: String,
+      groupCol: String, headPermille: Int = 300,
+      midPermille: Int = 400): DataFrame = {
+    require(headPermille > 0 && midPermille >= 0 &&
+      headPermille + midPermille <= 1000,
+      "head/mid permille must be positive and sum to at most 1000")
+    val scored = Materialized(scored0)
+    val grained = scored.withColumn("__m",
+      round(col(scoreCol) * 10000).cast("long"))
+    val hist = grained.groupBy(groupCol, "__m")
+      .agg(count(lit(1)).as("__cnt"))
+    val byScoreDesc = Window.partitionBy(groupCol).orderBy(col("__m").desc)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val headMid = headPermille + midPermille
+    val thr = cum.groupBy(groupCol).agg(
+      max(when(col("__cum") >=
+        expr(s"(__n * $headPermille + 999) DIV 1000"), col("__m")))
+        .as("thr_head"),
+      max(when(col("__cum") >=
+        expr(s"(__n * $headMid + 999) DIV 1000"), col("__m")))
+        .as("thr_mid"))
+    grained.join(broadcast(thr), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("__m") >= col("thr_head"), lit("head"))
+          .when(col("__m") >= col("thr_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__m", "thr_head", "thr_mid")
   }
 
   /** Label a scored frame against FIXED thresholds (a single-row

@@ -1931,6 +1931,81 @@ SELECT cell, cls, CAST(w AS DOUBLE) AS w FROM mlw$iters
 ORDER BY cell, cls"""
 
   /**
+   * Mirrors the ccnet_lang_triage query — the full CCNet composition:
+   * the trained softmax identifier served over ALL gram-bearing
+   * documents (trainBuckets = 0), each document's add-α bigram model
+   * trained WITHIN its predicted-language partition (per-group model
+   * relations), and the head/middle/tail exact-quantile cut applied
+   * per language (histogram windows PARTITIONED by the predicted
+   * language). The softmax descent replays via [[softmaxChain]]; the
+   * LM and quantile chains are the [[lmPerplexityBuckets]] machinery
+   * with the group riding in every key.
+   */
+  def ccnetLangTriage(buckets: Int = 256, iters: Int = 12,
+      step: Double = 3.0): String =
+    s"""WITH ${softmaxChain(buckets, iters, step)},
+cad AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM mlf),
+caz AS MATERIALIZED (SELECT f.doc_id, w.cls,
+    sum(CAST(w.w AS DECIMAL(28,6))) AS zs
+  FROM (SELECT DISTINCT doc_id, cell FROM mlf) f
+  JOIN (SELECT * FROM mlw$iters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+cat_ AS MATERIALIZED (SELECT d.doc_id, b.cls,
+    CAST(CAST(b.w AS DECIMAL(28,6)) + coalesce(z.zs, 0) AS DECIMAL(28,6)) AS zt
+  FROM cad d CROSS JOIN (SELECT cls, w FROM mlw$iters WHERE cell = -1) b
+  LEFT JOIN caz z ON z.doc_id = d.doc_id AND z.cls = b.cls),
+cap AS MATERIALIZED (SELECT doc_id, cls,
+    CAST(round(CAST(e AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM (SELECT doc_id, cls, e,
+      sum(CAST(e AS DECIMAL(28,6))) OVER (PARTITION BY doc_id) AS den
+    FROM (SELECT doc_id, cls,
+        CAST(round(exp(CAST(zt - max(zt) OVER (PARTITION BY doc_id)
+          AS DOUBLE)), 6) AS DECIMAL(18,6)) AS e
+      FROM cat_) q1) q2),
+cpred AS MATERIALIZED (SELECT doc_id, cls AS g
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY p DESC, cls) AS rn FROM cap) t
+  WHERE rn = 1),
+ct AS MATERIALIZED (SELECT d.doc_id, p.g, $toks AS toks
+  FROM documents d JOIN cpred p USING (doc_id)),
+cbgp AS MATERIALIZED (SELECT doc_id, g,
+    unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+  FROM ct WHERE len(toks) >= 2),
+ccb AS (SELECT g, w1, w2, count(*) AS c FROM cbgp GROUP BY 1, 2, 3),
+cct AS (SELECT g, w1, sum(c) AS n FROM ccb GROUP BY 1, 2),
+ccv AS (SELECT g, count(DISTINCT tok) AS vsz
+  FROM (SELECT g, unnest(toks) AS tok FROM ct) GROUP BY g),
+cj2 AS (SELECT doc_id, g, count(*) AS n_bigrams,
+    CAST(sum(lp) * 1000000 AS BIGINT) AS s
+  FROM (SELECT b.doc_id, b.g,
+          CAST(round(ln((c + 0.5) / (n + 0.5 * vsz)), 6)
+            AS DECIMAL(28,6)) AS lp
+        FROM cbgp b JOIN ccb USING (g, w1, w2) JOIN cct USING (g, w1)
+        JOIN ccv USING (g)) cj
+  GROUP BY 1, 2),
+cg AS (SELECT doc_id, g, n_bigrams,
+    (CASE WHEN s >= 0 THEN (2 * s + 100 * n_bigrams) // (200 * n_bigrams)
+          ELSE -((2 * (-s) + 100 * n_bigrams) // (200 * n_bigrams)) END)
+      / 10000.0 AS lm_score
+  FROM cj2),
+cgm AS (SELECT doc_id, g, n_bigrams, lm_score,
+    CAST(round(lm_score * 10000) AS BIGINT) AS m FROM cg),
+cc AS (SELECT g, m, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY m DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY g) AS n
+  FROM (SELECT g, m, count(*) AS cnt FROM cgm GROUP BY 1, 2) ch),
+cthr AS (SELECT g,
+    max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
+    max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
+  FROM cc GROUP BY g)
+SELECT doc_id, g AS pred_lang, n_bigrams, lm_score,
+  CASE WHEN m >= th THEN 'head'
+       WHEN m >= tm THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM cgm JOIN cthr USING (g) ORDER BY doc_id"""
+
+  /**
    * Mirrors `CorpusPipeline.qualityStack` (curate_quality_stack): the
    * four gates composed — the full LR descent chain scored over ALL
    * gram-bearing documents (trainBuckets = 0 serving), the corpus-LM

@@ -232,6 +232,50 @@ class RelevanceSpec extends SparkSpec {
     assert(again == rows.map(t => (t._1, t._3)).toSet)
   }
 
+  test("per-group LM + buckets equal the per-slice computation run independently") {
+    // INDEPENDENT reference: one plan with group-keyed model relations
+    // must equal scoreDocs/bucketsByScore executed separately on each
+    // language slice — including a singleton group (its model trains
+    // on itself alone, never on the other languages' text)
+    val s = spark
+    import s.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2, "fixture needs >= 2 languages")
+    val grouped = LanguageModel.scoreDocsPerGroup(docs, "text", "doc_id",
+      "lang")
+    val slices = langs.map { l =>
+      LanguageModel.scoreDocs(docs.filter(col("lang") === l), "text",
+        "doc_id").withColumn("lang", lit(l))
+        .select("doc_id", "lang", "n_bigrams", "lm_score")
+    }.reduce(_ unionByName _)
+    assert(rows(grouped.select("doc_id", "lang", "n_bigrams", "lm_score"))
+      === rows(slices))
+    val groupedBuckets = LanguageModel.bucketsByScorePerGroup(grouped,
+      "lm_score", "lang")
+    val sliceBuckets = langs.map { l =>
+      LanguageModel.bucketsByScore(
+        grouped.filter(col("lang") === l), "lm_score")
+    }.reduce(_ unionByName _)
+    assert(rows(groupedBuckets.select("doc_id", "lang", "bucket"))
+      === rows(sliceBuckets.select("doc_id", "lang", "bucket")))
+    // singleton group: one doc of a synthetic language scores against
+    // a model trained ONLY on itself
+    val single = docs.limit(0).unionByName(
+      Seq((900001L, "lonely words lonely words", "zz"))
+        .toDF("doc_id", "text", "lang"))
+    val both = LanguageModel.scoreDocsPerGroup(
+      docs.unionByName(single), "text", "doc_id", "lang")
+    val alone = LanguageModel.scoreDocs(single, "text", "doc_id")
+    assert(both.filter(col("lang") === "zz").select("lm_score").head()
+      === alone.select("lm_score").head())
+  }
+
   test("perplexityBuckets: an all-tied corpus lands entirely in head") {
     val s = spark
     import s.implicits._
