@@ -274,7 +274,12 @@ object ScaleSoak {
     // (scoreDocs' shapes with (lang, gram) keys) + per-language
     // quantile windows over the bounded (langs × score-range)
     // histogram — the α must track quality_perplexity_buckets'
-    "ccnet_lang_triage")
+    "ccnet_lang_triage",
+    // OPQ production serve (OPQ8,IVF8,PQ8,Refine(Flat)): rotated-code
+    // index built untimed per factor; the ladder prices the probe +
+    // ADC + bounded original-float rerank — must track the
+    // ann_production_topk serve shape
+    "ann_opq_production_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -286,7 +291,8 @@ object ScaleSoak {
     "classify_langid_lr_serve" -> "classify_langid_lr_from_model",
     "bm25_multi_serve" -> "bm25_multi_query",
     "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi",
-    "curate_quality_stack_serve" -> "curate_quality_stack_streaming")
+    "curate_quality_stack_serve" -> "curate_quality_stack_streaming",
+    "ann_opq_production_serve" -> "ann_opq_production_topk")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

@@ -779,6 +779,23 @@ object SparkEntry {
         Demo.table(s, dir, "embeddings"), "embedding", "vec_id", path)
         .orderBy("vec_id")
     }),
+    // The complete faiss factory path OPQ8,IVF8,PQ8,Refine(Flat):
+    // build = shared OPQ fit + coarse quantizer trained IN ROTATED
+    // SPACE + persisted rotated-code IVF+PQ index; serve = map-side
+    // query rotation, DPP-pruned probe, ADC to rerankK, exact float
+    // rerank on the ORIGINAL vectors. The oracle replays everything.
+    "ann_opq_production_topk" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = cachedOpqModel(s, dir)
+      val path = tmpIndexDir("opqprod", dir)
+      val cents = graft.embeddings.Opq.writeProductionIndex(emb,
+        "embedding", "vec_id", model, nlist = 8, path)
+      () => graft.embeddings.Opq.productionTopKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), path,
+        emb, "embedding", "vec_id", k = 5, nprobe = 2, model, cents,
+        rerankK = 50)
+        .orderBy("query_id", "rank")
+    }),
     // Streaming quality stack composed as a batch: the four gates
     // served from PERSISTED artifacts (LR weight table, LM bigram
     // relations, fixed perplexity thresholds) over three disjoint
@@ -2384,6 +2401,11 @@ object SparkEntry {
     // stored codes) + exact float rerank of the bounded candidate list.
     // IVF8,PQ8,Refine(Flat) end to end; the oracle replays every stage.
     "ann_production_topk" -> ((s, dir) => buildServe("ann_production_topk")(s, dir)()),
+    // OPQ production: the full OPQ8,IVF8,PQ8,Refine(Flat) factory path
+    // (see buildServe) — rotated-space coarse quantizer + rotated
+    // codes, original-float rerank; oracle replays the whole chain
+    "ann_opq_production_topk" -> ((s, dir) =>
+      buildServe("ann_opq_production_topk")(s, dir)()),
     // OPQ: learned rotation (PCA-allocated init + Procrustes
     // alternation, driver-trained on the bounded sample) before PQ —
     // rotated-space ADC top-k; the oracle replays the ENTIRE
@@ -2971,6 +2993,8 @@ object SparkEntry {
     "pq_recall_trained" -> graft.text.KmeansOracles.pqRecallTrained,
     "ann_opq_topk" -> graft.embeddings.OpqOracles.annOpqTopK(),
     "opq_recall" -> graft.embeddings.OpqOracles.opqRecall(),
+    "ann_opq_production_topk" ->
+      graft.embeddings.OpqOracles.annOpqProductionTopK(),
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
     "bm25_multi_query" -> TextOracles.bm25MultiSearch(multiQueryTerms(3)),

@@ -396,6 +396,49 @@ object Opq {
       rotatedFrame(corpus, vecCol, idCol, model),
       vecCol, idCol, k, model.cb, model.m, model.ksub)
 
+  /**
+   * BUILD phase of the complete faiss factory path
+   * `OPQ{m},IVF{nlist},PQ{m},Refine(Flat)`: train the coarse quantizer
+   * IN ROTATED SPACE (the space the codes live in — clustering the
+   * original vectors would misroute probes) and persist the corpus as
+   * a rotated-code IVF+PQ index (cluster-partitioned parquet, m bytes
+   * per vector). Returns the rotated-space centroids the serve path
+   * probes with. One corpus pass; the rotation is the map-side
+   * exact-integer kernel.
+   */
+  def writeProductionIndex(corpus: DataFrame, vecCol: String,
+      idCol: String, model: Model, nlist: Int, path: String)
+      : Array[(Long, Array[Double], Double)] = {
+    val rotC = rotatedFrame(corpus, vecCol, idCol, model)
+    val cents = EmbeddingOps.kmeansCentroids(rotC, vecCol, idCol, nlist)
+    ProductQuantization.writeIvfPqIndex(rotC, vecCol, idCol, nlist, path,
+      model.cb, model.m, model.ksub, Some(cents))
+    cents
+  }
+
+  /**
+   * SERVE phase: queries rotate map-side, probe their nprobe rotated
+   * cells (DPP-pruned scan of the persisted index), ADC-score against
+   * the decoded rotated codes to `rerankK` candidates, then the exact
+   * float rerank runs on the ORIGINAL vectors (Refine(Flat) — the
+   * refine store keeps the raw floats; the bounded |Q|·rerankK join is
+   * the only full-precision touch). At 100 TB: ~3 TB index scan
+   * gated by partition pruning + one bounded float join.
+   */
+  def productionTopKFromIndex(queries: DataFrame, indexPath: String,
+      corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      nprobe: Int, model: Model,
+      cents: Array[(Long, Array[Double], Double)],
+      rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val rotQ = rotatedFrame(queries, vecCol, idCol, model)
+    val cand = ProductQuantization.ivfPqTopKFromIndex(rotQ, indexPath,
+      vecCol, idCol, rerankK, nprobe, model.cb, model.ksub, cents)
+      .select("query_id", "neighbor_id")
+    ProductQuantization.exactRerank(cand, queries, corpus, vecCol,
+      idCol, k)
+  }
+
   /** Recall@k of the rotated-space ADC against the exact FLOAT top-k
     * on the ORIGINAL vectors (ground truth is rotation-free), plus the
     * mean absolute reconstruction error in rotated space — the same

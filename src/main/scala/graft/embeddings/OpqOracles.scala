@@ -315,6 +315,58 @@ SELECT query_id, neighbor_id, cosine_pq, rank FROM (
     ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM ocand) ot2
 WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /**
+   * Mirrors the ann_opq_production_topk query — the complete faiss
+   * factory path `OPQ8,IVF8,PQ8,Refine(Flat)` replayed end to end:
+   * the full OPQ alternation ([[trainChain]]), the exact-integer
+   * corpus rotation + rotated codes/reconstructions ([[serveChain]]),
+   * the coarse quantizer trained IN ROTATED SPACE (the
+   * [[graft.text.KmeansOracles.centroidChain]] Lloyd replay with the
+   * rotated relation as its sample source), rotated-space probe + ADC
+   * to rerankK candidates, and the exact float rerank on the ORIGINAL
+   * vectors. Persistence is a pass-through (rotated codes round-trip
+   * parquet exactly), so the oracle replays the computation.
+   */
+  def annOpqProductionTopK(nlist: Int = 8, nprobe: Int = 2,
+      rerankK: Int = 50, k: Int = 5): String =
+    s"""WITH RECURSIVE ${trainChain()}$serveChain,
+${graft.text.TextOracles.normCte},
+${graft.text.KmeansOracles.centroidChain(nlist, 10,
+      "(SELECT vec_id, y AS embedding FROM yn)")},
+passign AS (
+  SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${dot("q.y", "c.cv")} / (q.ynraw * c.cn) DESC, c.cid) AS prn
+    FROM yn q CROSS JOIN kcents c) pt WHERE prn = 1),
+pcorpus AS (SELECT a.neighbor_id, a.cluster, r.rv, r.rn
+            FROM passign a JOIN orn2 r ON a.neighbor_id = r.vec_id),
+pprobes AS (
+  SELECT vec_id AS query_id, cid AS cluster, y AS qv, ynraw AS qn FROM (
+    SELECT q.vec_id, c.cid, q.y, q.ynraw,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${dot("q.y", "c.cv")} / (q.ynraw * c.cn) DESC, c.cid) AS prn
+    FROM yn q CROSS JOIN kcents c
+    WHERE q.vec_id < ${EmbeddingOps.DemoQueryCount}) pt2
+  WHERE prn <= $nprobe),
+pcand AS (
+  SELECT query_id, neighbor_id,
+         round(${dot("qv", "rv")} / (qn * rn), 4) AS cosine_pq
+  FROM pprobes JOIN pcorpus USING (cluster)
+  WHERE query_id <> neighbor_id),
+pcadc AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM pcand) pt3
+  WHERE rank <= $rerankK),
+prr AS (SELECT ca.query_id, ca.neighbor_id,
+         round(${dot("q.v", "b.v")} / (q.nrm * b.nrm), 4) AS cosine
+       FROM pcadc ca JOIN n q ON q.vec_id = ca.query_id
+                     JOIN n b ON b.vec_id = ca.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM prr) pt4
+WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Mirrors the opq_recall query: recall@5 of the rotated-space ADC
     * against the exact float top-5 on the ORIGINAL vectors, plus the
     * mean absolute reconstruction error in rotated space. */

@@ -289,7 +289,7 @@ object ProductQuantization {
 
   /** Stage 2 of the refine convention: exact float cosine over the
     * (query_id, neighbor_id) candidate list only, cut to k. */
-  private def exactRerank(cand: DataFrame, queries: DataFrame,
+  private[embeddings] def exactRerank(cand: DataFrame, queries: DataFrame,
       corpus: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = EmbeddingOps.prepared(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

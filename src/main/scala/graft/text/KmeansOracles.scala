@@ -63,13 +63,14 @@ object KmeansOracles {
    * `kcents(cid, cv, cn)` — the exact rows `ivfTopK` receives as
    * centroid literals.
    */
-  private[text] def centroidChain(nlist: Int = 8, iters: Int = 10): String = {
+  private[graft] def centroidChain(nlist: Int = 8, iters: Int = 10,
+      src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"""ksamp AS (
   SELECT list(v ORDER BY hk, id) AS S
   FROM (SELECT vec_id AS id, md5(CAST(vec_id AS VARCHAR)) AS hk,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings ORDER BY hk, id LIMIT $SampleLimit) kst),
+        FROM $src ORDER BY hk, id LIMIT $SampleLimit) kst),
 ksn AS (SELECT S, list_transform(S, sv -> ${gnorm("sv")}) AS SN FROM ksamp),
 ki0 AS (SELECT S, SN, [CAST(0 AS BIGINT)] AS seeds,
           list_transform(range(len(S)), kj -> ${dot("S[kj + 1]", "S[1]")} / (SN[kj + 1] * SN[1])) AS mc

@@ -956,7 +956,7 @@ SELECT doc_id, shard, n_tokens,
   start_tok % 512 + n_tokens > 512 AS spans_boundary
 FROM p ORDER BY doc_id"""
 
-  private[text] val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private[graft] val normCte = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
       FROM e)"""

@@ -42,6 +42,41 @@ class OpqSpec extends SparkSpec {
       s"OPQ recall $opqRec must be at least plain PQ $pqRec")
   }
 
+  test("production path: rerank cosines are the exact float values; full-probe recall >= plain OPQ ADC") {
+    val queries = emb.filter(col("vec_id") <
+      graft.embeddings.EmbeddingOps.DemoQueryCount)
+    val model = Opq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val path = java.nio.file.Files.createTempDirectory("opqprod").toString
+    val cents = Opq.writeProductionIndex(emb, "embedding", "vec_id",
+      model, nlist = 8, path)
+    // probe EVERY cell: the candidate set covers the whole corpus, so
+    // the exact-float refine can only match or beat the rotated ADC
+    val prod = Opq.productionTopKFromIndex(queries, path, emb,
+      "embedding", "vec_id", k = 5, nprobe = 8, model, cents,
+      rerankK = 50)
+    val exact = graft.embeddings.EmbeddingOps.bruteForceTopK(queries,
+      emb, "embedding", "vec_id", 5).select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      exact.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val adc = Opq.adcTopK(queries, emb, "embedding", "vec_id", 5, model)
+    info(s"hits: production ${recall(prod)} vs rotated ADC ${recall(adc)}")
+    assert(recall(prod) >= recall(adc),
+      "exact-float refine over the full probe must not lose recall")
+    // every returned cosine is the ORIGINAL-space exact value —
+    // recomputed independently from the raw parquet rows
+    val raw = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    prod.collect().foreach { r =>
+      val (q, nb) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val (a, b) = (raw(q), raw(nb))
+      val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(r.getAs[Double]("cosine") - cos) < 5e-5,
+        s"pair ($q,$nb): ${r.getAs[Double]("cosine")} vs exact $cos")
+    }
+  }
+
   test("driver objective is non-increasing across alternations on the training sample") {
     // the Procrustes step minimizes ||R x − c|| for FIXED codes and the
     // Lloyd step minimizes it for a FIXED rotation — more alternations
