@@ -1888,6 +1888,15 @@ object SparkEntry {
     // classify_quality_lr (same oracle)
     "classify_quality_lr_from_model" -> ((s, dir) =>
       buildServe("classify_quality_lr_from_model")(s, dir)()),
+    // Classifier-QA reliability report: fixed decile bins over the
+    // served probability, exact micro-unit mean probability vs the
+    // empirical weak-label rate per bin — the calibration table a
+    // curation team reads before trusting the 0.5 gate
+    "classify_quality_lr_calibration" -> ((s, dir) =>
+      graft.text.LogisticRegression.calibrationReport(
+        Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
+        lrWeightsDf(s, dir))
+        .orderBy("bin")),
     // Multiclass (softmax) logistic regression — the trained language
     // identifier shape (fastText's headline use): per-class weight rows
     // keyed (cell, class), dense exact-decimal logits, max-shifted
@@ -2908,6 +2917,8 @@ object SparkEntry {
     "classify_quality_lr" -> TextOracles.classifyQualityLr(),
     "classify_quality_lr_from_model" -> TextOracles.classifyQualityLr(),
     "classify_quality_lr_weights" -> TextOracles.classifyQualityLrWeights(),
+    "classify_quality_lr_calibration" ->
+      TextOracles.classifyQualityLrCalibration(),
     "classify_langid_lr" -> TextOracles.classifyLangidLr(),
     "ccnet_lang_triage" -> TextOracles.ccnetLangTriage(),
     "classify_langid_lr_from_model" -> TextOracles.classifyLangidLr(),

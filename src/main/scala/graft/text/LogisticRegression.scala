@@ -177,6 +177,42 @@ object LogisticRegression {
         .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
       weights)
 
+  /**
+   * Calibration mart — the classifier-QA report a curation team reads
+   * before trusting a quality gate (the FineWeb-style reliability
+   * check): the corpus scored against a PRETRAINED weight table
+   * (trainBuckets = 0 — every gram-bearing document), probabilities
+   * cut into `bins` fixed-width bins, and per bin the document count,
+   * the exact mean predicted probability, and the empirical
+   * positive-label rate. A calibrated classifier has mean_prob ≈
+   * frac_positive per bin; systematic gaps mean the 0.5 gate is
+   * mistuned. All means are integer micro-unit arithmetic (the
+   * engine-exact rounding discipline), so the oracle replays the
+   * report bit-for-bit. One broadcast-model join + one bounded
+   * (`bins`-row) aggregation — mart-sized output at any corpus size.
+   */
+  def calibrationReport(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, weights: DataFrame, buckets: Int = 256,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    predictWithWeights(docs, textCol, idCol, label, weights, buckets,
+        trainBuckets = 0)
+      .select(
+        least(floor(col("prob") * bins), lit(bins - 1)).cast("long")
+          .as("bin"),
+        col("label_true"),
+        // exact micro-unit recovery: prob IS k/10⁶ for integer k
+        round(col("prob") * 1000000).cast("long").as("__m"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__m")).as("__sm"), sum(col("label_true")).as("__pos"))
+      .select(col("bin"), col("n_docs"),
+        (expr("(2 * __sm + n_docs) DIV (2 * n_docs)") / 1000000.0)
+          .as("mean_prob"),
+        (expr("(2 * __pos * 10000 + n_docs) DIV (2 * n_docs)") / 10000.0)
+          .as("frac_positive"))
+  }
+
   /** Persist the trained weight table — decimals round-trip parquet
     * exactly, so serving from disk is bit-identical to [[predict]]. */
   def writeModel(docs: DataFrame, textCol: String, idCol: String,

@@ -1819,6 +1819,32 @@ FROM qlp ORDER BY doc_id"""
       step: Double = 3.0): String = s"""WITH ${lrChain(buckets, iters, step)}
 SELECT cell, CAST(w AS DOUBLE) AS w FROM qlw$iters ORDER BY cell"""
 
+  /** Mirrors the classify_quality_lr_calibration query: the descent
+    * replayed, the probability served over ALL gram-bearing documents
+    * (trainBuckets = 0), fixed decile bins, integer micro-unit mean
+    * probability and 4-dp positive rate per bin. */
+  def classifyQualityLrCalibration(buckets: Int = 256, iters: Int = 24,
+      step: Double = 3.0, bins: Int = 10): String =
+    s"""WITH ${lrChain(buckets, iters, step)},
+qca AS (SELECT f.doc_id, f.y,
+    sum(CAST(coalesce(w.w, 0) AS DECIMAL(28,6))) AS zsum
+  FROM (SELECT doc_id, y, cell FROM qlf) f
+  LEFT JOIN (SELECT * FROM qlw$iters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1, 2),
+qcp AS (SELECT z.doc_id, z.y,
+    CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST(b.w AS DOUBLE) + CAST(z.zsum AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) AS p
+  FROM qca z CROSS JOIN (SELECT w FROM qlw$iters WHERE cell = -1) b),
+qcb AS (SELECT
+    least(CAST(floor(CAST(p AS DOUBLE) * $bins) AS BIGINT), ${bins - 1}) AS bin,
+    y, CAST(round(CAST(p AS DOUBLE) * 1000000) AS BIGINT) AS m
+  FROM qcp)
+SELECT bin, count(*) AS n_docs,
+  ((2 * sum(m) + count(*)) // (2 * count(*))) / 1000000.0 AS mean_prob,
+  ((2 * sum(y) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS frac_positive
+FROM qcb GROUP BY bin ORDER BY bin"""
+
   /**
    * CTE chain replaying `LogisticRegression.trainSoftmaxWeights` over
    * documents with the `lang` column as the K-class label — the

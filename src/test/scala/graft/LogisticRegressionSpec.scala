@@ -22,6 +22,38 @@ class LogisticRegressionSpec extends SparkSpec {
     }
   }
 
+  test("calibration report equals a plain-Scala recomputation; bins partition the scored corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val label = array_contains(
+      graft.dedup.TextDedup.tokens(col("text")), "spark")
+    val weights = LogisticRegression.trainWeights(docs, "text", "doc_id",
+      label)
+    val report = LogisticRegression.calibrationReport(docs, "text",
+      "doc_id", label, weights).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // INDEPENDENT reference: bin/mean/rate recomputed in plain Scala
+    // from the served per-document probabilities
+    val scored = LogisticRegression.predictWithWeights(docs, "text",
+      "doc_id", label, weights, trainBuckets = 0).collect()
+      .map(r => (r.getAs[Double]("prob"), r.getAs[Long]("label_true")))
+    assert(report.values.map(_._1).sum === scored.length,
+      "bins must partition the scored corpus")
+    scored.groupBy { case (p, _) =>
+      math.min(math.floor(p * 10).toLong, 9L)
+    }.foreach { case (bin, rows) =>
+      val n = rows.length.toLong
+      val sm = rows.map(r => math.round(r._1 * 1000000)).sum
+      val meanP = ((2 * sm + n) / (2 * n)) / 1000000.0
+      val rate = ((2 * rows.map(_._2).sum * 10000 + n) / (2 * n)) / 10000.0
+      val (rn, rp, rr) = report(bin)
+      assert(rn === n && rp === meanP && rr === rate,
+        s"bin $bin: report ($rn, $rp, $rr) vs recomputed ($n, $meanP, $rate)")
+    }
+  }
+
   test("calibration under duplicated evidence: LR tracks the true rate where NB saturates") {
     // The correlated-feature trap: every document repeats its marker
     // word 5 times, and the marker only predicts the label at 70/30.
