@@ -2709,15 +2709,15 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
         lrWeightsDf(s, dir))
         .orderBy("doc_id")),
-    // The ablation MART over the stack's reason columns: per
-    // (lang, source), each gate's pass count and the kept fraction —
-    // the FineWeb-style curation-review surface (one conditional
-    // aggregation over the stack, mart-sized output)
     // Streaming deploy-time twin: the same four gates served from
     // persisted artifacts over micro-batch epochs (see buildServe) —
     // gated by the UNCHANGED batch oracle, so bit-exactness is the gate
     "curate_quality_stack_streaming" -> ((s, dir) =>
       buildServe("curate_quality_stack_streaming")(s, dir)()),
+    // The ablation MART over the stack's reason columns: per
+    // (lang, source), each gate's pass count and the kept fraction —
+    // the FineWeb-style curation-review surface (one conditional
+    // aggregation over the stack, mart-sized output)
     "curate_quality_report" -> ((s, dir) =>
       graft.corpus.CorpusPipeline.qualityReport(
         graft.corpus.CorpusPipeline.qualityStack(

@@ -119,97 +119,6 @@ object Opq {
 
   // --------------------------------------------------------- training
 
-  /** The bounded md5-ordered unit-normalized sample — IDENTICAL rules
-    * to [[ProductQuantization.trainedCodebook]] (and its oracle's
-    * `psamp` CTE). */
-  private def sampleRows(corpus: DataFrame, vecCol: String, idCol: String,
-      sampleSize: Int): Array[Array[Double]] =
-    corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("hk", md5(col("id").cast("string")))
-      .orderBy("hk", "id")
-      .limit(sampleSize)
-      .select("v")
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Double](0).toArray
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n0 = math.sqrt(s)
-        val n = if (n0 == 0.0) 1.0 else n0
-        v.map(_ / n)
-      }
-
-  /** Per-subspace Lloyd with [[ProductQuantization.trainedCodebook]]'s
-    * exact rules (farthest-point init from element 0, strict-`<`
-    * first-wins assignment, sample-order means, empty cell keeps its
-    * previous entry), over already-rotated sample vectors. Returns the
-    * flat m×ksub×dsub codebook. */
-  private def lloydSubspaces(sample: Array[Array[Double]], m: Int,
-      ksub: Int, iters: Int): Array[Double] = {
-    val dim = sample.head.length
-    val dsub = dim / m
-    def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
-      var d = 0.0; var j = 0
-      while (j < dsub) { val t = a(aOff + j) - b(j); d += t * t; j += 1 }
-      d
-    }
-    val cb = new Array[Double](m * ksub * dsub)
-    var s = 0
-    while (s < m) {
-      val off = s * dsub
-      var cents = new Array[Array[Double]](ksub)
-      cents(0) = java.util.Arrays.copyOfRange(sample(0), off, off + dsub)
-      val minD = sample.map(v => l2(v, off, cents(0)))
-      var c = 1
-      while (c < ksub) {
-        var far = 0; var farScore = Double.NegativeInfinity
-        var j = 0
-        while (j < sample.length) {
-          if (minD(j) > farScore) { farScore = minD(j); far = j }
-          j += 1
-        }
-        cents(c) = java.util.Arrays.copyOfRange(sample(far), off, off + dsub)
-        j = 0
-        while (j < sample.length) {
-          val d = l2(sample(j), off, cents(c))
-          if (d < minD(j)) minD(j) = d
-          j += 1
-        }
-        c += 1
-      }
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(ksub)(new Array[Double](dsub))
-        val cnt = new Array[Long](ksub)
-        sample.foreach { v =>
-          var best = 0; var bestD = Double.PositiveInfinity
-          var cc = 0
-          while (cc < ksub) {
-            val d = l2(v, off, cents(cc))
-            if (d < bestD) { bestD = d; best = cc }
-            cc += 1
-          }
-          var j = 0
-          while (j < dsub) { sums(best)(j) += v(off + j); j += 1 }
-          cnt(best) += 1
-        }
-        cents = Array.tabulate(ksub) { cc =>
-          if (cnt(cc) > 0) sums(cc).map(_ / cnt(cc)) else cents(cc)
-        }
-        it += 1
-      }
-      c = 0
-      while (c < ksub) {
-        System.arraycopy(cents(c), 0, cb, (s * ksub + c) * dsub, dsub)
-        c += 1
-      }
-      s += 1
-    }
-    cb
-  }
-
   /** The reconstruction of each rotated sample vector under a codebook
     * (assign strict-`<` first-wins, then concatenate the chosen
     * entries). */
@@ -261,7 +170,7 @@ object Opq {
       m: Int = 8, ksub: Int = 16, alternations: Int = 1,
       eigIters: Int = 16, lloydIters: Int = 10,
       sampleSize: Int = 4096): Model = {
-    val sample = sampleRows(corpus, vecCol, idCol, sampleSize)
+    val sample = ProductQuantization.unitSample(corpus, vecCol, idCol, sampleSize)
     require(sample.length >= ksub, s"need ≥ $ksub sample vectors")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -311,7 +220,7 @@ object Opq {
     var t = 0
     while (t < alternations) {
       val rotated = sample.map(x => matvec(r, x))
-      cb = lloydSubspaces(rotated, m, ksub, lloydIters)
+      cb = ProductQuantization.lloydSubspaces(rotated, m, ksub, lloydIters)
       val rec = reconstruct(rotated, cb, m, ksub)
       // Procrustes: M = Σ_j rec_j · x_jᵀ (sample-order fold)
       val mm = Array.fill(d)(new Array[Double](d))
@@ -350,7 +259,7 @@ object Opq {
     }
     // final codebook synced to the final rotation
     val rotatedF = sample.map(x => matvec(r, x))
-    cb = lloydSubspaces(rotatedF, m, ksub, lloydIters)
+    cb = ProductQuantization.lloydSubspaces(rotatedF, m, ksub, lloydIters)
     val ru = new Array[Long](d * d)
     var rr = 0
     while (rr < d) {
@@ -457,7 +366,10 @@ object Opq {
       .select(col("n_queries"),
         round(col("total_hits").cast("double") /
           (col("n_queries") * k), 4).as("recall_at_k"))
-    val rot = rotatedFrame(corpus, vecCol, idCol, model)
+    // two consumers below (encode input + the vec_id read-back join):
+    // materialize so the rotation kernel runs once over the corpus
+    val rot = graft.operators.Materialized(
+      rotatedFrame(corpus, vecCol, idCol, model))
     val cbL = typedlit(model.cb.toSeq)
     val nv = col("v_norm")
     val err = ProductQuantization.encode(rot, vecCol, idCol, model.cb,

@@ -371,9 +371,7 @@ WHERE rank <= $k ORDER BY query_id, rank"""
     * against the exact float top-5 on the ORIGINAL vectors, plus the
     * mean absolute reconstruction error in rotated space. */
   def opqRecall(k: Int = 5): String = s"""WITH RECURSIVE ${trainChain()}$serveChain,
-n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm
-      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings) ne),
+${graft.text.TextOracles.normCte},
 oexact AS (SELECT query_id, neighbor_id FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY a.vec_id

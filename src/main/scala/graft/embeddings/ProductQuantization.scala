@@ -87,7 +87,21 @@ object ProductQuantization {
   def trainedCodebook(corpus: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iters: Int = 10,
       sampleSize: Int = 4096): Array[Double] = {
-    val sample = corpus
+    val sample = unitSample(corpus, vecCol, idCol, sampleSize)
+    require(sample.length >= ksub, s"need ≥ $ksub sample vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    lloydSubspaces(sample, m, ksub, iters)
+  }
+
+  /** The bounded md5-ordered UNIT-normalized training sample every
+    * driver-side trainer in the family draws (trainedCodebook,
+    * [[Opq.train]]) — ONE implementation so the bit-exactness-critical
+    * rules (hash order, 0→1 norm guard) can never diverge between the
+    * paths the oracles replay with one shared `psamp`/`osamp` CTE. */
+  private[embeddings] def unitSample(corpus: DataFrame, vecCol: String,
+      idCol: String, sampleSize: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("hk", md5(col("id").cast("string")))
@@ -103,9 +117,16 @@ object ProductQuantization {
         val n = if (n0 == 0.0) 1.0 else n0
         v.map(_ / n)
       }
-    require(sample.length >= ksub, s"need ≥ $ksub sample vectors")
+
+  /** The per-subspace Lloyd core shared by [[trainedCodebook]] and
+    * [[Opq.train]]'s alternation steps: farthest-point init from
+    * element 0, strict-`<` first-wins assignment, sample-order means,
+    * empty cell keeps its previous entry. Returns the flat
+    * m×ksub×dsub codebook. Input vectors are whatever space the caller
+    * trains in (unit-normalized raw, or rotated). */
+  private[embeddings] def lloydSubspaces(sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Array[Double] = {
     val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     def l2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var d = 0.0; var j = 0

@@ -46,14 +46,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object StreamingQualityStack {
 
-  /** Loaded serving artifacts (see [[buildArtifacts]] for layout). */
+  /** Loaded serving artifacts (see [[buildArtifacts]] for layout).
+    * `alpha` rides WITH the artifacts: the persisted thresholds encode
+    * the reference corpus's score distribution AT the training alpha,
+    * so serving must smooth with the same value — a free serve-time
+    * alpha knob would silently mislabel every batch. */
   final case class Artifacts(lrWeights: DataFrame, lmPairs: DataFrame,
-      lmVocab: DataFrame, thresholds: DataFrame)
+      lmVocab: DataFrame, thresholds: DataFrame, alpha: Double)
 
   private def lrPath(dir: String) = s"$dir/lr_weights"
   private def pairsPath(dir: String) = s"$dir/lm_pairs"
   private def vocabPath(dir: String) = s"$dir/lm_vocab"
   private def thrPath(dir: String) = s"$dir/thresholds"
+  private def paramsPath(dir: String) = s"$dir/params"
 
   /**
    * Build the deploy-time artifacts from a reference corpus. The LR
@@ -82,6 +87,15 @@ object StreamingQualityStack {
         LanguageModel.scoreDocs(reference, textCol, idCol, alpha),
         "lm_score", headPermille, midPermille)
       .write.mode("overwrite").parquet(thrPath(artifactDir))
+    // the training parameters the thresholds were derived under — the
+    // serve path reads alpha back rather than trusting a caller to
+    // repeat it (a mismatched alpha would score batches on one
+    // distribution and label them on another, silently)
+    val spark = reference.sparkSession
+    import spark.implicits._
+    Seq((alpha, headPermille, midPermille))
+      .toDF("alpha", "head_permille", "mid_permille")
+      .write.mode("overwrite").parquet(paramsPath(artifactDir))
   }
 
   def loadArtifacts(spark: SparkSession, artifactDir: String): Artifacts =
@@ -89,7 +103,9 @@ object StreamingQualityStack {
       spark.read.parquet(lrPath(artifactDir)),
       spark.read.parquet(pairsPath(artifactDir)),
       spark.read.parquet(vocabPath(artifactDir)),
-      spark.read.parquet(thrPath(artifactDir)))
+      spark.read.parquet(thrPath(artifactDir)),
+      spark.read.parquet(paramsPath(artifactDir))
+        .head().getAs[Double]("alpha"))
 
   /**
    * The four gates over ONE batch against the artifacts — a pure
@@ -102,10 +118,20 @@ object StreamingQualityStack {
    * thresholds ARE the corpus histogram's cut points.
    */
   def serveStack(batch: DataFrame, textCol: String, idCol: String,
-      art: Artifacts, minLineWords: Int = 3, minSentences: Int = 1,
-      alpha: Double = 0.5): DataFrame = {
-    val d = graft.operators.Materialized(
-      batch.select(col(idCol), col(textCol)))
+      art: Artifacts, minLineWords: Int = 3,
+      minSentences: Int = 1): DataFrame =
+    gates(graft.operators.Materialized(
+      batch.select(col(idCol), col(textCol))), textCol, idCol, art,
+      minLineWords, minSentences)
+
+  /** The four gates over an ALREADY-materialized (or persisted) batch
+    * projection — the shared core of [[serveStack]] (ad-hoc/batch-twin
+    * callers, frame lifecycle owned by the Materialized strategy) and
+    * [[processBatch]] (streaming callers, explicit persist +
+    * unpersist per batch so a long-running stream never accumulates
+    * session-lifetime cache entries under the `persist` strategy). */
+  private def gates(d: DataFrame, textCol: String, idCol: String,
+      art: Artifacts, minLineWords: Int, minSentences: Int): DataFrame = {
     val gopher = TextAnalysis.gopherSignals(d, textCol, idCol)
       .select("doc_id", "gopher_pass")
     val c4 = TextAnalysis.c4LineFilter(d, textCol, idCol, minLineWords,
@@ -117,7 +143,7 @@ object StreamingQualityStack {
       .select(col("doc_id"), col("prob").as("lr_prob"))
     val ppl = LanguageModel.bucketByThresholds(
       LanguageModel.scoreDocsFromRelations(d, textCol, idCol,
-        art.lmPairs, art.lmVocab, alpha),
+        art.lmPairs, art.lmVocab, art.alpha),
       "lm_score", art.thresholds)
       .select(col("doc_id"), col("bucket").as("ppl_bucket"))
     graft.corpus.CorpusPipeline.composeGates(
@@ -126,34 +152,44 @@ object StreamingQualityStack {
 
   /** One micro-batch: gate, then idempotently commit the decision
     * frame to `outDir` under its own `batch_id` partition
-    * ([[StreamingDecontaminate.processBatch]]'s stateless commit). */
+    * ([[StreamingDecontaminate.processBatch]]'s stateless commit).
+    * The batch projection is persisted for the gates' four consumers
+    * and RELEASED before returning — the write consumes everything, so
+    * the frame lifecycle is the documented consume-before-returning
+    * persist/unpersist pattern, never a per-batch session-lifetime
+    * entry. */
   def processBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, art: Artifacts, outDir: String,
-      minLineWords: Int = 3, minSentences: Int = 1,
-      alpha: Double = 0.5): Unit = {
+      minLineWords: Int = 3, minSentences: Int = 1): Unit = {
     if (batch.isEmpty) return
-    serveStack(batch, textCol, idCol, art, minLineWords, minSentences,
-        alpha)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outDir)
+    val d = batch.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      gates(d, textCol, idCol, art, minLineWords, minSentences)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
+    } finally {
+      d.unpersist()
+      ()
+    }
   }
 
   /** Start the stream: artifacts are pinned ONCE at start (the
     * deploy-time contract — a model refresh is a new deployment, not a
-    * mid-stream mutation); replays re-run [[processBatch]], which
-    * overwrites the same partition with the same rows. */
+    * mid-stream mutation; the LM alpha rides with them); replays
+    * re-run [[processBatch]], which overwrites the same partition with
+    * the same rows. */
   def start(docs: DataFrame, textCol: String, idCol: String,
       artifactDir: String, outDir: String, checkpointDir: String,
-      minLineWords: Int = 3, minSentences: Int = 1,
-      alpha: Double = 0.5): StreamingQuery = {
+      minLineWords: Int = 3, minSentences: Int = 1): StreamingQuery = {
     val art = loadArtifacts(docs.sparkSession, artifactDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, idCol, art, outDir,
-          minLineWords, minSentences, alpha)
+          minLineWords, minSentences)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
