@@ -101,6 +101,31 @@ object Bench {
           bs + "}"
       }.mkString("{", ",", "}")
     }
+    // FULL per-query table as a FILE artifact (round-11 verdict ask
+    // #4): the driver keeps only the tail of stdout, so queries outside
+    // the top-15 spread line could not be diffed across rounds from
+    // committed artifacts alone. One entry per query: min/med/max over
+    // the whole-suite runs, plus the build/serve split where it exists.
+    {
+      val byQuery = suites.flatMap(_.perQuery)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val bsByQuery = median.buildServe.map(t => t._1 -> (t._2, t._3)).toMap
+      val rows = results.map(_._1).sorted.map { k =>
+        val ts = byQuery(k)
+        val bs = bsByQuery.get(k).map { case (bld, srv) =>
+          ",\"build\":" + f(bld) + ",\"serve\":" + f(srv)
+        }.getOrElse("")
+        "  \"" + k + "\":{\"min\":" + f(ts.head) +
+          ",\"med\":" + f(ts(ts.size / 2)) + ",\"max\":" + f(ts.last) +
+          bs + "}"
+      }
+      val path = sys.env.getOrElse("BENCH_PERQ_PATH", "BENCH_perq.json")
+      val json = "{\n\"sf\":\"" + sfDir + "\",\"suite_runs\":" + suiteRuns +
+        ",\n\"queries\":{\n" + rows.mkString(",\n") + "\n}}\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
     val total = median.total
     // Split the guarded exact O(n²) baselines (documented correctness
     // anchors with fail-fast size guards, NOT the scale path) out of the

@@ -318,7 +318,12 @@ object Opq {
   def writeProductionIndex(corpus: DataFrame, vecCol: String,
       idCol: String, model: Model, nlist: Int, path: String)
       : Array[(Long, Array[Double], Double)] = {
-    val rotC = rotatedFrame(corpus, vecCol, idCol, model)
+    // Materialized: rotC feeds TWO actions (the centroid-trainer sample
+    // and the index write) — without the barrier the map-side rotation
+    // kernel re-runs over the whole corpus for each consumer, the same
+    // multi-consumer pattern adcTopK/recallAtK guard against
+    val rotC = graft.operators.Materialized(
+      rotatedFrame(corpus, vecCol, idCol, model))
     val cents = EmbeddingOps.kmeansCentroids(rotC, vecCol, idCol, nlist)
     ProductQuantization.writeIvfPqIndex(rotC, vecCol, idCol, nlist, path,
       model.cb, model.m, model.ksub, Some(cents))

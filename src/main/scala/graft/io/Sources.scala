@@ -137,26 +137,61 @@ object Sources {
     out.iterator
   }
 
+  /** Byte-level line reader: readLine semantics (terminator stripped,
+    * \r\n | \n) but over raw bytes, so the caller knows exact byte
+    * positions and can consume a Content-Length-delimited block — a
+    * char Reader buffers/decodes ahead and loses the byte offset. */
+  private final class ByteLines(in: InputStream) {
+    private val buf = new java.io.BufferedInputStream(in, 1 << 16)
+    /** Next line (UTF-8, terminator stripped), null at clean EOF. */
+    def readLine(): String = {
+      val bb = new java.io.ByteArrayOutputStream(128)
+      var c = buf.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') { bb.write(c); c = buf.read() }
+      val bytes = bb.toByteArray
+      var len = bytes.length
+      if (len > 0 && bytes(len - 1) == '\r') len -= 1
+      new String(bytes, 0, len, StandardCharsets.UTF_8)
+    }
+    /** Read exactly `n` bytes (fewer only at EOF — truncated gzip). */
+    def readBlock(n: Long): Array[Byte] = {
+      val cap = math.min(n, Int.MaxValue.toLong).toInt
+      val dst = new Array[Byte](cap)
+      var got = 0
+      while (got < cap) {
+        val r = buf.read(dst, got, cap - got)
+        if (r < 0) return java.util.Arrays.copyOf(dst, got)
+        got += r
+      }
+      dst
+    }
+  }
+
   /**
    * Streaming WARC `response`-record splitter — the RAW-crawl sibling
-   * of [[parseWetStream]] (same line-based state machine, same
-   * truncation tolerance): WARC header block up to a blank line, then
-   * the HTTP status line + headers up to a blank line, then the HTML
-   * payload until the next `WARC/` marker. Captures the HTTP status
-   * code and Content-Type so callers can gate on `200` / `text/html`
-   * BEFORE paying for extraction. Non-`response` records (request,
-   * metadata, warcinfo) are skipped.
+   * of [[parseWetStream]] (same truncation tolerance). Record
+   * delimitation follows real WARC readers: when the WARC header block
+   * carries `Content-Length`, the record's content (HTTP status line +
+   * headers + payload) is consumed as EXACTLY that many bytes — a
+   * payload line that happens to start with `WARC/` survives intact
+   * and never truncates the record or flushes a phantom one. Only when
+   * Content-Length is absent (or the gzip truncates mid-block) does the
+   * parser fall back to the `WARC/` marker scan. Captures the HTTP
+   * status code and Content-Type so callers can gate on `200` /
+   * `text/html` BEFORE paying for extraction. Non-`response` records
+   * (request, metadata, warcinfo) are skipped.
    */
   private[graft] def parseWarcStream(file: String,
       raw: InputStream): Iterator[WarcRecord] = {
-    val reader = new BufferedReader(new InputStreamReader(
-      new TruncationTolerant(new GZIPInputStream(raw)),
-      StandardCharsets.UTF_8), 1 << 16)
+    val reader = new ByteLines(
+      new TruncationTolerant(new GZIPInputStream(raw)))
     val out = ArrayBuffer.empty[WarcRecord]
     var recType: String = null
     var uri: String = null
     var status: String = null
     var contentType: String = null
+    var contentLength: Long = -1L
     // 0 = in WARC headers, 1 = awaiting HTTP status line, 2 = in HTTP
     // headers, 3 = in payload, -1 = outside any record
     var state = -1
@@ -170,7 +205,44 @@ object Sources {
           if (contentType == null) "" else contentType,
           body.toString)
       recType = null; uri = null; status = null; contentType = null
+      contentLength = -1L
       body = null
+    }
+
+    // readLine semantics over a decoded block: terminators stripped,
+    // the block's own final terminator yields no trailing empty line —
+    // keeps the body byte-for-byte identical to the marker-scan path
+    def lines(block: String): Array[String] = {
+      val ls = block.split("\r\n|\n|\r", -1)
+      if (ls.length > 1 && ls.last.isEmpty) ls.dropRight(1) else ls
+    }
+
+    // parse one Content-Length-delimited content block: optional HTTP
+    // status line + headers up to a blank line, then the payload —
+    // the same transitions as marker-scan states 1/2/3
+    def parseBlock(block: String): Unit = {
+      val ls = lines(block)
+      var i = 0
+      while (i < ls.length && ls(i).isEmpty) i += 1 // state-1 skip
+      if (i < ls.length && ls(i).startsWith("HTTP/")) {
+        val parts = ls(i).split(" ", 3)
+        if (parts.length >= 2) status = parts(1)
+        i += 1
+        while (i < ls.length && ls(i).nonEmpty) {
+          if (ls(i).toLowerCase(java.util.Locale.ROOT)
+              .startsWith("content-type:"))
+            contentType = ls(i).substring("content-type:".length).trim
+          i += 1
+        }
+        if (i < ls.length) i += 1 // the blank separator
+      }
+      while (i < ls.length) {
+        if (body.nonEmpty) body.append('\n')
+        body.append(ls(i))
+        i += 1
+      }
+      flush()
+      state = -1
     }
 
     try {
@@ -182,11 +254,22 @@ object Sources {
           body = new StringBuilder
         } else state match {
           case 0 =>
-            if (line.isEmpty) state = 1
+            if (line.isEmpty) {
+              if (contentLength >= 0) {
+                // byte-exact content block; a short read (truncated
+                // gzip) still parses the prefix we got
+                parseBlock(new String(reader.readBlock(contentLength),
+                  StandardCharsets.UTF_8))
+              } else state = 1 // no length declared: marker scan
+            }
             else if (line.startsWith("WARC-Type:"))
               recType = line.substring("WARC-Type:".length).trim
             else if (line.startsWith("WARC-Target-URI:"))
               uri = line.substring("WARC-Target-URI:".length).trim
+            else if (line.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("content-length:"))
+              contentLength = line.substring("content-length:".length)
+                .trim.toLongOption.getOrElse(-1L)
           case 1 =>
             // the HTTP status line ("HTTP/1.1 200 OK"); a record whose
             // body is NOT an HTTP message (e.g. warcinfo) drops
@@ -201,7 +284,8 @@ object Sources {
             }
           case 2 =>
             if (line.isEmpty) state = 3
-            else if (line.toLowerCase.startsWith("content-type:"))
+            else if (line.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("content-type:"))
               contentType = line.substring("content-type:".length).trim
           case 3 if body != null =>
             if (body.nonEmpty) body.append('\n')

@@ -57,6 +57,25 @@ object HtmlExtract extends Serializable {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
+  /** Case-insensitive indexOf without allocating a lowercased copy of
+    * the document. `String.toLowerCase` is locale-sensitive and can
+    * CHANGE LENGTH even in the root locale (U+0130 'İ' lowercases to
+    * two chars), so an index found in a lowercased copy does not
+    * reliably address the original string — on multilingual pages the
+    * parser would resume inside a script body. regionMatches(true, …)
+    * compares char-by-char in place: indices always refer to `s`, and
+    * no O(n) copy is allocated per script/style element. */
+  private def indexOfIgnoreCase(s: String, target: String,
+      from: Int): Int = {
+    val last = s.length - target.length
+    var i = math.max(from, 0)
+    while (i <= last) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** One extracted block with its classification evidence. */
   final case class Block(text: String, linkChars: Int, words: Int,
       stopwords: Int, inBadContainer: Boolean) {
@@ -88,7 +107,8 @@ object HtmlExtract extends Serializable {
           if (j > i) {
             words += 1
             if (TextAnalysis.Stopwords.contains(
-                text.substring(i, j).toLowerCase)) stops += 1
+                text.substring(i, j)
+                  .toLowerCase(java.util.Locale.ROOT))) stops += 1
           }
           i = j + 1
         }
@@ -132,12 +152,16 @@ object HtmlExtract extends Serializable {
             val closing = inner.startsWith("/")
             val nameRaw = (if (closing) inner.drop(1) else inner)
               .takeWhile(ch => !isWs(ch) && ch != '/')
-            val name = nameRaw.toLowerCase
+            // Locale.ROOT: under a Turkish default locale 'DIV'
+            // lowercases to 'dıv' (dotless ı) and uppercase tags stop
+            // matching the ASCII tag sets
+            val name = nameRaw.toLowerCase(java.util.Locale.ROOT)
             if (!closing && DropElements.contains(name) &&
                 !inner.endsWith("/")) {
               // skip to the matching close tag (first occurrence — no
-              // nesting of script/style in valid HTML)
-              val close = html.toLowerCase.indexOf(s"</$name", end + 1)
+              // nesting of script/style in valid HTML); in-place
+              // case-insensitive scan so the index addresses `html`
+              val close = indexOfIgnoreCase(html, s"</$name", end + 1)
               if (close < 0) i = n
               else i = math.max(html.indexOf('>', close) + 1, close)
             } else {
@@ -158,7 +182,8 @@ object HtmlExtract extends Serializable {
         val semi = html.indexOf(';', i + 1)
         val name = if (semi > 0 && semi - i <= 8)
           html.substring(i + 1, semi) else null
-        Entities.get(if (name == null) "" else name.toLowerCase) match {
+        Entities.get(if (name == null) ""
+          else name.toLowerCase(java.util.Locale.ROOT)) match {
           case Some(rep) => rep.foreach(emit); i = semi + 1
           case None => emit(c); i += 1
         }

@@ -312,9 +312,11 @@ object LogisticRegression {
    */
   def trainSoftmaxWeights(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, buckets: Int = 256, iters: Int = 12,
-      step: Double = 3.0, trainBuckets: Long = 8000): DataFrame = {
+      step: Double = 3.0, trainBuckets: Long = 8000,
+      maxClasses: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(iters > 0, s"iters must be positive, got $iters")
+    require(maxClasses >= 2, s"maxClasses must be >= 2, got $maxClasses")
     val spark = docs.sparkSession
     val feats = Materialized(
       featFrameMulti(docs, textCol, idCol, labelCol, buckets)
@@ -322,6 +324,18 @@ object LogisticRegression {
         .select("doc_id", "y", "cell"))
     val n = feats.select("doc_id").distinct().count()
     require(n > 0, "no training documents with at least one gram")
+    // guard BEFORE the alphabet collect (the `maxLlmBand` discipline):
+    // a caller who wires a high-cardinality column (URL, doc_id) as
+    // labelCol would otherwise collect millions of rows to the driver
+    // and build a buckets×K-row model; limit(max+1) bounds the check
+    // itself
+    val kCount = feats.select("y").distinct().limit(maxClasses + 1).count()
+    require(kCount <= maxClasses,
+      s"trainSoftmaxWeights found more than $maxClasses distinct " +
+        s"labels in '$labelCol' — a softmax langid/classifier label " +
+        "set is small by design (the model is buckets×K rows, collected " +
+        "per iteration); check the label column, or raise maxClasses " +
+        "explicitly if the cardinality is intended")
     // the class alphabet: a BOUNDED collect (K distinct labels),
     // sorted so the initial model — and every downstream plan — is
     // deterministic

@@ -110,18 +110,25 @@ class HtmlExtractSpec extends SparkSpec {
     d
   }
 
+  // ACCURATE Content-Length on the response records (the parser now
+  // trusts it to delimit the content block, like real WARC readers);
+  // the request records carry none, exercising the marker-scan fallback
+  // in the same file
   private def warcText(n: Int, name: String): String =
     (0 until n).map { i =>
+      val content =
+        s"""HTTP/1.1 200 OK
+           |Content-Type: text/html; charset=UTF-8
+           |
+           |<html><body><nav><a href=x>Home</a></nav><p>real content $i of $name with words</p></body></html>
+           |""".stripMargin
+      val cl = content.getBytes(StandardCharsets.UTF_8).length
       s"""WARC/1.0
          |WARC-Type: response
          |WARC-Target-URI: https://site$i-$name.com.au/page
-         |Content-Length: 400
+         |Content-Length: $cl
          |
-         |HTTP/1.1 200 OK
-         |Content-Type: text/html; charset=UTF-8
-         |
-         |<html><body><nav><a href=x>Home</a></nav><p>real content $i of $name with words</p></body></html>
-         |
+         |$content
          |WARC/1.0
          |WARC-Type: request
          |WARC-Target-URI: https://site$i-$name.com.au/page
@@ -176,5 +183,45 @@ class HtmlExtractSpec extends SparkSpec {
       assert(m.startsWith("real content"), m)
       assert(!m.contains("Home"), "nav boilerplate must not survive")
     }
+  }
+
+  test("Content-Length delimitation: a payload line starting with WARC/ survives intact") {
+    // regression (round-12 ADVICE): the marker-scan path truncated a
+    // response whose BODY contains a line beginning with "WARC/" and
+    // flushed a phantom record; with an accurate Content-Length the
+    // block is consumed byte-exactly and the payload survives
+    val content =
+      s"""HTTP/1.1 200 OK
+         |Content-Type: text/html
+         |
+         |<html><body><p>about the
+         |WARC/1.0 file format spec with plenty of words here</p></body></html>
+         |""".stripMargin
+    val cl = content.getBytes(StandardCharsets.UTF_8).length
+    val warc =
+      s"""WARC/1.0
+         |WARC-Type: response
+         |WARC-Target-URI: https://warcdoc.com.au/spec
+         |Content-Length: $cl
+         |
+         |$content
+         |WARC/1.0
+         |WARC-Type: response
+         |WARC-Target-URI: https://second.com.au/page
+         |Content-Length: ${content.getBytes(StandardCharsets.UTF_8).length}
+         |
+         |$content
+         |""".stripMargin
+    val dir = freshDir()
+    val f = new File(dir, "cl.warc.gz")
+    val os = new FileOutputStream(f)
+    os.write(gz(warc)); os.close()
+    val rows = spark.read.format("warc").load(dir.getAbsolutePath)
+      .collect().sortBy(_.getAs[String]("url"))
+    assert(rows.length === 2, "both records must parse — no phantom flush")
+    val first = rows.find(_.getAs[String]("url")
+      .contains("warcdoc")).get.getAs[String]("html")
+    assert(first.contains("WARC/1.0 file format spec"),
+      "the WARC/ payload line must survive inside the body")
   }
 }

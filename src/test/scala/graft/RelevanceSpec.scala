@@ -480,17 +480,25 @@ class RelevanceSpec extends SparkSpec {
     assert(out.length === 5)
   }
 
-  test("rrfFuse: lexical cutoff is a distributed top-k (TakeOrderedAndProject), and drops beyond-cutoff lexical evidence") {
+  test("rrfFuse: lexical cutoff is a distributed top-k (WindowGroupLimit partial mode), and drops beyond-cutoff lexical evidence") {
     val s = spark
     import s.implicits._
     val lexical = (1L to 50L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
     val vector = Seq((40L, 1L), (7L, 2L)).toDF("doc_id", "rank")
     val fused = Relevance.rrfFuse(lexical, vector, k = 60, topK = 10,
       rankCutoff = 5)
-    // the cut must be the distributed orderBy+limit shape, not a global
-    // single-task rank window over the full lexical list
-    assert(fused.queryExecution.executedPlan.toString
-      .contains("TakeOrderedAndProject"), "lexical cut must be top-k")
+    // ONE fusion implementation (round-11 verdict #7): rrfFuse delegates
+    // to rrfFuseMulti, whose rank filter compiles to WindowGroupLimit.
+    // The scale property survives the delegation because PARTIAL mode
+    // caps every map partition at rankCutoff rows BEFORE the shuffle —
+    // the same bounded-single-sort guarantee TakeOrderedAndProject gave,
+    // never a global single-task rank window over the full lexical list
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "lexical cut must compile to WindowGroupLimit")
+    assert(plan.contains("Partial"),
+      "WindowGroupLimit must have a map-side Partial phase so the " +
+        "shuffle carries at most rankCutoff rows per map partition")
     val out = fused.collect()
     val byDoc = out.map(r => r.getLong(0) ->
       (Option(r.get(1)), Option(r.get(2)))).toMap
@@ -546,5 +554,34 @@ class RelevanceSpec extends SparkSpec {
           r.getDouble(4), r.getLong(5))).toSet
       assert(slice === single, s"fusion for query $qid diverges")
     }
+  }
+
+  test("bm25MultiFromIndex guards: oversized batch rejected before broadcast; empty-term query fails loud in-plan") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25guard").toString + "/idx"
+    Relevance.writeBm25Index(docs, "text", "doc_id", path)
+    // serving-batch bound: the query relation is broadcast, so an
+    // unguarded million-query frame would OOM the driver — the guard
+    // fires BEFORE any postings work (round-11 verdict, What's wrong #2)
+    val big = (1L to 5L).map(i => (i, s"term$i")).toDF("query_id", "query")
+    val e1 = intercept[IllegalArgumentException] {
+      Relevance.bm25MultiFromIndex(s, path, big, maxQueries = 4)
+    }
+    assert(e1.getMessage.contains("serving-batch"),
+      s"guard message must explain the contract: ${e1.getMessage}")
+    // a query splitting to zero terms must fail LOUD (parity with the
+    // single-query require), never silently vanish from the fused output
+    val withEmpty = Seq((0L, "spark window"), (1L, "   "))
+      .toDF("query_id", "query")
+    val e2 = intercept[Exception] {
+      Relevance.bm25MultiFromIndex(s, path, withEmpty).collect()
+    }
+    val msg = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("has no tokens"),
+      s"empty-term query must raise the in-plan error, got: $msg")
   }
 }
