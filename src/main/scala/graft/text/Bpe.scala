@@ -99,9 +99,17 @@ object Bpe {
 
   /** Driver-side merge learning over a bounded (word, freq) sample.
     * Stops early if no adjacent pair remains (fully merged vocab). */
-  def train(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+  def train(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] =
+    trainSealed(sample.map { case (w, f) => (seal(w), f) }, numMerges)
+
+  /** The merge loop over an already-sealed vocabulary — shared by the
+    * char-level ([[train]]) and byte-level ([[trainBytes]]) trainers:
+    * the loop only ever sees bracketed symbols, so the alphabet is a
+    * parameter of the SEALING, not of the learning. */
+  private def trainSealed(sample: Seq[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var vocab = sample.map { case (w, f) => (seal(w), f) }
+    var vocab = sample
     val out = Seq.newBuilder[Merge]
     var k = 0
     var done = false
@@ -254,7 +262,11 @@ object Bpe {
     * (`p{k}`), the argmax merge (`m{k}`) and the rewritten vocab
     * (`v{k}`), ending in a relation `allm(rank, lhs, rhs, pair_count)`.
     */
-  private def trainCtes(numMerges: Int, topK: Int): String = {
+  /** The merge-step CTE chain shared by the char- and byte-level
+    * oracles: per step k the pair counts (`p{k}`), the argmax merge
+    * (`m{k}`) and the rewritten vocab (`v{k}`), plus the `allm` union —
+    * the learning loop is alphabet-agnostic, only `v0` differs. */
+  private def mergeSteps(numMerges: Int): (String, String) = {
     // v{k} and m{k} are MATERIALIZED: each vocab state is referenced
     // twice (pair counting and the rewrite), so DuckDB's default CTE
     // inlining would expand the chain 2^numMerges times
@@ -271,6 +283,11 @@ v$k AS MATERIALIZED (SELECT word, freq, replace(sym, '$O' || lhs || '$C$O' || rh
     val union = (1 to numMerges)
       .map(k => s"SELECT ${k - 1} AS rank, lhs, rhs, cnt AS pair_count FROM m$k")
       .mkString("\nUNION ALL\n")
+    (steps, union)
+  }
+
+  private def trainCtes(numMerges: Int, topK: Int): String = {
+    val (steps, union) = mergeSteps(numMerges)
     s"""tkx AS (SELECT unnest($oToks) AS word FROM documents),
 wc AS (SELECT word, count(*) AS freq FROM tkx
        WHERE strpos(word, '$O') = 0 AND strpos(word, '$C') = 0
