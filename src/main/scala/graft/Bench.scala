@@ -83,42 +83,39 @@ object Bench {
     // makes per-query regressions self-adjudicating without judge-side
     // re-runs. Capped at 15 so the JSON line stays inside the driver's
     // capture window.
-    val spread = {
-      val byQuery = suites.flatMap(_.perQuery)
-        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-      val bsByQuery = median.buildServe.map(t => t._1 -> (t._2, t._3)).toMap
-      median.perQuery.sortBy(-_._2).take(15).map { case (k, _) =>
-        val ts = byQuery(k)
-        // Trainer queries carry their build/serve split IN the spread
-        // entry (r10 verdict ask #7): the conflated total is build-
-        // dominated (e.g. 24 GD iterations) and must never read as a
-        // serve regression in a round-over-round per-query diff.
-        val bs = bsByQuery.get(k).map { case (b, s) =>
-          ",\"build\":" + f(b) + ",\"serve\":" + f(s)
-        }.getOrElse("")
-        "\"" + k + "\":{\"min\":" + f(ts.head) +
-          ",\"med\":" + f(ts(ts.size / 2)) + ",\"max\":" + f(ts.last) +
-          bs + "}"
-      }.mkString("{", ",", "}")
+    // Shared by the top-15 spread line and the full per-query file:
+    // per-query sorted times across the whole-suite runs, the median
+    // suite's build/serve splits, and one row formatter. "med" is the
+    // conventional median (mean of the two middles for an even run
+    // count — ts(n/2) alone is the UPPER mid).
+    val byQuery = suites.flatMap(_.perQuery)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val bsByQuery = median.buildServe.map(t => t._1 -> (t._2, t._3)).toMap
+    def queryRow(k: String): String = {
+      val ts = byQuery(k)
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      // Trainer queries carry their build/serve split IN the entry
+      // (r10 verdict ask #7): the conflated total is build-dominated
+      // (e.g. 24 GD iterations) and must never read as a serve
+      // regression in a round-over-round per-query diff.
+      val bs = bsByQuery.get(k).map { case (b, s) =>
+        ",\"build\":" + f(b) + ",\"serve\":" + f(s)
+      }.getOrElse("")
+      "\"" + k + "\":{\"min\":" + f(ts.head) + ",\"med\":" + f(med) +
+        ",\"max\":" + f(ts.last) + bs + "}"
     }
+    val spread = median.perQuery.sortBy(-_._2).take(15)
+      .map(t => queryRow(t._1)).mkString("{", ",", "}")
     // FULL per-query table as a FILE artifact (round-11 verdict ask
     // #4): the driver keeps only the tail of stdout, so queries outside
     // the top-15 spread line could not be diffed across rounds from
     // committed artifacts alone. One entry per query: min/med/max over
     // the whole-suite runs, plus the build/serve split where it exists.
-    {
-      val byQuery = suites.flatMap(_.perQuery)
-        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-      val bsByQuery = median.buildServe.map(t => t._1 -> (t._2, t._3)).toMap
-      val rows = results.map(_._1).sorted.map { k =>
-        val ts = byQuery(k)
-        val bs = bsByQuery.get(k).map { case (bld, srv) =>
-          ",\"build\":" + f(bld) + ",\"serve\":" + f(srv)
-        }.getOrElse("")
-        "  \"" + k + "\":{\"min\":" + f(ts.head) +
-          ",\"med\":" + f(ts(ts.size / 2)) + ",\"max\":" + f(ts.last) +
-          bs + "}"
-      }
+    // (locally: a bare block after the mkString expression above would
+    // parse as an extra argument list)
+    locally {
+      val rows = results.map(_._1).sorted.map(k => "  " + queryRow(k))
       val path = sys.env.getOrElse("BENCH_PERQ_PATH", "BENCH_perq.json")
       val json = "{\n\"sf\":\"" + sfDir + "\",\"suite_runs\":" + suiteRuns +
         ",\n\"queries\":{\n" + rows.mkString(",\n") + "\n}}\n"

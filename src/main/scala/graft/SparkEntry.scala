@@ -755,6 +755,17 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", path)
         .orderBy("doc_id")
     }),
+    // Byte-level twin: persisted byte-merge table (hex byte-pair
+    // symbols), encoding served from it — bit-identical to
+    // bpe_byte_encode (same oracle)
+    "bpe_byte_encode_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("bpebytemerges", dir)
+      graft.text.Bpe.writeByteMerges(s, Demo.table(s, dir, "documents"),
+        "text", numMerges = 24, topK = 256, path)
+      () => graft.text.Bpe.encodeBytesFromModel(s,
+        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+        .orderBy("doc_id")
+    }),
     // Trained unigram-LM vocabulary persisted once, encoding served
     // from it — stored (piece, score) longs ARE what the kernel
     // applies, so serve output is bit-identical to tokenize_unigram
@@ -2019,6 +2030,28 @@ object SparkEntry {
     // Train-once/serve-many: encoding served from the persisted merge
     // table — must be bit-identical to bpe_encode (same oracle)
     "bpe_encode_from_model" -> ((s, dir) => buildServe("bpe_encode_from_model")(s, dir)()),
+    // BYTE-level BPE (GPT-2/tiktoken lineage): the alphabet is the 256
+    // UTF-8 bytes as hex-pair symbols, so every string is representable
+    // (no unk by construction) — the merge loop and oracle CTE chain are
+    // SHARED with the char trainer; only the sealing differs
+    "bpe_byte_train" -> ((s, dir) =>
+      graft.text.Bpe.trainedByteMergesDf(s,
+        Demo.table(s, dir, "documents"), "text",
+        numMerges = 24, topK = 256)
+        .orderBy("rank")),
+    // Byte merges applied to every document — same map-side
+    // numMerges-replace chain; oracle seals via hex(encode(word)) in
+    // both training and the recursive per-document application
+    "bpe_byte_encode" -> ((s, dir) => {
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.wordSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.Bpe.encodeDocsBytes(Demo.table(s, dir, "documents"),
+        "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
+    // Train-once/serve-many byte twin — bit-identical to bpe_byte_encode
+    "bpe_byte_encode_from_model" -> ((s, dir) => buildServe("bpe_byte_encode_from_model")(s, dir)()),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -2875,6 +2908,9 @@ object SparkEntry {
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),
+    "bpe_byte_train" -> graft.text.Bpe.oracleByteTrainSql(24, 256),
+    "bpe_byte_encode" -> graft.text.Bpe.oracleByteEncodeSql(24, 256),
+    "bpe_byte_encode_from_model" -> graft.text.Bpe.oracleByteEncodeSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),

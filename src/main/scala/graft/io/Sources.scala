@@ -154,19 +154,34 @@ object Sources {
       if (len > 0 && bytes(len - 1) == '\r') len -= 1
       new String(bytes, 0, len, StandardCharsets.UTF_8)
     }
-    /** Read exactly `n` bytes (fewer only at EOF — truncated gzip). */
+    /** Read exactly `n` bytes (fewer only at EOF — truncated gzip).
+      * Reads in bounded chunks into a growing buffer, so memory tracks
+      * bytes ACTUALLY RECEIVED — an untrusted Content-Length header
+      * never pre-allocates its declared size (a corrupt record claiming
+      * 2e9 would otherwise allocate ~2 GB before reading one byte). */
     def readBlock(n: Long): Array[Byte] = {
-      val cap = math.min(n, Int.MaxValue.toLong).toInt
-      val dst = new Array[Byte](cap)
-      var got = 0
-      while (got < cap) {
-        val r = buf.read(dst, got, cap - got)
-        if (r < 0) return java.util.Arrays.copyOf(dst, got)
-        got += r
+      val want = math.min(n, Int.MaxValue.toLong)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(want, 1L << 16).toInt)
+      val chunk = new Array[Byte](1 << 16)
+      var remaining = want
+      while (remaining > 0) {
+        val r = buf.read(chunk, 0,
+          math.min(remaining, chunk.length.toLong).toInt)
+        if (r < 0) return out.toByteArray // EOF: truncated gzip prefix
+        out.write(chunk, 0, r)
+        remaining -= r
       }
-      dst
+      out.toByteArray
     }
   }
+
+  /** Largest WARC Content-Length honoured for byte-exact delimitation.
+    * Real writers cap records far below this (Common Crawl truncates
+    * payloads at 1 MiB); a declared length above it is treated as
+    * corrupt/hostile and the record falls back to the marker scan
+    * instead of buffering gigabytes on one executor thread. */
+  private[graft] val MaxWarcRecordBytes: Long = 64L << 20
 
   /**
    * Streaming WARC `response`-record splitter — the RAW-crawl sibling
@@ -255,12 +270,13 @@ object Sources {
         } else state match {
           case 0 =>
             if (line.isEmpty) {
-              if (contentLength >= 0) {
+              if (contentLength >= 0 &&
+                  contentLength <= MaxWarcRecordBytes) {
                 // byte-exact content block; a short read (truncated
                 // gzip) still parses the prefix we got
                 parseBlock(new String(reader.readBlock(contentLength),
                   StandardCharsets.UTF_8))
-              } else state = 1 // no length declared: marker scan
+              } else state = 1 // no/absurd length declared: marker scan
             }
             else if (line.startsWith("WARC-Type:"))
               recType = line.substring("WARC-Type:".length).trim

@@ -97,10 +97,55 @@ object Bpe {
     if (sym.isEmpty) Array.empty
     else sym.substring(1, sym.length - 1).split(C + O, -1)
 
+  private val HexDigits = "0123456789ABCDEF"
+
+  /** `⟨hh⟩⟨hh⟩…` BYTE-symbol representation: each UTF-8 byte of the
+    * word as its two-UPPERCASE-hex-digit symbol — the GPT-2/tiktoken
+    * alphabet (Radford et al. 2019 §2.2): 256 byte symbols cover EVERY
+    * string, so there is no unk by construction. Hex digits are ASCII,
+    * so the trainer's unsigned-byte argmax tie order, the engine's
+    * UTF8String collation and DuckDB's binary ORDER BY agree for free
+    * (the [[utf8Compare]] subtlety the char alphabet needs vanishes). */
+  def sealBytes(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 4)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Open)
+        .append(HexDigits.charAt((bytes(i) >> 4) & 0xf))
+        .append(HexDigits.charAt(bytes(i) & 0xf))
+        .append(Close)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Inverse of the byte alphabet: BPE symbols (concatenated hex byte
+    * pairs) → UTF-8 bytes → string. Total on any [[trainBytes]] /
+    * [[encodeWordBytes]] output — the round-trip anchor of the no-unk
+    * property (spec round-trips non-ASCII and astral text byte-exactly). */
+  def decodeByteSymbols(syms: Seq[String]): String = {
+    val hexStr = syms.mkString
+    val out = new Array[Byte](hexStr.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(hexStr.charAt(2 * i), 16) << 4) |
+        Character.digit(hexStr.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Driver-side merge learning over a bounded (word, freq) sample.
     * Stops early if no adjacent pair remains (fully merged vocab). */
   def train(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] =
     trainSealed(sample.map { case (w, f) => (seal(w), f) }, numMerges)
+
+  /** Byte-level merge learning (GPT-2 lineage): [[trainSealed]] over
+    * the byte-sealed sample — the loop is shared with [[train]]; the
+    * alphabet is a parameter of the sealing only. */
+  def trainBytes(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] =
+    trainSealed(sample.map { case (w, f) => (sealBytes(w), f) }, numMerges)
 
   /** The merge loop over an already-sealed vocabulary — shared by the
     * char-level ([[train]]) and byte-level ([[trainBytes]]) trainers:
@@ -163,6 +208,18 @@ object Bpe {
     unseal(s)
   }
 
+  /** [[encodeWord]] over the byte alphabet — the driver twin of the
+    * byte-level Column encoder; `decodeByteSymbols(encodeWordBytes(w,
+    * m)).sameElements(w)` for EVERY w and m (no unk). */
+  def encodeWordBytes(word: String, merges: Seq[Merge]): Array[String] = {
+    var s = sealBytes(word)
+    merges.foreach { m =>
+      s = s.replace(O + m.left + C + O + m.right + C,
+        O + m.left + m.right + C)
+    }
+    unseal(s)
+  }
+
   /** Bounded deterministic word-type sample: top `topK` types by
     * (frequency desc, word asc) over [[TextDedup.tokens]] — a ≤ topK-row
     * driver collect, the documented bounded-training-sample pattern. */
@@ -177,11 +234,34 @@ object Bpe {
   /** Train on the corpus and return the merge table as a DataFrame:
     * (rank, lhs, rhs, pair_count). */
   def trainedMergesDf(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int, topK: Int): DataFrame = {
+      numMerges: Int, topK: Int): DataFrame =
+    mergesToDf(spark, train(wordSample(docs, textCol, topK), numMerges))
+
+  /** [[trainedMergesDf]] over the byte alphabet (same bounded sample —
+    * the sealing, not the sampling, is what differs). */
+  def trainedByteMergesDf(spark: SparkSession, docs: DataFrame,
+      textCol: String, numMerges: Int, topK: Int): DataFrame =
+    mergesToDf(spark,
+      trainBytes(wordSample(docs, textCol, topK), numMerges))
+
+  private def mergesToDf(spark: SparkSession,
+      merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
-    train(wordSample(docs, textCol, topK), numMerges)
-      .map(m => (m.rank, m.left, m.right, m.pairCount))
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
       .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Fold a merge table over an already-sealed Column (codegen'd string
+    * replaces) and unseal to the symbol array — shared by the char- and
+    * byte-level encoders. */
+  private def foldMerges(sealed0: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val merged = merges.foldLeft(sealed0) { (cc, m) =>
+      org.apache.spark.sql.functions.replace(cc,
+        lit(O + m.left + C + O + m.right + C),
+        lit(O + m.left + m.right + C))
+    }
+    split(trim(merged, O + C), C + O)
   }
 
   /** Column expression: the BPE symbol ARRAY of one word under `merges`
@@ -194,14 +274,19 @@ object Bpe {
     // partially unsealed and the merge fold produces garbage symbols,
     // diverging from the driver seal() (a code-point loop) and the
     // DuckDB oracle (RE2 '.' excludes only \n, which \s does strip).
-    val sealed0 = regexp_replace(w, "(?s)(.)", O + "$1" + C)
-    val merged = merges.foldLeft(sealed0) { (cc, m) =>
-      org.apache.spark.sql.functions.replace(cc,
-        lit(O + m.left + C + O + m.right + C),
-        lit(O + m.left + m.right + C))
-    }
-    split(trim(merged, O + C), C + O)
+    foldMerges(regexp_replace(w, "(?s)(.)", O + "$1" + C), merges)
   }
+
+  /** Byte-level Column encoder: `hex(encode(w, UTF-8))` is the
+    * UPPERCASE hex of the word's UTF-8 bytes — the engine twin of
+    * [[sealBytes]]; `(..)` brackets each byte's hex pair (the hex
+    * string's length is always even, and hex digits are ASCII, so none
+    * of the char alphabet's DOTALL/code-point subtleties apply). */
+  private def encodeWordBytesCol(w: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    foldMerges(
+      regexp_replace(hex(encode(w, "UTF-8")), "(..)", O + "$1" + C),
+      merges)
 
   /** Per-document BPE token count under `merges` — the countExpr that
     * feeds [[SequencePacking.packCounted]]/[[SequencePacking.shardByTokenBudget]]
@@ -218,10 +303,24 @@ object Bpe {
    * document order joined by single spaces — the value-check digest).
    */
   def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    encodeDocsWith(docs, textCol, idCol, w => encodeWordCol(w, merges))
+
+  /** [[encodeDocs]] over the byte alphabet — identical map-side shape
+    * (one projection, `numMerges` codegen'd replaces per word, no
+    * shuffle, no driver state at encode time). */
+  def encodeDocsBytes(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame =
+    encodeDocsWith(docs, textCol, idCol,
+      w => encodeWordBytesCol(w, merges))
+
+  private def encodeDocsWith(docs: DataFrame, textCol: String,
+      idCol: String,
+      enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val toks = filter(TextDedup.tokens(col(textCol)),
       t => !t.contains(O) && !t.contains(C))
-    val encs = flatten(transform(toks, w => encodeWordCol(w, merges)))
+    val encs = flatten(transform(toks, enc))
     docs.select(col(idCol).as("doc_id"), encs.as("__e"))
       .select(col("doc_id"),
         size(col("__e")).cast("long").as("n_bpe_tokens"),
@@ -252,20 +351,31 @@ object Bpe {
       textCol: String, idCol: String, path: String): DataFrame =
     encodeDocs(docs, textCol, idCol, loadMerges(spark, path))
 
+  /** [[writeMerges]] for the byte-level trainer — same tiny (rank,
+    * lhs, rhs, pair_count) parquet layout ([[loadMerges]] reads both;
+    * the symbols are hex byte pairs instead of characters). */
+  def writeByteMerges(spark: SparkSession, docs: DataFrame,
+      textCol: String, numMerges: Int, topK: Int, path: String): Unit =
+    trainedByteMergesDf(spark, docs, textCol, numMerges, topK)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** [[encodeDocsBytes]] under a persisted byte-merge table —
+    * bit-identical to encoding with the freshly trained table. */
+  def encodeBytesFromModel(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, path: String): DataFrame =
+    encodeDocsBytes(docs, textCol, idCol, loadMerges(spark, path))
+
   // ------------------------------------------------ oracle SQL emission
 
   private val oToks =
     raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
 
-  /** CTE chain replaying [[wordSample]] + [[train]]: sampled types in
-    * `ws`, sealed vocab in `v0`, then per merge step k the pair counts
-    * (`p{k}`), the argmax merge (`m{k}`) and the rewritten vocab
-    * (`v{k}`), ending in a relation `allm(rank, lhs, rhs, pair_count)`.
-    */
   /** The merge-step CTE chain shared by the char- and byte-level
-    * oracles: per step k the pair counts (`p{k}`), the argmax merge
-    * (`m{k}`) and the rewritten vocab (`v{k}`), plus the `allm` union —
-    * the learning loop is alphabet-agnostic, only `v0` differs. */
+    * oracles (each replaying [[wordSample]] + its trainer): per step k
+    * the pair counts (`p{k}`), the argmax merge (`m{k}`) and the
+    * rewritten vocab (`v{k}`), plus the `allm(rank, lhs, rhs,
+    * pair_count)` union — the learning loop is alphabet-agnostic, only
+    * the sealed `v0` differs. */
   private def mergeSteps(numMerges: Int): (String, String) = {
     // v{k} and m{k} are MATERIALIZED: each vocab state is referenced
     // twice (pair counting and the rewrite), so DuckDB's default CTE
@@ -286,7 +396,21 @@ v$k AS MATERIALIZED (SELECT word, freq, replace(sym, '$O' || lhs || '$C$O' || rh
     (steps, union)
   }
 
-  private def trainCtes(numMerges: Int, topK: Int): String = {
+  /** Char-level seal of SQL expression `e`: one bracketed symbol per
+    * character (RE2 `.` — matches everything but \n, which `\s+`
+    * already stripped). */
+  private def charSealSql(e: String): String =
+    s"regexp_replace($e, '(.)', '$O\\1$C', 'g')"
+
+  /** Byte-level seal of SQL expression `e`: `hex(encode(e))` is the
+    * UPPERCASE hex of the UTF-8 bytes (DuckDB twin of Spark's
+    * `hex(encode(…, 'UTF-8'))` — verified byte-identical), `(..)`
+    * brackets each byte's hex pair. */
+  private def byteSealSql(e: String): String =
+    s"regexp_replace(hex(encode($e)), '(..)', '$O\\1$C', 'g')"
+
+  private def trainCtes(numMerges: Int, topK: Int,
+      sealSql: String => String): String = {
     val (steps, union) = mergeSteps(numMerges)
     s"""tkx AS (SELECT unnest($oToks) AS word FROM documents),
 wc AS (SELECT word, count(*) AS freq FROM tkx
@@ -294,7 +418,7 @@ wc AS (SELECT word, count(*) AS freq FROM tkx
        GROUP BY word),
 ws AS (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $topK),
 v0 AS MATERIALIZED (SELECT word, freq,
-         regexp_replace(word, '(.)', '$O\\1$C', 'g') AS sym
+         ${sealSql("word")} AS sym
        FROM ws),
 $steps,
 allm AS MATERIALIZED (
@@ -303,7 +427,13 @@ $union)"""
 
   /** Full oracle for the merge-table query. */
   def oracleTrainSql(numMerges: Int, topK: Int): String =
-    s"""WITH ${trainCtes(numMerges, topK)}
+    s"""WITH ${trainCtes(numMerges, topK, charSealSql)}
+SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
+
+  /** Full oracle for the BYTE-level merge-table query — the same
+    * merge-step chain over the byte-sealed `v0`. */
+  def oracleByteTrainSql(numMerges: Int, topK: Int): String =
+    s"""WITH ${trainCtes(numMerges, topK, byteSealSql)}
 SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
 
   /** Full oracle for [[encodeDocs]] under the merges the training CTEs
@@ -312,8 +442,9 @@ SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
   /** Training + per-document application CTEs, ending in a relation
     * `agg(doc_id, n, s)` (BPE token count + space-joined symbols) —
     * the shared prefix of the encode and trained-packing oracles. */
-  private def encodeCtes(numMerges: Int, topK: Int): String =
-    s"""${trainCtes(numMerges, topK)},
+  private def encodeCtes(numMerges: Int, topK: Int,
+      sealSql: String => String = charSealSql): String =
+    s"""${trainCtes(numMerges, topK, sealSql)},
 dw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos, unnest(ws2) AS word
        FROM (SELECT doc_id,
                list_filter($oToks,
@@ -321,7 +452,7 @@ dw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos, unnest(ws2) AS word
              FROM documents)),
 e(doc_id, wpos, sym, k) AS (
   SELECT doc_id, wpos,
-    regexp_replace(word, '(.)', '$O\\1$C', 'g'), 0
+    ${sealSql("word")}, 0
   FROM dw
   UNION ALL
   SELECT e.doc_id, e.wpos,
@@ -342,6 +473,15 @@ agg AS (SELECT doc_id,
 
   def oracleEncodeSql(numMerges: Int, topK: Int): String =
     s"""WITH RECURSIVE ${encodeCtes(numMerges, topK)}
+SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
+  md5(coalesce(a.s, '')) AS tokens_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
+  /** [[oracleEncodeSql]] over the byte alphabet: training AND the
+    * per-document recursive application both seal via UTF-8-byte hex. */
+  def oracleByteEncodeSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, byteSealSql)}
 SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
   md5(coalesce(a.s, '')) AS tokens_md5
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id

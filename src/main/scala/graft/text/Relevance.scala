@@ -214,8 +214,12 @@ object Relevance {
         "writeBm25Index, which records the count it partitioned with")
     val buckets = stats.select(col("buckets")).head().getInt(0)
     require(buckets > 0, s"index at $path has invalid bucket count $buckets")
+    // coalesce: a NULL query string would make size(terms0) NULL, the
+    // when() condition NULL, and explode silently DROP the row —
+    // coalescing to '' routes NULLs through the same fail-loud
+    // empty-query branch (round-12 advice)
     val terms0 = array_distinct(filter(
-      split(lower(col("query")), "\\s+"), t => t =!= ""))
+      split(lower(coalesce(col("query"), lit(""))), "\\s+"), t => t =!= ""))
     // empty-term queries raise IN-PLAN (raise_error sits on the explode
     // input, so Catalyst cannot prune it): a malformed query in a batch
     // must not silently disappear from the fused output

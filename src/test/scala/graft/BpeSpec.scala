@@ -214,4 +214,99 @@ class BpeSpec extends SparkSpec {
     assert(a.zip(a.tail).forall { case ((w1, f1), (w2, f2)) =>
       f1 > f2 || (f1 == f2 && w1 < w2) })
   }
+
+  // -------------------------------------------------- byte-level BPE
+
+  test("byte merges learned by hand over hex byte-pair symbols") {
+    // same corpus as the char hand-test: ab ×5, abc ×3 — the byte
+    // alphabet sees 'a'=61 'b'=62 'c'=63, so (61,62)=8 then (6162,63)=3
+    val merges = Bpe.trainBytes(Seq(("ab", 5L), ("abc", 3L)), 5)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((0, "61", "62", 8L), (1, "6162", "63", 3L)))
+  }
+
+  test("byte merges form inside multi-byte characters") {
+    // ß is C3 9F in UTF-8: "ßß" seals to [C3, 9F, C3, 9F] — pair
+    // (C3,9F) counts 2 (vs (9F,C3) at 1), merges first, and the second
+    // merge joins the two completed characters
+    val merges = Bpe.trainBytes(Seq(("ßß", 1L)), 3)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("C3", "9F", 2L), ("C39F", "C39F", 1L)))
+    assert(Bpe.encodeWordBytes("ßß", merges).toSeq == Seq("C39FC39F"))
+    assert(Bpe.decodeByteSymbols(Seq("C39FC39F")) == "ßß")
+  }
+
+  test("byte encoding round-trips non-ASCII and astral text byte-exactly (no unk)") {
+    val words = Seq("hello", "schön", "日本語テキスト", "a𝄞b", "🌍🌎🌏",
+      "mixé-日本x", "ß", "�")
+    // under NO merges (pure byte alphabet) and under merges trained on
+    // an unrelated corpus — decode(encode(w)) == w always: every byte
+    // is in the alphabet by construction
+    val trained = Bpe.trainBytes(
+      Seq(("the", 50L), ("quick", 20L), ("日本", 9L)), 8)
+    for (w <- words; m <- Seq(Nil, trained)) {
+      assert(Bpe.decodeByteSymbols(
+        Bpe.encodeWordBytes(w, m).toSeq) == w,
+        s"round-trip failed for '$w' with ${m.length} merges")
+    }
+    // the pure-byte seal of an astral char is its 4 UTF-8 bytes
+    assert(Bpe.encodeWordBytes("𝄞", Nil).toSeq ==
+      Seq("F0", "9D", "84", "9E"))
+  }
+
+  test("engine byte encode matches the driver reference on every testdata document") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val merges = Bpe.trainBytes(Bpe.wordSample(docs, "text", 256), 24)
+    assert(merges.length == 24)
+    val engine = Bpe.encodeDocsBytes(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val words = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val syms = words.flatMap(w => Bpe.encodeWordBytes(w, merges))
+      val hex = md.digest(syms.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(engine(id) == ((syms.length.toLong, hex)), s"doc $id")
+    }
+  }
+
+  test("engine byte encode matches driver on non-ASCII words (hex seal parity)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "schön schön 日本 a𝄞b über schön 日本"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(Bpe.wordSample(docs, "text", 10), 6)
+    val engine = Bpe.encodeDocsBytes(docs, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(1), r.getString(2))).head
+    val words = Seq("schön", "schön", "日本", "a𝄞b", "über", "schön", "日本")
+    val syms = words.flatMap(w => Bpe.encodeWordBytes(w, merges))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(syms.mkString(" ")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(engine == ((syms.length.toLong, hex)))
+    // and every symbol stream decodes back to its word
+    words.distinct.foreach { w =>
+      assert(Bpe.decodeByteSymbols(
+        Bpe.encodeWordBytes(w, merges).toSeq) == w)
+    }
+  }
+
+  test("persisted byte-merge model round-trips and serves bit-identical encodings") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val trained = Bpe.trainBytes(Bpe.wordSample(docs, "text", 64), 12)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe-byte-model").toString + "/merges"
+    Bpe.writeByteMerges(spark, docs, "text", numMerges = 12, topK = 64, path)
+    assert(Bpe.loadMerges(spark, path) == trained)
+    val fresh = Bpe.encodeDocsBytes(docs, "text", "doc_id", trained)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val served = Bpe.encodeBytesFromModel(spark, docs, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(served == fresh)
+  }
 }

@@ -224,4 +224,45 @@ class HtmlExtractSpec extends SparkSpec {
     assert(first.contains("WARC/1.0 file format spec"),
       "the WARC/ payload line must survive inside the body")
   }
+
+  test("hostile Content-Length: an absurd declared length falls back to the marker scan, no eager allocation") {
+    // round-12 ADVICE (medium): a corrupt/hostile record declaring e.g.
+    // 2e9 bytes must not pre-allocate its declared size (OOM) or
+    // swallow the rest of the file — lengths above MaxWarcRecordBytes
+    // are treated as absent and the record parses via the marker scan
+    val content =
+      s"""HTTP/1.1 200 OK
+         |Content-Type: text/html
+         |
+         |<html><body><p>legit page with plenty of words here</p></body></html>
+         |""".stripMargin
+    val warc =
+      s"""WARC/1.0
+         |WARC-Type: response
+         |WARC-Target-URI: https://hostile.com.au/corrupt
+         |Content-Length: 2000000000
+         |
+         |$content
+         |WARC/1.0
+         |WARC-Type: response
+         |WARC-Target-URI: https://after.com.au/page
+         |Content-Length: ${content.getBytes(StandardCharsets.UTF_8).length}
+         |
+         |$content
+         |""".stripMargin
+    val dir = freshDir()
+    val f = new File(dir, "hostile.warc.gz")
+    val os = new FileOutputStream(f)
+    os.write(gz(warc)); os.close()
+    val rows = spark.read.format("warc").load(dir.getAbsolutePath)
+      .collect().sortBy(_.getAs[String]("url"))
+    // marker scan recovers BOTH records: the hostile one ends where the
+    // next WARC/ header line starts, the following record is intact
+    assert(rows.length === 2,
+      s"hostile length must not swallow the next record, got ${rows.length}")
+    assert(rows.map(_.getAs[String]("url")).toSeq ===
+      Seq("https://after.com.au/page", "https://hostile.com.au/corrupt"))
+    rows.foreach(r =>
+      assert(r.getAs[String]("html").contains("legit page")))
+  }
 }

@@ -583,5 +583,17 @@ class RelevanceSpec extends SparkSpec {
       Option(e2.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("has no tokens"),
       s"empty-term query must raise the in-plan error, got: $msg")
+    // a NULL query string takes the same fail-loud branch: without the
+    // coalesce, size(split(lower(NULL))) is NULL, the when() condition
+    // is NULL, and explode silently DROPS the row (round-12 advice)
+    val withNull = Seq((0L, Some("spark window")), (1L, None))
+      .toDF("query_id", "query")
+    val e3 = intercept[Exception] {
+      Relevance.bm25MultiFromIndex(s, path, withNull).collect()
+    }
+    val msg3 = Option(e3.getMessage).getOrElse("") +
+      Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(msg3.contains("has no tokens"),
+      s"NULL query must raise the in-plan error, got: $msg3")
   }
 }
