@@ -2742,6 +2742,18 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", lrLabel,
         lrWeightsDf(s, dir))
         .orderBy("doc_id")),
+    // PER-LANGUAGE stack (FineWeb2): softmax langid routes every
+    // document; the LM triage trains one bigram model per predicted
+    // language with quantile cuts WITHIN the language; the LR gate is
+    // the shared model's probability cut at per-language quantiles
+    // (threshold calibration, not per-language retraining). Both model
+    // legs serve the shared cached weight tables. The oracle replays
+    // both descents + both per-group histogram cuts end to end.
+    "curate_quality_stack_multilingual" -> ((s, dir) =>
+      graft.corpus.CorpusPipeline.qualityStackMultilingual(
+        Demo.table(s, dir, "documents"), "text", "doc_id", "lang",
+        softmaxWeightsDf(s, dir), lrLabel, lrWeightsDf(s, dir))
+        .orderBy("doc_id")),
     // Streaming deploy-time twin: the same four gates served from
     // persisted artifacts over micro-batch epochs (see buildServe) —
     // gated by the UNCHANGED batch oracle, so bit-exactness is the gate
@@ -2992,6 +3004,8 @@ object SparkEntry {
     "curate_domain_filter" -> OracleSql.curateDomainFilter,
     "corpus_pipeline_curated" -> DedupOracles.corpusPipelineCurated,
     "curate_quality_stack" -> TextOracles.qualityStack(),
+    "curate_quality_stack_multilingual" ->
+      TextOracles.qualityStackMultilingual(),
     // streaming twin gated by the UNCHANGED batch oracle — the
     // embed_pca_incremental discipline: bit-exactness IS the gate
     "curate_quality_stack_streaming" -> TextOracles.qualityStack(),

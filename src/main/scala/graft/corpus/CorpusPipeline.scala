@@ -229,6 +229,82 @@ object CorpusPipeline {
     composeGates(d.select(col(idCol).as("doc_id")), gopher, c4, lr, ppl)
   }
 
+  /**
+   * PER-LANGUAGE quality stack (FineWeb2 semantics): the corpus-wide
+   * stack misjudges any language whose score distribution differs from
+   * the majority's — a fluent low-resource language scores "tail"
+   * against a high-resource LM and is wholesale dropped. This variant
+   * routes every document through the trained softmax language
+   * identifier and makes BOTH model gates language-relative:
+   *
+   *   - LM leg: one add-α bigram model per PREDICTED language
+   *     ([[graft.text.LanguageModel.scoreDocsPerGroup]] — each document
+   *     scored against its own language's model), head/middle/tail cut
+   *     WITHIN the language ([[graft.text.LanguageModel.bucketsByScorePerGroup]]).
+   *   - LR leg: the shared quality probability, but gated at
+   *     per-language quantiles instead of the corpus-wide 0.5 — the
+   *     FineWeb2 move of calibrating thresholds per language rather
+   *     than retraining per language (the model is one broadcastable
+   *     weight table; only the 2-value threshold relation is per-group).
+   *
+   * The rule gates (Gopher, C4) stay language-agnostic map-side
+   * projections. A document invisible to the router (no hashed grams)
+   * fails both model gates and reads pred_lang/'none' buckets — same
+   * absence-is-not-quality semantics as [[qualityStack]].
+   *
+   * Scale shape: the router and LR leg are one broadcast-model join +
+   * hash agg each; the per-group LM is keyed (lang, gram) — model
+   * relations stay vocab-sized per language; both quantile cuts are
+   * bounded micro-unit histograms windowed PER GROUP (never a
+   * corpus-wide sort); the final assembly is five left joins on the
+   * 8-byte doc id.
+   */
+  def qualityStackMultilingual(docs: DataFrame, textCol: String,
+      idCol: String, langLabelCol: String, softmaxWeights: DataFrame,
+      lrLabel: Column, lrWeights: DataFrame,
+      minLineWords: Int = 3, minSentences: Int = 1,
+      headPermille: Int = 300, midPermille: Int = 400): DataFrame = {
+    val d = graft.operators.Materialized(
+      docs.select(col(idCol), col(textCol), col(langLabelCol)))
+    val gopher = TextAnalysis.gopherSignals(d, textCol, idCol)
+      .select("doc_id", "gopher_pass")
+    val c4 = TextAnalysis.c4LineFilter(d, textCol, idCol, minLineWords,
+      minSentences).select(col("doc_id"), col("kept").as("c4_pass"))
+    val pred = graft.text.LogisticRegression.predictWithSoftmaxWeights(
+      d, textCol, idCol, langLabelCol, softmaxWeights, trainBuckets = 0)
+      .select(col("doc_id"), col("label_pred").as("pred_lang"))
+    val lr = graft.text.LogisticRegression.predictWithWeights(d, textCol,
+      idCol, lrLabel, lrWeights, trainBuckets = 0)
+      .select(col("doc_id"), col("prob").as("lr_prob"))
+    val lrB = graft.text.LanguageModel.bucketsByScorePerGroup(
+      lr.join(pred, "doc_id"), "lr_prob", "pred_lang",
+      headPermille, midPermille)
+      .select(col("doc_id"), col("bucket").as("lr_bucket"))
+    val dp = d.join(pred.withColumnRenamed("doc_id", idCol), Seq(idCol))
+    val ppl = graft.text.LanguageModel.bucketsByScorePerGroup(
+      graft.text.LanguageModel.scoreDocsPerGroup(dp, textCol, idCol,
+        "pred_lang"),
+      "lm_score", "pred_lang", headPermille, midPermille)
+      .select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    d.select(col(idCol).as("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .join(gopher, Seq("doc_id"), "left")
+      .join(c4, Seq("doc_id"), "left")
+      .join(lr, Seq("doc_id"), "left")
+      .join(lrB, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("none")).as("pred_lang"),
+        col("gopher_pass"), col("c4_pass"), col("lr_prob"),
+        coalesce(col("lr_bucket"), lit("none")).as("lr_bucket"),
+        coalesce(col("ppl_bucket"), lit("none")).as("ppl_bucket"),
+        (coalesce(col("gopher_pass"), lit(false)) &&
+          coalesce(col("c4_pass"), lit(false)) &&
+          coalesce(col("lr_bucket").isin("head", "middle"), lit(false)) &&
+          coalesce(col("ppl_bucket").isin("head", "middle"), lit(false)))
+          .as("keep"))
+  }
+
   /** The four-gate join + keep conjunction shared by [[qualityStack]]
     * and the streaming serve path
     * ([[graft.streaming.StreamingQualityStack]]): left joins on the

@@ -1970,7 +1970,22 @@ ORDER BY cell, cls"""
   def ccnetLangTriage(buckets: Int = 256, iters: Int = 12,
       step: Double = 3.0): String =
     s"""WITH ${softmaxChain(buckets, iters, step)},
-cad AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM mlf),
+${ccnetServeCtes(iters)}
+SELECT doc_id, g AS pred_lang, n_bigrams, lm_score,
+  CASE WHEN m >= th THEN 'head'
+       WHEN m >= tm THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM cgm JOIN cthr USING (g) ORDER BY doc_id"""
+
+  /** The CCNet serve chain shared by [[ccnetLangTriage]] and
+    * [[qualityStackMultilingual]]: softmax serve over all gram-bearing
+    * documents (`cpred(doc_id, g)` — the predicted language), the
+    * per-group add-α bigram LM score (`cgm(doc_id, g, n_bigrams,
+    * lm_score, m)`), and the per-group head/mid thresholds
+    * (`cthr(g, th, tm)`). Expects `mlf`/`mlw{iters}` from
+    * [[softmaxChain]] in scope. */
+  private def ccnetServeCtes(iters: Int): String =
+    s"""cad AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM mlf),
 caz AS MATERIALIZED (SELECT f.doc_id, w.cls,
     sum(CAST(w.w AS DECIMAL(28,6))) AS zs
   FROM (SELECT DISTINCT doc_id, cell FROM mlf) f
@@ -2024,12 +2039,7 @@ cc AS (SELECT g, m, cnt,
 cthr AS (SELECT g,
     max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
     max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
-  FROM cc GROUP BY g)
-SELECT doc_id, g AS pred_lang, n_bigrams, lm_score,
-  CASE WHEN m >= th THEN 'head'
-       WHEN m >= tm THEN 'middle'
-       ELSE 'tail' END AS bucket
-FROM cgm JOIN cthr USING (g) ORDER BY doc_id"""
+  FROM cc GROUP BY g)"""
 
   /**
    * Mirrors `CorpusPipeline.qualityStack` (curate_quality_stack): the
@@ -2073,7 +2083,24 @@ qsp AS (SELECT doc_id,
          WHEN m >= tm THEN 'middle' ELSE 'tail' END AS bucket
   FROM qsg CROSS JOIN qsthr),
 qsgo AS ($gopherQuality),
-qsc4 AS (
+qsc4 AS (${c4GateSql(minLineWords, minSentences)})
+SELECT d.doc_id, g.gopher_pass, c.c4_pass, l.lr_prob,
+  coalesce(p.bucket, 'none') AS ppl_bucket,
+  (coalesce(g.gopher_pass, false) AND coalesce(c.c4_pass, false)
+    AND coalesce(l.lr_prob >= 0.5, false)
+    AND coalesce(p.bucket IN ('head', 'middle'), false)) AS keep
+FROM documents d
+LEFT JOIN qsgo g USING (doc_id)
+LEFT JOIN qsc4 c USING (doc_id)
+LEFT JOIN qsl l USING (doc_id)
+LEFT JOIN qsp p USING (doc_id)
+ORDER BY d.doc_id"""
+
+  /** The single-line C4 page gate shared by [[qualityStack]] and
+    * [[qualityStackMultilingual]]: ends in a relation shape
+    * `(doc_id, c4_pass)`. */
+  private def c4GateSql(minLineWords: Int, minSentences: Int): String =
+    s"""
   SELECT doc_id,
     (CAST(length(cl) - length(regexp_replace(cl, '[.!?]', '', 'g'))
        AS BIGINT) >= $minSentences
@@ -2087,17 +2114,72 @@ qsc4 AS (
                 x -> x <> '')) >= $minLineWords
               AND NOT contains(lower(trim(l)), 'javascript')),
             chr(10)), '') AS cl
-        FROM documents) q)
-SELECT d.doc_id, g.gopher_pass, c.c4_pass, l.lr_prob,
-  coalesce(p.bucket, 'none') AS ppl_bucket,
+        FROM documents) q"""
+
+  /**
+   * Mirrors `CorpusPipeline.qualityStackMultilingual`
+   * (curate_quality_stack_multilingual): the per-language stack — the
+   * LR descent ([[lrChain]]) served over all gram-bearing documents,
+   * the softmax langid descent ([[softmaxChain]]) + CCNet serve chain
+   * ([[ccnetServeCtes]]) for routing and the per-language LM triage,
+   * a SECOND per-group quantile cut over the LR probability
+   * (micro-unit histogram partitioned by predicted language — the
+   * engine's `bucketsByScorePerGroup` on `lr_prob`), and the
+   * language-agnostic Gopher/C4 rule gates, LEFT-joined with the
+   * stack's null semantics.
+   */
+  def qualityStackMultilingual(buckets: Int = 256, lrIters: Int = 24,
+      smIters: Int = 12, step: Double = 3.0, minLineWords: Int = 3,
+      minSentences: Int = 1): String =
+    s"""WITH ${lrChain(buckets, lrIters, step)},
+${softmaxChain(buckets, smIters, step)},
+${ccnetServeCtes(smIters)},
+mqz AS MATERIALIZED (
+  SELECT f.doc_id, sum(CAST(coalesce(w.w, 0) AS DECIMAL(28,6))) AS zsum
+  FROM qlf f LEFT JOIN (SELECT * FROM qlw$lrIters WHERE cell >= 0) w USING (cell)
+  GROUP BY 1),
+mql AS MATERIALIZED (
+  SELECT z.doc_id,
+    CAST(CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        + exp(-(CAST(b.w AS DOUBLE) + CAST(z.zsum AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) AS DOUBLE) AS lr_prob
+  FROM mqz z CROSS JOIN (SELECT w FROM qlw$lrIters WHERE cell = -1) b),
+mqm AS (SELECT l.doc_id, p.g, CAST(round(l.lr_prob * 10000) AS BIGINT) AS m
+  FROM mql l JOIN cpred p USING (doc_id)),
+mqc AS (SELECT g, m, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY m DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY g) AS n
+  FROM (SELECT g, m, count(*) AS cnt FROM mqm GROUP BY 1, 2) mqh),
+mqthr AS (SELECT g,
+    max(CASE WHEN cum >= (n * 300 + 999) // 1000 THEN m END) AS th,
+    max(CASE WHEN cum >= (n * 700 + 999) // 1000 THEN m END) AS tm
+  FROM mqc GROUP BY g),
+mqlb AS (SELECT doc_id,
+    CASE WHEN m >= th THEN 'head' WHEN m >= tm THEN 'middle'
+         ELSE 'tail' END AS lr_bucket
+  FROM mqm JOIN mqthr USING (g)),
+mqpl AS (SELECT doc_id,
+    CASE WHEN m >= th THEN 'head' WHEN m >= tm THEN 'middle'
+         ELSE 'tail' END AS ppl_bucket
+  FROM cgm JOIN cthr USING (g)),
+mqgo AS ($gopherQuality),
+mqc4 AS (${c4GateSql(minLineWords, minSentences)})
+SELECT d.doc_id,
+  coalesce(p.g, 'none') AS pred_lang,
+  g.gopher_pass, c.c4_pass, l.lr_prob,
+  coalesce(lb.lr_bucket, 'none') AS lr_bucket,
+  coalesce(pb.ppl_bucket, 'none') AS ppl_bucket,
   (coalesce(g.gopher_pass, false) AND coalesce(c.c4_pass, false)
-    AND coalesce(l.lr_prob >= 0.5, false)
-    AND coalesce(p.bucket IN ('head', 'middle'), false)) AS keep
+    AND coalesce(lb.lr_bucket IN ('head', 'middle'), false)
+    AND coalesce(pb.ppl_bucket IN ('head', 'middle'), false)) AS keep
 FROM documents d
-LEFT JOIN qsgo g USING (doc_id)
-LEFT JOIN qsc4 c USING (doc_id)
-LEFT JOIN qsl l USING (doc_id)
-LEFT JOIN qsp p USING (doc_id)
+LEFT JOIN cpred p USING (doc_id)
+LEFT JOIN mqgo g USING (doc_id)
+LEFT JOIN mqc4 c USING (doc_id)
+LEFT JOIN mql l USING (doc_id)
+LEFT JOIN mqlb lb USING (doc_id)
+LEFT JOIN mqpl pb USING (doc_id)
 ORDER BY d.doc_id"""
 
   /** Mirrors `CorpusPipeline.qualityReport` over the stack (the

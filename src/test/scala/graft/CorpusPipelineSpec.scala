@@ -150,4 +150,72 @@ class CorpusPipelineSpec extends SparkSpec {
     val g = report.find(r => r.getString(0) == "de" && r.getString(1) == "src2").get
     assert(g.getLong(7) < g.getLong(2), "null-gate doc must not count as kept")
   }
+
+  test("multilingual stack keeps a fluent minority language the corpus-wide gates wholesale drop") {
+    val s = spark
+    import s.implicits._
+    // Majority language "en": 60 docs over a tight shared phrase set
+    // (very high corpus bigram counts), half carrying the LR seed word.
+    // Minority language "xx": 12 identical docs over a DISJOINT
+    // pseudo-vocabulary — internally perfectly fluent, but their bigram
+    // counts are 12 vs the majority's 60, so the CORPUS-wide LM ranks
+    // every one of them bottom-17% (tail), and none contains the
+    // English seed word, so the corpus-wide 0.5 LR gate fails them too.
+    // The two Gopher stopwords ride in both languages so the
+    // language-agnostic rule gates pass everything (word floor, mean
+    // length, alpha fraction, stop hits, terminal punctuation).
+    val sparkEn = (("the spark engine and that data " * 10).trim + " done.")
+    val plainEn = (("the engine with all that data " * 10).trim + " done.")
+    val minXx =
+      (("zorbak mirthal the quenva droswel and " * 9).trim + " veltan prosim droswel.")
+    val docs = (
+      (0L until 30L).map(i => (i, sparkEn, "en")) ++
+      (30L until 60L).map(i => (i, plainEn, "en")) ++
+      (100L until 112L).map(i => (i, minXx, "xx"))).toDF(
+      "doc_id", "text", "lang")
+    val label = array_contains(
+      graft.dedup.TextDedup.tokens(col("text")), "spark")
+    val lrW = graft.text.LogisticRegression.trainWeights(
+      docs, "text", "doc_id", label)
+    val smW = graft.text.LogisticRegression.trainSoftmaxWeights(
+      docs, "text", "doc_id", "lang")
+    // the corpus-wide stack drops EVERY minority doc — tail perplexity
+    // against the majority-dominated LM and lr_prob below the global cut
+    val mono = CorpusPipeline.qualityStack(docs, "text", "doc_id",
+      label, lrW).collect().map(r => r.getLong(0) -> r).toMap
+    (100L until 112L).foreach { id =>
+      val r = mono(id)
+      assert(!r.getAs[Boolean]("keep"), s"corpus stack kept minority $id")
+      assert(r.getAs[String]("ppl_bucket") === "tail", s"$r")
+      assert(r.getAs[Double]("lr_prob") < 0.5, s"$r")
+      assert(r.getAs[Boolean]("gopher_pass") &&
+        r.getAs[Boolean]("c4_pass"),
+        s"minority doc must fail only the MODEL gates: $r")
+    }
+    // the per-language stack routes them to their own language and
+    // keeps them: scored against their OWN bigram model and cut at
+    // THEIR language's quantiles, they are head-of-distribution
+    val multi = CorpusPipeline.qualityStackMultilingual(docs, "text",
+      "doc_id", "lang", smW, label, lrW)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (100L until 112L).foreach { id =>
+      val r = multi(id)
+      assert(r.getAs[String]("pred_lang") === "xx",
+        s"router must recognize the minority language: $r")
+      assert(r.getAs[Boolean]("keep"), s"multilingual stack dropped $id: $r")
+    }
+    // majority docs are still gated: the seed-word docs survive, and
+    // keep remains exactly the conjunction of its reason columns
+    (0L until 30L).foreach { id =>
+      assert(multi(id).getAs[Boolean]("keep"), s"good majority $id: ${multi(id)}")
+    }
+    multi.values.foreach { r =>
+      val expect =
+        Option(r.getAs[java.lang.Boolean]("gopher_pass")).exists(_.booleanValue) &&
+        Option(r.getAs[java.lang.Boolean]("c4_pass")).exists(_.booleanValue) &&
+        Seq("head", "middle").contains(r.getAs[String]("lr_bucket")) &&
+        Seq("head", "middle").contains(r.getAs[String]("ppl_bucket"))
+      assert(r.getAs[Boolean]("keep") === expect, s"row $r")
+    }
+  }
 }
