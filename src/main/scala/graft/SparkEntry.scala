@@ -1294,6 +1294,20 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(Demo.table(s, dir, "documents"),
         "text", "doc_id").orderBy("doc_a", "doc_b")),
+    // Dedup EVALUATION mart: deterministic planted-ground-truth corpus
+    // (4 variants per distinct text), every family's production
+    // detector run on it, per-family tp/fp/fn + precision/recall — the
+    // threshold-selection surface (the ngram 0.6-vs-0.8 rows straddle
+    // the truncation variant's ~0.75 Jaccard by design)
+    "dedup_eval_report" -> ((s, dir) =>
+      graft.dedup.DedupEval.evalReport(Demo.table(s, dir, "documents"),
+        "text", "doc_id").orderBy("family")),
+    // Between-family overlap of detected pair sets on the same planted
+    // corpus — the second axis of family selection (what one family
+    // adds over another)
+    "dedup_eval_overlap" -> ((s, dir) =>
+      graft.dedup.DedupEval.overlapReport(Demo.table(s, dir, "documents"),
+        "text", "doc_id").orderBy("family_a", "family_b")),
     // Training-data ops: substring-level exact dedup — pairs sharing a
     // 20-token run (Lee et al. 2021's grain, distributed inverted-index
     // formulation with a boilerplate df cap + exact string verify)
@@ -2890,6 +2904,8 @@ object SparkEntry {
     "dedup_exact" -> DedupOracles.exact,
     "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
+    "dedup_eval_report" -> DedupOracles.evalReport,
+    "dedup_eval_overlap" -> DedupOracles.evalOverlap,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
     "dedup_corpus" -> DedupOracles.corpusKeepers,

@@ -8,14 +8,18 @@ object DedupOracles {
   private val toks =
     raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
 
-  /** 3-gram shingle list (distinct), empty-safe. */
-  private val shCte = raw"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+  /** 3-gram shingle list (distinct), empty-safe, over any
+    * (doc_id, text) relation. */
+  private def shCteFrom(rel: String): String =
+    raw"""t AS (SELECT doc_id, $toks AS toks FROM $rel),
 sh AS (SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                  for i in range(1, len(toks) - 1)])
               ELSE [] END AS s
        FROM t)"""
+
+  private val shCte = shCteFrom("documents")
 
   private def hashOf(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT) % 1000000007"
@@ -407,7 +411,8 @@ SELECT k.doc_id, k.lang FROM keepers k
 JOIN semkeep s ON k.doc_id = s.vec_id
 ORDER BY k.doc_id"""
 
-  private val simhashCte =s"""tt AS (SELECT doc_id, $toks AS toks FROM documents),
+  private def simhashCteFrom(rel: String): String =
+    s"""tt AS (SELECT doc_id, $toks AS toks FROM $rel),
 tok AS (SELECT doc_id, ${hashOf("tk")} AS h
         FROM (SELECT doc_id, unnest(toks) AS tk FROM tt)),
 bitsum AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -415,6 +420,8 @@ bitsum AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 E
 sim AS (SELECT doc_id,
           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsum GROUP BY doc_id)"""
+
+  private val simhashCte = simhashCteFrom("documents")
 
   val simhash: String = s"""WITH $simhashCte
 SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
@@ -1156,4 +1163,135 @@ walk(node, comp) AS (
 SELECT node AS doc_id FROM (
   SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
 WHERE comp = node ORDER BY doc_id"""
+
+  // ----------------------------------------------------- evaluation mart
+
+  /** The planted-corpus CTEs mirroring `DedupEval.plantedCorpus` +
+    * `truthPairs`: `pd(doc_id, origin, text)` and `tr(doc_a, doc_b)`.
+    * Variant texts are single-space joins of the lowercased token
+    * prefixes; ⌊0.8·n⌋ uses integer `//`. */
+  private val evalCorpusCtes: String =
+    s"""pd0 AS MATERIALIZED (SELECT text, min(doc_id) AS origin
+  FROM documents GROUP BY text),
+pt AS (SELECT origin, text, $toks AS tk FROM pd0),
+pd AS MATERIALIZED (
+  SELECT origin * 4 AS doc_id, origin, text FROM pt
+  UNION ALL
+  SELECT origin * 4 + 1, origin, array_to_string(tk[1:len(tk)-1], ' ')
+  FROM pt WHERE len(tk) >= 2
+  UNION ALL
+  SELECT origin * 4 + 2, origin,
+    array_to_string(tk[1:(8*len(tk))//10], ' ')
+  FROM pt WHERE origin % 2 = 0 AND (8*len(tk))//10 >= 1
+    AND (8*len(tk))//10 < len(tk)
+  UNION ALL
+  SELECT origin * 4 + 3, origin, text FROM pt WHERE origin % 3 = 0),
+tr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pd a JOIN pd b ON a.origin = b.origin AND a.doc_id < b.doc_id)"""
+
+  /** df-capped n-gram Jaccard pairs over `pd` at `threshold` — the
+    * [[ngramPairs]] chain nested as a subquery so each family keeps its
+    * own CTE namespace. */
+  private def evalNgramSub(threshold: Double): String =
+    s"""WITH ${shCteFrom("pd")},
+hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM sh),
+$invKeepCtes,
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM inv a JOIN keep k ON a.h = k.h JOIN inv b ON b.h = a.h
+         WHERE a.doc_id < b.doc_id),
+p AS (SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand c
+      JOIN hsh sa ON sa.doc_id = c.doc_a
+      JOIN hsh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b FROM p WHERE jaccard >= $threshold"""
+
+  /** Banded MinHash-LSH pairs over `pd` at threshold 0.8 (8 bands × 4
+    * rows — the [[minhashLshPairs]] chain). */
+  private val evalMinhashSub: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSig(b)} AS band_sig FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${shCteFrom("pd")},
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+sig AS (SELECT doc_id, s, list_distinct(list_transform(s, x -> ${hashOf("x")})) AS hs FROM shf),
+bands AS (
+$bandSelects),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+v AS (SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8"""
+  }
+
+  /** Chunk-indexed SimHash pairs over `pd` at Hamming ≤ 1. */
+  private val evalSimhashSub: String =
+    s"""WITH ${simhashCteFrom("pd")},
+chunks AS (SELECT doc_id, simhash, r.c, (simhash >> (15 * r.c)) & 32767 AS chunk
+           FROM sim, range(0, 4) r(c))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+
+  /** All families' detected pairs over `pd`, tagged — `det(family,
+    * doc_a, doc_b)` — plus the family list relation. */
+  private val evalDetCtes: String =
+    s"""det AS MATERIALIZED (
+  SELECT 'exact' AS family, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, md5(text) AS h FROM pd) a
+  JOIN (SELECT doc_id, md5(text) AS h FROM pd) b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'minhash_lsh_0.8', doc_a, doc_b FROM ($evalMinhashSub) q1
+  UNION ALL
+  SELECT 'ngram_jaccard_0.6', doc_a, doc_b FROM (${evalNgramSub(0.6)}) q2
+  UNION ALL
+  SELECT 'ngram_jaccard_0.8', doc_a, doc_b FROM (${evalNgramSub(0.8)}) q3
+  UNION ALL
+  SELECT 'simhash_1', doc_a, doc_b FROM ($evalSimhashSub) q4),
+fams AS (SELECT unnest(['exact', 'minhash_lsh_0.8', 'ngram_jaccard_0.6',
+  'ngram_jaccard_0.8', 'simhash_1']) AS family)"""
+
+  /** Mirrors `DedupEval.evalReport` (dedup_eval_report). */
+  val evalReport: String = s"""WITH $evalCorpusCtes,
+$evalDetCtes,
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+ag AS (SELECT family, CAST(count(*) AS BIGINT) AS n_pred,
+    CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM det d LEFT JOIN tr t ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b
+  GROUP BY family)
+SELECT f.family, n.n_truth,
+  CAST(coalesce(a.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(coalesce(a.tp, 0) AS BIGINT) AS tp,
+  CAST(coalesce(a.n_pred - a.tp, 0) AS BIGINT) AS fp,
+  CAST(n.n_truth - coalesce(a.tp, 0) AS BIGINT) AS fn,
+  CASE WHEN coalesce(a.n_pred, 0) = 0 THEN NULL
+       ELSE round(CAST(a.tp AS DOUBLE) / a.n_pred, 4) END AS precision,
+  CASE WHEN n.n_truth = 0 THEN NULL
+       ELSE round(CAST(coalesce(a.tp, 0) AS DOUBLE) / n.n_truth, 4)
+       END AS recall
+FROM fams f CROSS JOIN ntr n LEFT JOIN ag a USING (family)
+ORDER BY family"""
+
+  /** Mirrors `DedupEval.overlapReport` (dedup_eval_overlap). */
+  val evalOverlap: String = s"""WITH $evalCorpusCtes,
+$evalDetCtes,
+o AS (SELECT x.family AS fam_a, y.family AS fam_b,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM det x JOIN det y
+    ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.family < y.family
+  GROUP BY 1, 2)
+SELECT fa.family AS family_a, fb.family AS family_b,
+  CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common
+FROM fams fa JOIN fams fb ON fa.family < fb.family
+LEFT JOIN o ON o.fam_a = fa.family AND o.fam_b = fb.family
+ORDER BY family_a, family_b"""
 }
