@@ -609,6 +609,50 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 2, cb, ksub = 16, cents)
         .orderBy("query_id", "rank")
     }),
+    // INCREMENTAL serving index: the same IVF+PQ layout grown over 3
+    // micro-batch epochs under a FROZEN model (GrowingIndex commit,
+    // cluster-sub-partitioned) — serving through the unchanged reader
+    // must be BIT-IDENTICAL to the full rebuild, so the rebuild oracle
+    // (annIvfPqTopK) is the gate
+    "ann_index_incremental" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = graft.streaming.StreamingAnnIndex.AnnModel(8, 16,
+        EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8),
+        ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+          m = 8, ksub = 16))
+      val iPath = tmpIndexDir("anninc", dir)
+      val oPath = tmpIndexDir("annincout", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingAnnIndex.processBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, "embedding",
+          "vec_id", model, iPath, oPath))
+      () => graft.streaming.StreamingAnnIndex.topKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), iPath,
+        "embedding", "vec_id", k = 5, nprobe = 2, model)
+        .orderBy("query_id", "rank")
+    }),
+    // The staleness gauge over the incremental index: per coarse cell,
+    // current occupancy (epochs 0-1 only — a corpus still arriving) vs
+    // the training-time balance persisted with the model; the retrain
+    // trigger a serving team reads
+    "ann_index_staleness" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = graft.streaming.StreamingAnnIndex.AnnModel(8, 16,
+        EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8),
+        ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+          m = 8, ksub = 16))
+      val mPath = tmpIndexDir("annstalemodel", dir)
+      val iPath = tmpIndexDir("annstale", dir)
+      val oPath = tmpIndexDir("annstaleout", dir)
+      graft.streaming.StreamingAnnIndex.writeModel(s, emb, "embedding",
+        "vec_id", model, mPath)
+      (0 until 2).foreach(b =>
+        graft.streaming.StreamingAnnIndex.processBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, "embedding",
+          "vec_id", model, iPath, oPath))
+      () => graft.streaming.StreamingAnnIndex.stalenessReport(s, iPath,
+        mPath).orderBy("cluster")
+    }),
     // The ENTIRE production serving path: trained coarse centroids +
     // trained PQ codebook + persisted compressed index; serve = DPP
     // probe + ADC + exact float rerank (IVF8,PQ8,Refine(Flat)).
@@ -2419,6 +2463,11 @@ object SparkEntry {
     // in-memory twins: persistence must not change a single value.
     "ann_ivf_sq8_index_topk" -> ((s, dir) => buildServe("ann_ivf_sq8_index_topk")(s, dir)()),
     "ann_ivf_pq_index_topk" -> ((s, dir) => buildServe("ann_ivf_pq_index_topk")(s, dir)()),
+    // The INCREMENTAL index grown over 3 epochs — served rows must be
+    // bit-identical to the full rebuild (same oracle as
+    // ann_ivf_pq_index_topk); plus its per-cell staleness gauge
+    "ann_index_incremental" -> ((s, dir) => buildServe("ann_index_incremental")(s, dir)()),
+    "ann_index_staleness" -> ((s, dir) => buildServe("ann_index_staleness")(s, dir)()),
     // Training-data ops: the TRAINED production tiers, driver-checked.
     // kmeansCentroids / trainedCodebook are bit-deterministic (bounded
     // md5-ordered sample, no RNG), so the DuckDB oracle replays the
@@ -3054,6 +3103,10 @@ object SparkEntry {
     // share the in-memory twins' oracles verbatim.
     "ann_ivf_sq8_index_topk" -> TextOracles.annIvfSq8TopK,
     "ann_ivf_pq_index_topk" -> TextOracles.annIvfPqTopK,
+    // the incremental index shares the REBUILD oracle — bit-exactness
+    // of the grown layout's serving rows IS the correctness gate
+    "ann_index_incremental" -> TextOracles.annIvfPqTopK,
+    "ann_index_staleness" -> TextOracles.annIndexStaleness,
     "ann_ivf_pq_rerank_topk" -> TextOracles.annIvfPqRerankTopK(),
     "pq_rerank_recall" -> TextOracles.pqRerankRecall(),
     "quantization_recall" -> TextOracles.quantizationRecall,

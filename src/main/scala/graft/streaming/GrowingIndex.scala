@@ -59,17 +59,23 @@ object GrowingIndex {
 
   /** Idempotently commit a processed micro-batch: `survivors` to the
     * corpus at `outDir`, `indexRows` to the index at `indexDir`, each
-    * replacing only its own `batch_id=<id>` partition. */
+    * replacing only its own `batch_id=<id>` partition.
+    * `indexSubCols` optionally sub-partitions the index INSIDE the
+    * batch partition (e.g. the ANN coarse cell, so a probe's scan
+    * prunes to its cell directories in every epoch) — batch_id stays
+    * the leading partition column, so the dynamic overwrite still
+    * replaces exactly the batch's own subtree. */
   def commit(survivors: DataFrame, indexRows: DataFrame, batchId: Long,
-      outDir: String, indexDir: String): Unit = {
-    def write(df: DataFrame, dir: String): Unit =
+      outDir: String, indexDir: String,
+      indexSubCols: Seq[String] = Nil): Unit = {
+    def write(df: DataFrame, dir: String, sub: Seq[String]): Unit =
       df.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id" +: sub: _*)
         .parquet(dir)
-    write(survivors, outDir)
-    write(indexRows, indexDir)
+    write(survivors, outDir, Nil)
+    write(indexRows, indexDir, indexSubCols)
   }
 
   /** Partition id the compactor folds history into — negative so it can
@@ -116,7 +122,7 @@ object GrowingIndex {
     * swap via the table catalog instead. Returns (corpusRows,
     * indexRows), both unchanged by compaction. */
   def compact(spark: SparkSession, outDir: String, indexDir: String,
-      targetFiles: Int = 8): (Long, Long) = {
+      targetFiles: Int = 8, indexSubCols: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles > 0, s"targetFiles=$targetFiles must be positive")
     val hc = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hc)
@@ -133,7 +139,7 @@ object GrowingIndex {
         "the stream to let the replay complete them, stop cleanly, then " +
         "compact")
     (compactOne(spark, fs, outDir, targetFiles),
-      compactOne(spark, fs, indexDir, targetFiles))
+      compactOne(spark, fs, indexDir, targetFiles, indexSubCols))
   }
 
   /**
@@ -190,7 +196,7 @@ object GrowingIndex {
 
   private[streaming] def compactOne(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      targetFiles: Int): Long = {
+      targetFiles: Int, subCols: Seq[String] = Nil): Long = {
     val live = new org.apache.hadoop.fs.Path(dir)
     require(fs.exists(live), s"nothing to compact at $dir")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
@@ -199,10 +205,17 @@ object GrowingIndex {
       s"$old left by an interrupted compaction — it may be the only " +
         s"copy; recover or remove it manually before compacting")
     fs.delete(tmp, true) // an incomplete .compacting is always safe to drop
-    spark.read.parquet(dir)
+    // sub-partitioned layouts (the ANN cell dirs) repartition BY the
+    // sub-columns so the fold writes targetFiles files per sub-dir tree,
+    // not targetFiles files × every open sub-partition
+    val folded = spark.read.parquet(dir)
       .withColumn("batch_id", lit(CompactedBatchId))
-      .repartition(targetFiles)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    val arranged =
+      if (subCols.isEmpty) folded.repartition(targetFiles)
+      else folded.repartition(targetFiles, subCols.map(col): _*)
+    arranged
+      .write.mode("overwrite").partitionBy("batch_id" +: subCols: _*)
+      .parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     require(fs.rename(live, old), s"compact: could not move $live aside")
     require(fs.rename(tmp, live), s"compact: could not move $tmp into place")

@@ -1074,6 +1074,35 @@ rk AS (SELECT vec_id, cluster,
        FROM a)
 SELECT vec_id, cluster FROM rk, m WHERE rn <= m.m ORDER BY vec_id"""
 
+  /** Mirrors `ann_index_staleness` — `StreamingAnnIndex.stalenessReport`
+    * over the demo setup: training balance = the seed-centroid (id < 8)
+    * assignment over ALL embeddings; current occupancy = the grown
+    * index after epochs 0–1 only (vec_id % 3 < 2). Shares and drift are
+    * 4-dp with a `+ 0.0` pin (negative drift rounding to zero must not
+    * read −0.0 — the PCA-lambda discipline). */
+  val annIndexStaleness: String = s"""WITH $normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign AS (SELECT vec_id, cluster FROM (
+    SELECT n.vec_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+str AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_train
+        FROM assign GROUP BY 1),
+snow AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_now
+         FROM assign WHERE vec_id % 3 < 2 GROUP BY 1),
+stot AS (SELECT (SELECT CAST(sum(n_train) AS BIGINT) FROM str) AS t_train,
+                (SELECT CAST(sum(n_now) AS BIGINT) FROM snow) AS t_now)
+SELECT str.cluster, str.n_train,
+  CAST(coalesce(snow.n_now, 0) AS BIGINT) AS n_now,
+  round(CAST(str.n_train AS DOUBLE) / t_train, 4) + 0.0 AS share_train,
+  round(CAST(coalesce(snow.n_now, 0) AS DOUBLE) / t_now, 4) + 0.0
+    AS share_now,
+  round(CAST(coalesce(snow.n_now, 0) AS DOUBLE) / t_now
+        - CAST(str.n_train AS DOUBLE) / t_train, 4) + 0.0 AS drift
+FROM str CROSS JOIN stot LEFT JOIN snow ON snow.cluster = str.cluster
+ORDER BY str.cluster"""
+
   /** Mirrors EmbeddingOps.ivfTopK with nlist=8, nprobe=2, k=5: centroids
     * are vectors with id < 8; assignment/probing by cosine with ties to
     * the smallest centroid id; exact re-score inside probed cells. */
