@@ -279,7 +279,26 @@ object ScaleSoak {
     // index built untimed per factor; the ladder prices the probe +
     // ADC + bounded original-float rerank — must track the
     // ann_production_topk serve shape
-    "ann_opq_production_serve")
+    "ann_opq_production_serve",
+    // ── round-13 additions ──
+    // byte-level BPE encoding: the same map-side numMerges-replace plan
+    // as bpe_encode over the hex-sealed byte alphabet (~2× the symbol
+    // stream of the char seal) — α must track bpe_encode's
+    "bpe_byte_encode",
+    // per-language stack: the corpus stack's rule/LR gates plus the
+    // softmax-langid serve, per-language bigram LMs and TWO per-group
+    // bounded-histogram quantile cuts — must inherit the linear αs of
+    // curate_quality_stack and ccnet_lang_triage
+    "curate_quality_stack_multilingual",
+    // dedup evaluation mart: planted corpus ≤ 4 rows per distinct text
+    // (replicas are token-suffixed, so originals grow linearly and
+    // variants never pair across replicas), every detector the
+    // production capped plan, report a broadcast-size aggregation
+    "dedup_eval_report",
+    // incremental ANN serve: the grown (batch_id, cluster) layout read
+    // through the unchanged probe-pruned reader — must track
+    // ann_ivf_pq_index_serve
+    "ann_index_incremental_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -292,7 +311,8 @@ object ScaleSoak {
     "bm25_multi_serve" -> "bm25_multi_query",
     "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi",
     "curate_quality_stack_serve" -> "curate_quality_stack_streaming",
-    "ann_opq_production_serve" -> "ann_opq_production_topk")
+    "ann_opq_production_serve" -> "ann_opq_production_topk",
+    "ann_index_incremental_serve" -> "ann_index_incremental")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,
