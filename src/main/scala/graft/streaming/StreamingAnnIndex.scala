@@ -148,11 +148,13 @@ object StreamingAnnIndex {
   def stalenessReport(spark: SparkSession, indexDir: String,
       modelPath: String): DataFrame = {
     val bal = spark.read.parquet(s"$modelPath/cell_balance")
-    val now = spark.read.parquet(indexDir)
-      .groupBy("cluster").agg(count(lit(1)).as("n_now_0"))
+    // one scan of the compressed index: the nlist-bounded grouped
+    // relation is materialized and feeds both the per-cell join and
+    // the total
+    val now = graft.operators.Materialized(spark.read.parquet(indexDir)
+      .groupBy("cluster").agg(count(lit(1)).as("n_now_0")))
     val totals = bal.agg(sum(col("n_train")).as("t_train"))
-      .crossJoin(spark.read.parquet(indexDir)
-        .agg(count(lit(1)).as("t_now")))
+      .crossJoin(now.agg(sum(col("n_now_0")).as("t_now")))
     bal.join(now, Seq("cluster"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(col("cluster"),
