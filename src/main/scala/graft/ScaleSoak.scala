@@ -298,7 +298,11 @@ object ScaleSoak {
     // incremental ANN serve: the grown (batch_id, cluster) layout read
     // through the unchanged probe-pruned reader — must track
     // ann_ivf_pq_index_serve
-    "ann_index_incremental_serve")
+    "ann_index_incremental_serve",
+    // incremental BM25 serve: the grown (batch_id, bucket) postings
+    // read bucket-pruned with merge-on-read df + epoch-partial stats —
+    // must track bm25_index_serve (postings-bounded, corpus-flat)
+    "bm25_index_incremental_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -312,7 +316,8 @@ object ScaleSoak {
     "search_hybrid_rrf_multi_serve" -> "search_hybrid_rrf_multi",
     "curate_quality_stack_serve" -> "curate_quality_stack_streaming",
     "ann_opq_production_serve" -> "ann_opq_production_topk",
-    "ann_index_incremental_serve" -> "ann_index_incremental")
+    "ann_index_incremental_serve" -> "ann_index_incremental",
+    "bm25_index_incremental_serve" -> "bm25_index_incremental")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

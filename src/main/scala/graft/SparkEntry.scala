@@ -788,6 +788,39 @@ object SparkEntry {
         query = "spark window merge")
         .orderBy("doc_id")
     }),
+    // INCREMENTAL full-text index: the bucketed-postings layout grown
+    // over 3 micro-batch epochs (merge-on-read df, per-epoch stats
+    // partials) — serving must be BIT-IDENTICAL to the fresh
+    // computation, so the bm25 oracle is the gate
+    "bm25_index_incremental" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val iPath = tmpIndexDir("bm25inc", dir)
+      val cPath = tmpIndexDir("bm25inccorpus", dir)
+      val tPath = tmpIndexDir("bm25incstats", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingBm25Index.processBatch(
+          docsT.filter(col("doc_id") % 3 === b), b.toLong, "text",
+          "doc_id", buckets = 64, iPath, cPath, tPath))
+      () => graft.streaming.StreamingBm25Index.searchFromIndex(s, iPath,
+        tPath, query = "spark window merge")
+        .orderBy("doc_id")
+    }),
+    // The freshness gauge over the growing index's stats partials:
+    // per-epoch doc counts, avgdl and corpus shares — BM25's one
+    // corpus-global ranking input (length normalization), made
+    // drift-measurable
+    "bm25_index_freshness" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val iPath = tmpIndexDir("bm25fresh", dir)
+      val cPath = tmpIndexDir("bm25freshcorpus", dir)
+      val tPath = tmpIndexDir("bm25freshstats", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingBm25Index.processBatch(
+          docsT.filter(col("doc_id") % 3 === b), b.toLong, "text",
+          "doc_id", buckets = 64, iPath, cPath, tPath))
+      () => graft.streaming.StreamingBm25Index.freshnessReport(s, tPath)
+        .orderBy("batch_id")
+    }),
     // Trained BPE merge table persisted once, encoding served from it —
     // the stored merges ARE what the encode fold applies, so the serve
     // output is bit-identical to bpe_encode (same oracle)
@@ -1814,6 +1847,11 @@ object SparkEntry {
     // filtered to the query's terms before any shuffle)
     // Full-text serving from the persisted index — see buildServe
     "bm25_index_search" -> ((s, dir) => buildServe("bm25_index_search")(s, dir)()),
+    // The INCREMENTAL full-text index grown over 3 epochs — served
+    // rows must be bit-identical to the fresh computation (same oracle
+    // as bm25_search); plus its per-epoch freshness gauge
+    "bm25_index_incremental" -> ((s, dir) => buildServe("bm25_index_incremental")(s, dir)()),
+    "bm25_index_freshness" -> ((s, dir) => buildServe("bm25_index_freshness")(s, dir)()),
     "bm25_search" -> ((s, dir) =>
       graft.text.Relevance.bm25(Demo.table(s, dir, "documents"),
         "text", "doc_id", query = "spark window merge")
@@ -3008,6 +3046,11 @@ object SparkEntry {
     "tfidf_top_terms" -> TextOracles.tfidfTopTerms,
     "bm25_search" -> TextOracles.bm25Search,
     "bm25_index_search" -> TextOracles.bm25Search,
+    // the incremental full-text index shares the FRESH-computation
+    // oracle — bit-exactness of the grown layout's merge-on-read
+    // serving IS the correctness gate; freshness replays the epoch split
+    "bm25_index_incremental" -> TextOracles.bm25Search,
+    "bm25_index_freshness" -> TextOracles.bm25IndexFreshness,
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "lm_kn_scores" -> TextOracles.lmKnScores,
     "lm_kn_mod_scores" -> TextOracles.lmKnModScores,

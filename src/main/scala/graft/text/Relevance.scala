@@ -123,6 +123,22 @@ object Relevance {
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(qBuckets: _*))
       .filter(col("term").isin(qTerms: _*))
+    scorePostings(postings, stats, k1, b)
+  }
+
+  /**
+   * The ONE BM25 scoring arithmetic, shared by every serve path that
+   * already holds `(doc_id, tf, dl, df)` postings and `(n_docs, avgdl)`
+   * corpus scalars: [[bm25FromIndex]] (denormalized-df rebuild layout)
+   * and [[graft.streaming.StreamingBm25Index]] (merge-on-read growing
+   * layout). A second copy of the idf/contribution expression would be
+   * a place for the two layouts to drift — the round-11 rrfFuse lesson
+   * applied to scoring. Per-term contributions round to 6 dp as
+   * DECIMAL(28,6) (associativity-free summation), the final sum to
+   * 4 dp — identical to [[bm25]], so all three paths share one oracle.
+   */
+  private[graft] def scorePostings(postings: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * (k1 + 1)) /

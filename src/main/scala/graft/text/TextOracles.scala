@@ -256,6 +256,21 @@ c AS (SELECT doc_id,
 SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
 FROM c GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors StreamingBm25Index.freshnessReport over the 3-epoch
+    * (doc_id % 3) growing index: per epoch, document count, mean
+    * document length and corpus share — the avgdl-drift gauge. Same
+    * round(…, 4) + 0.0 pin as the Spark side. */
+  val bm25IndexFreshness: String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM documents),
+b AS (SELECT doc_id % 3 AS batch_id, len(toks) AS dl FROM t),
+e AS (SELECT batch_id, count(*) AS n_docs, sum(dl) AS sum_dl
+      FROM b GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs FROM e)
+SELECT batch_id, n_docs,
+  round(CAST(sum_dl AS DOUBLE) / n_docs, 4) + 0.0 AS avgdl,
+  round(CAST(n_docs AS DOUBLE) / t_docs, 4) + 0.0 AS doc_share
+FROM e CROSS JOIN tot ORDER BY batch_id"""
+
   /** Mirrors Relevance.bm25MultiFromIndex over a literal query
     * relation: per-(query, doc) BM25 with the index's corpus-wide df
     * (for a term, the docs carrying it are the same set under every
