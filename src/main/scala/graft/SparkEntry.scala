@@ -1614,6 +1614,40 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+    // SEMANTIC decontamination: the embedding-level analog — training
+    // vectors near an eval vector by exact cosine inside the probed
+    // cells (train map-side-assigned to 1 cell; the small bench side
+    // probes nprobe=2, buying back cell-boundary recall where
+    // decontamination can least afford to lose it)
+    "decontaminate_semantic_pairs" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      SemanticDedup.semanticContaminationPairs(
+        emb.filter(col("vec_id") % 10 =!= 3),
+        emb.filter(col("vec_id") % 10 === 3),
+        "embedding", "vec_id", cents, threshold = 0.35)
+        .orderBy("vec_id", "bench_id")
+    }),
+    "decontaminate_semantic_corpus" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      SemanticDedup.decontaminateSemantic(
+        emb.filter(col("vec_id") % 10 =!= 3),
+        emb.filter(col("vec_id") % 10 === 3),
+        "embedding", "vec_id", cents, threshold = 0.35)
+        .select("vec_id").orderBy("vec_id")
+    }),
+    // Per-eval-item semantic leak report — the eval-integrity audit
+    // surface (bench-suite-sized output)
+    "decontaminate_semantic_report" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      SemanticDedup.semanticContaminationReport(
+        emb.filter(col("vec_id") % 10 =!= 3),
+        emb.filter(col("vec_id") % 10 === 3),
+        "embedding", "vec_id", cents, threshold = 0.35)
+        .orderBy("bench_id")
+    }),
     // Decontamination mart: per-benchmark-item leak report (how many
     // training docs contain each eval item, and how completely)
     "decontaminate_report" -> ((s, dir) => {
@@ -3000,6 +3034,14 @@ object SparkEntry {
     "dedup_simhash_pairs_chunked" -> DedupOracles.simhashPairs,
     "decontaminate_pairs" -> DedupOracles.contaminationPairs,
     "decontaminate_corpus" -> DedupOracles.decontaminatedCorpus,
+    // semantic (embedding-level) decontamination — exact-cosine replay
+    // of the probed-cell pairing over the same demo eval split
+    // 0.35 (vs semdedup's 0.45): the max CROSS-split cosine in the
+    // demo corpus is ~0.45 — the stage must visibly bite for the
+    // oracle to discriminate (same rationale as corpus_pipeline_semantic)
+    "decontaminate_semantic_pairs" -> TextOracles.semanticContaminationPairs(0.35),
+    "decontaminate_semantic_corpus" -> TextOracles.semanticDecontaminatedCorpus(0.35),
+    "decontaminate_semantic_report" -> TextOracles.semanticContaminationReport(0.35),
     // The bloom twins are output-identical by construction — the SAME
     // oracle SQL is the strongest possible check of that claim
     "decontaminate_bloom_pairs" -> DedupOracles.contaminationPairs,

@@ -145,6 +145,82 @@ object SemanticDedup {
         coalesce(!col("removed"), lit(true)).as("is_kept"))
   }
 
+  /**
+   * SEMANTIC decontamination: training vectors whose embedding is
+   * near-duplicate of an EVAL benchmark vector — the embedding-level
+   * analog of `TextDedup.contaminationPairs` (which catches verbatim
+   * n-gram leaks; this catches paraphrased/reworded leaks the shingle
+   * path cannot see, the gap the Dolma/FineWeb decontamination
+   * write-ups call out). Output: (cluster, vec_id, bench_id, cosine)
+   * for every (train, bench) pair at exact cosine ≥ threshold within
+   * the probed cells.
+   *
+   * Scale shape is deliberately ASYMMETRIC, unlike [[pairs]]: the
+   * train side is 100 TB-grain so it gets the map-side single-cell
+   * assignment (one codegen'd kernel call per row, shuffle only on
+   * `cluster`); the BENCH side is an eval suite — thousands of rows,
+   * not billions — so it can afford to probe its `nprobe` nearest
+   * cells, which buys back most of the cell-boundary recall SemDeDup
+   * forfeits (a leaked rewrite sitting just across its bench item's
+   * cell edge is exactly the case decontamination cannot afford to
+   * miss). A (train, bench) pair lands at most once: the train vector
+   * lives in ONE cell and the bench probe list is distinct.
+   * `maxCell` drops degenerate train cells (embedding-collapse
+   * pileups), mirroring [[pairs]]' cap.
+   */
+  def semanticContaminationPairs(train: DataFrame, bench: DataFrame,
+      vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      nprobe: Int = 2, maxCell: Long = 100000L): DataFrame = {
+    val t = graft.operators.Materialized(
+      EmbeddingOps.prepared(train, vecCol, idCol)
+        .withColumn("cluster", EmbeddingOps.ivfAssignment(col("v"), cents)))
+    val keep = t.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+      .where(col("cell_n") <= maxCell)
+      .select("cluster")
+    val b = EmbeddingOps.prepared(bench, vecCol, idCol)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"),
+        col("nrm").as("bn"),
+        explode(EmbeddingOps.ivfProbes(col("v"), cents, nprobe))
+          .as("cluster"))
+    t.join(keep, "cluster")
+      .join(b, Seq("cluster"))
+      .select(col("cluster"), col("vec_id"), col("bench_id"),
+        round(EmbeddingOps.dot(col("v"), col("bv")) /
+          (col("nrm") * col("bn")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The semantically decontaminated corpus: `train` minus every
+    * vector flagged by [[semanticContaminationPairs]] (left-anti on
+    * the distinct contaminated ids — the same plan shape as
+    * `TextDedup.decontaminate`). */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+      vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      nprobe: Int = 2, maxCell: Long = 100000L): DataFrame = {
+    val bad = semanticContaminationPairs(train, bench, vecCol, idCol,
+      cents, threshold, nprobe, maxCell)
+      .select(col("vec_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Per-benchmark-item semantic leak report: how many training
+    * vectors sit above the threshold for each eval item, how close the
+    * closest is, and the first (smallest-id) offender — the review
+    * surface for an eval-integrity audit, mirroring the shingle path's
+    * `decontaminate_report`. Bench-suite-sized output. */
+  def semanticContaminationReport(train: DataFrame, bench: DataFrame,
+      vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      nprobe: Int = 2, maxCell: Long = 100000L): DataFrame =
+    semanticContaminationPairs(train, bench, vecCol, idCol, cents,
+      threshold, nprobe, maxCell)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("cosine")).as("max_cosine"),
+        min(col("vec_id")).as("first_vec"))
+
   /** Compressed corpus-index rows for incremental/streaming SemDeDup:
     * (cluster, vec_id, scale, q) — the SAME layout
     * [[Quantization.writeIvfSq8Index]] persists (int8 codes, never the

@@ -1261,6 +1261,60 @@ sremoved AS (
 semkeep AS (SELECT vec_id FROM masg
             WHERE vec_id NOT IN (SELECT vec_id FROM sremoved))"""
 
+  /** Shared semantic-decontamination CTE chain mirroring
+    * SemanticDedup.semanticContaminationPairs over the demo split:
+    * bench = vec_id % 10 = 3, train = the rest; centroids the
+    * full-corpus vec_id < 8 seeds (the bootstrap convention, matching
+    * ivfCentroids on the full table); the train side assigned to its 1
+    * nearest cell (ties to the smaller cid), the bench side probing
+    * its nprobe nearest; pairs at exact rounded cosine ≥ threshold.
+    * Yields a final relation `scont(cluster, vec_id, bench_id,
+    * cosine)`. */
+  private def semanticContaminationCtes(threshold: Double,
+      nprobe: Int, maxCell: Long): String = s"""$normCte,
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+trainasg AS (SELECT vec_id, cid AS cluster, v, nrm FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id % 10 <> 3) t WHERE rn = 1),
+keepc AS (SELECT cluster FROM trainasg
+          GROUP BY cluster HAVING count(*) <= $maxCell),
+tk AS (SELECT trainasg.* FROM trainasg JOIN keepc USING (cluster)),
+benchprobe AS (SELECT vec_id AS bench_id, cid AS cluster, v, nrm FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id % 10 = 3) t WHERE rn <= $nprobe),
+scont AS (SELECT x.cluster, x.vec_id, y.bench_id,
+    round($dotXY / (x.nrm * y.nrm), 4) AS cosine
+  FROM tk x JOIN benchprobe y ON x.cluster = y.cluster
+  WHERE round($dotXY / (x.nrm * y.nrm), 4) >= $threshold)"""
+
+  /** Mirrors decontaminate_semantic_pairs. */
+  def semanticContaminationPairs(threshold: Double = 0.45,
+      nprobe: Int = 2, maxCell: Long = 100000L): String =
+    s"""WITH ${semanticContaminationCtes(threshold, nprobe, maxCell)}
+SELECT cluster, vec_id, bench_id, cosine FROM scont
+ORDER BY vec_id, bench_id"""
+
+  /** Mirrors decontaminate_semantic_corpus: train ids that survive. */
+  def semanticDecontaminatedCorpus(threshold: Double = 0.45,
+      nprobe: Int = 2, maxCell: Long = 100000L): String =
+    s"""WITH ${semanticContaminationCtes(threshold, nprobe, maxCell)}
+SELECT vec_id FROM n WHERE vec_id % 10 <> 3
+  AND vec_id NOT IN (SELECT DISTINCT vec_id FROM scont)
+ORDER BY vec_id"""
+
+  /** Mirrors decontaminate_semantic_report: per-eval-item leak
+    * counts over the same CTEs. */
+  def semanticContaminationReport(threshold: Double = 0.45,
+      nprobe: Int = 2, maxCell: Long = 100000L): String =
+    s"""WITH ${semanticContaminationCtes(threshold, nprobe, maxCell)}
+SELECT bench_id, count(*) AS n_contaminated,
+  max(cosine) AS max_cosine, min(vec_id) AS first_vec
+FROM scont GROUP BY bench_id ORDER BY bench_id"""
+
   /** Mirrors the semdedup_incremental query — one epoch of
     * StreamingSemdedup.processBatch composed as a batch: the batch
     * (vec_id % 10 = 7) is SemDeDup'ed internally (keeper rule inside

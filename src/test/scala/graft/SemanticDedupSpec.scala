@@ -100,6 +100,64 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: bench probing recovers the cross-cell leak nprobe=1 misses") {
+    // centroids: e1 (cell 0) and e2 (cell 1). The train vector hugs e2
+    // (cell 1); the bench vector sits between the axes — NEAREST cell 0,
+    // second-nearest cell 1 — and is cosine 0.761 to the train vector.
+    // Single-cell pairing (nprobe=1) looks only in cell 0 and misses
+    // the leak; the bench side probing its 2 nearest cells finds it.
+    val train = Seq(
+      (0L, Array(1.00f, 0.00f, 0f, 0f)),
+      (1L, Array(0.00f, 1.00f, 0f, 0f)),
+      (100L, Array(0.10f, 0.99f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((500L, Array(0.72f, 0.69f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = EmbeddingOps.ivfCentroids(train, "embedding", "vec_id", 2)
+    def pairsAt(np: Int) = SemanticDedup.semanticContaminationPairs(
+      train, bench, "embedding", "vec_id", cents, threshold = 0.75,
+      nprobe = np)
+      .select("vec_id", "bench_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(pairsAt(1) === Seq(), "nprobe=1 must miss the cross-cell pair")
+    assert(pairsAt(2) === Seq((100L, 500L, 0.761)))
+    // the decontaminated corpus drops exactly the leaked vector
+    val kept = SemanticDedup.decontaminateSemantic(train, bench,
+      "embedding", "vec_id", cents, threshold = 0.75, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(0L, 1L))
+  }
+
+  test("semantic decontamination report: per-bench leak counts hand-checked") {
+    val train = Seq(
+      (0L, Array(1.00f, 0.00f, 0f, 0f)),
+      (1L, Array(0.00f, 1.00f, 0f, 0f)),
+      (10L, Array(0.99f, 0.02f, 0f, 0f)), // 0.9998 to bench 100
+      (11L, Array(0.98f, 0.04f, 0f, 0f))) // 0.9992 to bench 100
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.00f, 0.00f, 0f, 0f)), // leaked twice
+      (200L, Array(0f, 0f, 1f, 0f)))       // clean direction: no leak
+      .toDF("vec_id", "embedding")
+    val cents = EmbeddingOps.ivfCentroids(train, "embedding", "vec_id", 2)
+    val rep = SemanticDedup.semanticContaminationReport(train, bench,
+      "embedding", "vec_id", cents, threshold = 0.95)
+      .orderBy("bench_id").collect()
+    // seed 0 (identical to bench 100) also leaks: n = 3, closest is
+    // the exact copy at 1.0, first offender the smallest id
+    assert(rep.length === 1)
+    assert(rep(0).getLong(0) === 100L)
+    assert(rep(0).getLong(1) === 3L)
+    assert(rep(0).getDouble(2) === 1.0)
+    assert(rep(0).getLong(3) === 0L)
+    // determinism across partitionings (the pairing is join+filter,
+    // no order dependence)
+    val rep7 = SemanticDedup.semanticContaminationReport(
+      train.repartition(7), bench, "embedding", "vec_id", cents,
+      threshold = 0.95).orderBy("bench_id").collect()
+    assert(rep7.map(_.toSeq).toSeq === rep.map(_.toSeq).toSeq)
+  }
+
   test("nlistForCount tracks corpus size") {
     assert(SemanticDedup.nlistForCount(0) == 8)
     assert(SemanticDedup.nlistForCount(4096) == 8)
