@@ -285,6 +285,9 @@ object ScaleSoak {
     // as bpe_encode over the hex-sealed byte alphabet (~2× the symbol
     // stream of the char seal) — α must track bpe_encode's
     "bpe_byte_encode",
+    // pretokenized byte BPE: one regexp_extract_all per row ahead of
+    // the same fold — still map-side, must track bpe_byte_encode's α
+    "bpe_byte_pretok_encode",
     // per-language stack: the corpus stack's rule/LR gates plus the
     // softmax-langid serve, per-language bigram LMs and TWO per-group
     // bounded-histogram quantile cuts — must inherit the linear αs of

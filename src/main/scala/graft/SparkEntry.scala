@@ -843,6 +843,17 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text", "doc_id", path)
         .orderBy("doc_id")
     }),
+    // Pretokenized byte-BPE persisted-model twin — bit-identical to
+    // bpe_byte_pretok_encode (same oracle)
+    "bpe_byte_pretok_encode_from_model" -> ((s, dir) => {
+      val path = tmpIndexDir("bpebytepretok", dir)
+      graft.text.Bpe.writeBytePretokMerges(s,
+        Demo.table(s, dir, "documents"), "text", numMerges = 24,
+        topK = 256, path)
+      () => graft.text.Bpe.encodeBytesPretokFromModel(s,
+        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+        .orderBy("doc_id")
+    }),
     // Trained unigram-LM vocabulary persisted once, encoding served
     // from it — stored (piece, score) longs ARE what the kernel
     // applies, so serve output is bit-identical to tokenize_unigram
@@ -2182,6 +2193,26 @@ object SparkEntry {
     }),
     // Train-once/serve-many byte twin — bit-identical to bpe_byte_encode
     "bpe_byte_encode_from_model" -> ((s, dir) => buildServe("bpe_byte_encode_from_model")(s, dir)()),
+    // The FULL production byte-BPE composition (GPT-2 encoder.py):
+    // regex PRE-TOKENIZATION (contractions, space-carrying runs,
+    // case-sensitive) → UTF-8 bytes → merges. Oracle re-derives the
+    // pretoken stream in RE2 (lookahead-free pattern + list rewrite)
+    // and replays the shared merge chain.
+    "bpe_byte_pretok_train" -> ((s, dir) =>
+      graft.text.Bpe.trainedBytePretokMergesDf(s,
+        Demo.table(s, dir, "documents"), "text",
+        numMerges = 24, topK = 256)
+        .orderBy("rank")),
+    "bpe_byte_pretok_encode" -> ((s, dir) => {
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.Bpe.encodeDocsBytesPretok(Demo.table(s, dir, "documents"),
+        "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
+    "bpe_byte_pretok_encode_from_model" -> ((s, dir) =>
+      buildServe("bpe_byte_pretok_encode_from_model")(s, dir)()),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -3068,6 +3099,12 @@ object SparkEntry {
     "bpe_byte_train" -> graft.text.Bpe.oracleByteTrainSql(24, 256),
     "bpe_byte_encode" -> graft.text.Bpe.oracleByteEncodeSql(24, 256),
     "bpe_byte_encode_from_model" -> graft.text.Bpe.oracleByteEncodeSql(24, 256),
+    // GPT-2 pretokenized byte-BPE: the oracle re-derives the pretoken
+    // stream independently (RE2 lookahead-free pattern + the
+    // space-donation list rewrite) before the shared merge chain
+    "bpe_byte_pretok_train" -> graft.text.Bpe.oracleBytePretokTrainSql(24, 256),
+    "bpe_byte_pretok_encode" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
+    "bpe_byte_pretok_encode_from_model" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),

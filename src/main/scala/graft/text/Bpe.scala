@@ -136,6 +136,49 @@ object Bpe {
     new String(out, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** The ASCII whitespace class, written out explicitly: Java's `\s`
+    * includes \x0B where RE2's excludes it, so both the engine pattern
+    * and the DuckDB oracle's pattern use this class and agree BY
+    * CONSTRUCTION on every input (not just inputs that avoid the
+    * divergent characters). */
+  private val Ws = " \\t\\n\\x0B\\f\\r"
+
+  /**
+   * GPT-2's pre-tokenization regex (Radford et al. 2019 — the
+   * `gpt2/encoder.py` pattern, reference `src/models/llm_matcher.py`'s
+   * model lineage): contraction suffixes, then letter / digit /
+   * other-punctuation runs each CARRYING one optional leading space
+   * (" the" is one pretoken — the property that makes byte-BPE vocab
+   * entries word-boundary-aware), then whitespace runs donating their
+   * final space to the following token (`(?![^ \t…])` backtracks the
+   * greedy run by one). Case-sensitive, no lowercasing — unlike the
+   * whitespace tokenizer, this is the exact stream production byte-BPE
+   * vocabularies are trained on.
+   */
+  val Gpt2Pretok: String =
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+" +
+      s"|[$Ws]+(?![^$Ws])|[$Ws]+"
+
+  /** The GPT-2 pretoken ARRAY of a text column (marker-bracket
+    * carriers dropped, as everywhere in this tokenizer family). The
+    * alternation is total — every character lands in some pretoken —
+    * so encode→decode round-trips the full text byte-exactly. */
+  def pretokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(regexp_extract_all(c, lit(Gpt2Pretok), lit(0)),
+      t => !t.contains(O) && !t.contains(C))
+
+  /** [[wordSample]] over GPT-2 pretokens: top `topK` pretoken types by
+    * (frequency desc, pretoken asc) — the same bounded driver collect,
+    * with spaces/case preserved (pretokens are case-sensitive and
+    * space-carrying by design). */
+  def pretokenSample(docs: DataFrame, textCol: String,
+      topK: Int): Seq[(String, Long)] =
+    docs.select(explode(pretokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Driver-side merge learning over a bounded (word, freq) sample.
     * Stops early if no adjacent pair remains (fully merged vocab). */
   def train(sample: Seq[(String, Long)], numMerges: Int): Seq[Merge] =
@@ -244,6 +287,16 @@ object Bpe {
     mergesToDf(spark,
       trainBytes(wordSample(docs, textCol, topK), numMerges))
 
+  /** [[trainedByteMergesDf]] over GPT-2 PRETOKENS instead of
+    * lowercased whitespace words — the full production composition
+    * (pretokenize → UTF-8 bytes → merges): vocab entries carry their
+    * leading space and case. Sampling differs, sealing and loop are
+    * the shared [[sealBytes]]/[[trainSealed]]. */
+  def trainedBytePretokMergesDf(spark: SparkSession, docs: DataFrame,
+      textCol: String, numMerges: Int, topK: Int): DataFrame =
+    mergesToDf(spark,
+      trainBytes(pretokenSample(docs, textCol, topK), numMerges))
+
   private def mergesToDf(spark: SparkSession,
       merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
@@ -314,12 +367,21 @@ object Bpe {
     encodeDocsWith(docs, textCol, idCol,
       w => encodeWordBytesCol(w, merges))
 
+  /** [[encodeDocsBytes]] over GPT-2 pretokens — the words differ, the
+    * byte seal and the map-side merge fold are shared. */
+  def encodeDocsBytesPretok(docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame =
+    encodeDocsWith(docs, textCol, idCol,
+      w => encodeWordBytesCol(w, merges),
+      words = Some(pretokens(col(textCol))))
+
   private def encodeDocsWith(docs: DataFrame, textCol: String,
       idCol: String,
-      enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame = {
-    val toks = filter(TextDedup.tokens(col(textCol)),
-      t => !t.contains(O) && !t.contains(C))
+      enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      words: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val toks = words.getOrElse(
+      filter(TextDedup.tokens(col(textCol)),
+        t => !t.contains(O) && !t.contains(C)))
     val encs = flatten(transform(toks, enc))
     docs.select(col(idCol).as("doc_id"), encs.as("__e"))
       .select(col("doc_id"),
@@ -365,10 +427,60 @@ object Bpe {
       textCol: String, idCol: String, path: String): DataFrame =
     encodeDocsBytes(docs, textCol, idCol, loadMerges(spark, path))
 
+  /** [[writeMerges]] for the pretokenized byte trainer — same tiny
+    * parquet layout. */
+  def writeBytePretokMerges(spark: SparkSession, docs: DataFrame,
+      textCol: String, numMerges: Int, topK: Int, path: String): Unit =
+    trainedBytePretokMergesDf(spark, docs, textCol, numMerges, topK)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** [[encodeDocsBytesPretok]] under a persisted merge table —
+    * bit-identical to encoding with the freshly trained table. */
+  def encodeBytesPretokFromModel(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, path: String): DataFrame =
+    encodeDocsBytesPretok(docs, textCol, idCol, loadMerges(spark, path))
+
   // ------------------------------------------------ oracle SQL emission
 
   private val oToks =
     raw"""list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+
+  /** RE2 form of [[Gpt2Pretok]]: RE2 has no lookahead, so the
+    * whitespace-donates-last-space alternative is DROPPED here (the
+    * final `[ \t…]+` absorbs whole runs) and [[oPretoks]] re-applies
+    * the donation as a list rewrite — the two-step composition is
+    * semantically identical to the Java pattern's backtracking (spec
+    * asserts the engine/oracle streams agree token-for-token). Single
+    * quotes doubled for embedding in a SQL literal. */
+  private val oPretokRe =
+    (raw"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+""" +
+      raw"""| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+""")
+      .replace("'", "''")
+
+  private val oWsRun = """^[ \t\n\x0B\f\r]+$"""
+
+  /** DuckDB list expression over `text` producing the GPT-2 pretoken
+    * stream: extract with the lookahead-free pattern, then rewrite
+    * each interior whitespace run of length ≥ 2 — the run keeps all
+    * but its last character; a trailing LITERAL SPACE moves onto the
+    * following token (GPT-2's `\s+(?!\S)` backtrack), any other
+    * trailing whitespace character stands alone (it cannot attach —
+    * the ` ?` in the token alternatives matches only 0x20). */
+  private val oPretoks: String = {
+    val p0 = s"regexp_extract_all(text, '$oPretokRe')"
+    s"""flatten(list_transform($p0, (x, i) ->
+      CASE
+        WHEN regexp_matches(x, '$oWsRun') AND length(x) >= 2
+             AND i < len($p0)
+          THEN CASE WHEN x[-1] = ' ' THEN [x[1:-2]]
+                    ELSE [x[1:-2], x[-1]] END
+        WHEN i > 1 AND regexp_matches(list_extract($p0, i - 1), '$oWsRun')
+             AND length(list_extract($p0, i - 1)) >= 2
+             AND list_extract($p0, i - 1)[-1] = ' '
+          THEN [' ' || x]
+        ELSE [x]
+      END))"""
+  }
 
   /** The merge-step CTE chain shared by the char- and byte-level
     * oracles (each replaying [[wordSample]] + its trainer): per step k
@@ -410,9 +522,10 @@ v$k AS MATERIALIZED (SELECT word, freq, replace(sym, '$O' || lhs || '$C$O' || rh
     s"regexp_replace(hex(encode($e)), '(..)', '$O\\1$C', 'g')"
 
   private def trainCtes(numMerges: Int, topK: Int,
-      sealSql: String => String): String = {
+      sealSql: String => String,
+      wordsSql: String = oToks): String = {
     val (steps, union) = mergeSteps(numMerges)
-    s"""tkx AS (SELECT unnest($oToks) AS word FROM documents),
+    s"""tkx AS (SELECT unnest($wordsSql) AS word FROM documents),
 wc AS (SELECT word, count(*) AS freq FROM tkx
        WHERE strpos(word, '$O') = 0 AND strpos(word, '$C') = 0
        GROUP BY word),
@@ -443,11 +556,12 @@ SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
     * `agg(doc_id, n, s)` (BPE token count + space-joined symbols) —
     * the shared prefix of the encode and trained-packing oracles. */
   private def encodeCtes(numMerges: Int, topK: Int,
-      sealSql: String => String = charSealSql): String =
-    s"""${trainCtes(numMerges, topK, sealSql)},
+      sealSql: String => String = charSealSql,
+      wordsSql: String = oToks): String =
+    s"""${trainCtes(numMerges, topK, sealSql, wordsSql)},
 dw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos, unnest(ws2) AS word
        FROM (SELECT doc_id,
-               list_filter($oToks,
+               list_filter($wordsSql,
                  x -> strpos(x, '$O') = 0 AND strpos(x, '$C') = 0) AS ws2
              FROM documents)),
 e(doc_id, wpos, sym, k) AS (
@@ -482,6 +596,21 @@ ORDER BY d.doc_id"""
     * per-document recursive application both seal via UTF-8-byte hex. */
   def oracleByteEncodeSql(numMerges: Int, topK: Int): String =
     s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, byteSealSql)}
+SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
+  md5(coalesce(a.s, '')) AS tokens_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
+  /** [[oracleByteTrainSql]] over the GPT-2 pretoken stream — the word
+    * source swaps ([[oPretoks]]), the sealing and merge chain are
+    * shared. */
+  def oracleBytePretokTrainSql(numMerges: Int, topK: Int): String =
+    s"""WITH ${trainCtes(numMerges, topK, byteSealSql, oPretoks)}
+SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
+
+  /** [[oracleByteEncodeSql]] over the GPT-2 pretoken stream. */
+  def oracleBytePretokEncodeSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, byteSealSql, oPretoks)}
 SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
   md5(coalesce(a.s, '')) AS tokens_md5
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id

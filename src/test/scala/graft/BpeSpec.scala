@@ -309,4 +309,86 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(served == fresh)
   }
+
+  private def pretokensOf(texts: String*): Seq[Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.pretokens(col("text")).as("p"))
+      .orderBy("doc_id")
+      .collect().map(_.getSeq[String](1).toSeq).toSeq
+  }
+
+  test("GPT-2 pretokenization: hand cases — space carrying, whitespace donation, tab edges, contractions") {
+    val got = pretokensOf(
+      "hello world",
+      "a   b",            // 3-space run donates its last space
+      "\ttab",            // tab cannot attach (` ?` is literal space)
+      " \t mix",          // mixed run backtracks one space
+      "x  \t y",
+      "it's 42 dogs!!",   // contraction + digit + punct runs
+      "trail   ",         // trailing run stays whole
+      "héllo  wörld",     // non-ASCII letters are \p{L}
+      "a \tb",            // donated char is a tab: stands alone
+      "  leading")
+    assert(got === Seq(
+      Seq("hello", " world"),
+      Seq("a", "  ", " b"),
+      Seq("\t", "tab"),
+      Seq(" \t", " mix"),
+      Seq("x", "  \t", " y"),
+      Seq("it", "'s", " 42", " dogs", "!!"),
+      Seq("trail", "   "),
+      Seq("héllo", " ", " wörld"),
+      Seq("a", " ", "\t", "b"),
+      Seq(" ", " leading")))
+    // totality: the pretokens concatenate back to the input
+    val texts = Seq("hello world", "a   b", " \t mix", "it's 42 dogs!!",
+      "héllo  wörld 日本 𝄞!")
+    pretokensOf(texts: _*).zip(texts).foreach { case (p, t) =>
+      assert(p.mkString === t, s"pretokens not total for '$t'")
+    }
+  }
+
+  test("pretokenized byte encoding round-trips whole documents byte-exactly") {
+    val text = "It's  the  2nd test — schön,\t日本語 a𝄞b!!  "
+    val merges = Bpe.trainBytes(
+      Seq((" the", 9L), ("It", 3L), (" schön", 2L)), 10)
+    val pretoks = pretokensOf(text).head
+    val syms = pretoks.flatMap(w => Bpe.encodeWordBytes(w, merges))
+    assert(Bpe.decodeByteSymbols(syms) === text)
+  }
+
+  test("pretok trainer learns SPACE-CARRYING symbols (the GPT-2 vocab property)") {
+    // " the" is the dominant pretoken; with enough merges it becomes
+    // ONE symbol whose first byte is 0x20 — the word-boundary-aware
+    // vocab entry the whitespace tokenizer can never learn
+    val merges = Bpe.trainBytes(Seq((" the", 10L), ("x", 1L)), 3)
+    assert(Bpe.encodeWordBytes(" the", merges).toSeq === Seq("20746865"))
+    assert(Bpe.decodeByteSymbols(Seq("20746865")) === " the")
+  }
+
+  test("engine pretok byte encode matches a driver java.util.regex reference on testdata") {
+    val docs = Demo.table(spark, sf(), "documents")
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    assert(merges.length == 24)
+    val engine = Bpe.encodeDocsBytesPretok(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pat = java.util.regex.Pattern.compile(Bpe.Gpt2Pretok)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val m = pat.matcher(text)
+      val words = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).filter(w =>
+          !w.contains(Bpe.Open) && !w.contains(Bpe.Close)).toSeq
+      val syms = words.flatMap(w => Bpe.encodeWordBytes(w, merges))
+      val hex = md.digest(syms.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(engine(id) == ((syms.length.toLong, hex)), s"doc $id")
+    }
+  }
 }
