@@ -305,7 +305,12 @@ object ScaleSoak {
     // incremental BM25 serve: the grown (batch_id, bucket) postings
     // read bucket-pruned with merge-on-read df + epoch-partial stats —
     // must track bm25_index_serve (postings-bounded, corpus-flat)
-    "bm25_index_incremental_serve")
+    "bm25_index_incremental_serve",
+    // semantic decontamination: train side map-side-assigned (shuffle
+    // on cluster only), bench side a bounded probe relation — the
+    // pairing must inherit semdedup_pairs' shape, with the bench join
+    // side CONSTANT as the corpus grows
+    "decontaminate_semantic_pairs")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

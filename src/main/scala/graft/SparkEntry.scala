@@ -1632,7 +1632,10 @@ object SparkEntry {
     // decontamination can least afford to lose it)
     "decontaminate_semantic_pairs" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      // nlist tracks corpus size (8 at oracle scale, growing at soak
+      // scale) — the fixed-nlist quadratic trap, same as semdedup_pairs
+      val nl = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nl)
       SemanticDedup.semanticContaminationPairs(
         emb.filter(col("vec_id") % 10 =!= 3),
         emb.filter(col("vec_id") % 10 === 3),
@@ -1641,7 +1644,8 @@ object SparkEntry {
     }),
     "decontaminate_semantic_corpus" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val nl = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nl)
       SemanticDedup.decontaminateSemantic(
         emb.filter(col("vec_id") % 10 =!= 3),
         emb.filter(col("vec_id") % 10 === 3),
@@ -1652,7 +1656,8 @@ object SparkEntry {
     // surface (bench-suite-sized output)
     "decontaminate_semantic_report" -> ((s, dir) => {
       val emb = Demo.table(s, dir, "embeddings")
-      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8)
+      val nl = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nl)
       SemanticDedup.semanticContaminationReport(
         emb.filter(col("vec_id") % 10 =!= 3),
         emb.filter(col("vec_id") % 10 === 3),
