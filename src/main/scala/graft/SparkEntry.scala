@@ -2218,6 +2218,23 @@ object SparkEntry {
     }),
     "bpe_byte_pretok_encode_from_model" -> ((s, dir) =>
       buildServe("bpe_byte_pretok_encode_from_model")(s, dir)()),
+    // The GPT-2 id assignment (the vocab file a training run ships):
+    // ids 0-255 the byte symbols, 256+k merge k's output
+    "bpe_byte_pretok_vocab" -> ((s, dir) =>
+      graft.text.Bpe.byteVocabDf(s, graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24))
+        .orderBy("id")),
+    // Token IDS — the stream a training run consumes: pretok byte
+    // encode mapped through the vocab via a broadcast-literal map
+    "bpe_byte_pretok_encode_ids" -> ((s, dir) => {
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.Bpe.encodeDocsBytesPretokIds(
+        Demo.table(s, dir, "documents"), "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -3110,6 +3127,8 @@ object SparkEntry {
     "bpe_byte_pretok_train" -> graft.text.Bpe.oracleBytePretokTrainSql(24, 256),
     "bpe_byte_pretok_encode" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
     "bpe_byte_pretok_encode_from_model" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
+    "bpe_byte_pretok_vocab" -> graft.text.Bpe.oracleBytePretokVocabSql(24, 256),
+    "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),

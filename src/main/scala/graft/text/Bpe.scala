@@ -427,6 +427,40 @@ object Bpe {
       textCol: String, idCol: String, path: String): DataFrame =
     encodeDocsBytes(docs, textCol, idCol, loadMerges(spark, path))
 
+  /** The GPT-2 id assignment over a byte-merge table: ids 0–255 are
+    * the 256 byte symbols in byte order, id 256+k is merge k's output
+    * symbol — deterministic, gap-free, and total (every symbol any
+    * encode can produce is either a base byte or a merge output, so id
+    * lookup can never miss). This is the vocab file a training run
+    * ships; (id, sym) pairs. */
+  def byteVocab(merges: Seq[Merge]): Seq[(Long, String)] =
+    (0 until 256).map(b => b.toLong -> f"$b%02X") ++
+      merges.map(m => (256L + m.rank) -> (m.left + m.right))
+
+  /** [[byteVocab]] as a DataFrame: (id, sym). */
+  def byteVocabDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    byteVocab(merges).toDF("id", "sym")
+  }
+
+  /** [[encodeDocsBytesPretok]] emitting TOKEN IDS instead of symbol
+    * strings — the stream a training run actually consumes: pretokens
+    * → byte symbols under the merge fold → [[byteVocab]] ids via a
+    * broadcast-literal map (≤ 256 + numMerges entries, map-side, no
+    * shuffle). Output: doc_id, n_bpe_tokens, ids_md5 (md5 of the
+    * space-joined decimal ids in document order). */
+  def encodeDocsBytesPretokIds(docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame = {
+    val symToId = byteVocab(merges).map { case (i, s) => (s, i) }.toMap
+    val syms = flatten(transform(pretokens(col(textCol)),
+      w => encodeWordBytesCol(w, merges)))
+    val ids = transform(syms,
+      s => element_at(typedlit(symToId), s).cast("string"))
+    docs.select(col(idCol).as("doc_id"),
+      size(ids).cast("long").as("n_bpe_tokens"),
+      md5(array_join(ids, " ")).as("ids_md5"))
+  }
+
   /** [[writeMerges]] for the pretokenized byte trainer — same tiny
     * parquet layout. */
   def writeBytePretokMerges(spark: SparkSession, docs: DataFrame,
@@ -614,6 +648,41 @@ SELECT rank, lhs, rhs, pair_count FROM allm ORDER BY rank"""
 SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
   md5(coalesce(a.s, '')) AS tokens_md5
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
+  /** The [[byteVocab]] id-assignment CTEs over a trained `allm`:
+    * `vocab(id, sym)` — 256 base byte symbols then merge outputs at
+    * 256 + rank. */
+  private val vocabCtes: String = """vbase AS (
+  SELECT CAST(i AS BIGINT) AS id, upper(lpad(to_hex(i), 2, '0')) AS sym
+  FROM range(256) t(i)),
+vmerge AS (SELECT CAST(256 + rank AS BIGINT) AS id, lhs || rhs AS sym
+           FROM allm),
+vocab AS (SELECT * FROM vbase UNION ALL SELECT * FROM vmerge)"""
+
+  /** Oracle for the vocab query: replay the pretok byte training, then
+    * the id assignment. */
+  def oracleBytePretokVocabSql(numMerges: Int, topK: Int): String =
+    s"""WITH ${trainCtes(numMerges, topK, byteSealSql, oPretoks)},
+$vocabCtes
+SELECT id, sym FROM vocab ORDER BY id"""
+
+  /** Oracle for [[encodeDocsBytesPretokIds]]: the pretok byte encode
+    * chain, each symbol joined to its vocab id (total by
+    * construction), ids digested in (word, symbol) order. */
+  def oracleBytePretokEncodeIdsSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, byteSealSql, oPretoks)},
+$vocabCtes,
+sy AS (SELECT doc_id, wpos, generate_subscripts(syms, 1) AS sp,
+         unnest(syms) AS sym FROM fin),
+im AS (SELECT sy.doc_id, sy.wpos, sy.sp, vocab.id
+       FROM sy JOIN vocab USING (sym)),
+ia AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wpos, sp)) AS h
+       FROM im GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
+  coalesce(a.h, md5('')) AS ids_md5
+FROM documents d LEFT JOIN ia a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id"""
 
   /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]

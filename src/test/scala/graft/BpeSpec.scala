@@ -369,6 +369,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.decodeByteSymbols(Seq("20746865")) === " the")
   }
 
+  test("byteVocab: GPT-2 id assignment is total; engine id stream matches the driver") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat the dog"), (2L, ""), (3L, "日本 the"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 64), 8)
+    val vocab = Bpe.byteVocab(merges)
+    // 256 base ids + one per merge, gap-free from 0
+    assert(vocab.size === 256 + merges.length)
+    assert(vocab.map(_._1) === (0L until vocab.size.toLong))
+    assert(vocab.take(256).map(_._2) ===
+      (0 until 256).map(b => f"$b%02X"))
+    // every symbol any encode produces has an id (totality)
+    val symToId = vocab.map(_.swap).toMap
+    val pat = java.util.regex.Pattern.compile(Bpe.Gpt2Pretok)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val engine = Bpe.encodeDocsBytesPretokIds(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    Seq((1L, "the cat the dog"), (2L, ""), (3L, "日本 the")).foreach {
+      case (id, text) =>
+        val m = pat.matcher(text)
+        val words = Iterator.continually(m.find()).takeWhile(identity)
+          .map(_ => m.group()).toSeq
+        val ids = words.flatMap(w => Bpe.encodeWordBytes(w, merges))
+          .map(symToId)
+        val hex = md.digest(ids.mkString(" ")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        assert(engine(id) === ((ids.length.toLong, hex)), s"doc $id")
+    }
+  }
+
   test("engine pretok byte encode matches a driver java.util.regex reference on testdata") {
     val docs = Demo.table(spark, sf(), "documents")
     val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
