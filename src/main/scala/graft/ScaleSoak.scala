@@ -310,7 +310,10 @@ object ScaleSoak {
     // on cluster only), bench side a bounded probe relation — the
     // pairing must inherit semdedup_pairs' shape, with the bench join
     // side CONSTANT as the corpus grows
-    "decontaminate_semantic_pairs")
+    "decontaminate_semantic_pairs",
+    // hybrid fusion over the INCREMENTALLY-grown pair of indexes —
+    // must track search_hybrid_rrf_serve (postings- and probe-bounded)
+    "search_hybrid_rrf_incremental_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -325,7 +328,8 @@ object ScaleSoak {
     "curate_quality_stack_serve" -> "curate_quality_stack_streaming",
     "ann_opq_production_serve" -> "ann_opq_production_topk",
     "ann_index_incremental_serve" -> "ann_index_incremental",
-    "bm25_index_incremental_serve" -> "bm25_index_incremental")
+    "bm25_index_incremental_serve" -> "bm25_index_incremental",
+    "search_hybrid_rrf_incremental_serve" -> "search_hybrid_rrf_incremental")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

@@ -699,6 +699,47 @@ object SparkEntry {
           .orderBy("rank")
       }
     }),
+    // The FULL RAG serving stack grown INCREMENTALLY: both persisted
+    // serve paths (bucketed BM25 postings, IVF+PQ codes under the
+    // trained model) built over 3 micro-batch epochs through the
+    // GrowingIndex harness instead of rebuilt, then the identical
+    // rerank + RRF fusion. Both grown layouts are bit-identical to
+    // their rebuilds (spec-proven), so this SHARES search_hybrid_rrf's
+    // oracle — the "your retrieval stack stays fresh without a nightly
+    // rebuild" story, correctness-gated.
+    "search_hybrid_rrf_incremental" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val docsT = Demo.table(s, dir, "documents")
+      val cents = EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id",
+        nlist = 8)
+      val cb = ProductQuantization.trainedCodebook(emb, "embedding",
+        "vec_id", m = 8, ksub = 16)
+      val model = graft.streaming.StreamingAnnIndex.AnnModel(8, 16, cents, cb)
+      val annPath = tmpIndexDir("hybincann", dir)
+      val annOut = tmpIndexDir("hybincannout", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingAnnIndex.processBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, "embedding",
+          "vec_id", model, annPath, annOut))
+      val bmPath = tmpIndexDir("hybincbm25", dir)
+      val bmCorpus = tmpIndexDir("hybincbm25corpus", dir)
+      val bmStats = tmpIndexDir("hybincbm25stats", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingBm25Index.processBatch(
+          docsT.filter(col("doc_id") % 3 === b), b.toLong, "text",
+          "doc_id", buckets = 64, bmPath, bmCorpus, bmStats))
+      () => {
+        val lex = graft.streaming.StreamingBm25Index.searchFromIndex(s,
+          bmPath, bmStats, query = "spark window merge")
+        val vec = ProductQuantization.ivfPqRerankTopKFromIndex(
+          emb.filter(col("vec_id") === 0L), annPath, emb, "embedding",
+          "vec_id", k = 20, nprobe = 2, cb, ksub = 16, cents,
+          rerankK = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.text.Relevance.rrfFuse(lex, vec, k = 60, topK = 20)
+          .orderBy("rank")
+      }
+    }),
     // Batched BM25 serving: a RELATION of queries scored in one plan
     // against the persisted bucket-partitioned index — DPP prunes the
     // postings scan to the batch's bucket directories
@@ -2083,6 +2124,10 @@ object SparkEntry {
     // fused ranking is exactly oracle-checkable end to end
     "search_hybrid_rrf" -> ((s, dir) =>
       buildServe("search_hybrid_rrf")(s, dir)()),
+    // The incrementally-grown serving stack — must fuse to the exact
+    // rows of the rebuild-path hybrid (same oracle)
+    "search_hybrid_rrf_incremental" -> ((s, dir) =>
+      buildServe("search_hybrid_rrf_incremental")(s, dir)()),
     // WARC→HTML main-content extraction: each document's text wrapped
     // in a realistic page (nav, cookie banner, footer — the planted
     // boilerplate) and run through the jusText-style block classifier;
@@ -3273,6 +3318,10 @@ object SparkEntry {
       graft.embeddings.OpqOracles.annOpqProductionTopK(),
     "ann_production_topk" -> graft.text.KmeansOracles.annProductionTopK(),
     "search_hybrid_rrf" -> graft.text.KmeansOracles.searchHybridRrf(),
+    // the incrementally-grown stack shares the rebuild hybrid's oracle:
+    // both grown layouts are bit-identical to their rebuilds, so the
+    // fused ranking must be too
+    "search_hybrid_rrf_incremental" -> graft.text.KmeansOracles.searchHybridRrf(),
     "bm25_multi_query" -> TextOracles.bm25MultiSearch(multiQueryTerms(3)),
     "extract_html_text" -> TextOracles.extractHtmlText(),
     "search_hybrid_rrf_multi" ->
