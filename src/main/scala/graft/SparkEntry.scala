@@ -1409,6 +1409,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       TextDedup.exactGroups(Demo.table(s, dir, "documents"), "text", "doc_id")
         .orderBy("text_hash")),
+    // SOFT dedup: keep every copy, sample each at 1/n_copies
+    // (Muennighoff repeat-weighting — the data-constrained alternative
+    // to deletion)
+    "dedup_soft_weights" -> ((s, dir) =>
+      TextDedup.softDedupWeights(Demo.table(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_id")),
     // Exact dedup on the CANONICALIZED key — normalize_text composed
     // into the digest, so case/whitespace/NFC variants collapse into
     // one group (the multilingual exact-dedup key real pipelines hash)
@@ -3121,6 +3128,7 @@ object SparkEntry {
     "union_distinct_names" -> OracleSql.unionDistinctNames,
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,
     "dedup_exact" -> DedupOracles.exact,
+    "dedup_soft_weights" -> DedupOracles.softWeights,
     "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_eval_report" -> DedupOracles.evalReport,

@@ -27,6 +27,16 @@ sh AS (SELECT doc_id,
   val exact: String = """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Mirrors TextDedup.softDedupWeights: per document, its exact-dup
+    * multiplicity and the 1/n sampling weight (Muennighoff
+    * repeat-weighting). */
+  val softWeights: String = """WITH g AS (
+  SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+SELECT d.doc_id, g.n AS n_copies,
+  round(CAST(1.0 AS DOUBLE) / g.n, 6) AS weight
+FROM documents d JOIN g ON md5(d.text) = g.h
+ORDER BY d.doc_id"""
+
   /** Exact dedup over the canonicalized key — the normalize_text chain
     * (NFC → lower → Java-\s collapse → trim) applied before the digest.
     * The class is explicit because RE2's \s lacks \v (Java's has it). */

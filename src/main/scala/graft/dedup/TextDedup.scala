@@ -55,6 +55,22 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** SOFT dedup (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models"): keep every copy, DOWNWEIGHT each by its exact
+    * duplicate multiplicity — when tokens are scarce, repeating data
+    * beats deleting it, but duplicated content must not be oversampled,
+    * so each document samples at 1/n_copies. Output: (doc_id, n_copies,
+    * weight) with weight rounded to 6 dp. Scale shape is
+    * [[exactGroups]]' digest hash-agg plus a join back on the 16-byte
+    * digest key — no raw text ever shuffles. */
+  def softDedupWeights(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .join(exactGroups(docs, textCol, idCol)
+        .select("text_hash", "n_copies"), "text_hash")
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+
   // --------------------------------------------------- n-gram Jaccard pairs
 
   /**

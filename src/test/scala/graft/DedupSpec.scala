@@ -17,6 +17,22 @@ class DedupSpec extends SparkSpec {
     assert(g(0).getAs[Long]("n_copies") == 2 && g(0).getAs[Long]("keeper_id") == 1L)
   }
 
+  test("softDedupWeights: every copy kept, weight 1/n, uniques at 1.0; weights sum to distinct count") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "p q r"), (6L, "p q r"))
+      .toDF("doc_id", "text")
+    val w = TextDedup.softDedupWeights(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(w === Array(
+      (1L, 3L, 0.333333), (2L, 3L, 0.333333), (3L, 3L, 0.333333),
+      (4L, 1L, 1.0), (5L, 2L, 0.5), (6L, 2L, 0.5)))
+    // the defining invariant (up to rounding): total sampling mass
+    // equals the number of distinct texts — soft dedup neither inflates
+    // nor deletes content mass
+    assert(math.abs(w.map(_._3).sum - 3.0) < 1e-4)
+  }
+
   test("ngram pairs: near-identical docs found, dissimilar not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
