@@ -1700,6 +1700,24 @@ object SparkEntry {
         "embedding", "vec_id", cents, threshold = 0.35)
         .select("vec_id").orderBy("vec_id")
     }),
+    // The ingest-time batch twin: 3 micro-batch epochs each
+    // semantically checked against the static bench under the frozen
+    // centroid model — survivor union must equal the corpus path
+    // exactly (contamination depends only on the vector, bench, and
+    // model), so it SHARES decontaminate_semantic_corpus's oracle
+    "decontaminate_semantic_incremental" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val nl = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nl)
+      val bench = emb.filter(col("vec_id") % 10 === 3)
+      val train = emb.filter(col("vec_id") % 10 =!= 3)
+      val outDir = tmpIndexDir("semdecontinc", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingDecontaminate.processBatchSemantic(
+          train.filter(col("vec_id") % 3 === b), b.toLong, bench,
+          "embedding", "vec_id", cents, threshold = 0.35, outDir))
+      s.read.parquet(outDir).select("vec_id").orderBy("vec_id")
+    }),
     // Per-eval-item semantic leak report — the eval-integrity audit
     // surface (bench-suite-sized output)
     "decontaminate_semantic_report" -> ((s, dir) => {
@@ -3147,6 +3165,8 @@ object SparkEntry {
     // oracle to discriminate (same rationale as corpus_pipeline_semantic)
     "decontaminate_semantic_pairs" -> TextOracles.semanticContaminationPairs(0.35),
     "decontaminate_semantic_corpus" -> TextOracles.semanticDecontaminatedCorpus(0.35),
+    // batch-twin survivors ≡ corpus survivors (per-vector decision)
+    "decontaminate_semantic_incremental" -> TextOracles.semanticDecontaminatedCorpus(0.35),
     "decontaminate_semantic_report" -> TextOracles.semanticContaminationReport(0.35),
     // The bloom twins are output-identical by construction — the SAME
     // oracle SQL is the strongest possible check of that claim

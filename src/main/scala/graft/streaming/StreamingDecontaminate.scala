@@ -54,6 +54,52 @@ object StreamingDecontaminate {
       .parquet(outDir)
   }
 
+  /** The SEMANTIC twin of [[processBatch]]: drop batch vectors whose
+    * embedding near-duplicates an eval vector
+    * ([[graft.embeddings.SemanticDedup.decontaminateSemantic]] — the
+    * bench side probes its nprobe nearest cells under the FIXED
+    * centroid model, the batch side is map-side-assigned). Same
+    * stateless exactly-once story: the bench and centroids are
+    * deploy-time constants, so each batch's survivors are a pure
+    * deterministic function of (batch, bench, cents) and the dynamic
+    * overwrite of its own partition replays idempotently. One
+    * difference from the corpus path is deliberate: `maxCell` gates on
+    * the BATCH's per-cell population (a within-batch embedding
+    * collapse), not the whole corpus's — per-batch frequency says
+    * nothing about corpus-wide cells, mirroring [[processBatch]]'s
+    * df-cap reasoning. Survivor union across batches equals the
+    * corpus-path survivors exactly (contamination of a vector depends
+    * only on the vector, bench, and model — never on other batch
+    * members), which is the batch twin's correctness gate. */
+  def processBatchSemantic(batch: DataFrame, batchId: Long,
+      bench: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double], Double)], threshold: Double,
+      outDir: String, nprobe: Int = 2,
+      maxCell: Long = 100000L): Unit = {
+    if (batch.isEmpty) return
+    graft.embeddings.SemanticDedup.decontaminateSemantic(batch, bench,
+      vecCol, idCol, cents, threshold, nprobe, maxCell)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
+  /** Start the semantic stream — [[start]]'s shape with the embedding
+    * check; `cents` is the deploy-time frozen centroid model. */
+  def startSemantic(vecs: DataFrame, bench: DataFrame, vecCol: String,
+      idCol: String, cents: Array[(Long, Array[Double], Double)],
+      threshold: Double, outDir: String, checkpointDir: String,
+      nprobe: Int = 2, maxCell: Long = 100000L): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchSemantic(batch, batchId, bench, vecCol, idCol, cents,
+          threshold, outDir, nprobe, maxCell)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /**
    * Offline small-files maintenance for the clean-output corpus: fold
    * the one-partition-per-epoch history into a single

@@ -135,4 +135,45 @@ class StreamingDecontaminateSpec extends SparkSpec {
     val out = spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id"))
     assert(out.sorted.toSeq === Seq(2L, 10L))
   }
+
+  // ── semantic twin ──
+
+  // centroids: e1 / e2; the bench vector hugs e1
+  private val semCents: Array[(Long, Array[Double], Double)] = Array(
+    (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+    (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+  private lazy val semBench =
+    Seq((500L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+  private def vecsDf(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("semantic twin: leaked vectors drop per batch; replay overwrites; batch union equals corpus path") {
+    val dir = java.nio.file.Files.createTempDirectory("sdecon-sem").toString
+    // batch 0: vector 1 is a near-copy of the bench vector (leak),
+    // vector 2 lives on the other axis (clean)
+    val b0 = vecsDf(1L -> Seq(0.99, 0.02, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val b1 = vecsDf(10L -> Seq(0.98, 0.01, 0.0, 0.0), // leak
+      11L -> Seq(0.1, 0.9, 0.0, 0.0))                 // clean
+    StreamingDecontaminate.processBatchSemantic(b0, 0L, semBench,
+      "embedding", "vec_id", semCents, threshold = 0.95, dir)
+    StreamingDecontaminate.processBatchSemantic(b1, 1L, semBench,
+      "embedding", "vec_id", semCents, threshold = 0.95, dir)
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("batch_id"))).toSet
+    assert(out === Set((2L, 0), (11L, 1)))
+    // replay of batch 0 replaces its own partition with itself
+    StreamingDecontaminate.processBatchSemantic(b0, 0L, semBench,
+      "embedding", "vec_id", semCents, threshold = 0.95, dir)
+    assert(spark.read.parquet(dir).count() === 2L)
+    // batch union ≡ the corpus-path survivors on the concatenated input
+    val all = vecsDf(1L -> Seq(0.99, 0.02, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      10L -> Seq(0.98, 0.01, 0.0, 0.0), 11L -> Seq(0.1, 0.9, 0.0, 0.0))
+    val corpus = graft.embeddings.SemanticDedup.decontaminateSemantic(
+      all, semBench, "embedding", "vec_id", semCents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().toSet === corpus)
+  }
 }
