@@ -1718,6 +1718,18 @@ object SparkEntry {
           "embedding", "vec_id", cents, threshold = 0.35, outDir))
       s.read.parquet(outDir).select("vec_id").orderBy("vec_id")
     }),
+    // The decontamination THRESHOLD-SELECTION mart: planted leaks at
+    // four mix levels (leak = (1-λ)·bench + λ·carrier), the production
+    // detector run once at the loosest grid threshold, recall and
+    // wrong-bench counts re-bucketed per candidate threshold
+    "decontaminate_eval_report" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val nl = SemanticDedup.nlistForCount(cachedCount(s, dir, "embeddings"))
+      val cents = EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", nl)
+      graft.dedup.DecontaminationEval.evalReport(emb, "embedding",
+        "vec_id", cents)
+        .orderBy("lam", "threshold")
+    }),
     // Per-eval-item semantic leak report — the eval-integrity audit
     // surface (bench-suite-sized output)
     "decontaminate_semantic_report" -> ((s, dir) => {
@@ -3168,6 +3180,7 @@ object SparkEntry {
     // batch-twin survivors ≡ corpus survivors (per-vector decision)
     "decontaminate_semantic_incremental" -> TextOracles.semanticDecontaminatedCorpus(0.35),
     "decontaminate_semantic_report" -> TextOracles.semanticContaminationReport(0.35),
+    "decontaminate_eval_report" -> TextOracles.decontaminationEvalReport(),
     // The bloom twins are output-identical by construction — the SAME
     // oracle SQL is the strongest possible check of that claim
     "decontaminate_bloom_pairs" -> DedupOracles.contaminationPairs,

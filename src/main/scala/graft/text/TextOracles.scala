@@ -1315,6 +1315,66 @@ SELECT bench_id, count(*) AS n_contaminated,
   max(cosine) AS max_cosine, min(vec_id) AS first_vec
 FROM scont GROUP BY bench_id ORDER BY bench_id"""
 
+  /** Mirrors DecontaminationEval.evalReport: replay the planted-leak
+    * construction (leak = (1−λ)·bench + λ·carrier at the four mix
+    * levels), the probed-cell detector pass at the loosest grid
+    * threshold, and the per-(level, threshold) recall/wrong-bench
+    * aggregation. */
+  def decontaminationEvalReport(nprobe: Int = 2): String = {
+    val dotENC = "list_reduce(list_transform(list_zip(en.v, c.cv), " +
+      "z -> z[1] * z[2]), (p,q) -> p + q)"
+    s"""WITH $normCte,
+lv(level, lam, li) AS (VALUES
+  ('copy', CAST(0.0 AS DOUBLE), 0), ('light', CAST(0.1 AS DOUBLE), 1),
+  ('medium', CAST(0.3 AS DOUBLE), 2), ('heavy', CAST(0.5 AS DOUBLE), 3)),
+th(threshold) AS (VALUES (CAST(0.95 AS DOUBLE)), (CAST(0.8 AS DOUBLE)),
+  (CAST(0.6 AS DOUBLE))),
+benchraw AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 10 = 3),
+carrier AS (SELECT vec_id + 3 AS bench_id, v AS cv FROM e),
+leaks AS (SELECT 1000000 + b.bench_id * 10 + lv.li AS vec_id,
+    b.bench_id AS truth_bench, lv.level, lv.lam,
+    list_transform(list_zip(b.bv, c.cv),
+      z -> (1 - lv.lam) * z[1] + lv.lam * z[2]) AS v
+  FROM benchraw b JOIN carrier c USING (bench_id) CROSS JOIN lv),
+evalc AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3
+          UNION ALL SELECT vec_id, v FROM leaks),
+en AS (SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) AS nrm
+       FROM evalc),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+trainasg AS (SELECT vec_id, cid AS cluster, v, nrm FROM (
+    SELECT en.vec_id, c.cid, en.v, en.nrm,
+           row_number() OVER (PARTITION BY en.vec_id
+             ORDER BY $dotENC / (en.nrm * c.cn) DESC, c.cid) AS rn
+    FROM en CROSS JOIN cents c) t WHERE rn = 1),
+benchprobe AS (SELECT vec_id AS bench_id, cid AS cluster, v, nrm FROM (
+    SELECT n.vec_id, c.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n CROSS JOIN cents c WHERE n.vec_id % 10 = 3) t WHERE rn <= $nprobe),
+scont AS (SELECT x.vec_id, y.bench_id,
+    round($dotXY / (x.nrm * y.nrm), 4) AS cosine
+  FROM trainasg x JOIN benchprobe y ON x.cluster = y.cluster
+  WHERE round($dotXY / (x.nrm * y.nrm), 4) >= 0.6),
+tagged AS (SELECT l.level, l.lam, (s.bench_id = l.truth_bench) AS hit,
+    s.cosine
+  FROM scont s JOIN leaks l ON s.vec_id = l.vec_id),
+tc AS (SELECT level, lam, CAST(count(*) AS BIGINT) AS n_truth
+       FROM leaks GROUP BY 1, 2),
+dagg AS (SELECT level, lam, threshold,
+    CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS nd,
+    CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT) AS nw
+  FROM tagged CROSS JOIN th WHERE cosine >= threshold GROUP BY 1, 2, 3)
+SELECT tc.level, tc.lam, th.threshold, tc.n_truth,
+  coalesce(dagg.nd, 0) AS n_detected,
+  round(CAST(coalesce(dagg.nd, 0) AS DOUBLE) / tc.n_truth, 4) AS recall,
+  coalesce(dagg.nw, 0) AS n_wrong_bench
+FROM tc CROSS JOIN th
+LEFT JOIN dagg ON dagg.level = tc.level AND dagg.lam = tc.lam
+  AND dagg.threshold = th.threshold
+ORDER BY tc.lam, th.threshold"""
+  }
+
   /** Mirrors the semdedup_incremental query — one epoch of
     * StreamingSemdedup.processBatch composed as a batch: the batch
     * (vec_id % 10 = 7) is SemDeDup'ed internally (keeper rule inside

@@ -102,4 +102,37 @@ class DedupEvalSpec extends SparkSpec {
       "simhash", maxDist = 1, chunkBits = 15))
     assert(viaSimPairs === viaSimEdges)
   }
+
+  test("decontamination eval mart: copy anchor at 1.0, recall monotone in threshold and drift, wrong-bench honest") {
+    val s = spark
+    import s.implicits._
+    val emb = Demo.table(spark, sf(), "embeddings")
+    val nl = graft.embeddings.SemanticDedup.nlistForCount(emb.count())
+    val cents = graft.embeddings.EmbeddingOps.ivfCentroids(emb,
+      "embedding", "vec_id", nl)
+    val rep = graft.dedup.DecontaminationEval.evalReport(emb,
+      "embedding", "vec_id", cents)
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(rep.size === 12)
+    // the verbatim-copy anchor: cosine 1.0 to its bench, caught at
+    // every threshold
+    graft.dedup.DecontaminationEval.Thresholds.foreach { t =>
+      val (nt, nd, rc, _) = rep(("copy", t))
+      assert(nt > 0 && nd === nt && rc === 1.0, s"copy@$t: $nd/$nt")
+    }
+    // recall is monotone non-increasing in threshold within a level...
+    graft.dedup.DecontaminationEval.Levels.foreach { case (lvl, _, _) =>
+      val rs = graft.dedup.DecontaminationEval.Thresholds.sorted
+        .map(t => rep((lvl, t))._3)
+      assert(rs === rs.sorted.reverse, s"$lvl recall not monotone: $rs")
+    }
+    // ...and non-increasing in drift at a fixed threshold
+    graft.dedup.DecontaminationEval.Thresholds.foreach { t =>
+      val rs = graft.dedup.DecontaminationEval.Levels
+        .map { case (lvl, _, _) => rep((lvl, t))._3 }
+      assert(rs === rs.sorted.reverse, s"thr $t recall not monotone: $rs")
+    }
+  }
 }
