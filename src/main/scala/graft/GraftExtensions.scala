@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "heavy_hitters"),
       exprs => graft.functions.HeavyHitters(exprs(0), exprs(1))
         .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[graft.functions.HllRegisters].getName,
+        "hll_registers"),
+      exprs => graft.functions.HllRegisters(exprs(0), exprs(1))
+        .toAggregateExpression()))
     // whole-operator custom plan: native as-of join (plans.AsofJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsofJoinColumns)

@@ -725,6 +725,48 @@ FROM customer GROUP BY c_mktsegment ORDER BY segment"""
   val heavyHittersEvents: String = """SELECT event_type AS item, count(*) AS n
 FROM events GROUP BY event_type ORDER BY n DESC, item"""
 
+  /** Replays the FULL deterministic-HLL chain of approx_distinct_events:
+    * the shared md5-prefix 60-bit hash, p=10 register construction
+    * (idx = top 10 bits, rho = leading zeros of the 50-bit suffix + 1,
+    * register-wise max), the exact Σ2^(51−r) BIGINT fold, the raw
+    * harmonic estimate with the linear-counting small-range branch, and
+    * the relative error vs the exact distinct count. Constant
+    * expressions are written in the engine's association order so the
+    * doubles match bit-for-bit. */
+  val approxDistinctEvents: String = """WITH hh AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+rr AS (SELECT event_type, h >> 50 AS idx,
+    CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+         ELSE 50 - length(bin(h & ((1::BIGINT << 50) - 1))) + 1 END AS rho
+  FROM hh),
+mx AS (SELECT event_type, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
+grid AS (SELECT et.event_type, t.i AS idx
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN range(1024) t(i)),
+regs AS (SELECT grid.event_type, coalesce(mx.r, 0) AS r
+  FROM grid LEFT JOIN mx
+    ON mx.event_type = grid.event_type AND mx.idx = grid.idx),
+est0 AS (SELECT event_type,
+    CAST(sum(CAST(power(2, 51 - r) AS BIGINT)) AS BIGINT) AS s,
+    CAST(count(*) FILTER (WHERE r = 0) AS BIGINT) AS v
+  FROM regs GROUP BY 1),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events GROUP BY 1),
+fin AS (SELECT est0.event_type,
+    round(CASE WHEN v > 0 AND
+        (((0.7213/(1 + 1.079/1024.0)) * 1024 * 1024) * power(2.0, 51))
+          / CAST(s AS DOUBLE) <= 2560.0
+      THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+      ELSE (((0.7213/(1 + 1.079/1024.0)) * 1024 * 1024) * power(2.0, 51))
+        / CAST(s AS DOUBLE) END, 4) AS n_est,
+    ex.n_exact
+  FROM est0 JOIN ex ON ex.event_type = est0.event_type)
+SELECT event_type, n_est, n_exact,
+  round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+FROM fin ORDER BY event_type"""
+
   /** Same md5-prefix hash bucket as Sampling.bucket. */
   private val sampleBucket =
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"

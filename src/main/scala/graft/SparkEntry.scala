@@ -1261,6 +1261,26 @@ object SparkEntry {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("item"), col("e.n").as("n"))
         .orderBy(desc("n"), asc("item"))),
+    // Custom Catalyst aggregate: DETERMINISTIC HyperLogLog over the
+    // shared md5-prefix 60-bit hash — per event type, the sketch
+    // estimate of distinct users next to the exact count (the
+    // replayable approx-COUNT-DISTINCT a 100 TB profile runs instead
+    // of shuffling every key); the whole chain — registers, integer
+    // harmonic fold, linear-counting branch — is oracle-replayed
+    "approx_distinct_events" -> ((s, dir) =>
+      Demo.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions
+          .hll_registers(col("user_id").cast("string"), 10).as("regs"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"),
+          graft.functions.GraftFunctions.hll_estimate(col("regs"), 10)
+            .as("n_est"),
+          col("n_exact"))
+        .select(col("event_type"), col("n_est"), col("n_exact"),
+          round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")),
     // §2.7 date formatting + monthly rollup
     "revenue_by_month" -> ((s, dir) =>
       Demo.table(s, dir, "orders")
@@ -3139,6 +3159,7 @@ object SparkEntry {
     "collect_names_by_segment" -> OracleSql.collectNamesBySegment,
     "revenue_by_month" -> OracleSql.revenueByMonth,
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
+    "approx_distinct_events" -> OracleSql.approxDistinctEvents,
     "sample_documents" -> OracleSql.sampleDocuments,
     "sample_stratified" -> OracleSql.sampleStratified,
     "split_documents" -> OracleSql.splitDocuments,

@@ -917,6 +917,39 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** Deterministic HyperLogLog register aggregate over the shared
+    * md5-prefix 60-bit hash (see [[HllRegisters]]): `array<int>` of
+    * 2^p registers, mergeable by register-wise max. */
+  def hll_registers(c: Column, p: Int): Column =
+    col(HllRegisters(expr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(p))
+      .toAggregateExpression())
+
+  /** The HLL estimate over a [[hll_registers]] array, IN-PLAN and
+    * oracle-replayable: S = Σ 2^(Q−r) folded as an exact LONG
+    * (Q = 61−p; ≤ 2^61 for any p), raw estimate α·m²·2^Q / S, and
+    * Flajolet's linear-counting branch m·ln(m/V) when empty registers
+    * remain and the raw estimate is below 2.5 m. Rounded to 4 dp. */
+  def hll_estimate(regs: Column, p: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val m = 1 << p
+    val q = 61 - p
+    val s = aggregate(regs, lit(0L),
+      (acc, r) => acc + pow(lit(2.0), lit(q) - r).cast("long"))
+    val v = size(filter(regs, r => r === lit(0)))
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val num = alpha * m * m * math.pow(2.0, q)
+    val eRaw = lit(num) / s.cast("double")
+    round(when(v > lit(0) && eRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(eRaw), 4)
+  }
+
+  /** `approx_count_distinct` with a replayable sketch:
+    * [[hll_estimate]] ∘ [[hll_registers]]. */
+  def approx_distinct(c: Column, p: Int = 10): Column =
+    hll_estimate(hll_registers(c, p), p)
+
   /** Register the custom functions for Spark SQL usage. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -926,6 +959,9 @@ object GraftFunctions {
       exprs => expr(token_sort_ratio(col(exprs(0)), col(exprs(1)))), "built-in")
     reg.createOrReplaceTempFunction("heavy_hitters",
       exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction("hll_registers",
+      exprs => HllRegisters(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction("normalize_text",
       exprs => expr(normalize_text(col(exprs.head))), "built-in")
