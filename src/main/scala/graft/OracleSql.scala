@@ -725,36 +725,37 @@ FROM customer GROUP BY c_mktsegment ORDER BY segment"""
   val heavyHittersEvents: String = """SELECT event_type AS item, count(*) AS n
 FROM events GROUP BY event_type ORDER BY n DESC, item"""
 
-  /** Replays the FULL deterministic-HLL chain of approx_distinct_events:
-    * the shared md5-prefix 60-bit hash, p=10 register construction
+  /** The shared replayable deterministic-HLL chain over a `(grp, item)`
+    * relation: the md5-prefix 60-bit hash, p=10 register construction
     * (idx = top 10 bits, rho = leading zeros of the 50-bit suffix + 1,
     * register-wise max), the exact Σ2^(51−r) BIGINT fold, the raw
     * harmonic estimate with the linear-counting small-range branch, and
     * the relative error vs the exact distinct count. Constant
     * expressions are written in the engine's association order so the
-    * doubles match bit-for-bit. */
-  val approxDistinctEvents: String = """WITH hh AS (
-  SELECT event_type,
-    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-  FROM events WHERE user_id IS NOT NULL),
-rr AS (SELECT event_type, h >> 50 AS idx,
+    * doubles match bit-for-bit. Ends in `rep(grp, n_est, n_exact,
+    * rel_err)`. */
+  private def hllReportCtes(srcSql: String): String = s"""src AS ($srcSql),
+hh AS (SELECT grp,
+    CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS h
+  FROM src WHERE item IS NOT NULL),
+rr AS (SELECT grp, h >> 50 AS idx,
     CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
          ELSE 50 - length(bin(h & ((1::BIGINT << 50) - 1))) + 1 END AS rho
   FROM hh),
-mx AS (SELECT event_type, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
-grid AS (SELECT et.event_type, t.i AS idx
-  FROM (SELECT DISTINCT event_type FROM events) et
+mx AS (SELECT grp, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
+grid AS (SELECT et.grp, t.i AS idx
+  FROM (SELECT DISTINCT grp FROM src) et
   CROSS JOIN range(1024) t(i)),
-regs AS (SELECT grid.event_type, coalesce(mx.r, 0) AS r
+regs AS (SELECT grid.grp, coalesce(mx.r, 0) AS r
   FROM grid LEFT JOIN mx
-    ON mx.event_type = grid.event_type AND mx.idx = grid.idx),
-est0 AS (SELECT event_type,
+    ON mx.grp = grid.grp AND mx.idx = grid.idx),
+est0 AS (SELECT grp,
     CAST(sum(CAST(power(2, 51 - r) AS BIGINT)) AS BIGINT) AS s,
     CAST(count(*) FILTER (WHERE r = 0) AS BIGINT) AS v
   FROM regs GROUP BY 1),
-ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-       FROM events GROUP BY 1),
-fin AS (SELECT est0.event_type,
+ex AS (SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS n_exact
+       FROM src GROUP BY 1),
+fin AS (SELECT est0.grp,
     round(CASE WHEN v > 0 AND
         (((0.7213/(1 + 1.079/1024.0)) * 1024 * 1024) * power(2.0, 51))
           / CAST(s AS DOUBLE) <= 2560.0
@@ -762,10 +763,24 @@ fin AS (SELECT est0.event_type,
       ELSE (((0.7213/(1 + 1.079/1024.0)) * 1024 * 1024) * power(2.0, 51))
         / CAST(s AS DOUBLE) END, 4) AS n_est,
     ex.n_exact
-  FROM est0 JOIN ex ON ex.event_type = est0.event_type)
-SELECT event_type, n_est, n_exact,
-  round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
-FROM fin ORDER BY event_type"""
+  FROM est0 JOIN ex ON ex.grp = est0.grp),
+rep AS (SELECT grp, n_est, n_exact,
+    round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+  FROM fin)"""
+
+  /** approx_distinct_events: distinct users per event type. */
+  val approxDistinctEvents: String = s"""WITH ${hllReportCtes(
+    "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item FROM events")}
+SELECT grp AS event_type, n_est, n_exact, rel_err FROM rep ORDER BY 1"""
+
+  /** approx_distinct_tokens: distinct-token (vocab) estimate per
+    * language — the token-grain profile where exact COUNT(DISTINCT)
+    * shuffles every key. */
+  val approxDistinctTokens: String = s"""WITH ${hllReportCtes(
+    raw"SELECT lang AS grp, unnest(list_filter(" +
+      raw"regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS item " +
+      "FROM documents")}
+SELECT grp AS lang, n_est, n_exact, rel_err FROM rep ORDER BY 1"""
 
   /** Same md5-prefix hash bucket as Sampling.bucket. */
   private val sampleBucket =

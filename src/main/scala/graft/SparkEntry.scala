@@ -1281,6 +1281,26 @@ object SparkEntry {
           round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
             .as("rel_err"))
         .orderBy("event_type")),
+    // The 100 TB vocab-profiling use case: per-language DISTINCT-TOKEN
+    // estimate over the documents table — token grain explodes ~100×
+    // the doc count, exactly where exact COUNT(DISTINCT) shuffles
+    // every key and the 1 KB sketch does not
+    "approx_distinct_tokens" -> ((s, dir) =>
+      Demo.table(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextDedup.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftFunctions
+          .hll_registers(col("tok"), 10).as("regs"),
+          countDistinct(col("tok")).as("n_exact"))
+        .select(col("lang"),
+          graft.functions.GraftFunctions.hll_estimate(col("regs"), 10)
+            .as("n_est"),
+          col("n_exact"))
+        .select(col("lang"), col("n_est"), col("n_exact"),
+          round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("lang")),
     // §2.7 date formatting + monthly rollup
     "revenue_by_month" -> ((s, dir) =>
       Demo.table(s, dir, "orders")
@@ -3160,6 +3180,7 @@ object SparkEntry {
     "revenue_by_month" -> OracleSql.revenueByMonth,
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
     "approx_distinct_events" -> OracleSql.approxDistinctEvents,
+    "approx_distinct_tokens" -> OracleSql.approxDistinctTokens,
     "sample_documents" -> OracleSql.sampleDocuments,
     "sample_stratified" -> OracleSql.sampleStratified,
     "split_documents" -> OracleSql.splitDocuments,
