@@ -1456,6 +1456,26 @@ object SparkEntry {
       TextDedup.softDedupWeights(Demo.table(s, dir, "documents"),
         "text", "doc_id")
         .orderBy("doc_id")),
+    // INCREMENTAL repeat-weighting: per-epoch (digest, count) partials
+    // grown idempotently, corpus multiplicity = Σ partials per digest
+    // at serve time (the BM25 merge-on-read-df argument applied to
+    // copy counts) — weights must equal the batch recompute, so it
+    // shares dedup_soft_weights' oracle
+    "dedup_soft_weights_incremental" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val pDir = tmpIndexDir("softwpartials", dir)
+      (0 until 3).foreach { b =>
+        TextDedup.softDedupPartial(
+          docsT.filter(col("doc_id") % 3 === b), "text")
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pDir)
+      }
+      TextDedup.softDedupWeightsFromPartials(docsT, "text", "doc_id",
+        s.read.parquet(pDir))
+        .orderBy("doc_id")
+    }),
     // Exact dedup on the CANONICALIZED key — normalize_text composed
     // into the digest, so case/whitespace/NFC variants collapse into
     // one group (the multilingual exact-dedup key real pipelines hash)
@@ -3201,6 +3221,8 @@ object SparkEntry {
     "topk_orders_global" -> OracleSql.topkOrdersGlobal,
     "dedup_exact" -> DedupOracles.exact,
     "dedup_soft_weights" -> DedupOracles.softWeights,
+    // the growing-partials twin must weigh identically (additive counts)
+    "dedup_soft_weights_incremental" -> DedupOracles.softWeights,
     "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_eval_report" -> DedupOracles.evalReport,

@@ -71,6 +71,30 @@ object TextDedup {
       .select(col("doc_id"), col("n_copies"),
         round(lit(1.0) / col("n_copies"), 6).as("weight"))
 
+  /** One micro-batch's ADDITIVE partial for an incremental
+    * [[softDedupWeights]]: (text_hash, n) copy counts inside the batch.
+    * Counts over disjoint batches SUM to the corpus counts (exact
+    * dedup's multiplicity is a pure per-digest count), which is what
+    * makes the growing layout's merge-on-read weights equal a batch
+    * recompute — the df-merge argument of the incremental BM25 index
+    * applied to repeat-weighting. */
+  def softDedupPartial(batch: DataFrame, textCol: String): DataFrame =
+    batch.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Serve-time weights over a growing directory of
+    * [[softDedupPartial]] epochs: global n_copies = Σ per-epoch counts
+    * per digest (digest-grain, 16-byte keys), joined back to `docs`.
+    * Output and rounding identical to [[softDedupWeights]] — the batch
+    * twin shares its oracle. */
+  def softDedupWeightsFromPartials(docs: DataFrame, textCol: String,
+      idCol: String, partials: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .join(partials.groupBy("text_hash").agg(sum(col("n")).as("n_copies")),
+        "text_hash")
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+
   // --------------------------------------------------- n-gram Jaccard pairs
 
   /**

@@ -33,6 +33,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(w.map(_._3).sum - 3.0) < 1e-4)
   }
 
+  test("soft-dedup partials: additive across batches, replay-idempotent, equal the batch recompute") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "p q r"), (6L, "p q r"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("softw-inc").toString + "/p"
+    def commit(b: Long): Unit =
+      TextDedup.softDedupPartial(df.filter(col("doc_id") % 2 === b), "text")
+        .withColumn("batch_id", lit(b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    commit(0L); commit(1L)
+    def served = TextDedup.softDedupWeightsFromPartials(df, "text",
+      "doc_id", spark.read.parquet(dir))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = TextDedup.softDedupWeights(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served === batch)
+    // a replayed epoch overwrites its own partition — counts unchanged
+    commit(1L)
+    assert(served === batch)
+  }
+
   test("ngram pairs: near-identical docs found, dissimilar not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
