@@ -1288,6 +1288,26 @@ object SparkEntry {
           round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
             .as("rel_err"))
         .orderBy("event_type")),
+    // STREAMING distinct tracking: per-epoch HLL register partials
+    // merged on read by register-wise max — idempotent merge means the
+    // grown registers EQUAL one batch sketch over the history, so the
+    // estimate shares approx_distinct_events' oracle
+    "approx_distinct_incremental" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events")
+      val pDir = tmpIndexDir("hllpartials", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingApproxDistinct.processBatch(
+          ev.filter(col("event_id") % 3 === b), b.toLong, "event_type",
+          "user_id", 10, pDir))
+      graft.streaming.StreamingApproxDistinct.estimate(s, pDir, 10)
+        .select(col("grp").as("event_type"), col("n_est"))
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+        .select(col("event_type"), col("n_est"), col("n_exact"),
+          round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }),
     // The 100 TB vocab-profiling use case: per-language DISTINCT-TOKEN
     // estimate over the documents table — token grain explodes ~100×
     // the doc count, exactly where exact COUNT(DISTINCT) shuffles
@@ -3208,6 +3228,8 @@ object SparkEntry {
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
     "approx_distinct_events" -> OracleSql.approxDistinctEvents,
     "approx_distinct_tokens" -> OracleSql.approxDistinctTokens,
+    // grown register partials ≡ one batch sketch (idempotent max-merge)
+    "approx_distinct_incremental" -> OracleSql.approxDistinctEvents,
     "sample_documents" -> OracleSql.sampleDocuments,
     "sample_stratified" -> OracleSql.sampleStratified,
     "split_documents" -> OracleSql.splitDocuments,

@@ -79,6 +79,30 @@ class HyperLogLogSpec extends SparkSpec {
     assert(viaSql === withNulls)
   }
 
+  test("streaming partials: epoch merge equals the one-shot sketch; replay never moves a count") {
+    val items = (1 to 300).map(i => (i.toLong, "g", s"item-${i % 120}"))
+    val df = items.toDF("id", "grp", "item")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll-inc").toString + "/p"
+    def commit(b: Long): Unit =
+      graft.streaming.StreamingApproxDistinct.processBatch(
+        df.filter(col("id") % 3 === b), b, "grp", "item", 10, dir)
+    (0L until 3L).foreach(commit)
+    val merged = graft.streaming.StreamingApproxDistinct
+      .mergedRegisters(spark, dir)
+      .head().getSeq[Int](1).toSeq
+    val oneShot = df
+      .agg(GraftFunctions.hll_registers(col("item"), 10).as("r"))
+      .head().getSeq[Int](0).toSeq
+    assert(merged === oneShot)
+    // a replayed epoch rewrites identical registers over itself
+    commit(1L)
+    val replayed = graft.streaming.StreamingApproxDistinct
+      .mergedRegisters(spark, dir)
+      .head().getSeq[Int](1).toSeq
+    assert(replayed === oneShot)
+  }
+
   test("p outside [4,12] or non-string input fails analysis loudly") {
     val df = Seq("a").toDF("x")
     intercept[Exception] {
