@@ -2387,6 +2387,25 @@ object SparkEntry {
     }),
     "bpe_byte_pretok_encode_from_model" -> ((s, dir) =>
       buildServe("bpe_byte_pretok_encode_from_model")(s, dir)()),
+    // Tokenizer-eval mart: BYTES PER TOKEN by language for the
+    // production (pretok byte-BPE) tokenizer — the compression metric
+    // tokenizer papers report, next to fertility's pieces-per-word
+    "tokenizer_compression_by_lang" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(docsT, "text", 256), 24)
+      docsT.select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("b"))
+        .join(graft.text.Bpe.encodeDocsBytesPretok(docsT, "text",
+          "doc_id", merges).select("doc_id", "n_bpe_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("b")).as("n_bytes"),
+          sum(col("n_bpe_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_bytes"), col("n_tokens"),
+          (expr("(2 * n_bytes * 10000 + n_tokens) DIV (2 * n_tokens)")
+            / 10000.0).as("bytes_per_token"))
+        .orderBy("lang")
+    }),
     // The GPT-2 id assignment (the vocab file a training run ships):
     // ids 0-255 the byte symbols, 256+k merge k's output
     "bpe_byte_pretok_vocab" -> ((s, dir) =>
@@ -3307,6 +3326,8 @@ object SparkEntry {
     "bpe_byte_pretok_encode" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
     "bpe_byte_pretok_encode_from_model" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
     "bpe_byte_pretok_vocab" -> graft.text.Bpe.oracleBytePretokVocabSql(24, 256),
+    "tokenizer_compression_by_lang" ->
+      graft.text.Bpe.oracleBytePretokCompressionSql(24, 256),
     "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),

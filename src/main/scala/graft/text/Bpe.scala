@@ -650,6 +650,24 @@ SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id"""
 
+  /** Oracle for the per-language BYTES-PER-TOKEN compression report:
+    * the pretok byte encode chain's per-document counts joined to
+    * UTF-8 byte lengths (`strlen` is DuckDB's byte length — the twin
+    * of the engine's `octet_length`), the ratio via the repo's exact
+    * half-up integer-division idiom. */
+  def oracleBytePretokCompressionSql(numMerges: Int, topK: Int): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, byteSealSql, oPretoks)},
+pt AS (SELECT d.doc_id, d.lang, CAST(strlen(d.text) AS BIGINT) AS b,
+         CAST(coalesce(a.n, 0) AS BIGINT) AS t
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+g AS (SELECT lang, CAST(sum(b) AS BIGINT) AS n_bytes,
+        CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM pt GROUP BY 1)
+SELECT lang, n_bytes, n_tokens,
+  ((2 * n_bytes * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0
+    AS bytes_per_token
+FROM g ORDER BY lang"""
+
   /** The [[byteVocab]] id-assignment CTEs over a trained `allm`:
     * `vocab(id, sym)` — 256 base byte symbols then merge outputs at
     * 256 + rank. */
