@@ -313,7 +313,10 @@ object ScaleSoak {
     "decontaminate_semantic_pairs",
     // hybrid fusion over the INCREMENTALLY-grown pair of indexes —
     // must track search_hybrid_rrf_serve (postings- and probe-bounded)
-    "search_hybrid_rrf_incremental_serve")
+    "search_hybrid_rrf_incremental_serve",
+    // soft dedup: one digest hash-agg + a join back on the 16-byte key
+    // — must inherit dedup_exact's flat digest-aggregation α
+    "dedup_soft_weights")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
