@@ -853,6 +853,27 @@ object SparkEntry {
         tPath, query = "spark window merge")
         .orderBy("doc_id")
     }),
+    // Right-to-be-forgotten on the grown index: delete a doc subset,
+    // then serve — the stats repair and the sub-partitioned postings
+    // rewrite must make post-delete serving equal BM25 over the
+    // surviving documents alone (df/n_docs/avgdl all shrink), which is
+    // exactly what the oracle computes
+    "bm25_index_delete" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val iPath = tmpIndexDir("bm25del", dir)
+      val cPath = tmpIndexDir("bm25delcorpus", dir)
+      val tPath = tmpIndexDir("bm25delstats", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingBm25Index.processBatch(
+          docsT.filter(col("doc_id") % 3 === b), b.toLong, "text",
+          "doc_id", buckets = 64, iPath, cPath, tPath))
+      graft.streaming.StreamingBm25Index.deleteDocs(s, cPath, iPath,
+        tPath, "text", docsT.filter(col("doc_id") % 7 === 0)
+          .select("doc_id"))
+      () => graft.streaming.StreamingBm25Index.searchFromIndex(s, iPath,
+        tPath, query = "spark window merge")
+        .orderBy("doc_id")
+    }),
     // The freshness gauge over the growing index's stats partials:
     // per-epoch doc counts, avgdl and corpus shares — BM25's one
     // corpus-global ranking input (length normalization), made
@@ -2067,6 +2088,7 @@ object SparkEntry {
     // as bm25_search); plus its per-epoch freshness gauge
     "bm25_index_incremental" -> ((s, dir) => buildServe("bm25_index_incremental")(s, dir)()),
     "bm25_index_freshness" -> ((s, dir) => buildServe("bm25_index_freshness")(s, dir)()),
+    "bm25_index_delete" -> ((s, dir) => buildServe("bm25_index_delete")(s, dir)()),
     "bm25_search" -> ((s, dir) =>
       graft.text.Relevance.bm25(Demo.table(s, dir, "documents"),
         "text", "doc_id", query = "spark window merge")
@@ -3354,6 +3376,9 @@ object SparkEntry {
     // serving IS the correctness gate; freshness replays the epoch split
     "bm25_index_incremental" -> TextOracles.bm25Search,
     "bm25_index_freshness" -> TextOracles.bm25IndexFreshness,
+    // post-deletion serving ≡ BM25 over the surviving documents alone
+    "bm25_index_delete" -> TextOracles.bm25SearchOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 0) dsur"),
     "lm_doc_scores" -> TextOracles.lmDocScores,
     "lm_kn_scores" -> TextOracles.lmKnScores,
     "lm_kn_mod_scores" -> TextOracles.lmKnModScores,

@@ -110,35 +110,55 @@ object ParquetSink {
    * doomed keys are simply absent the second time).
    */
   def deleteByKeys(spark: SparkSession, path: String, partitionCol: String,
-      keyCol: String, keys: DataFrame): Unit = {
+      keyCol: String, keys: DataFrame,
+      subCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // `subCols` names the layout's SUB-partition columns inside each
+    // `partitionCol` partition (the ANN index's `cluster`, the BM25
+    // index's `bucket`) — the rewrite must re-partition by the FULL
+    // column chain or the rewritten partitions would come back flat,
+    // demoting the sub-column to data and breaking both partition
+    // discovery (mixed layouts under one root) and serve-side pruning.
+    val pcols = partitionCol +: subCols
     val table = spark.read.parquet(path)
     val doomed = broadcast(keys.select(col(keyCol)).distinct())
-    val affected = table.join(doomed, Seq(keyCol), "left_semi")
-      .select(col(partitionCol)).distinct().collect().map(_.get(0))
-    require(affected.forall(_ != null),
+    val affectedLeaves = table.join(doomed, Seq(keyCol), "left_semi")
+      .select(pcols.map(col): _*).distinct().collect().map(_.toSeq)
+    require(affectedLeaves.forall(_.forall(_ != null)),
       "deleteByKeys requires non-null partition values (isin-based " +
         "partition addressing cannot match the null partition)")
-    if (affected.isEmpty) return
+    if (affectedLeaves.isEmpty) return
+    val affectedBatches = affectedLeaves.map(_.head).distinct
     val surviving = table
-      .filter(col(partitionCol).isin(affected: _*))
+      .filter(col(partitionCol).isin(affectedBatches: _*))
       .join(doomed, Seq(keyCol), "left_anti")
       .localCheckpoint(true)
-    val survivorParts = surviving.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    if (survivorParts.nonEmpty)
+    val survivorLeaves = surviving.select(pcols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    val survivorBatches = survivorLeaves.map(_.head)
+    if (survivorLeaves.nonEmpty)
       writePartitioned(surviving.filter(
-        col(partitionCol).isin(survivorParts.toSeq: _*)), path,
-        Seq(partitionCol))
+        col(partitionCol).isin(survivorBatches.toSeq: _*)), path, pcols)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (affected.toSet -- survivorParts).foreach { v =>
-      // escape the value exactly as Spark's writer escaped the directory
-      // name (spaces, slashes, '%', … are percent-encoded on write — a
-      // raw interpolation would silently miss those directories)
-      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partitionCol, String.valueOf(v))
-      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
-    }
+    // escape values exactly as Spark's writer escaped the directory
+    // names (spaces, slashes, '%', … are percent-encoded on write — a
+    // raw interpolation would silently miss those directories)
+    def dirOf(vals: Seq[Any], cols: Seq[String]): org.apache.hadoop.fs.Path =
+      cols.zip(vals).foldLeft(new org.apache.hadoop.fs.Path(path)) {
+        case (p, (c, v)) => new org.apache.hadoop.fs.Path(p,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, String.valueOf(v)))
+      }
+    // partitions whose every row was doomed get no dynamic overwrite —
+    // remove them explicitly: whole batches with no survivors at all,
+    // then doomed-only LEAVES inside batches that kept other leaves
+    (affectedBatches.toSet -- survivorBatches).foreach(b =>
+      fs.delete(dirOf(Seq(b), Seq(partitionCol)), true))
+    if (subCols.nonEmpty)
+      affectedLeaves
+        .filter(l => survivorBatches.contains(l.head))
+        .filterNot(survivorLeaves.contains)
+        .foreach(l => fs.delete(dirOf(l, pcols), true))
   }
 }

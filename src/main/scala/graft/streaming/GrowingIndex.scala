@@ -179,6 +179,22 @@ object GrowingIndex {
     (survivorCount(spark, outDir), survivorCount(spark, indexDir))
   }
 
+  /** [[deleteKeys]] for a SUB-PARTITIONED index layout (the ANN
+    * `cluster` cells, the BM25 `bucket` dirs): the index rewrite
+    * re-partitions by the full `batch_id` +: `indexSubCols` chain so
+    * the serving-side partition pruning survives deletion. Same
+    * corpus-FIRST ordering and crash-window argument as the flat
+    * form. */
+  def deleteKeysSub(spark: SparkSession, outDir: String, indexDir: String,
+      keyCol: String, keys: DataFrame,
+      indexSubCols: Seq[String]): (Long, Long) = {
+    graft.io.ParquetSink.deleteByKeys(spark, outDir, "batch_id", keyCol,
+      keys)
+    graft.io.ParquetSink.deleteByKeys(spark, indexDir, "batch_id", keyCol,
+      keys, subCols = indexSubCols)
+    (survivorCount(spark, outDir), survivorCount(spark, indexDir))
+  }
+
   /** Survivor count after a delete. A delete that dooms every remaining
     * key leaves the root with no batch_id partition dirs at all, and
     * `spark.read.parquet` on a partition-less directory throws (unable

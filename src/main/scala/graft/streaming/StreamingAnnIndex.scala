@@ -136,6 +136,17 @@ object StreamingAnnIndex {
     GrowingIndex.compact(spark, outDir, indexDir, targetFiles,
       indexSubCols = Seq("cluster"))
 
+  /** Right-to-be-forgotten on the growing ANN pair: corpus-first
+    * deletion with the index rewrite keeping the `cluster`
+    * sub-partitioning ([[GrowingIndex.deleteKeysSub]]) — probe-side
+    * DPP pruning survives. No aggregate layer to repair (the
+    * staleness report reads the live index). Run while the stream is
+    * stopped, checkpoint committed. */
+  def deleteVectors(spark: SparkSession, outDir: String, indexDir: String,
+      vecIds: DataFrame): (Long, Long) =
+    GrowingIndex.deleteKeysSub(spark, outDir, indexDir, "vec_id", vecIds,
+      indexSubCols = Seq("cluster"))
+
   /** STALENESS report — per coarse cell, current occupancy vs the
     * training-time balance persisted with the model: (cluster, n_train,
     * n_now, share_train, share_now, drift). A cell whose share drifts

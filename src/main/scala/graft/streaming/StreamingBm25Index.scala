@@ -205,6 +205,50 @@ object StreamingBm25Index {
           .as("doc_share"))
   }
 
+  /** Right-to-be-forgotten on the growing BM25 triple. Unlike the
+    * dedup/ANN pairs, this index persists per-epoch AGGREGATES
+    * (n_docs, sum_dl) that deletion invalidates, so the stats layer is
+    * REBUILT from the surviving corpus after the pair delete: one
+    * tokenizing aggregation per surviving epoch partition (epoch-grain
+    * work, not corpus-grain rescans of history — the corpus read is
+    * exactly the partitions a rebuild of stats needs), written as a
+    * full overwrite so stale partials of fully-emptied epochs vanish.
+    * The postings rewrite keeps the `bucket` sub-partitioning
+    * ([[GrowingIndex.deleteKeysSub]]), so serve-side pruning survives.
+    * Post-state invariant (spec-gated): searching the post-delete
+    * index is bit-identical to an index grown from the surviving
+    * documents alone. Run while the stream is stopped, checkpoint
+    * committed — the `GrowingIndex.deleteKeys` contract. */
+  def deleteDocs(spark: SparkSession, corpusDir: String, indexDir: String,
+      statsDir: String, textCol: String, docIds: DataFrame): (Long, Long) = {
+    val buckets = bucketCount(spark, statsDir)
+    // one keyCol addresses BOTH dirs (the deleteKeys contract), so the
+    // committed corpus must carry its id under the postings' grain name
+    val counts = GrowingIndex.deleteKeysSub(spark, corpusDir, indexDir,
+      "doc_id", docIds, indexSubCols = Seq("bucket"))
+    if (counts._1 == 0L) {
+      // every document deleted: drop the stats layer too — a later
+      // serve fails loudly ("no stats partials") instead of scoring
+      // against stale corpus scalars
+      val p = new org.apache.hadoop.fs.Path(statsDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      return counts
+    }
+    val survivors = spark.read.parquet(corpusDir)
+    survivors
+      .select(col("batch_id").cast("long").as("batch_id"),
+        size(TextDedup.tokens(col(textCol))).cast("long").as("dl"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("buckets", lit(buckets))
+      .repartition(1)
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(statsDir)
+    counts
+  }
+
   /** Fold the per-epoch partition tail of the corpus+postings pair
     * ([[GrowingIndex.compact]]) keeping the postings' bucket
     * sub-partitioning — query pruning survives compaction. The stats

@@ -236,8 +236,14 @@ ORDER BY doc_id, rank"""
   /** Mirrors Relevance.bm25("spark window merge", k1=1.2, b=0.75): the
     * same literal arithmetic shape so constant folding yields identical
     * doubles; per-term contributions summed as DECIMAL(28,6). */
-  val bm25Search: String = raw"""WITH t AS (
-  SELECT doc_id, $toks AS toks FROM documents),
+  val bm25Search: String = bm25SearchOver("documents")
+
+  /** [[bm25Search]] with a parameterized corpus relation — the
+    * post-deletion serving oracle scores over the SURVIVING documents
+    * only (df, n_docs and avgdl all shrink with the deletion, which is
+    * exactly what the stats-layer repair must reproduce). */
+  def bm25SearchOver(docRel: String): String = raw"""WITH t AS (
+  SELECT doc_id, $toks AS toks FROM $docRel),
 d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
 tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
 q AS (SELECT doc_id, dl, term FROM tok

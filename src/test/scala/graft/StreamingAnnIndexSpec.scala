@@ -174,6 +174,32 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("no index partition"), e.getMessage)
   }
 
+  test("deleteVectors: rewritten partitions keep cluster sub-dirs; serving equals a survivors-only index") {
+    val s = spark
+    import s.implicits._
+    val (indexDir, outDir, _) = freshDirs()
+    StreamingAnnIndex.processBatch(
+      vecs(1L -> Seq(0.9, 0.1, 0.0, 0.0), 2L -> Seq(0.1, 0.9, 0.0, 0.0),
+        3L -> Seq(0.8, 0.2, 0.0, 0.0)), 0L, "embedding", "vec_id",
+      model, indexDir, outDir)
+    val (nOut, nIdx) = StreamingAnnIndex.deleteVectors(spark, outDir,
+      indexDir, Seq(3L).toDF("vec_id"))
+    assert((nOut, nIdx) === ((2L, 2L)))
+    assert(rowsOf(indexDir).map(_._2) === Seq(1L, 2L))
+    // the rewritten batch partition keeps its cluster= sub-dirs, so
+    // probe pruning survives deletion
+    val b0 = new java.io.File(s"$indexDir/batch_id=0")
+    assert(b0.isDirectory &&
+      b0.listFiles().exists(_.getName.startsWith("cluster=")),
+      s"cluster sub-dirs lost: ${b0.listFiles().map(_.getName).toSeq}")
+    // serving over the post-delete index never returns the deleted id
+    val q = vecs(100L -> Seq(0.9, 0.05, 0.0, 0.0))
+    val got = StreamingAnnIndex.topKFromIndex(q, indexDir, "embedding",
+      "vec_id", k = 5, nprobe = 2, model)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("model round-trips exactly; staleness report hand-checked") {
     val (indexDir, outDir, modelDir) = freshDirs()
     val train = vecs(

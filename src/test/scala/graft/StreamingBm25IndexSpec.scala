@@ -212,6 +212,45 @@ class StreamingBm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("deleteDocs: post-delete serving is bit-identical to an index grown from the survivors; stats repaired; bucket dirs kept") {
+    val s = spark
+    import s.implicits._
+    val (indexDir, corpusDir, statsDir) = freshDirs()
+    StreamingBm25Index.processBatch(
+      docs(1L -> "apple banana", 2L -> "banana cherry"), 0L, "text",
+      "doc_id", buckets = 8, indexDir, corpusDir, statsDir)
+    StreamingBm25Index.processBatch(
+      docs(3L -> "apple date", 4L -> "banana fig"), 1L, "text",
+      "doc_id", buckets = 8, indexDir, corpusDir, statsDir)
+    val (nc, ni) = StreamingBm25Index.deleteDocs(spark, corpusDir,
+      indexDir, statsDir, "text", Seq(2L, 3L).toDF("doc_id"))
+    assert(nc === 2L && ni === 4L) // 2 docs, 2 postings each survive
+    // invariant: identical to an index grown from the survivors alone
+    val (i2, c2, s2) = freshDirs()
+    StreamingBm25Index.processBatch(docs(1L -> "apple banana"), 0L,
+      "text", "doc_id", buckets = 8, i2, c2, s2)
+    StreamingBm25Index.processBatch(docs(4L -> "banana fig"), 1L,
+      "text", "doc_id", buckets = 8, i2, c2, s2)
+    for (q <- Seq("apple", "banana", "cherry date fig"))
+      assert(scoresOf(q, indexDir, statsDir) === scoresOf(q, i2, s2),
+        s"post-delete serving diverged on '$q'")
+    // the rewritten epoch partitions keep their bucket= sub-dirs
+    val b0 = new java.io.File(s"$indexDir/batch_id=0")
+    assert(b0.isDirectory &&
+      b0.listFiles().exists(_.getName.startsWith("bucket=")),
+      s"bucket sub-dirs lost: ${b0.listFiles().map(_.getName).toSeq}")
+    // stats repaired: totals reflect only survivors (2 docs, 4 tokens)
+    val st = spark.read.parquet(statsDir)
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert((st.getLong(0), st.getLong(1)) === ((2L, 4L)))
+    // deleting everything drops the stats layer → serve fails loudly
+    StreamingBm25Index.deleteDocs(spark, corpusDir, indexDir, statsDir,
+      "text", Seq(1L, 4L).toDF("doc_id"))
+    intercept[Exception] {
+      StreamingBm25Index.searchFromIndex(spark, indexDir, statsDir, "apple")
+    }
+  }
+
   test("freshness report: per-epoch counts, avgdl and shares hand-checked") {
     val (indexDir, corpusDir, statsDir) = freshDirs()
     StreamingBm25Index.processBatch(
