@@ -650,6 +650,29 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 2, model)
         .orderBy("query_id", "rank")
     }),
+    // Right-to-be-forgotten on the grown ANN index: delete a vector
+    // subset, then serve — the cluster-sub-partitioned rewrite must
+    // make post-delete serving equal IVF+PQ top-k admitting only the
+    // survivors as neighbors (frozen model, full query set)
+    "ann_index_delete" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model = graft.streaming.StreamingAnnIndex.AnnModel(8, 16,
+        EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8),
+        ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+          m = 8, ksub = 16))
+      val iPath = tmpIndexDir("anndel", dir)
+      val oPath = tmpIndexDir("anndelout", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingAnnIndex.processBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, "embedding",
+          "vec_id", model, iPath, oPath))
+      graft.streaming.StreamingAnnIndex.deleteVectors(s, oPath, iPath,
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      () => graft.streaming.StreamingAnnIndex.topKFromIndex(
+        emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount), iPath,
+        "embedding", "vec_id", k = 5, nprobe = 2, model)
+        .orderBy("query_id", "rank")
+    }),
     // The staleness gauge over the incremental index: per coarse cell,
     // current occupancy (epochs 0-1 only — a corpus still arriving) vs
     // the training-time balance persisted with the model; the retrain
@@ -2803,6 +2826,7 @@ object SparkEntry {
     // ann_ivf_pq_index_topk); plus its per-cell staleness gauge
     "ann_index_incremental" -> ((s, dir) => buildServe("ann_index_incremental")(s, dir)()),
     "ann_index_staleness" -> ((s, dir) => buildServe("ann_index_staleness")(s, dir)()),
+    "ann_index_delete" -> ((s, dir) => buildServe("ann_index_delete")(s, dir)()),
     // Training-data ops: the TRAINED production tiers, driver-checked.
     // kmeansCentroids / trainedCodebook are bit-deterministic (bounded
     // md5-ordered sample, no RNG), so the DuckDB oracle replays the
@@ -3478,6 +3502,9 @@ object SparkEntry {
     // of the grown layout's serving rows IS the correctness gate
     "ann_index_incremental" -> TextOracles.annIvfPqTopK,
     "ann_index_staleness" -> TextOracles.annIndexStaleness,
+    // post-deletion serving ≡ IVF+PQ top-k admitting only survivors
+    "ann_index_delete" ->
+      TextOracles.annIvfPqTopKOver("a.neighbor_id % 7 <> 0"),
     "ann_ivf_pq_rerank_topk" -> TextOracles.annIvfPqRerankTopK(),
     "pq_rerank_recall" -> TextOracles.pqRerankRecall(),
     "quantization_recall" -> TextOracles.quantizationRecall,

@@ -1566,7 +1566,14 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
     * coarse centroids/assignment/probing on the FLOAT vectors (same
     * rules as annIvfTopK), ADC scoring of float queries against the
     * PQ reconstructions. */
-  private val ivfPqCandChain: String = s"""$pqCte,
+  private val ivfPqCandChain: String = ivfPqCandChainOver()
+
+  /** [[ivfPqCandChain]] with a parameterized NEIGHBOR-side predicate —
+    * the post-deletion serving oracle admits only surviving vectors as
+    * neighbors while centroids, codebook and the query set stay the
+    * full-corpus demo artifacts (the frozen-model deletion contract). */
+  private def ivfPqCandChainOver(
+      neighborPred: String = "TRUE"): String = s"""$pqCte,
 cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
 assign AS (
   SELECT vec_id AS neighbor_id, cid AS cluster FROM (
@@ -1575,7 +1582,8 @@ assign AS (
              ORDER BY $dotNC / (n.nrm * c.cn) DESC, c.cid) AS rn
     FROM n CROSS JOIN cents c) t WHERE rn = 1),
 corpuspq AS (SELECT a.neighbor_id, a.cluster, r.rv, r.rn
-             FROM assign a JOIN rn2 r ON a.neighbor_id = r.vec_id),
+             FROM assign a JOIN rn2 r ON a.neighbor_id = r.vec_id
+             WHERE $neighborPred),
 probes AS (
   SELECT vec_id AS query_id, cid AS cluster, v AS qv, nrm AS qn FROM (
     SELECT n.vec_id, c.cid, n.v, n.nrm,
@@ -1590,7 +1598,12 @@ cand AS (
   FROM probes JOIN corpuspq USING (cluster)
   WHERE query_id <> neighbor_id)"""
 
-  val annIvfPqTopK: String = s"""WITH $ivfPqCandChain
+  val annIvfPqTopK: String = annIvfPqTopKOver()
+
+  /** [[annIvfPqTopK]] over a restricted neighbor set (post-deletion
+    * serving). */
+  def annIvfPqTopKOver(neighborPred: String = "TRUE"): String =
+    s"""WITH ${ivfPqCandChainOver(neighborPred)}
 SELECT query_id, neighbor_id, cosine_pq, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine_pq DESC, neighbor_id) AS rank FROM cand) t
