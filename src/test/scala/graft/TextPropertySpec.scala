@@ -118,4 +118,30 @@ class TextPropertySpec extends SparkSpec {
       assert(k == e, s"windows diverged for <$s>")
     }
   }
+
+  // generator biased toward the GPT-2 pretokenizer's edge cases:
+  // multi-space runs, tabs/newlines inside runs, contractions, digits,
+  // punctuation runs, non-ASCII letters, leading/trailing whitespace
+  private val pretokGen: Gen[String] = for {
+    parts <- Gen.listOfN(10, Gen.oneOf(
+      "the", "It's", "don't", "42", "3.14", "!!", "—", "héllo", "日本",
+      "𝄞", " ", "  ", "   ", "\t", " \t ", "\n", "a", "B"))
+  } yield parts.mkString("")
+
+  test("GPT-2 pretokenization: engine stream is total and matches the driver regex on randomized edge-case inputs") {
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.compile(graft.text.Bpe.Gpt2Pretok)
+    forAll(pretokGen, n = 80) { s =>
+      val engine = Seq(s).toDF("x")
+        .select(graft.text.Bpe.pretokens(col("x")))
+        .collect().head.getSeq[String](0).toSeq
+      val m = pat.matcher(s)
+      val driver = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toSeq
+      assert(engine === driver, s"pretokens diverged for <${
+        s.replace("\t", "\\t").replace("\n", "\\n")}>")
+      // totality: every character lands in exactly one pretoken
+      assert(engine.mkString === s)
+    }
+  }
 }
