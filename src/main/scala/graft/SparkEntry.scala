@@ -2559,6 +2559,19 @@ object SparkEntry {
         budget = 512, shardCol = "lang")
         .orderBy("doc_id")
     }),
+    // Packing on the PRODUCTION tokenizer's counts: pretok byte-BPE
+    // token totals drive the per-shard prefix-sum cuts — what a real
+    // pretraining data layout packs by
+    "pack_sequences_byte" -> ((s, dir) => {
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+          "text", 256), 24)
+      graft.text.SequencePacking.packCounted(
+        Demo.table(s, dir, "documents"),
+        graft.text.Bpe.tokenCountColBytesPretok("text", merges),
+        "doc_id", budget = 512, shardCol = "lang")
+        .orderBy("doc_id")
+    }),
     // Training-data ops: token-budget output sharding in one global
     // corpus order — two-phase bucketed prefix sum (no global window),
     // exactly equal to the oracle's single-window formulation
@@ -3376,6 +3389,7 @@ object SparkEntry {
       graft.text.Bpe.oracleBytePretokCompressionSql(24, 256),
     "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
+    "pack_sequences_byte" -> graft.text.Bpe.oracleBytePretokPackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),
     "tokenize_unigram" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),

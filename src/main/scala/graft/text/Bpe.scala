@@ -367,6 +367,15 @@ object Bpe {
     encodeDocsWith(docs, textCol, idCol,
       w => encodeWordBytesCol(w, merges))
 
+  /** Per-document PRETOK-BYTE token count under `merges` — the
+    * production tokenizer's counts for
+    * `SequencePacking.packCounted` (the byte twin of
+    * [[tokenCountCol]]). */
+  def tokenCountColBytesPretok(textCol: String,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    size(flatten(transform(pretokens(col(textCol)),
+      w => encodeWordBytesCol(w, merges))))
+
   /** [[encodeDocsBytes]] over GPT-2 pretokens — the words differ, the
     * byte seal and the map-side merge fold are shared. */
   def encodeDocsBytesPretok(docs: DataFrame, textCol: String,
@@ -668,6 +677,12 @@ SELECT lang, n_bytes, n_tokens,
     AS bytes_per_token
 FROM g ORDER BY lang"""
 
+  /** [[oraclePackSql]] over the pretokenized byte alphabet — the
+    * packing oracle driven by the PRODUCTION tokenizer's counts. */
+  def oracleBytePretokPackSql(numMerges: Int, topK: Int,
+      budget: Int): String =
+    oraclePackSql(numMerges, topK, budget, byteSealSql, oPretoks)
+
   /** The [[byteVocab]] id-assignment CTEs over a trained `allm`:
     * `vocab(id, sym)` — 256 base byte symbols then merge outputs at
     * 256 + rank. */
@@ -706,8 +721,10 @@ ORDER BY d.doc_id"""
   /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]
     * (shard = lang): the encode chain's per-document counts feed the
     * per-shard exclusive prefix sum and budget cuts. */
-  def oraclePackSql(numMerges: Int, topK: Int, budget: Int): String =
-    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK)},
+  def oraclePackSql(numMerges: Int, topK: Int, budget: Int,
+      sealSql: String => String = charSealSql,
+      wordsSql: String = oToks): String =
+    s"""WITH RECURSIVE ${encodeCtes(numMerges, topK, sealSql, wordsSql)},
 pt AS (SELECT d.doc_id, d.lang AS shard,
          CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
