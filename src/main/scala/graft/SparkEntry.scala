@@ -57,6 +57,32 @@ object SparkEntry {
     countCache.computeIfAbsent((s, dir, table),
       _ => Demo.table(s, dir, table).count())
 
+  /** Bounded LRU for the shared deterministic model fits below: the
+    * former unbounded ConcurrentHashMaps keyed by (SparkSession, sfDir)
+    * pinned SparkSession references and trained models for the JVM
+    * lifetime — a leak in any long-lived process that creates/stops
+    * many sessions (round-13 advice). 8 entries covers every harness
+    * (verify + bench + soak alternate at most a handful of
+    * (session, dir) pairs); an evicted fit just retrains — the
+    * trainers are deterministic, so eviction never changes a result. */
+  private final class ModelLru[V] {
+    private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
+        size() > 8
+    }
+    def get(s: SparkSession, dir: String)(f: => V): V = synchronized {
+      val key = (s, dir)
+      val hit = map.get(key)
+      if (hit != null) hit
+      else { val v = f; map.put(key, v); v }
+    }
+    def put(key: (SparkSession, String), v: V): Unit = synchronized {
+      map.put(key, v)
+    }
+  }
+
   /** One PCA fit per (session, sfDir), shared by the CONSUMER queries
     * (eigenvalues / projection / persisted serve) — the fit is
     * deterministic (exact-integer statistics), so sharing changes no
@@ -65,22 +91,20 @@ object SparkEntry {
     * bench/soak rows measure the statistics passes), and
     * embed_pca_incremental deliberately fits from merged batch
     * statistics (that is its point). */
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.embeddings.Pca.Model]()
+  private val pcaCache = new ModelLru[graft.embeddings.Pca.Model]
   private def cachedPcaModel(s: SparkSession, dir: String): graft.embeddings.Pca.Model =
-    pcaCache.computeIfAbsent((s, dir),
-      _ => graft.embeddings.Pca.fit(Demo.table(s, dir, "embeddings"),
+    pcaCache.get(s, dir)(
+      graft.embeddings.Pca.fit(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", k = 4, iters = 32))
 
   /** One OPQ fit per (session, sfDir) — same deterministic-trainer
     * sharing discipline as [[cachedPcaModel]]. ann_opq_topk is the
     * TRAINER query and always refits (its bench/soak rows measure the
     * alternation); opq_recall consumes the shared fit. */
-  private val opqCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.embeddings.Opq.Model]()
+  private val opqCache = new ModelLru[graft.embeddings.Opq.Model]
   private def cachedOpqModel(s: SparkSession, dir: String): graft.embeddings.Opq.Model =
-    opqCache.computeIfAbsent((s, dir),
-      _ => graft.embeddings.Opq.train(Demo.table(s, dir, "embeddings"),
+    opqCache.get(s, dir)(
+      graft.embeddings.Opq.train(Demo.table(s, dir, "embeddings"),
         "embedding", "vec_id", m = 8, ksub = 16))
 
   /** One trained (kmeans centroids, PQ codebook) fit per
@@ -91,16 +115,15 @@ object SparkEntry {
     * consume the shared deterministic fit (a deploy-time artifact, not
     * per-query work). */
   private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (Array[(Long, Array[Double], Double)], Array[Double])]()
+    new ModelLru[(Array[(Long, Array[Double], Double)], Array[Double])]
   private def cachedKmeansFit(s: SparkSession, dir: String)
       : (Array[(Long, Array[Double], Double)], Array[Double]) =
-    kmeansCache.computeIfAbsent((s, dir), { _ =>
+    kmeansCache.get(s, dir) {
       val emb = Demo.table(s, dir, "embeddings")
       (EmbeddingOps.kmeansCentroids(emb, "embedding", "vec_id", nlist = 8),
         ProductQuantization.trainedCodebook(emb, "embedding", "vec_id",
           m = 8, ksub = 16))
-    })
+    }
 
   /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
     * queries: repeated invocations (bench medians, verify) overwrite the
@@ -931,8 +954,9 @@ object SparkEntry {
       val path = tmpIndexDir("bpebytemerges", dir)
       graft.text.Bpe.writeByteMerges(s, Demo.table(s, dir, "documents"),
         "text", numMerges = 24, topK = 256, path)
-      () => graft.text.Bpe.encodeBytesFromModel(s,
-        Demo.table(s, dir, "documents"), "text", "doc_id", path)
+      () => graft.text.Bpe.encodeDocsBytesKernel(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        graft.text.Bpe.loadMerges(s, path))
         .orderBy("doc_id")
     }),
     // Pretokenized byte-BPE persisted-model twin — bit-identical to
@@ -942,8 +966,23 @@ object SparkEntry {
       graft.text.Bpe.writeBytePretokMerges(s,
         Demo.table(s, dir, "documents"), "text", numMerges = 24,
         topK = 256, path)
-      () => graft.text.Bpe.encodeBytesPretokFromModel(s,
+      () => graft.text.Bpe.encodeBytesPretokFromModelKernel(s,
         Demo.table(s, dir, "documents"), "text", "doc_id", path)
+        .orderBy("doc_id")
+    }),
+    // GPT-2 ARTIFACT round-trip: train, EXPORT vocab.bpe+encoder.json,
+    // LOAD them back, serve ids under the loaded model (the file's own
+    // id assignment rides the blob's override section) — bit-identical
+    // to bpe_byte_pretok_encode_ids, so that oracle is the gate
+    "bpe_gpt2_roundtrip_encode_ids" -> ((s, dir) => {
+      val adir = tmpIndexDir("gpt2artifacts", dir)
+      graft.text.Gpt2Artifacts.export(
+        graft.text.Bpe.trainBytes(
+          graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+            "text", 256), 24), adir)
+      () => graft.text.Gpt2Artifacts.encodeDocsIds(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        graft.text.Gpt2Artifacts.load(adir))
         .orderBy("doc_id")
     }),
     // Trained unigram-LM vocabulary persisted once, encoding served
@@ -2399,14 +2438,16 @@ object SparkEntry {
         Demo.table(s, dir, "documents"), "text",
         numMerges = 24, topK = 256)
         .orderBy("rank")),
-    // Byte merges applied to every document — same map-side
-    // numMerges-replace chain; oracle seals via hex(encode(word)) in
-    // both training and the recursive per-document application
+    // Byte merges applied to every document — map-side, served through
+    // the rank-sequential KERNEL (bit-identical to the replace fold at
+    // any table size — same oracle — but independent of the merge
+    // count); oracle seals via hex(encode(word)) in both training and
+    // the recursive per-document application
     "bpe_byte_encode" -> ((s, dir) => {
       val merges = graft.text.Bpe.trainBytes(
         graft.text.Bpe.wordSample(Demo.table(s, dir, "documents"),
           "text", 256), 24)
-      graft.text.Bpe.encodeDocsBytes(Demo.table(s, dir, "documents"),
+      graft.text.Bpe.encodeDocsBytesKernel(Demo.table(s, dir, "documents"),
         "text", "doc_id", merges)
         .orderBy("doc_id")
     }),
@@ -2417,17 +2458,27 @@ object SparkEntry {
     // case-sensitive) → UTF-8 bytes → merges. Oracle re-derives the
     // pretoken stream in RE2 (lookahead-free pattern + list rewrite)
     // and replays the shared merge chain.
+    // Standing engine-vs-DuckDB PRETOKENIZATION parity gate: the
+    // engine's lookahead GPT-2 pattern vs the oracle's lookahead-free
+    // RE2 pattern + donation rewrite — every byte-pretok oracle
+    // inherits this stream, so it gets its own hash-checked row
+    "bpe_pretok_stream" -> ((s, dir) =>
+      graft.text.Bpe.pretokenStreamDf(Demo.table(s, dir, "documents"))
+        .orderBy("doc_id")),
     "bpe_byte_pretok_train" -> ((s, dir) =>
       graft.text.Bpe.trainedBytePretokMergesDf(s,
         Demo.table(s, dir, "documents"), "text",
         numMerges = 24, topK = 256)
         .orderBy("rank")),
+    // The PRODUCTION serving path: the rank-sequential kernel (model
+    // blob literal + StaticInvoke) — bit-identical to the fold (same
+    // oracle) and the path that survives a ≥32k-merge table
     "bpe_byte_pretok_encode" -> ((s, dir) => {
       val merges = graft.text.Bpe.trainBytes(
         graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
           "text", 256), 24)
-      graft.text.Bpe.encodeDocsBytesPretok(Demo.table(s, dir, "documents"),
-        "text", "doc_id", merges)
+      graft.text.Bpe.encodeDocsBytesPretokKernel(
+        Demo.table(s, dir, "documents"), "text", "doc_id", merges)
         .orderBy("doc_id")
     }),
     "bpe_byte_pretok_encode_from_model" -> ((s, dir) =>
@@ -2441,7 +2492,7 @@ object SparkEntry {
         graft.text.Bpe.pretokenSample(docsT, "text", 256), 24)
       docsT.select(col("doc_id"), col("lang"),
         octet_length(col("text")).cast("long").as("b"))
-        .join(graft.text.Bpe.encodeDocsBytesPretok(docsT, "text",
+        .join(graft.text.Bpe.encodeDocsBytesPretokKernel(docsT, "text",
           "doc_id", merges).select("doc_id", "n_bpe_tokens"), "doc_id")
         .groupBy("lang")
         .agg(sum(col("b")).as("n_bytes"),
@@ -2458,16 +2509,21 @@ object SparkEntry {
         graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
           "text", 256), 24))
         .orderBy("id")),
-    // Token IDS — the stream a training run consumes: pretok byte
-    // encode mapped through the vocab via a broadcast-literal map
+    // Token IDS — the stream a training run consumes: the ID KERNEL
+    // (ids resolved from the model's own vocab map in the same
+    // StaticInvoke, not a plan-literal map probe per token)
     "bpe_byte_pretok_encode_ids" -> ((s, dir) => {
       val merges = graft.text.Bpe.trainBytes(
         graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
           "text", 256), 24)
-      graft.text.Bpe.encodeDocsBytesPretokIds(
+      graft.text.Bpe.encodeDocsBytesPretokIdsKernel(
         Demo.table(s, dir, "documents"), "text", "doc_id", merges)
         .orderBy("doc_id")
     }),
+    // Tokenizer artifact interop: export → import → serve (GPT-2
+    // vocab.bpe + encoder.json round trip; same oracle as the ids path)
+    "bpe_gpt2_roundtrip_encode_ids" -> ((s, dir) =>
+      buildServe("bpe_gpt2_roundtrip_encode_ids")(s, dir)()),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -2568,7 +2624,7 @@ object SparkEntry {
           "text", 256), 24)
       graft.text.SequencePacking.packCounted(
         Demo.table(s, dir, "documents"),
-        graft.text.Bpe.tokenCountColBytesPretok("text", merges),
+        graft.text.Bpe.tokenCountColBytesPretokKernel("text", merges),
         "doc_id", budget = 512, shardCol = "lang")
         .orderBy("doc_id")
     }),
@@ -3381,6 +3437,7 @@ object SparkEntry {
     // GPT-2 pretokenized byte-BPE: the oracle re-derives the pretoken
     // stream independently (RE2 lookahead-free pattern + the
     // space-donation list rewrite) before the shared merge chain
+    "bpe_pretok_stream" -> graft.text.Bpe.oraclePretokenStreamSql,
     "bpe_byte_pretok_train" -> graft.text.Bpe.oracleBytePretokTrainSql(24, 256),
     "bpe_byte_pretok_encode" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
     "bpe_byte_pretok_encode_from_model" -> graft.text.Bpe.oracleBytePretokEncodeSql(24, 256),
@@ -3388,6 +3445,7 @@ object SparkEntry {
     "tokenizer_compression_by_lang" ->
       graft.text.Bpe.oracleBytePretokCompressionSql(24, 256),
     "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
+    "bpe_gpt2_roundtrip_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "pack_sequences_byte" -> graft.text.Bpe.oracleBytePretokPackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),

@@ -36,8 +36,15 @@ final class HllSketch(val p: Int) extends Serializable {
   val m: Int = 1 << p
   val regs: Array[Byte] = new Array[Byte](m)
 
+  // One digest per sketch, not per row: the aggregate buffer is
+  // single-threaded per task, so the instance is reused across offers
+  // (digest() resets it); transient because MessageDigest is not
+  // serializable — sketch transport goes through the register bytes
+  // only, and a deserialized sketch lazily re-creates its digest.
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
   def offer(item: UTF8String): Unit = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(item.getBytes)
     // first 15 hex chars = top 60 bits of the digest: bytes 0..6 full
     // (56 bits) + the high nibble of byte 7

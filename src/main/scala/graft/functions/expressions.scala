@@ -59,6 +59,23 @@ object TokenizerAdapters extends Serializable {
     ArrayData.toArrayData(
       graft.text.UnigramLm.wordPiecesBlob(word.toString, blob.toString,
         maxPieceLen).map(UTF8String.fromString))
+
+  /** Byte-BPE symbols of one word under a merge-table blob
+    * ([[graft.text.Bpe.mergeBlob]]) — rank-sequential kernel, cost
+    * independent of the merge count. The blob is a plan literal, so
+    * the UTF8String instance is row-stable: it is passed as the
+    * reference key of the per-thread model memo and only stringified
+    * on a miss. */
+  def bpeByteSymbols(word: UTF8String, blob: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.Bpe.wordByteSymbolsBlob(word.toString, blob,
+        blob.toString).map(UTF8String.fromString))
+
+  /** [[bpeByteSymbols]] emitting the [[graft.text.Bpe.byteVocab]]
+    * TOKEN IDS (long) instead of symbol strings. */
+  def bpeByteIds(word: UTF8String, blob: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.Bpe.wordByteIdsBlob(word.toString, blob, blob.toString))
 }
 
 /** Text canonicalization kernel — the C4/CCNet-style normalization a
@@ -908,6 +925,30 @@ object GraftFunctions {
       Seq(expr(word), expr(blob),
         expr(org.apache.spark.sql.functions.lit(maxPieceLen))),
       inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Byte-BPE symbols of one WORD column under a trained merge-table
+    * blob ([[graft.text.Bpe.mergeBlob]] — rides the plan as a string
+    * literal, parsed once per JVM): the rank-SEQUENTIAL kernel, bit-
+    * identical to the replace fold at any table size but O(len²) per
+    * word INDEPENDENT of the merge count — the serving path that
+    * survives production (≥32k-merge) tables, where the fold's
+    * numMerges-deep expression tree dies at plan analysis. */
+  def bpe_byte_symbols(word: Column, blob: Column): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(StringType, containsNull = false), "bpeByteSymbols",
+      Seq(expr(word), expr(blob)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** [[bpe_byte_symbols]] emitting [[graft.text.Bpe.byteVocab]] token
+    * IDS — the stream a training run consumes, without a plan-literal
+    * map lookup per token. */
+  def bpe_byte_ids(word: Column, blob: Column): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "bpeByteIds",
+      Seq(expr(word), expr(blob)),
+      inputTypes = Seq(StringType, StringType),
       propagateNull = true, returnNullable = false))
 
   /** Misra-Gries heavy-hitters aggregate: at most k counters, mergeable,

@@ -145,15 +145,23 @@ object Bpe {
 
   /**
    * GPT-2's pre-tokenization regex (Radford et al. 2019 — the
-   * `gpt2/encoder.py` pattern, reference `src/models/llm_matcher.py`'s
+   * `gpt2/encoder.py` pattern, reference `src/common/llm_matcher.py`'s
    * model lineage): contraction suffixes, then letter / digit /
    * other-punctuation runs each CARRYING one optional leading space
    * (" the" is one pretoken — the property that makes byte-BPE vocab
    * entries word-boundary-aware), then whitespace runs donating their
    * final space to the following token (`(?![^ \t…])` backtracks the
-   * greedy run by one). Case-sensitive, no lowercasing — unlike the
-   * whitespace tokenizer, this is the exact stream production byte-BPE
-   * vocabularies are trained on.
+   * greedy run by one). Case-sensitive, no lowercasing.
+   *
+   * One DELIBERATE divergence from `encoder.py`: the whitespace class
+   * is pinned to the explicit ASCII set [[Ws]] (engine/Java and the
+   * RE2-based DuckDB oracle agree by construction — see [[Ws]]),
+   * whereas GPT-2's Python `regex` module gives `\s` Unicode
+   * semantics, so inputs containing Unicode whitespace (U+00A0,
+   * U+2028, …) pretokenize differently here than under the original:
+   * those characters land in the other-punctuation run instead of a
+   * whitespace run. For ASCII-whitespace text (the overwhelming
+   * production case) the streams are identical.
    */
   val Gpt2Pretok: String =
     s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+" +
@@ -193,8 +201,16 @@ object Bpe {
   /** The merge loop over an already-sealed vocabulary — shared by the
     * char-level ([[train]]) and byte-level ([[trainBytes]]) trainers:
     * the loop only ever sees bracketed symbols, so the alphabet is a
-    * parameter of the SEALING, not of the learning. */
-  private def trainSealed(sample: Seq[(String, Long)],
+    * parameter of the SEALING, not of the learning.
+    *
+    * REFERENCE implementation (the semantics the DuckDB training
+    * oracles replay CTE-for-CTE): each step recounts every adjacent
+    * pair over the whole sample — O(numMerges × total symbols), which
+    * is the model-axis scale wall at production (≥32k-merge) vocab
+    * sizes. [[trainSealed]] (the default) computes the IDENTICAL merge
+    * sequence incrementally; this one is kept as the spec-level parity
+    * anchor (`BpeKernelSpec` proves fast ≡ reference on real samples). */
+  private[graft] def trainSealedReference(sample: Seq[(String, Long)],
       numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
     var vocab = sample
@@ -233,6 +249,150 @@ object Bpe {
         val from = O + l + C + O + r + C
         val to = O + l + r + C
         vocab = vocab.map { case (s, f) => (s.replace(from, to), f) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One leftmost non-overlapping merge pass over a symbol array —
+    * exactly `String.replace("⟨l⟩⟨r⟩" → "⟨lr⟩")` on the sealed form
+    * (match, emit the fused symbol, continue AFTER it). Shared by the
+    * fast trainer and the serving kernel. */
+  private def mergePass(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var p = 0
+    while (p < syms.length) {
+      if (p < syms.length - 1 && syms(p) == l && syms(p + 1) == r) {
+        out += l + r
+        p += 2
+      } else {
+        out += syms(p)
+        p += 1
+      }
+    }
+    out.toArray
+  }
+
+  private final case class Cand(l: String, r: String, c: Long)
+
+  /** (count desc, left asc, right asc) in unsigned UTF-8 byte order —
+    * [[trainSealedReference]]'s argmax as a heap comparator. */
+  private val candOrder: java.util.Comparator[Cand] =
+    new java.util.Comparator[Cand] {
+      override def compare(a: Cand, b: Cand): Int = {
+        if (a.c != b.c) java.lang.Long.compare(b.c, a.c)
+        else {
+          val cl = utf8Compare(a.l, b.l)
+          if (cl != 0) cl else utf8Compare(a.r, b.r)
+        }
+      }
+    }
+
+  /** INCREMENTAL merge learning — the production-size trainer: same
+    * merge sequence as [[trainSealedReference]] (bit-identical,
+    * spec-proven on real samples), but each step touches only the
+    * words that CONTAIN the chosen pair instead of recounting the
+    * whole sample. Pair counts live in a hash map maintained by
+    * per-word multiset diffs; the argmax is a lazy-invalidation
+    * priority heap (every count change pushes a fresh candidate; a
+    * popped candidate is valid iff its count still matches the map —
+    * the standard BPE-trainer shape, cf. HuggingFace tokenizers'
+    * `BpeTrainer`). Cost ≈ O(total symbols + merge work), independent
+    * of numMerges × sample size, so a 32k–50k-merge GPT-2-class table
+    * trains in seconds where the reference loop needs hours. */
+  private def trainSealed(sample: Seq[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val words: Array[Array[String]] = sample.map(s => unseal(s._1)).toArray
+    val freqs: Array[Long] = sample.map(_._2).toArray
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val wordsWith =
+      new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    val heap = new java.util.PriorityQueue[Cand](math.max(16,
+      words.length), candOrder)
+
+    def bump(p: (String, String), delta: Long, wi: Int,
+        stillIn: Boolean): Unit = {
+      val prev = counts.get(p)
+      val nc = (if (prev == null) 0L else prev.longValue()) + delta
+      if (nc <= 0L) counts.remove(p) else counts.put(p, nc)
+      val set = wordsWith.get(p)
+      if (stillIn) {
+        if (set == null) {
+          val s = new java.util.HashSet[Integer](); s.add(wi)
+          wordsWith.put(p, s)
+        } else set.add(wi)
+      } else if (set != null) {
+        set.remove(wi)
+        if (set.isEmpty) wordsWith.remove(p)
+      }
+      if (nc > 0L) heap.add(Cand(p._1, p._2, nc))
+    }
+
+    // initial counts (overlapping adjacent positions, freq-weighted)
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), freqs(wi), wi, stillIn = true)
+        i += 1
+      }
+      wi += 1
+    }
+
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    while (k < numMerges && !heap.isEmpty) {
+      val cand = heap.poll()
+      val key = (cand.l, cand.r)
+      val cur = counts.get(key)
+      // stale candidates (count changed since push) are discarded; the
+      // fresh candidate pushed at the change is still in the heap
+      if (cur != null && cur.longValue() == cand.c) {
+        out += Merge(k, cand.l, cand.r, cand.c)
+        val affected = wordsWith.get(key)
+        if (affected != null) {
+          val it = affected.toArray(new Array[Integer](affected.size()))
+          var a = 0
+          while (a < it.length) {
+            val w = it(a).intValue()
+            val old = words(w)
+            val now = mergePass(old, cand.l, cand.r)
+            words(w) = now
+            // multiset diff of adjacent pairs, freq-weighted
+            val delta = new java.util.HashMap[(String, String), Array[Long]]()
+            def acc(syms: Array[String], sign: Long): Unit = {
+              var i = 0
+              while (i < syms.length - 1) {
+                val p = (syms(i), syms(i + 1))
+                val d = delta.get(p)
+                if (d == null) delta.put(p, Array(sign))
+                else d(0) += sign
+                i += 1
+              }
+            }
+            acc(old, -1L)
+            acc(now, +1L)
+            val newPairs = new java.util.HashSet[(String, String)]()
+            var i = 0
+            while (i < now.length - 1) {
+              newPairs.add((now(i), now(i + 1))); i += 1
+            }
+            val di = delta.entrySet().iterator()
+            while (di.hasNext) {
+              val e = di.next()
+              val p = e.getKey
+              val d = e.getValue()(0)
+              val in = newPairs.contains(p)
+              if (d != 0L) bump(p, d * freqs(w), w, stillIn = in)
+              else if (!in) bump(p, 0L, w, stillIn = false)
+            }
+            a += 1
+          }
+        }
         k += 1
       }
     }
@@ -306,9 +466,23 @@ object Bpe {
 
   /** Fold a merge table over an already-sealed Column (codegen'd string
     * replaces) and unseal to the symbol array — shared by the char- and
-    * byte-level encoders. */
+    * byte-level encoders.
+    *
+    * SCALE LIMIT (by construction): the expression tree is `numMerges`
+    * replace calls deep, so a production-size (≥32k-merge) table blows
+    * whole-stage codegen's JVM method limits and Catalyst analysis long
+    * before data is touched — guarded below. The byte-level serving
+    * paths use the rank-sequential KERNEL ([[applySequential]] via
+    * `GraftFunctions.bpe_byte_symbols`) instead, whose cost is
+    * independent of the merge count; this fold remains the demo-size
+    * char-level encoder and the kernel's spec-level parity anchor. */
   private def foldMerges(sealed0: org.apache.spark.sql.Column,
       merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    require(merges.size <= 512,
+      s"foldMerges inlines one replace per merge into the plan; " +
+        s"${merges.size} merges would exceed codegen/analysis limits — " +
+        "use the kernel path (encodeDocsBytesPretokKernel / " +
+        "GraftFunctions.bpe_byte_symbols) for production-size tables")
     val merged = merges.foldLeft(sealed0) { (cc, m) =>
       org.apache.spark.sql.functions.replace(cc,
         lit(O + m.left + C + O + m.right + C),
@@ -483,6 +657,273 @@ object Bpe {
       textCol: String, idCol: String, path: String): DataFrame =
     encodeDocsBytesPretok(docs, textCol, idCol, loadMerges(spark, path))
 
+  // ------------------------------------ kernel serving (production size)
+
+  private val BlobField: Char = '\u0001'
+  private val BlobEntry: Char = '\u0002'
+  private val BlobSect: Char = '\u0003'
+
+  /** Model-blob form of a merge table: `left␁right` entries joined by
+    * ␂ in RANK ORDER — the string literal that rides the encode plan
+    * (the `UnigramLm.blob` transport: cluster-safe, no driver state,
+    * no side files; ~12 bytes/merge, so a 50k-merge GPT-2-class table
+    * is a sub-MB literal). Symbols are hex byte pairs — separator-free
+    * by construction. */
+  def mergeBlob(merges: Seq[Merge]): String =
+    merges.map(m => m.left + BlobField + m.right)
+      .mkString(BlobEntry.toString)
+
+  /** [[mergeBlob]] with an explicit symbol-to-id section (after U+0003):
+    * the transport for EXTERNALLY-LOADED vocabularies
+    * ([[Gpt2Artifacts.load]]) whose id assignment differs from
+    * [[byteVocab]]'s -- the override entries replace the derived ids,
+    * so a published tokenizer serves ITS OWN ids. */
+  def mergeBlobWithIds(merges: Seq[Merge],
+      symToId: Map[String, Long]): String =
+    mergeBlob(merges) + BlobSect +
+      symToId.toSeq.sortBy(_._1)
+        .map { case (s, i) => s + BlobField + i }
+        .mkString(BlobEntry.toString)
+
+  /** The 256 two-hex-digit byte symbols, interned once. */
+  private val HexPair: Array[String] =
+    Array.tabulate(256)(b => f"$b%02X")
+
+  /** Array form of [[sealBytes]]: the word's UTF-8 bytes as hex-pair
+    * symbols (no bracket string — the kernel works on symbol arrays). */
+  private def byteSymbolArray(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = HexPair(bytes(i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** Parsed serving model: pair → ascending merge ranks (a trained
+    * table holds each pair once; the ranks LIST keeps the kernel
+    * exactly sequential even for adversarial tables where a later
+    * merge re-creates an earlier pair), plus the [[byteVocab]] symbol
+    * → id map (bases first, merge outputs after — later-rank
+    * duplicates overwrite, exactly `byteVocab(merges).toMap`). */
+  final class MergeModel private[Bpe] (
+      entries: Array[(String, String)]) {
+    private[Bpe] val lefts = new Array[String](entries.length)
+    private[Bpe] val rights = new Array[String](entries.length)
+    private[Bpe] val ranks =
+      new java.util.HashMap[String, Array[Int]](entries.length * 2)
+    private[Bpe] val ids =
+      new java.util.HashMap[String, java.lang.Long](entries.length * 2 + 512)
+    locally {
+      var b = 0
+      while (b < 256) { ids.put(HexPair(b), b.toLong); b += 1 }
+      var i = 0
+      while (i < entries.length) {
+        val (l, r) = entries(i)
+        lefts(i) = l
+        rights(i) = r
+        val key = l + BlobField + r
+        val prev = ranks.get(key)
+        ranks.put(key, if (prev == null) Array(i) else prev :+ i)
+        ids.put(l + r, 256L + i)
+        i += 1
+      }
+    }
+    def size: Int = entries.length
+  }
+
+  private def parseBlob(b: String): MergeModel = {
+    val sect = b.indexOf(BlobSect.toInt)
+    val mergePart = if (sect < 0) b else b.substring(0, sect)
+    val entries =
+      if (mergePart.isEmpty) Array.empty[(String, String)]
+      else mergePart.split(BlobEntry).map { e =>
+        val i = e.indexOf(BlobField.toInt)
+        (e.substring(0, i), e.substring(i + 1))
+      }
+    val model = new MergeModel(entries)
+    if (sect >= 0) { // external id assignment overrides byteVocab's
+      val idPart = b.substring(sect + 1)
+      if (idPart.nonEmpty) idPart.split(BlobEntry).foreach { e =>
+        val i = e.indexOf(BlobField.toInt)
+        model.ids.put(e.substring(0, i), e.substring(i + 1).toLong)
+      }
+    }
+    model
+  }
+
+  // Reference-first memo: the kernel's blob argument is a plan LITERAL,
+  // so every row of a task sees the SAME UTF8String instance — the
+  // ThreadLocal front hits on reference identity without ever touching
+  // the (potentially sub-MB) blob text. Behind it, the UnigramLm-style
+  // bounded shared LRU keyed by blob CONTENT (4 entries — one parse
+  // per distinct model per JVM, never one entry per blob ever seen).
+  private val kernelCacheLocal =
+    new ThreadLocal[(AnyRef, MergeModel)] {
+      override def initialValue(): (AnyRef, MergeModel) = (null, null)
+    }
+  private val kernelCacheShared =
+    new java.util.LinkedHashMap[String, MergeModel](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MergeModel]): Boolean =
+        size() > 4
+    }
+
+  /** Resolve a blob to its parsed model: `blobRef` is the raw argument
+    * object (reference-compared), `blobStr` is evaluated only on a
+    * ThreadLocal miss. */
+  def modelForBlob(blobRef: AnyRef, blobStr: => String): MergeModel = {
+    val hit = kernelCacheLocal.get()
+    if (hit._1 eq blobRef) return hit._2
+    val b = blobStr
+    val shared = kernelCacheShared.synchronized(kernelCacheShared.get(b))
+    val parsed =
+      if (shared != null) shared
+      else {
+        val m = parseBlob(b)
+        kernelCacheShared.synchronized(kernelCacheShared.put(b, m))
+        m
+      }
+    kernelCacheLocal.set((blobRef, parsed))
+    parsed
+  }
+
+  /**
+   * Apply the merge table to one word's byte symbols — EXACTLY the
+   * sequential rank-order replace fold ([[encodeWordBytes]] /
+   * [[foldMerges]]), computed SPARSELY: repeatedly find the smallest
+   * rank GREATER than the last applied one whose pair is adjacent
+   * somewhere in the word, apply that merge in one leftmost
+   * non-overlapping pass ([[mergePass]]), and continue.
+   *
+   * Equivalence to the fold: between two applied ranks the word is
+   * unchanged, and every skipped rank's pair is absent from it (the
+   * minimum over present pairs would have found it), so each skipped
+   * rank is exactly a no-op replace pass of the fold — bit-identical
+   * output at ANY table size, including adversarial tables where a
+   * later merge re-creates an earlier pair (the per-pair ranks list +
+   * the `> cur` cursor replay re-learned ranks and NEVER revisit a
+   * passed one, unlike GPT-2's min-rank-greedy loop, which would).
+   *
+   * Cost: ≤ len−1 applications × O(len) pair lookups — O(len²) hash
+   * probes per word, INDEPENDENT of the merge count. This is the
+   * serving path that survives a production 50k-merge table; the fold
+   * is `numMerges` nested replaces and dies at analysis time.
+   */
+  def applySequential(syms0: Array[String],
+      model: MergeModel): Array[String] = {
+    var syms = syms0
+    var cur = -1
+    var go = syms.length > 1
+    while (go) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rs = model.ranks.get(syms(i) + BlobField + syms(i + 1))
+        if (rs != null) {
+          var j = 0
+          while (j < rs.length && rs(j) <= cur) j += 1
+          if (j < rs.length && rs(j) < best) best = rs(j)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        syms = mergePass(syms, model.lefts(best), model.rights(best))
+        cur = best
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Kernel entry: byte-BPE SYMBOLS of one word under a blob model. */
+  def wordByteSymbolsBlob(word: String, blobRef: AnyRef,
+      blobStr: => String): Array[String] =
+    applySequential(byteSymbolArray(word), modelForBlob(blobRef, blobStr))
+
+  /** Kernel entry: byte-BPE TOKEN IDS of one word under a blob model —
+    * [[byteVocab]]'s assignment, total by construction (every symbol
+    * the kernel can produce is a base byte or a merge output). */
+  def wordByteIdsBlob(word: String, blobRef: AnyRef,
+      blobStr: => String): Array[Long] = {
+    val model = modelForBlob(blobRef, blobStr)
+    val syms = applySequential(byteSymbolArray(word), model)
+    val out = new Array[Long](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = model.ids.get(syms(i))
+      if (id == null) throw new IllegalStateException(
+        s"byte-BPE symbol without a vocab id: '${syms(i)}' — impossible " +
+          "for kernel-produced symbols; the blob is corrupt")
+      out(i) = id.longValue()
+      i += 1
+    }
+    out
+  }
+
+  /** [[encodeWordBytes]] through the kernel structures — the driver
+    * twin of the Column kernel (spec parity anchor at table sizes the
+    * replace fold cannot reach). */
+  def encodeWordBytesKernel(word: String, merges: Seq[Merge]): Array[String] =
+    applySequential(byteSymbolArray(word),
+      parseBlob(mergeBlob(merges)))
+
+  /** [[encodeDocsBytes]] served through the KERNEL — bit-identical
+    * output (same oracle), one codegen'd StaticInvoke per word instead
+    * of a numMerges-deep replace chain; still map-side only. */
+  def encodeDocsBytesKernel(docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame = {
+    val b = lit(mergeBlob(merges))
+    encodeDocsWith(docs, textCol, idCol,
+      w => graft.functions.GraftFunctions.bpe_byte_symbols(w, b))
+  }
+
+  /** [[encodeDocsBytesPretok]] served through the KERNEL —
+    * bit-identical output (same oracle); the PRODUCTION serving path:
+    * survives ≥32k-merge tables where the fold dies at plan analysis. */
+  def encodeDocsBytesPretokKernel(docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame = {
+    val b = lit(mergeBlob(merges))
+    encodeDocsWith(docs, textCol, idCol,
+      w => graft.functions.GraftFunctions.bpe_byte_symbols(w, b),
+      words = Some(pretokens(col(textCol))))
+  }
+
+  /** [[encodeDocsBytesPretokIds]] served through the ID KERNEL —
+    * bit-identical output (same oracle); ids come from the model's own
+    * vocab map instead of a plan-literal map lookup per token. */
+  def encodeDocsBytesPretokIdsKernel(docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame = {
+    val b = lit(mergeBlob(merges))
+    val ids = flatten(transform(pretokens(col(textCol)),
+      w => graft.functions.GraftFunctions.bpe_byte_ids(w, b)))
+    docs.select(col(idCol).as("doc_id"),
+      size(ids).cast("long").as("n_bpe_tokens"),
+      md5(array_join(transform(ids, i => i.cast("string")), " "))
+        .as("ids_md5"))
+  }
+
+  /** [[tokenCountColBytesPretok]] through the KERNEL — the production
+    * tokenizer's counts for `SequencePacking.packCounted` at any table
+    * size. */
+  def tokenCountColBytesPretokKernel(textCol: String,
+      merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val b = lit(mergeBlob(merges))
+    size(flatten(transform(pretokens(col(textCol)),
+      w => graft.functions.GraftFunctions.bpe_byte_symbols(w, b))))
+  }
+
+  /** [[encodeBytesPretokFromModel]] through the KERNEL — bit-identical
+    * to encoding with the freshly trained table (same oracle). */
+  def encodeBytesPretokFromModelKernel(spark: SparkSession,
+      docs: DataFrame, textCol: String, idCol: String,
+      path: String): DataFrame =
+    encodeDocsBytesPretokKernel(docs, textCol, idCol,
+      loadMerges(spark, path))
+
   // ------------------------------------------------ oracle SQL emission
 
   private val oToks =
@@ -508,7 +949,32 @@ object Bpe {
     * but its last character; a trailing LITERAL SPACE moves onto the
     * following token (GPT-2's `\s+(?!\S)` backtrack), any other
     * trailing whitespace character stands alone (it cannot attach —
-    * the ` ?` in the token alternatives matches only 0x20). */
+    * the ` ?` in the token alternatives matches only 0x20).
+    *
+    * The donation RE-TOKENIZES instead of concatenating: when the
+    * recipient is a contraction token (the lookahead-free pattern
+    * matches `'s` etc. as one token after a consumed run, where the
+    * engine's backtracked stream produces `[ '][s]`), a plain
+    * `' ' || x` would yield the non-engine token ` 's` — the round-13
+    * advice divergence, empirically confirmed in DuckDB. And the
+    * repair must look ONE TOKEN FURTHER: a contraction recipient whose
+    * letters continue into a following letter run (`"  'da"`) must
+    * re-join them — the engine sees ` 'da` as `[ '][da]`, while the
+    * lookahead-free extraction had already split it as `['d][a]`
+    * (found by the randomized generator, not by the advice). So the
+    * donation branch re-extracts `' ' || x` (plus the following
+    * letter run when x is a contraction token abutting one, with that
+    * run dropped as consumed); for every non-contraction recipient —
+    * letter / digit / punctuation runs — re-extraction returns the
+    * single token ` x`, unchanged from concatenation. Parity spec'd
+    * by `BpePretokOracleParitySpec`'s randomized generator (which
+    * includes contractions after multi-space runs) and re-confirmed
+    * against real DuckDB by `tools/pretok_parity.py`; standing gate:
+    * the `bpe_pretok_stream` oracle query. */
+  private val oContractions =
+    "('''s', '''t', '''re', '''ve', '''m', '''ll', '''d')"
+  private val oLetterRun = """^\p{L}+$"""
+
   private val oPretoks: String = {
     val p0 = s"regexp_extract_all(text, '$oPretokRe')"
     s"""flatten(list_transform($p0, (x, i) ->
@@ -520,10 +986,51 @@ object Bpe {
         WHEN i > 1 AND regexp_matches(list_extract($p0, i - 1), '$oWsRun')
              AND length(list_extract($p0, i - 1)) >= 2
              AND list_extract($p0, i - 1)[-1] = ' '
-          THEN [' ' || x]
+          THEN CASE
+            WHEN x IN $oContractions AND i < len($p0)
+                 AND regexp_matches(list_extract($p0, i + 1), '$oLetterRun')
+              THEN regexp_extract_all(
+                ' ' || x || list_extract($p0, i + 1), '$oPretokRe')
+            ELSE regexp_extract_all(' ' || x, '$oPretokRe')
+          END
+        WHEN i > 2 AND regexp_matches(x, '$oLetterRun')
+             AND list_extract($p0, i - 1) IN $oContractions
+             AND regexp_matches(list_extract($p0, i - 2), '$oWsRun')
+             AND length(list_extract($p0, i - 2)) >= 2
+             AND list_extract($p0, i - 2)[-1] = ' '
+          THEN []
         ELSE [x]
       END))"""
   }
+
+  /** The engine's GPT-2 pretoken stream of every document as an
+    * oracle-checkable mart: token count + order-preserving digest
+    * (U+0001-joined — pretokens CARRY spaces, so a space join would be
+    * ambiguous). Paired with [[oraclePretokenStreamSql]] this is a
+    * standing engine-vs-DuckDB PRETOKENIZATION parity gate: the
+    * lookahead-free RE2 rewrite ([[oPretoks]]) is the subtlest piece
+    * of the tokenizer oracles, and every byte-pretok oracle inherits
+    * its stream. */
+  def pretokenStreamDf(docs: DataFrame): DataFrame = {
+    val toks = pretokens(col("text"))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_pretokens"),
+      md5(array_join(toks, "\u0001")).as("pretoks_md5"))
+  }
+
+  /** DuckDB twin of [[pretokenStreamDf]] (the [[oPretoks]] rewrite +
+    * the engine's marker-carrier filter). */
+  def oraclePretokenStreamSql: String =
+    s"""SELECT doc_id,
+  CAST(len(list_filter($oPretoks,
+    x -> strpos(x, chr(30)) = 0 AND strpos(x, chr(31)) = 0)) AS BIGINT)
+    AS n_pretokens,
+  -- array_to_string([]) is NULL in DuckDB where Spark's array_join
+  -- gives '' — coalesce for the empty-document row
+  md5(coalesce(array_to_string(list_filter($oPretoks,
+    x -> strpos(x, chr(30)) = 0 AND strpos(x, chr(31)) = 0), chr(1)), ''))
+    AS pretoks_md5
+FROM documents ORDER BY doc_id"""
 
   /** The merge-step CTE chain shared by the char- and byte-level
     * oracles (each replaying [[wordSample]] + its trainer): per step k

@@ -1,0 +1,158 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.text.Bpe.Merge
+import org.apache.spark.sql.DataFrame
+
+/**
+ * GPT-2 tokenizer ARTIFACT INTEROP (round-14 verdict ask #4): export a
+ * trained byte-BPE model in the interchange form a training stack
+ * consumes — `vocab.bpe` (merge list) + `encoder.json` (token → id) —
+ * and load such artifacts back for serving. The formats are the ones
+ * `gpt2/encoder.py` ships (Radford et al. 2019); symbols are rendered
+ * in GPT-2's byte→unicode alphabet (`bytes_to_unicode`: the printable
+ * latin bytes map to themselves, every other byte to U+0100+n), so the
+ * files are line-oriented text with NO raw control bytes and the
+ * `left right` split of `vocab.bpe` is unambiguous (0x20 maps to Ġ).
+ *
+ * Internally symbols stay in the repo's hex-pair alphabet; conversion
+ * happens only at the file boundary. A LOADED model carries its own
+ * symbol→id map (a published tokenizer's id assignment differs from
+ * [[Bpe.byteVocab]]'s byte-ordered one), transported into the serving
+ * kernel via [[Bpe.mergeBlobWithIds]] — `load(export(m))` serves
+ * bit-identically to `m` (spec + the oracle-gated
+ * `bpe_gpt2_roundtrip_encode_ids` query).
+ *
+ * Out of scope: special tokens (`<|endoftext|>`) — they are not byte
+ * sequences; encoder.json entries that don't decode under the GPT-2
+ * alphabet are skipped on load with this documented semantics.
+ */
+object Gpt2Artifacts {
+
+  /** A loaded tokenizer: merges in rank order (pairCount is 0 — the
+    * interchange formats carry no counts) + the FILE's id assignment. */
+  final case class Model(merges: Seq[Merge], symToId: Map[String, Long])
+
+  // ------------------------------------------ byte ↔ unicode alphabet
+
+  /** GPT-2's `bytes_to_unicode`: bytes 0x21–0x7E, 0xA1–0xAC, 0xAE–0xFF
+    * map to themselves; the remaining 68 bytes to U+0100 + n in byte
+    * order. A bijection — 256 distinct chars. */
+  private[graft] val byteToUni: Array[Char] = {
+    val direct = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+  private[graft] val uniToByte: Map[Char, Int] =
+    byteToUni.zipWithIndex.toMap
+
+  /** Hex-pair symbol → GPT-2 alphabet rendering. */
+  private[graft] def symToGpt2(sym: String): String = {
+    val sb = new java.lang.StringBuilder(sym.length / 2)
+    var i = 0
+    while (i < sym.length) {
+      val b = (Character.digit(sym.charAt(i), 16) << 4) |
+        Character.digit(sym.charAt(i + 1), 16)
+      sb.append(byteToUni(b))
+      i += 2
+    }
+    sb.toString
+  }
+
+  /** GPT-2 alphabet rendering → hex-pair symbol; None if any char is
+    * outside the alphabet (special tokens). */
+  private[graft] def gpt2ToSym(s: String): Option[String] = {
+    val sb = new java.lang.StringBuilder(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      uniToByte.get(s.charAt(i)) match {
+        case Some(b) => sb.append(f"$b%02X")
+        case None => return None
+      }
+      i += 1
+    }
+    Some(sb.toString)
+  }
+
+  // ------------------------------------------------------------ export
+
+  /** Write `vocab.bpe` + `encoder.json` for a trained merge table, ids
+    * per [[Bpe.byteVocab]]. Files are UTF-8 text. */
+  def export(merges: Seq[Merge], dir: String): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val bpe = new java.lang.StringBuilder("#version: 0.2\n")
+    merges.foreach { m =>
+      bpe.append(symToGpt2(m.left)).append(' ')
+        .append(symToGpt2(m.right)).append('\n')
+    }
+    Files.write(d.resolve("vocab.bpe"), bpe.toString.getBytes(UTF_8))
+    // jackson (on the Spark classpath) for correct JSON escaping of the
+    // alphabet's printable-ASCII quotes/backslashes
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val obj = new java.util.LinkedHashMap[String, java.lang.Long]()
+    Bpe.byteVocab(merges).foreach { case (id, sym) =>
+      obj.put(symToGpt2(sym), id)
+    }
+    Files.write(d.resolve("encoder.json"), mapper.writeValueAsBytes(obj))
+  }
+
+  // ------------------------------------------------------------ import
+
+  /** Load `vocab.bpe` + `encoder.json` from `dir`. Merge ranks follow
+    * file order; ids follow the FILE's assignment (not re-derived). */
+  def load(dir: String): Model = {
+    val d = Paths.get(dir)
+    val lines = new String(
+      Files.readAllBytes(d.resolve("vocab.bpe")), UTF_8).split("\n")
+    val merges = lines.iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, rank) =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed vocab.bpe line: '$l'")
+        val left = gpt2ToSym(l.substring(0, sp))
+        val right = gpt2ToSym(l.substring(sp + 1))
+        require(left.isDefined && right.isDefined,
+          s"vocab.bpe line outside the GPT-2 byte alphabet: '$l'")
+        Merge(rank, left.get, right.get, 0L)
+      }.toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(Files.readAllBytes(d.resolve("encoder.json")))
+    val ids = Map.newBuilder[String, Long]
+    val it = tree.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      gpt2ToSym(e.getKey) match {
+        case Some(sym) => ids += sym -> e.getValue.asLong()
+        case None => () // special token — documented out of scope
+      }
+    }
+    Model(merges, ids.result())
+  }
+
+  /** Serve token IDS under a LOADED model through the kernel — the
+    * file's own id assignment rides the blob's id-override section.
+    * Output schema matches [[Bpe.encodeDocsBytesPretokIds]] (same
+    * oracle when the model round-trips a trained table). */
+  def encodeDocsIds(docs: DataFrame, textCol: String, idCol: String,
+      model: Model): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = lit(Bpe.mergeBlobWithIds(model.merges, model.symToId))
+    val ids = flatten(transform(Bpe.pretokens(col(textCol)),
+      w => graft.functions.GraftFunctions.bpe_byte_ids(w, b)))
+    docs.select(col(idCol).as("doc_id"),
+      size(ids).cast("long").as("n_bpe_tokens"),
+      md5(array_join(transform(ids, i => i.cast("string")), " "))
+        .as("ids_md5"))
+  }
+}

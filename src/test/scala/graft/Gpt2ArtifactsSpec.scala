@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.text.{Bpe, Gpt2Artifacts}
+import graft.text.Bpe.Merge
+
+/** GPT-2 tokenizer artifact interop: alphabet bijection, file formats,
+  * export→load round trip (bit-identical serving), and honoring a
+  * published file's own id assignment. */
+class Gpt2ArtifactsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(s"gpt2-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("byte↔unicode alphabet is the GPT-2 bijection") {
+    assert(Gpt2Artifacts.byteToUni.distinct.length == 256)
+    // printable latin bytes map to themselves
+    assert(Gpt2Artifacts.byteToUni('A'.toInt) == 'A')
+    assert(Gpt2Artifacts.byteToUni('~'.toInt) == '~')
+    // space is remapped out of the printable range (the vocab.bpe
+    // separator stays unambiguous); GPT-2 maps 0x20 → U+0120 'Ġ'
+    assert(Gpt2Artifacts.byteToUni(0x20) == 'Ġ')
+    assert(Gpt2Artifacts.byteToUni(0x0A) == 'Ċ')
+    (0 until 256).foreach { b =>
+      assert(Gpt2Artifacts.uniToByte(Gpt2Artifacts.byteToUni(b)) == b)
+    }
+    // symbol conversion round-trips
+    for (sym <- Seq("41", "2041", "E4B8AD", "F09D849E", "0A0D")) {
+      assert(Gpt2Artifacts.gpt2ToSym(Gpt2Artifacts.symToGpt2(sym))
+        .contains(sym))
+    }
+  }
+
+  test("export writes the interchange formats; load round-trips merges and ids") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val dir = tmp("roundtrip")
+    Gpt2Artifacts.export(merges, dir)
+
+    val bpeLines = new String(Files.readAllBytes(
+      Paths.get(dir, "vocab.bpe")), "UTF-8").split("\n")
+    assert(bpeLines.head == "#version: 0.2")
+    assert(bpeLines.length == merges.size + 1)
+    assert(bpeLines.tail.forall(_.count(_ == ' ') == 1))
+
+    val m = Gpt2Artifacts.load(dir)
+    assert(m.merges.map(x => (x.rank, x.left, x.right)) ==
+      merges.map(x => (x.rank, x.left, x.right)))
+    assert(m.symToId == Bpe.byteVocab(merges).map(_.swap).toMap)
+  }
+
+  test("loaded model serves bit-identically to the trained one (ids path)") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val dir = tmp("serve")
+    Gpt2Artifacts.export(merges, dir)
+    val loaded = Gpt2Artifacts.load(dir)
+    val direct = Bpe.encodeDocsBytesPretokIdsKernel(docs, "text",
+      "doc_id", merges).orderBy("doc_id").collect()
+    val viaFiles = Gpt2Artifacts.encodeDocsIds(docs, "text", "doc_id",
+      loaded).orderBy("doc_id").collect()
+    assert(direct.length == viaFiles.length && direct.length > 0)
+    direct.zip(viaFiles).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("a published file's FOREIGN id assignment is honored (not re-derived)") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 8)
+    val dir = tmp("foreign")
+    Gpt2Artifacts.export(merges, dir)
+    // rewrite encoder.json with ids shifted by 1000 + a special token
+    // (which load must skip, documented out of scope)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(Files.readAllBytes(
+      Paths.get(dir, "encoder.json")))
+    val obj = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val it = tree.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      obj.put(e.getKey, e.getValue.asLong() + 1000L)
+    }
+    obj.put("<|endoftext|>", 999999L)
+    Files.write(Paths.get(dir, "encoder.json"), mapper.writeValueAsBytes(obj))
+
+    val loaded = Gpt2Artifacts.load(dir)
+    assert(loaded.symToId.values.forall(_ >= 1000L))
+    assert(!loaded.symToId.contains("<|endoftext|>"))
+    // served ids reflect the file's assignment: equal counts, shifted
+    // digests ≠ the byteVocab path
+    val viaFiles = Gpt2Artifacts.encodeDocsIds(docs, "text", "doc_id",
+      loaded).orderBy("doc_id").collect()
+    val direct = Bpe.encodeDocsBytesPretokIdsKernel(docs, "text",
+      "doc_id", merges).orderBy("doc_id").collect()
+    viaFiles.zip(direct).foreach { case (f, d) =>
+      assert(f.getLong(1) == d.getLong(1)) // same token counts
+    }
+    assert(viaFiles.map(_.getString(2)).toSeq !=
+      direct.map(_.getString(2)).toSeq) // different ids
+  }
+
+  test("interop at production size: 32k-merge table round-trips") {
+    var state = 99172645463325252L
+    def next(): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 33) % 26).toInt
+    }
+    val sample = (0 until 13000).map { i =>
+      (new String(Array.fill(9)(('a' + next()).toChar)), 1L + (i % 5))
+    }.distinct.groupBy(_._1).map { case (w, g) => (w, g.head._2) }
+      .toSeq.sortBy(_._1)
+    val merges = Bpe.trainBytes(sample, 32768)
+    assert(merges.size == 32768)
+    val dir = tmp("big")
+    Gpt2Artifacts.export(merges, dir)
+    val loaded = Gpt2Artifacts.load(dir)
+    assert(loaded.merges.size == 32768)
+    assert(loaded.merges.map(m => (m.left, m.right)) ==
+      merges.map(m => (m.left, m.right)))
+    // kernel-serve a few words under the loaded table ≡ original
+    val blobA = Bpe.mergeBlob(merges)
+    val blobB = Bpe.mergeBlobWithIds(loaded.merges, loaded.symToId)
+    for (w <- sample.take(50).map(_._1) ++ Seq("zqzq", "", "é𝄞")) {
+      val a = Bpe.applySequential(
+        Bpe.encodeWordBytesKernel(w, Seq.empty) /* byte symbols */,
+        Bpe.modelForBlob(blobA, blobA))
+      val b = Bpe.applySequential(
+        Bpe.encodeWordBytesKernel(w, Seq.empty),
+        Bpe.modelForBlob(blobB, blobB))
+      assert(a.toSeq == b.toSeq, s"word '$w'")
+    }
+  }
+}
