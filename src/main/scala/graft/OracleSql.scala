@@ -782,6 +782,63 @@ SELECT grp AS event_type, n_est, n_exact, rel_err FROM rep ORDER BY 1"""
       "FROM documents")}
 SELECT grp AS lang, n_est, n_exact, rel_err FROM rep ORDER BY 1"""
 
+  /** The unbounded-grain demo SIGNAL for the quantile-sketch queries:
+    * IEEE double division of exact integers — bit-identical in any
+    * IEEE-754 engine, unlike a transcendental score. */
+  private val qScored = """SELECT lang, CAST(doc_id AS VARCHAR) AS key,
+    CAST(n_chars AS DOUBLE) / CAST(doc_id % 7 + 1 AS DOUBLE) AS score
+  FROM documents"""
+
+  /** Replay of the deterministic bottom-k quantile sample
+    * (`QuantileSketchValues`): per group the k rows with the smallest
+    * (md5-prefix hash, value), the value-sorted sample, and the lower
+    * nearest-rank estimates — the whole chain is integer + IEEE-double
+    * picking, no interpolation, so the doubles match bit-for-bit. */
+  val approxQuantileScores: String = s"""WITH scored AS ($qScored),
+hq AS (SELECT lang, score,
+    CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+  FROM scored WHERE score IS NOT NULL),
+sm AS (SELECT lang, score FROM hq
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, score) <= 64),
+srt AS (SELECT lang, list(score ORDER BY score) AS vs,
+    CAST(count(*) AS BIGINT) AS ns
+  FROM sm GROUP BY 1),
+cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1)
+SELECT c.lang, c.n_docs,
+  vs[CAST(floor(0.5 * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS p50,
+  vs[CAST(floor(0.9 * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS p90,
+  vs[CAST(floor(0.99 * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS p99
+FROM srt JOIN cnt c USING (lang) ORDER BY lang"""
+
+  /** Error mart for the quantile sketch (the `approx_distinct_events`
+    * discipline): global k=256 sample, five estimates, each estimate's
+    * EMPIRICAL RANK in the full data (count(score <= est)/n) and the
+    * |rank − q| error — the quantity the ~1/sqrt(k) envelope bounds. */
+  val approxQuantileError: String = s"""WITH scored AS ($qScored),
+hq AS (SELECT score,
+    CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+  FROM scored WHERE score IS NOT NULL),
+sm AS (SELECT score FROM hq
+  QUALIFY row_number() OVER (ORDER BY h, score) <= 256),
+srt AS (SELECT list(score ORDER BY score) AS vs,
+    CAST(count(*) AS BIGINT) AS ns FROM sm),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+    CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+    CAST(0.99 AS DOUBLE)]) AS q),
+est AS (SELECT q,
+    vs[CAST(floor(q * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS est,
+    nn.n
+  FROM qs CROSS JOIN srt CROSS JOIN nn),
+rep AS (SELECT q, est, n,
+    CAST((SELECT count(*) FROM scored WHERE score <= est) AS BIGINT) AS le
+  FROM est)
+SELECT q, est,
+  CAST(le AS DOUBLE) / CAST(n AS DOUBLE) AS rank_hat,
+  round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE) - q), 4) AS rank_err
+FROM rep ORDER BY q"""
+
   /** Same md5-prefix hash bucket as Sampling.bucket. */
   private val sampleBucket =
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"

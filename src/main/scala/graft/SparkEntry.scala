@@ -125,6 +125,16 @@ object SparkEntry {
           m = 8, ksub = 16))
     }
 
+  /** The quantile-sketch demo SIGNAL: an unbounded-grain IEEE double
+    * (exact-integer division — bit-identical in any IEEE-754 engine,
+    * unlike a transcendental score) with the doc_id as the unique
+    * hash key. */
+  private def quantileScored(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      col("doc_id").cast("string").as("key"),
+      (col("n_chars").cast("double") /
+        ((col("doc_id") % 7) + 1).cast("double")).as("score"))
+
   /** Stable per-(kind, sfDir) scratch path for the persisted-index demo
     * queries: repeated invocations (bench medians, verify) overwrite the
     * same directory instead of leaking temp dirs. */
@@ -1390,6 +1400,68 @@ object SparkEntry {
           round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4)
             .as("rel_err"))
         .orderBy("event_type")
+    }),
+    // Deterministic QUANTILE sketch (the HLL discipline applied to
+    // percentiles): per-language score percentiles from a bottom-k
+    // hash sample — order/partition-invariant, merge = re-bottomed
+    // union, the whole chain (hash pick, value sort, lower
+    // nearest-rank) oracle-replayed bit-for-bit. The signal is an
+    // unbounded-grain IEEE double — exactly what the bounded-histogram
+    // percentile paths (bucketsByScore) cannot take.
+    "approx_quantile_scores" -> ((s, dir) =>
+      quantileScored(Demo.table(s, dir, "documents"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftFunctions
+          .quantile_sketch(col("score"), col("key"), 64).as("sm"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("n_docs"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sm"), 0.5).as("p50"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sm"), 0.9).as("p90"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sm"), 0.99).as("p99"))
+        .orderBy("lang")),
+    // Error mart (the approx_distinct_events discipline): each global
+    // estimate's EMPIRICAL RANK in the full data next to its target q
+    // — |rank − q| is what the ~1/√k envelope bounds
+    "approx_quantile_error" -> ((s, dir) => {
+      val scored = quantileScored(Demo.table(s, dir, "documents"))
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val ests = scored
+        .agg(graft.functions.GraftFunctions
+          .quantile_sketch(col("score"), col("key"), 256).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("n"), explode(array(qs.map(q =>
+          struct(lit(q).as("q"), graft.functions.GraftFunctions
+            .quantile_estimate(col("sm"), q).as("est"))): _*)).as("e"))
+        .select(col("e.q").as("q"), col("e.est").as("est"), col("n"))
+      scored.join(broadcast(ests), lit(true))
+        .groupBy("q", "est", "n")
+        .agg(sum(when(col("score") <= col("est"), 1L).otherwise(0L)).as("le"))
+        .withColumn("rank_hat",
+          col("le").cast("double") / col("n").cast("double"))
+        .select(col("q"), col("est"), col("rank_hat"),
+          round(abs(col("rank_hat") - col("q")), 4).as("rank_err"))
+        .orderBy("q")
+    }),
+    // STREAMING percentile tracking: per-epoch bottom-k sample partials
+    // merged on read (flatten → (h,v) sort → first k) — the merged
+    // sample EQUALS one batch sketch over the history (an element of
+    // the global bottom-k is in its epoch's bottom-k), so the batch
+    // query's oracle is the gate
+    "approx_quantile_incremental" -> ((s, dir) => {
+      val scored = quantileScored(Demo.table(s, dir, "documents"))
+      val pDir = tmpIndexDir("qsketchpartials", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingQuantile.processBatch(
+          scored.filter(col("key").cast("long") % 3 === b), b.toLong,
+          "lang", "score", "key", 64, pDir))
+      graft.streaming.StreamingQuantile.mergedSample(s, pDir, 64)
+        .select(col("grp").as("lang"), col("sample"))
+        .join(scored.groupBy("lang").agg(count(lit(1)).as("n_docs")), "lang")
+        .select(col("lang"), col("n_docs"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sample"), 0.5).as("p50"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sample"), 0.9).as("p90"),
+          graft.functions.GraftFunctions.quantile_estimate(col("sample"), 0.99).as("p99"))
+        .orderBy("lang")
     }),
     // The 100 TB vocab-profiling use case: per-language DISTINCT-TOKEN
     // estimate over the documents table — token grain explodes ~100×
@@ -3361,6 +3433,9 @@ object SparkEntry {
     "revenue_by_month" -> OracleSql.revenueByMonth,
     "heavy_hitters_events" -> OracleSql.heavyHittersEvents,
     "approx_distinct_events" -> OracleSql.approxDistinctEvents,
+    "approx_quantile_scores" -> OracleSql.approxQuantileScores,
+    "approx_quantile_error" -> OracleSql.approxQuantileError,
+    "approx_quantile_incremental" -> OracleSql.approxQuantileScores,
     "approx_distinct_tokens" -> OracleSql.approxDistinctTokens,
     // grown register partials ≡ one batch sketch (idempotent max-merge)
     "approx_distinct_incremental" -> OracleSql.approxDistinctEvents,

@@ -991,6 +991,46 @@ object GraftFunctions {
   def approx_distinct(c: Column, p: Int = 10): Column =
     hll_estimate(hll_registers(c, p), p)
 
+  /** Deterministic bottom-k quantile sample over the shared md5-prefix
+    * hash of `key` (see [[QuantileSketchValues]]): `array<double>` of
+    * ≤ k values in (hash, value) order — order/partition-invariant,
+    * mergeable, DuckDB-replayable. Estimate with [[quantile_estimate]]. */
+  def quantile_sketch(value: Column, key: Column, k: Int): Column =
+    col(QuantileSketchValues(expr(value), expr(key),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** The PERSISTABLE partial of [[quantile_sketch]]: (h, v) structs —
+    * epoch partials merge on read via [[quantile_merge]] and equal the
+    * batch sketch (bottom-k of a union is the union of bottom-ks
+    * re-bottomed). */
+  def quantile_sketch_partial(value: Column, key: Column, k: Int): Column =
+    col(QuantileSketchPartial(expr(value), expr(key),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Merge collected [[quantile_sketch_partial]] arrays IN-PLAN:
+    * flatten → (h, v) sort → first k → values. Bit-equal to the batch
+    * [[quantile_sketch]] over the union of the partial inputs. */
+  def quantile_merge(partials: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    transform(slice(array_sort(flatten(partials)), 1, k),
+      e => e.getField("v"))
+  }
+
+  /** IN-PLAN quantile estimate over a [[quantile_sketch]] sample:
+    * lower nearest-rank (index `floor(q·(n−1))` of the value-sorted
+    * sample — no interpolation, so the oracle replays the exact
+    * double). Null on an empty sample. */
+  def quantile_estimate(sample: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val sorted = array_sort(sample)
+    val n = size(sorted)
+    when(n > lit(0), element_at(sorted,
+      floor(lit(q) * (n - lit(1)).cast("double")).cast("int") + lit(1)))
+  }
+
   /** Register the custom functions for Spark SQL usage. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The deterministic bottom-k quantile sketch: partition invariance,
+  * merge ≡ batch, the nearest-rank estimate rule, null handling, and
+  * the ~1/√k rank-error envelope on real data. */
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored = spark.read
+    .parquet(s"${sf()}/documents.parquet")
+    .select(col("lang"), col("doc_id").cast("string").as("key"),
+      (col("n_chars").cast("double") /
+        ((col("doc_id") % 7) + 1).cast("double")).as("score"))
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame,
+      k: Int): Map[String, Seq[Double]] =
+    df.groupBy("lang")
+      .agg(GraftFunctions.quantile_sketch(col("score"), col("key"), k)
+        .as("sm"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+
+  test("partition-invariant: 1, 5, and 32 partitions produce identical sketches") {
+    val base = sketchOf(scored.coalesce(1), 64)
+    assert(base.values.forall(_.nonEmpty))
+    assert(sketchOf(scored.repartition(5, col("key")), 64) == base)
+    assert(sketchOf(scored.repartition(32), 64) == base)
+    // and a shuffled row order
+    assert(sketchOf(scored.orderBy(col("score").desc), 64) == base)
+  }
+
+  test("merged epoch partials ≡ the batch sketch (bottom-k union property)") {
+    val batch = scored
+      .agg(GraftFunctions.quantile_sketch(col("score"), col("key"), 48)
+        .as("sm"))
+      .collect()(0).getSeq[Double](0).toSeq
+    val partials = (0 until 3).map { b =>
+      scored.filter(col("key").cast("long") % 3 === b)
+        .agg(GraftFunctions
+          .quantile_sketch_partial(col("score"), col("key"), 48).as("p"))
+    }.reduce(_ union _)
+    val merged = partials
+      .agg(GraftFunctions.quantile_merge(collect_list(col("p")), 48)
+        .as("sm"))
+      .collect()(0).getSeq[Double](0).toSeq
+    assert(merged == batch)
+  }
+
+  test("estimate is the lower nearest-rank pick, null on empty") {
+    val df = Seq((Seq(10.0, 30.0, 20.0, 40.0), 1)).toDF("sm", "x")
+    val got = df.select(
+      GraftFunctions.quantile_estimate(col("sm"), 0.0).as("q0"),
+      GraftFunctions.quantile_estimate(col("sm"), 0.5).as("q50"),
+      GraftFunctions.quantile_estimate(col("sm"), 0.75).as("q75"),
+      GraftFunctions.quantile_estimate(col("sm"), 1.0).as("q100"))
+      .collect()(0)
+    // sorted sample [10,20,30,40]: floor(q·3) → 0,1,2,3
+    assert(got.getDouble(0) == 10.0 && got.getDouble(1) == 20.0)
+    assert(got.getDouble(2) == 30.0 && got.getDouble(3) == 40.0)
+    val empty = Seq((Seq.empty[Double], 1)).toDF("sm", "x")
+      .select(GraftFunctions.quantile_estimate(col("sm"), 0.5)).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
+  test("null values and null keys are skipped; sample smaller than k is exact") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),
+      (Some(2.0), Some("d")))
+      .toDF("v", "k")
+    val sm = df.agg(GraftFunctions
+      .quantile_sketch(col("v"), col("k"), 16).as("sm"))
+      .collect()(0).getSeq[Double](0)
+    assert(sm.sorted == Seq(1.0, 2.0))
+    // k ≥ n → the sketch IS the data: estimates are exact
+    val est = df.agg(GraftFunctions
+      .quantile_sketch(col("v"), col("k"), 16).as("sm"))
+      .select(GraftFunctions.quantile_estimate(col("sm"), 1.0))
+      .collect()(0).getDouble(0)
+    assert(est == 2.0)
+  }
+
+  test("rank error on real data stays inside the sampling envelope") {
+    val n = scored.count()
+    val sk = scored.agg(GraftFunctions
+      .quantile_sketch(col("score"), col("key"), 256).as("sm"))
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val est = sk.select(GraftFunctions.quantile_estimate(col("sm"), q))
+        .collect()(0).getDouble(0)
+      val le = scored.filter(col("score") <= est).count()
+      val rankErr = math.abs(le.toDouble / n - q)
+      val envelope = 4.0 * math.sqrt(q * (1 - q) / 256.0) + 1.0 / n
+      assert(rankErr <= envelope, s"q=$q err=$rankErr > $envelope")
+    }
+  }
+
+  test("k bounds are enforced") {
+    val e = intercept[Exception] {
+      scored.agg(GraftFunctions
+        .quantile_sketch(col("score"), col("key"), 8)).collect()
+    }
+    assert(e.getMessage.contains("[16, 65536]"))
+  }
+}
