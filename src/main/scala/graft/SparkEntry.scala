@@ -683,6 +683,49 @@ object SparkEntry {
         "embedding", "vec_id", k = 5, nprobe = 2, model)
         .orderBy("query_id", "rank")
     }),
+    // RETRAIN-AND-SWAP (the staleness report's response): grow 3
+    // epochs under the initial model, RETRAIN on the grown corpus
+    // (deterministic trainers over the same row set reproduce the
+    // fresh-build model), rebuild the index from the corpus into a new
+    // dir, atomically publish the serving pointer, and serve through
+    // the RESOLVED pointer — bit-identical to the fresh IVF+PQ build,
+    // so the rebuild oracle is the gate
+    "ann_index_reindex" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val model0 = graft.streaming.StreamingAnnIndex.AnnModel(8, 16,
+        EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8),
+        ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+          m = 8, ksub = 16))
+      val iPath = tmpIndexDir("annreidx0", dir)
+      val oPath = tmpIndexDir("annreidxcorpus", dir)
+      (0 until 3).foreach(b =>
+        graft.streaming.StreamingAnnIndex.processBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, "embedding",
+          "vec_id", model0, iPath, oPath))
+      // retrain FROM THE GROWN CORPUS (not the source table)
+      val grown = s.read.parquet(oPath)
+      val model1 = graft.streaming.StreamingAnnIndex.AnnModel(8, 16,
+        EmbeddingOps.ivfCentroids(grown, "embedding", "vec_id", 8),
+        ProductQuantization.demoCodebook(grown, "embedding", "vec_id",
+          m = 8, ksub = 16))
+      val mPath = tmpIndexDir("annreidxmodel", dir)
+      graft.streaming.StreamingAnnIndex.writeModel(s, grown, "embedding",
+        "vec_id", model1, mPath)
+      val nPath = tmpIndexDir("annreidx1", dir)
+      graft.streaming.StreamingAnnIndex.reindex(s, oPath, "embedding",
+        "vec_id", model1, nPath)
+      val root = tmpIndexDir("annreidxroot", dir)
+      graft.streaming.StreamingAnnIndex.publish(s, root, nPath, mPath)
+      () => {
+        val (liveIndex, liveModel) =
+          graft.streaming.StreamingAnnIndex.current(s, root)
+        graft.streaming.StreamingAnnIndex.topKFromIndex(
+          emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount),
+          liveIndex, "embedding", "vec_id", k = 5, nprobe = 2,
+          graft.streaming.StreamingAnnIndex.loadModel(s, liveModel))
+          .orderBy("query_id", "rank")
+      }
+    }),
     // Right-to-be-forgotten on the grown ANN index: delete a vector
     // subset, then serve — the cluster-sub-partitioned rewrite must
     // make post-delete serving equal IVF+PQ top-k admitting only the
@@ -1655,6 +1698,34 @@ object SparkEntry {
           .partitionBy("batch_id").parquet(pDir)
       }
       TextDedup.softDedupWeightsFromPartials(docsT, "text", "doc_id",
+        s.read.parquet(pDir))
+        .orderBy("doc_id")
+    }),
+    // Right-to-be-forgotten on the grown soft-dedup partials: a
+    // COMPENSATION epoch of negative per-digest counts for the deleted
+    // docs (the additive twin of the ANN/BM25 deletes — counts must
+    // shrink, and sum-merge absorbs the tombstone); post-delete
+    // weights over the survivors must equal a batch recompute over
+    // the survivors alone
+    "dedup_soft_weights_delete" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val pDir = tmpIndexDir("softwdelpartials", dir)
+      (0 until 3).foreach { b =>
+        TextDedup.softDedupPartial(
+          docsT.filter(col("doc_id") % 3 === b), "text")
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pDir)
+      }
+      val deleted = docsT.filter(col("doc_id") % 7 === 0)
+      TextDedup.softDedupDeletePartial(deleted, "text")
+        .withColumn("batch_id", lit(3L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(pDir)
+      TextDedup.softDedupWeightsFromPartials(
+        docsT.filter(col("doc_id") % 7 =!= 0), "text", "doc_id",
         s.read.parquet(pDir))
         .orderBy("doc_id")
     }),
@@ -2966,6 +3037,7 @@ object SparkEntry {
     // bit-identical to the full rebuild (same oracle as
     // ann_ivf_pq_index_topk); plus its per-cell staleness gauge
     "ann_index_incremental" -> ((s, dir) => buildServe("ann_index_incremental")(s, dir)()),
+    "ann_index_reindex" -> ((s, dir) => buildServe("ann_index_reindex")(s, dir)()),
     "ann_index_staleness" -> ((s, dir) => buildServe("ann_index_staleness")(s, dir)()),
     "ann_index_delete" -> ((s, dir) => buildServe("ann_index_delete")(s, dir)()),
     // Training-data ops: the TRAINED production tiers, driver-checked.
@@ -3461,6 +3533,7 @@ object SparkEntry {
     "dedup_soft_weights" -> DedupOracles.softWeights,
     // the growing-partials twin must weigh identically (additive counts)
     "dedup_soft_weights_incremental" -> DedupOracles.softWeights,
+    "dedup_soft_weights_delete" -> DedupOracles.softWeightsSurvivors,
     "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_eval_report" -> DedupOracles.evalReport,
@@ -3648,6 +3721,7 @@ object SparkEntry {
     // the incremental index shares the REBUILD oracle — bit-exactness
     // of the grown layout's serving rows IS the correctness gate
     "ann_index_incremental" -> TextOracles.annIvfPqTopK,
+    "ann_index_reindex" -> TextOracles.annIvfPqTopK,
     "ann_index_staleness" -> TextOracles.annIndexStaleness,
     // post-deletion serving ≡ IVF+PQ top-k admitting only survivors
     "ann_index_delete" ->

@@ -37,6 +37,18 @@ SELECT d.doc_id, g.n AS n_copies,
 FROM documents d JOIN g ON md5(d.text) = g.h
 ORDER BY d.doc_id"""
 
+  /** [[softWeights]] over the post-deletion survivor corpus — the gate
+    * for the tombstone-epoch deletion path: weights served from grown
+    * partials + a negative-count compensation epoch must equal a batch
+    * recompute over the survivors alone. */
+  val softWeightsSurvivors: String = """WITH surv AS (
+  SELECT * FROM documents WHERE doc_id % 7 <> 0),
+g AS (SELECT md5(text) AS h, count(*) AS n FROM surv GROUP BY 1)
+SELECT d.doc_id, g.n AS n_copies,
+  round(CAST(1.0 AS DOUBLE) / g.n, 6) AS weight
+FROM surv d JOIN g ON md5(d.text) = g.h
+ORDER BY d.doc_id"""
+
   /** Exact dedup over the canonicalized key — the normalize_text chain
     * (NFC → lower → Java-\s collapse → trim) applied before the digest.
     * The class is explicit because RE2's \s lacks \v (Java's has it). */

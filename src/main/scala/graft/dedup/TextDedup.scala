@@ -82,16 +82,40 @@ object TextDedup {
     batch.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n"))
 
+  /** Right-to-be-forgotten for the grown [[softDedupPartial]] layout
+    * (round-14 verdict ask #6): deletion INVALIDATES the additive copy
+    * counts — they must SHRINK — so the delete commits a COMPENSATION
+    * epoch of NEGATIVE per-digest counts for the deleted docs, under
+    * its own `batch_id` (idempotent dynamic overwrite, exactly the
+    * append discipline). The sum-merge at serve time absorbs the
+    * tombstone: post-delete weights equal a batch recompute over the
+    * survivors (`dedup_soft_weights_delete` shares that oracle). The
+    * caller deletes the same docs from the corpus side; a digest whose
+    * counts sum to zero then simply has no surviving doc to join.
+    *
+    * Contrast with the HLL register partials
+    * ([[graft.streaming.StreamingApproxDistinct]]): max-merged
+    * registers CANNOT be un-maxed — no compensation epoch exists for
+    * an idempotent max — so deletion there is REBUILD-ONLY (drop the
+    * partials dir, re-sketch the surviving corpus); that contract is
+    * documented on the HLL aggregate itself. */
+  def softDedupDeletePartial(deleted: DataFrame,
+      textCol: String): DataFrame =
+    softDedupPartial(deleted, textCol)
+      .select(col("text_hash"), (-col("n")).cast("long").as("n"))
+
   /** Serve-time weights over a growing directory of
     * [[softDedupPartial]] epochs: global n_copies = Σ per-epoch counts
     * per digest (digest-grain, 16-byte keys), joined back to `docs`.
     * Output and rounding identical to [[softDedupWeights]] — the batch
-    * twin shares its oracle. */
+    * twin shares its oracle. Digests whose counts sum to ≤ 0 (fully
+    * deleted via [[softDedupDeletePartial]] tombstones) are dropped
+    * defensively — they have no surviving doc to join anyway. */
   def softDedupWeightsFromPartials(docs: DataFrame, textCol: String,
       idCol: String, partials: DataFrame): DataFrame =
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
-      .join(partials.groupBy("text_hash").agg(sum(col("n")).as("n_copies")),
-        "text_hash")
+      .join(partials.groupBy("text_hash").agg(sum(col("n")).as("n_copies"))
+        .filter(col("n_copies") > 0), "text_hash")
       .select(col("doc_id"), col("n_copies"),
         round(lit(1.0) / col("n_copies"), 6).as("weight"))
 

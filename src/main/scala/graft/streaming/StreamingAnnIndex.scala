@@ -147,6 +147,67 @@ object StreamingAnnIndex {
     GrowingIndex.deleteKeysSub(spark, outDir, indexDir, "vec_id", vecIds,
       indexSubCols = Seq("cluster"))
 
+  /** The RETRAIN RESPONSE the staleness report gauges (round-14
+    * verdict ask #5): rebuild the serving index FROM THE GROWN CORPUS
+    * under a retrained model, into a FRESH growing layout at
+    * `newIndexDir` — epoch 0 holds the full re-encode; the stream
+    * resumes appending batch 1+ under the new model. The corpus (the
+    * raw-vector side of the growing pair) is the source of truth; the
+    * old index is never read. A static overwrite clears any earlier
+    * failed rebuild attempt, and the layout keeps the `cluster`
+    * sub-partitioning, so probe pruning holds from the first serve.
+    * Serving from the rebuilt layout is bit-identical to a fresh
+    * `writeIvfPqIndex` build over the same vectors — the rebuild
+    * oracle gates it (`ann_index_reindex`). Returns the indexed-vector
+    * count. */
+  def reindex(spark: SparkSession, corpusDir: String, vecCol: String,
+      idCol: String, newModel: AnnModel, newIndexDir: String): Long = {
+    val corpus = spark.read.parquet(corpusDir)
+    indexRows(corpus, vecCol, idCol, newModel)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "cluster")
+      .parquet(newIndexDir)
+    spark.read.parquet(newIndexDir).count()
+  }
+
+  /** ATOMIC serving-path swap: `<servingRoot>/CURRENT` names the live
+    * (indexDir, modelPath) pair; readers resolve it per query via
+    * [[current]]. The swap writes `CURRENT.tmp` and RENAMES it over
+    * `CURRENT` with `Options.Rename.OVERWRITE` (FileContext — the
+    * atomic-rename contract on POSIX and HDFS), so a reader sees the
+    * OLD pair or the NEW pair, never a partial file. Crash windows:
+    * die before the rename → CURRENT untouched, the orphan tmp is
+    * overwritten by the next publish; die after → the swap is
+    * complete. The retrain cycle is therefore: [[reindex]] to a fresh
+    * dir → [[publish]] → retire the old dir at leisure. */
+  def publish(spark: SparkSession, servingRoot: String, indexDir: String,
+      modelPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(servingRoot)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    val out = fs.create(tmp, true)
+    out.write(s"$indexDir\n$modelPath\n".getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the live (indexDir, modelPath) pair under `servingRoot`. */
+  def current(spark: SparkSession, servingRoot: String): (String, String) = {
+    val cur = new org.apache.hadoop.fs.Path(servingRoot, "CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(cur)
+    val bytes = new java.io.ByteArrayOutputStream()
+    org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, true)
+    val lines = new String(bytes.toByteArray, "UTF-8").split("\n")
+    require(lines.length >= 2, s"malformed CURRENT pointer at $servingRoot")
+    (lines(0), lines(1))
+  }
+
   /** STALENESS report — per coarse cell, current occupancy vs the
     * training-time balance persisted with the model: (cluster, n_train,
     * n_now, share_train, share_now, drift). A cell whose share drifts

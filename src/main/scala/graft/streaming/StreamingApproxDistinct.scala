@@ -17,6 +17,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * shares the batch query's oracle, and a replayed epoch (which
  * rewrites identical registers over itself) can never move a count.
  *
+ * DELETION CONTRACT (right-to-be-forgotten): REBUILD-ONLY. The
+ * register merge is an idempotent MAX — there is no compensation
+ * epoch that can "un-max" a register, unlike the additive layouts
+ * (BM25 df, soft-dedup counts) where negative tombstones subtract.
+ * To forget items, drop the partials directory and re-sketch the
+ * surviving corpus (one pass; the sketch is deterministic, so the
+ * rebuild is reproducible). The estimate never exposes item
+ * identities — the registers store only max leading-zero counts — but
+ * a deleted item may still have contributed a register maximum, so a
+ * strict erasure guarantee requires the rebuild.
+ *
  * Scale shape: each epoch commits 2^p ints per group (a few KB);
  * serving folds epochs × 2^p rows per group — epoch-count work, never
  * item-grain. The raw items are NOT retained; this is the layout that

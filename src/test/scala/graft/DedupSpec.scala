@@ -59,6 +59,43 @@ class DedupSpec extends SparkSpec {
     assert(served === batch)
   }
 
+  test("soft-dedup tombstone delete: post-delete weights ≡ batch recompute over survivors") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "p q r"), (6L, "p q r"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("softw-del").toString + "/p"
+    def write(partial: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      partial.withColumn("batch_id", lit(b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    write(TextDedup.softDedupPartial(df.filter(col("doc_id") <= 3), "text"), 0L)
+    write(TextDedup.softDedupPartial(df.filter(col("doc_id") > 3), "text"), 1L)
+    // delete doc 3 (one of three "a b c" copies) and doc 4 (the ONLY
+    // "x y z" — its digest's counts sum to zero and must drop out)
+    val deleted = df.filter(col("doc_id") === 3 || col("doc_id") === 4)
+    write(TextDedup.softDedupDeletePartial(deleted, "text"), 2L)
+    val survivors = df.filter(col("doc_id") =!= 3 && col("doc_id") =!= 4)
+    def weights(x: org.apache.spark.sql.DataFrame) =
+      x.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = weights(TextDedup.softDedupWeightsFromPartials(
+      survivors, "text", "doc_id", spark.read.parquet(dir)))
+    val batch = weights(TextDedup.softDedupWeights(survivors, "text", "doc_id"))
+    assert(served === batch)
+    // counts SHRANK: the "a b c" group now weighs 1/2 per copy
+    assert(served.filter(_._2 == 2L).map(_._1).toSet == Set(1L, 2L, 5L, 6L))
+    // the tombstone epoch is replay-idempotent too
+    write(TextDedup.softDedupDeletePartial(deleted, "text"), 2L)
+    assert(weights(TextDedup.softDedupWeightsFromPartials(
+      survivors, "text", "doc_id", spark.read.parquet(dir))) === batch)
+    // no digest with non-positive total survives the serve-time merge
+    val merged = spark.read.parquet(dir)
+      .groupBy("text_hash").agg(sum(col("n")).as("t")).collect()
+    assert(merged.exists(_.getLong(1) == 0L)) // the fully-deleted digest
+  }
+
   test("ngram pairs: near-identical docs found, dissimilar not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -200,6 +200,78 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(got === Set(1L, 2L))
   }
 
+  test("reindex from the grown corpus ≡ fresh build; stream resumes on the new layout") {
+    val emb = Demo.table(spark, sf(), "embeddings")
+    val m0 = AnnModel(8, 16,
+      EmbeddingOps.ivfCentroids(emb, "embedding", "vec_id", 8),
+      ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16))
+    val d = java.nio.file.Files.createTempDirectory("annreidx").toString
+    // grow only epochs 0-1 (a corpus still arriving) — range epochs so
+    // the retrain's seed vectors (vec_id < ksub) are all present
+    (0 until 2).foreach(b => StreamingAnnIndex.processBatch(
+      emb.filter(col("vec_id") >= b * 200 && col("vec_id") < (b + 1) * 200),
+      b.toLong, "embedding", "vec_id", m0, s"$d/grown", s"$d/out"))
+    // retrain on the grown corpus, rebuild into a fresh dir
+    val grown = spark.read.parquet(s"$d/out")
+    val m1 = AnnModel(8, 16,
+      EmbeddingOps.ivfCentroids(grown, "embedding", "vec_id", 8),
+      ProductQuantization.demoCodebook(grown, "embedding", "vec_id",
+        m = 8, ksub = 16))
+    val n = StreamingAnnIndex.reindex(spark, s"$d/out", "embedding",
+      "vec_id", m1, s"$d/new")
+    assert(n == grown.count())
+    // ≡ a fresh build over the same vectors under the same model
+    ProductQuantization.writeIvfPqIndex(
+      emb.filter(col("vec_id") < 400), "embedding", "vec_id", 8,
+      s"$d/fresh", m1.cb, m1.m, m1.ksub, Some(m1.cents))
+    assert(rowsOf(s"$d/new") === rowsOf(s"$d/fresh"))
+    // the stream RESUMES on the new layout under the new model: epoch 2
+    // appends and serving sees everything
+    StreamingAnnIndex.processBatch(
+      emb.filter(col("vec_id") >= 400), 2L, "embedding", "vec_id",
+      m1, s"$d/new", s"$d/out")
+    assert(spark.read.parquet(s"$d/new").count() == emb.count())
+    // drift of the rebuilt index vs its own training balance is zero
+    StreamingAnnIndex.writeModel(spark, grown, "embedding", "vec_id",
+      m1, s"$d/model")
+    val drift = StreamingAnnIndex.stalenessReport(spark, s"$d/new",
+      s"$d/model").agg(max(abs(col("drift")))).collect()(0).getDouble(0)
+    // epoch 2 arrived after the balance snapshot — drift is small but
+    // nonzero; rebuild-time (epochs 0-1 only) it is exactly zero
+    val drift01 = {
+      val d2 = java.nio.file.Files.createTempDirectory("annreidx2").toString
+      StreamingAnnIndex.reindex(spark, s"$d/out", "embedding", "vec_id",
+        m1, s"$d2/idx") // corpus now has all 3 epochs
+      StreamingAnnIndex.writeModel(spark, spark.read.parquet(s"$d/out"),
+        "embedding", "vec_id", m1, s"$d2/model")
+      StreamingAnnIndex.stalenessReport(spark, s"$d2/idx", s"$d2/model")
+        .agg(max(abs(col("drift")))).collect()(0).getDouble(0)
+    }
+    assert(drift01 == 0.0)
+    assert(drift >= 0.0) // gauge readable either way
+  }
+
+  test("publish/current: atomic pointer swap, crash windows leave old or new, never partial") {
+    val root = java.nio.file.Files.createTempDirectory("annroot").toString
+    StreamingAnnIndex.publish(spark, root, "/idx/v1", "/model/v1")
+    assert(StreamingAnnIndex.current(spark, root) == ("/idx/v1", "/model/v1"))
+    // swap
+    StreamingAnnIndex.publish(spark, root, "/idx/v2", "/model/v2")
+    assert(StreamingAnnIndex.current(spark, root) == ("/idx/v2", "/model/v2"))
+    // no tmp orphan after a successful publish
+    assert(!new java.io.File(s"$root/CURRENT.tmp").exists())
+    // crash BEFORE the rename: an orphan tmp must not affect resolution
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/CURRENT.tmp"),
+      "/idx/v3\n/model/v3\n".getBytes("UTF-8"))
+    assert(StreamingAnnIndex.current(spark, root) == ("/idx/v2", "/model/v2"))
+    // and the next publish overwrites the orphan
+    StreamingAnnIndex.publish(spark, root, "/idx/v4", "/model/v4")
+    assert(StreamingAnnIndex.current(spark, root) == ("/idx/v4", "/model/v4"))
+    assert(!new java.io.File(s"$root/CURRENT.tmp").exists())
+  }
+
   test("model round-trips exactly; staleness report hand-checked") {
     val (indexDir, outDir, modelDir) = freshDirs()
     val train = vecs(
