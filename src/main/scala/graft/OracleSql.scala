@@ -839,6 +839,23 @@ SELECT q, est,
   round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE) - q), 4) AS rank_err
 FROM rep ORDER BY q"""
 
+  /** Replay of `Sampling.topFractionBySketch` (permille=100, k=256):
+    * the global bottom-k sample, the lower nearest-rank p90 threshold,
+    * and the tie-inclusive `score >= thr` filter. */
+  val topFractionSketch: String = s"""WITH scored AS ($qScored),
+hq AS (SELECT CAST(key AS BIGINT) AS doc_id, score,
+    CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+  FROM scored WHERE score IS NOT NULL),
+sm AS (SELECT score FROM hq
+  QUALIFY row_number() OVER (ORDER BY h, score) <= 256),
+srt AS (SELECT list(score ORDER BY score) AS vs,
+    CAST(count(*) AS BIGINT) AS ns FROM sm),
+thr AS (SELECT
+    vs[CAST(floor(0.9 * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS t
+  FROM srt)
+SELECT hq.doc_id, hq.score FROM hq CROSS JOIN thr
+WHERE hq.score >= thr.t ORDER BY hq.doc_id"""
+
   /** Same md5-prefix hash bucket as Sampling.bucket. */
   private val sampleBucket =
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"

@@ -316,7 +316,24 @@ object ScaleSoak {
     "search_hybrid_rrf_incremental_serve",
     // soft dedup: one digest hash-agg + a join back on the 16-byte key
     // — must inherit dedup_exact's flat digest-aggregation α
-    "dedup_soft_weights")
+    "dedup_soft_weights",
+    // ── round-14 additions ──
+    // (bpe_byte_encode / bpe_byte_pretok_encode above now run the
+    // rank-sequential KERNEL serving path — their rows re-pin the new
+    // plan shape replacing the numMerges-replace fold)
+    // quantile sketch: one hash agg carrying 16·k bytes per group —
+    // must inherit the HLL row's flat aggregation-tree α
+    "approx_quantile_scores",
+    // grown sample partials merged on read (epoch-count × k rows per
+    // group) + the same estimate — epoch writes + a bounded merge
+    "approx_quantile_incremental",
+    // retrain response: serve through the RESOLVED pointer over the
+    // rebuilt (batch_id=0, cluster) layout — must track
+    // ann_index_incremental_serve (probe-pruned, corpus-linear build)
+    "ann_index_reindex_serve",
+    // tombstone-epoch delete + survivors serve: the incremental
+    // soft-dedup shape plus one negative epoch — digest-grain merge
+    "dedup_soft_weights_delete")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -332,7 +349,8 @@ object ScaleSoak {
     "ann_opq_production_serve" -> "ann_opq_production_topk",
     "ann_index_incremental_serve" -> "ann_index_incremental",
     "bm25_index_incremental_serve" -> "bm25_index_incremental",
-    "search_hybrid_rrf_incremental_serve" -> "search_hybrid_rrf_incremental")
+    "search_hybrid_rrf_incremental_serve" -> "search_hybrid_rrf_incremental",
+    "ann_index_reindex_serve" -> "ann_index_reindex")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,

@@ -1506,6 +1506,17 @@ object SparkEntry {
           graft.functions.GraftFunctions.quantile_estimate(col("sample"), 0.99).as("p99"))
         .orderBy("lang")
     }),
+    // The sketch as a GATE (the CCNet/FineWeb percentile cut on an
+    // arbitrary-grain signal): keep the top decile by score, threshold
+    // = the sketch's p90 estimate broadcast back as a filter — no
+    // sort, no histogram-grain requirement, kept fraction 10% ± ~1/√k
+    "curate_top_fraction_sketch" -> ((s, dir) =>
+      graft.operators.Sampling.topFractionBySketch(
+        quantileScored(Demo.table(s, dir, "documents")).withColumn(
+          "doc_id", col("key").cast("long")),
+        "score", "key", permille = 100, k = 256)
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")),
     // The 100 TB vocab-profiling use case: per-language DISTINCT-TOKEN
     // estimate over the documents table — token grain explodes ~100×
     // the doc count, exactly where exact COUNT(DISTINCT) shuffles
@@ -3508,6 +3519,7 @@ object SparkEntry {
     "approx_quantile_scores" -> OracleSql.approxQuantileScores,
     "approx_quantile_error" -> OracleSql.approxQuantileError,
     "approx_quantile_incremental" -> OracleSql.approxQuantileScores,
+    "curate_top_fraction_sketch" -> OracleSql.topFractionSketch,
     "approx_distinct_tokens" -> OracleSql.approxDistinctTokens,
     // grown register partials ≡ one batch sketch (idempotent max-merge)
     "approx_distinct_incremental" -> OracleSql.approxDistinctEvents,

@@ -239,6 +239,35 @@ object Sampling {
   }
 
   /**
+   * APPROXIMATE top-fraction selection by an ARBITRARY-grain score —
+   * the companion of [[topFractionByScore]] for signals without a
+   * bounded grain (raw IEEE doubles: perplexities, classifier logits,
+   * ratios), where the exact histogram path has no bounded relation to
+   * window over. The threshold is the deterministic bottom-k quantile
+   * sketch's lower nearest-rank estimate at q = 1 − permille/1000
+   * ([[graft.functions.QuantileSketchValues]] — order/partition-
+   * invariant, DuckDB-replayable), broadcast back as a `score ≥ thr`
+   * filter (tie-inclusive, like the exact cut). The kept fraction is
+   * permille/1000 ± ~1/√k of the corpus — the CCNet/FineWeb percentile
+   * gate at 100 TB: one 16·k-byte aggregate + one map-side filter, no
+   * sort, no histogram-grain requirement. `keyCol` must be a unique
+   * row id (the hash seed).
+   */
+  def topFractionBySketch(df: DataFrame, scoreCol: String,
+      keyCol: String, permille: Int, k: Int = 1024): DataFrame = {
+    require(permille > 0 && permille <= 1000, "permille in [1, 1000]")
+    val d = Materialized(df)
+    val q = 1.0 - permille / 1000.0
+    val thr = d.agg(graft.functions.GraftFunctions.quantile_estimate(
+      graft.functions.GraftFunctions.quantile_sketch(
+        col(scoreCol).cast("double"), col(keyCol).cast("string"), k), q)
+      .as("__thr"))
+    d.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

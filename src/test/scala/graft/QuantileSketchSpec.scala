@@ -96,6 +96,26 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("topFractionBySketch: kept fraction inside the ~1/√k envelope, deterministic, tie-inclusive") {
+    val n = scored.count().toDouble
+    val kept = graft.operators.Sampling.topFractionBySketch(
+      scored, "score", "key", permille = 100, k = 256)
+    val frac = kept.count() / n
+    assert(math.abs(frac - 0.1) <= 4.0 * math.sqrt(0.1 * 0.9 / 256.0) + 1.0 / n,
+      s"kept $frac")
+    // deterministic under repartitioning
+    val keptIds = kept.select("key").collect().map(_.getString(0)).sorted.toSeq
+    val again = graft.operators.Sampling.topFractionBySketch(
+      scored.repartition(17), "score", "key", permille = 100, k = 256)
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(again == keptIds)
+    // every kept score ≥ every dropped score (a clean threshold cut)
+    val minKept = kept.agg(min(col("score"))).collect()(0).getDouble(0)
+    val maxDropped = scored.join(kept.select("key"), Seq("key"), "left_anti")
+      .agg(max(col("score"))).collect()(0).getDouble(0)
+    assert(maxDropped < minKept)
+  }
+
   test("k bounds are enforced") {
     val e = intercept[Exception] {
       scored.agg(GraftFunctions
