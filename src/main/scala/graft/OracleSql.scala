@@ -856,6 +856,23 @@ thr AS (SELECT
 SELECT hq.doc_id, hq.score FROM hq CROSS JOIN thr
 WHERE hq.score >= thr.t ORDER BY hq.doc_id"""
 
+  /** Replay of `Sampling.topFractionBySketchBy` (strata=lang,
+    * permille=100, k=64): one bottom-k sample PER LANGUAGE, each
+    * language cut at its own lower nearest-rank p90. */
+  val topFractionSketchByLang: String = s"""WITH scored AS ($qScored),
+hq AS (SELECT lang, CAST(key AS BIGINT) AS doc_id, score,
+    CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+  FROM scored WHERE score IS NOT NULL),
+sm AS (SELECT lang, score FROM hq
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, score) <= 64),
+srt AS (SELECT lang, list(score ORDER BY score) AS vs,
+    CAST(count(*) AS BIGINT) AS ns FROM sm GROUP BY 1),
+thr AS (SELECT lang,
+    vs[CAST(floor(0.9 * CAST(ns - 1 AS DOUBLE)) AS BIGINT) + 1] AS t
+  FROM srt)
+SELECT hq.lang, hq.doc_id, hq.score FROM hq JOIN thr USING (lang)
+WHERE hq.score >= thr.t ORDER BY hq.doc_id"""
+
   /** Same md5-prefix hash bucket as Sampling.bucket. */
   private val sampleBucket =
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)"

@@ -1517,6 +1517,16 @@ object SparkEntry {
         "score", "key", permille = 100, k = 256)
         .select(col("doc_id"), col("score"))
         .orderBy("doc_id")),
+    // PER-LANGUAGE sketch gate (the FineWeb2 shape): each language cut
+    // at ITS OWN sketched p90 — a fluent minority language is gated
+    // against its own distribution, not the corpus-wide one
+    "curate_top_fraction_sketch_by_lang" -> ((s, dir) =>
+      graft.operators.Sampling.topFractionBySketchBy(
+        quantileScored(Demo.table(s, dir, "documents")).withColumn(
+          "doc_id", col("key").cast("long")),
+        "score", "key", "lang", permille = 100, k = 64)
+        .select(col("lang"), col("doc_id"), col("score"))
+        .orderBy("doc_id")),
     // The 100 TB vocab-profiling use case: per-language DISTINCT-TOKEN
     // estimate over the documents table — token grain explodes ~100×
     // the doc count, exactly where exact COUNT(DISTINCT) shuffles
@@ -3520,6 +3530,7 @@ object SparkEntry {
     "approx_quantile_error" -> OracleSql.approxQuantileError,
     "approx_quantile_incremental" -> OracleSql.approxQuantileScores,
     "curate_top_fraction_sketch" -> OracleSql.topFractionSketch,
+    "curate_top_fraction_sketch_by_lang" -> OracleSql.topFractionSketchByLang,
     "approx_distinct_tokens" -> OracleSql.approxDistinctTokens,
     // grown register partials ≡ one batch sketch (idempotent max-merge)
     "approx_distinct_incremental" -> OracleSql.approxDistinctEvents,

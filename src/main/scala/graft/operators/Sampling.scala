@@ -268,6 +268,31 @@ object Sampling {
   }
 
   /**
+   * PER-STRATUM [[topFractionBySketch]] — the FineWeb2 shape: one
+   * quantile sketch per stratum (language, domain, source), each
+   * stratum cut at ITS OWN threshold, so a fluent minority language is
+   * gated against its own distribution instead of the corpus-wide one.
+   * One grouped 16·k-bytes-per-stratum aggregate + a broadcast
+   * threshold join + a map-side filter — the per-group twin of the
+   * global gate, same ~1/√k kept-fraction envelope per stratum.
+   */
+  def topFractionBySketchBy(df: DataFrame, scoreCol: String,
+      keyCol: String, strataCol: String, permille: Int,
+      k: Int = 1024): DataFrame = {
+    require(permille > 0 && permille <= 1000, "permille in [1, 1000]")
+    val d = Materialized(df)
+    val q = 1.0 - permille / 1000.0
+    val thr = d.groupBy(col(strataCol))
+      .agg(graft.functions.GraftFunctions.quantile_estimate(
+        graft.functions.GraftFunctions.quantile_sketch(
+          col(scoreCol).cast("double"), col(keyCol).cast("string"), k), q)
+        .as("__thr"))
+    d.join(broadcast(thr), Seq(strataCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Deterministic train/validation/test split by key hash: adds a
    * `split` column ("train" / "val" / "test") from cumulative fraction
    * boundaries. Fractions must sum to ≤ 1; the remainder (if any) is

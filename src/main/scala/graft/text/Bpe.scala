@@ -626,6 +626,20 @@ object Bpe {
     byteVocab(merges).toDF("id", "sym")
   }
 
+  /** Inverse of [[byteVocab]]'s id assignment: TOKEN IDS -> text — the
+    * decode every training stack needs for inspection/round-trips.
+    * Total on any id stream an encode can emit (ids 0-255 are the byte
+    * symbols, 256+k merge k's output; unknown ids throw — an id outside
+    * the vocab is a corrupt stream, not decodable content). Driver-side
+    * (decode is an inspection/debug path, not a corpus operator). */
+  def decodeIds(ids: Seq[Long], merges: Seq[Merge]): String = {
+    val idToSym = byteVocab(merges).toMap
+    decodeByteSymbols(ids.map { i =>
+      idToSym.getOrElse(i,
+        throw new IllegalArgumentException(s"unknown token id $i"))
+    })
+  }
+
   /** [[encodeDocsBytesPretok]] emitting TOKEN IDS instead of symbol
     * strings — the stream a training run actually consumes: pretokens
     * → byte symbols under the merge fold → [[byteVocab]] ids via a

@@ -214,6 +214,19 @@ class BpeKernelSpec extends SparkSpec {
     assert(e.getMessage.contains("kernel"))
   }
 
+  test("decodeIds inverts the id stream: ids → text, byte-exact; unknown ids refuse") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val blob = Bpe.mergeBlob(merges)
+    for (w <- Seq("the table", "value", "é𝄞 mixed", "", "a  's b")) {
+      val ids = Bpe.wordByteIdsBlob(w, blob, blob)
+      assert(Bpe.decodeIds(ids.toSeq, merges) == w, s"word '$w'")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bpe.decodeIds(Seq(256L + merges.size), merges) // one past the vocab
+    }
+    assert(e.getMessage.contains("unknown token id"))
+  }
+
   test("blob round-trip and memoization") {
     val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
     val blob = Bpe.mergeBlob(merges)

@@ -116,6 +116,28 @@ class QuantileSketchSpec extends SparkSpec {
     assert(maxDropped < minKept)
   }
 
+  test("topFractionBySketchBy: each stratum cut at its own threshold") {
+    val kept = graft.operators.Sampling.topFractionBySketchBy(
+      scored, "score", "key", "lang", permille = 200, k = 64)
+    val perLang = scored.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every language keeps ~20% of ITS OWN rows (not of the corpus)
+    perLang.foreach { case (lang, n) =>
+      val f = keptPerLang.getOrElse(lang, 0L).toDouble / n
+      val env = 4.0 * math.sqrt(0.2 * 0.8 / 64.0) + 1.0 / n
+      assert(math.abs(f - 0.2) <= env, s"$lang kept $f of $n")
+    }
+    // within each language: kept scores dominate dropped scores
+    val minKept = kept.groupBy("lang").agg(min(col("score")).as("mk"))
+    val maxDropped = scored.join(kept.select("key"), Seq("key"), "left_anti")
+      .groupBy("lang").agg(max(col("score")).as("md"))
+    minKept.join(maxDropped, "lang").collect().foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(1), r.getString(0))
+    }
+  }
+
   test("k bounds are enforced") {
     val e = intercept[Exception] {
       scored.agg(GraftFunctions
