@@ -722,28 +722,100 @@ object Bpe {
     * merge re-creates an earlier pair), plus the [[byteVocab]] symbol
     * → id map (bases first, merge outputs after — later-rank
     * duplicates overwrite, exactly `byteVocab(merges).toMap`). */
+  /** Open-addressed long→ranks hash table (linear probing, power-of-2
+    * capacity, load ≤ 0.5) — the pair table of [[MergeModel]]. Hand
+    * rolled because `java.util.HashMap[java.lang.Long, _]` BOXES every
+    * probe key (Long.valueOf allocates beyond ±127), and the serving
+    * kernel probes once per adjacent pair per application pass; this
+    * keeps the hot loop allocation-free. Write-once at parse time,
+    * read-only afterwards (shared across tasks). */
+  private[Bpe] final class LongRanksMap(capacityHint: Int) {
+    private val cap: Int = {
+      var c = 16
+      while (c < capacityHint * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    private val vals = new Array[Array[Int]](cap)
+    @inline private def slot(k: Long): Int =
+      (((k * -7046029254386353131L) >>> 40).toInt ^ k.toInt) & mask
+    /** Append `rank` to the key's ascending rank list. */
+    def append(k: Long, rank: Int): Unit = {
+      var i = slot(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) { used(i) = true; keys(i) = k; vals(i) = Array(rank) }
+      else vals(i) = vals(i) :+ rank
+    }
+    /** The key's rank list, or null. */
+    def get(k: Long): Array[Int] = {
+      var i = slot(k)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      null
+    }
+  }
+
+  /** Parsed serving model over INTERNED integer symbols: every symbol
+    * string that can participate in the table (the 256 bases first —
+    * so byte value == interned int — then each merge's operands and
+    * output, same string → same int) gets a dense int; the pair→ranks
+    * table is keyed by the packed (left<<32 | right) LONG, so the hot
+    * loop's probes are allocation-free primitive lookups instead of
+    * per-probe string concat + hash. Interning happens ONCE at parse
+    * time; the model is immutable afterwards (shared across tasks). */
   final class MergeModel private[Bpe] (
       entries: Array[(String, String)]) {
-    private[Bpe] val lefts = new Array[String](entries.length)
-    private[Bpe] val rights = new Array[String](entries.length)
+    private[Bpe] val symToInt =
+      new java.util.HashMap[String, Integer](entries.length * 3 + 512)
+    private val symsBuf = new scala.collection.mutable.ArrayBuffer[String](
+      entries.length * 2 + 256)
+    private def intern(sym: String): Int = {
+      val hit = symToInt.get(sym)
+      if (hit != null) hit.intValue()
+      else {
+        val id = symsBuf.length
+        symsBuf += sym
+        symToInt.put(sym, id)
+        id
+      }
+    }
+    private[Bpe] val leftInt = new Array[Int](entries.length)
+    private[Bpe] val rightInt = new Array[Int](entries.length)
+    private[Bpe] val outInt = new Array[Int](entries.length)
+    /** packed (left, right) int pair → ascending merge ranks. */
     private[Bpe] val ranks =
-      new java.util.HashMap[String, Array[Int]](entries.length * 2)
-    private[Bpe] val ids =
-      new java.util.HashMap[String, java.lang.Long](entries.length * 2 + 512)
+      new LongRanksMap(math.max(16, entries.length))
     locally {
       var b = 0
-      while (b < 256) { ids.put(HexPair(b), b.toLong); b += 1 }
+      while (b < 256) { intern(HexPair(b)); b += 1 }
       var i = 0
       while (i < entries.length) {
         val (l, r) = entries(i)
-        lefts(i) = l
-        rights(i) = r
-        val key = l + BlobField + r
-        val prev = ranks.get(key)
-        ranks.put(key, if (prev == null) Array(i) else prev :+ i)
-        ids.put(l + r, 256L + i)
+        val li = intern(l)
+        val ri = intern(r)
+        leftInt(i) = li
+        rightInt(i) = ri
+        outInt(i) = intern(l + r)
+        ranks.append((li.toLong << 32) | ri.toLong, i)
         i += 1
       }
+    }
+    /** interned int → symbol string. */
+    private[Bpe] val intToSym: Array[String] = symsBuf.toArray
+    /** [[byteVocab]] id per interned symbol (−1 = no id; bases first,
+      * merge outputs after — later-rank duplicates overwrite, exactly
+      * `byteVocab(merges).toMap`); blob id-override section replaces. */
+    private[Bpe] val idOf: Array[Long] = {
+      val a = Array.fill(intToSym.length)(-1L)
+      var b = 0
+      while (b < 256) { a(b) = b.toLong; b += 1 }
+      var i = 0
+      while (i < entries.length) { a(outInt(i)) = 256L + i; i += 1 }
+      a
     }
     def size: Int = entries.length
   }
@@ -762,7 +834,13 @@ object Bpe {
       val idPart = b.substring(sect + 1)
       if (idPart.nonEmpty) idPart.split(BlobEntry).foreach { e =>
         val i = e.indexOf(BlobField.toInt)
-        model.ids.put(e.substring(0, i), e.substring(i + 1).toLong)
+        val sym = e.substring(0, i)
+        val known = model.symToInt.get(sym)
+        // an override for a symbol the table can never produce is
+        // unreachable — dropped (parse-time, single-threaded; the
+        // model never interns after construction)
+        if (known != null)
+          model.idOf(known.intValue()) = e.substring(i + 1).toLong
       }
     }
     model
@@ -810,7 +888,7 @@ object Bpe {
    * [[foldMerges]]), computed SPARSELY: repeatedly find the smallest
    * rank GREATER than the last applied one whose pair is adjacent
    * somewhere in the word, apply that merge in one leftmost
-   * non-overlapping pass ([[mergePass]]), and continue.
+   * non-overlapping pass, and continue.
    *
    * Equivalence to the fold: between two applied ranks the word is
    * unchanged, and every skipped rank's pair is absent from it (the
@@ -821,13 +899,15 @@ object Bpe {
    * the `> cur` cursor replay re-learned ranks and NEVER revisit a
    * passed one, unlike GPT-2's min-rank-greedy loop, which would).
    *
-   * Cost: ≤ len−1 applications × O(len) pair lookups — O(len²) hash
-   * probes per word, INDEPENDENT of the merge count. This is the
-   * serving path that survives a production 50k-merge table; the fold
-   * is `numMerges` nested replaces and dies at analysis time.
+   * Cost: ≤ len−1 applications × O(len) pair lookups — O(len²)
+   * PRIMITIVE probes per word (packed-long keys over interned symbol
+   * ints: no per-probe allocation), INDEPENDENT of the merge count.
+   * This is the serving path that survives a production 50k-merge
+   * table; the fold is `numMerges` nested replaces and dies at
+   * analysis time.
    */
-  def applySequential(syms0: Array[String],
-      model: MergeModel): Array[String] = {
+  private[Bpe] def applyInts(syms0: Array[Int],
+      model: MergeModel): Array[Int] = {
     var syms = syms0
     var cur = -1
     var go = syms.length > 1
@@ -835,17 +915,34 @@ object Bpe {
       var best = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val rs = model.ranks.get(syms(i) + BlobField + syms(i + 1))
-        if (rs != null) {
-          var j = 0
-          while (j < rs.length && rs(j) <= cur) j += 1
-          if (j < rs.length && rs(j) < best) best = rs(j)
+        if (syms(i) >= 0 && syms(i + 1) >= 0) {
+          val rs = model.ranks.get(
+            (syms(i).toLong << 32) | syms(i + 1).toLong)
+          if (rs != null) {
+            var j = 0
+            while (j < rs.length && rs(j) <= cur) j += 1
+            if (j < rs.length && rs(j) < best) best = rs(j)
+          }
         }
         i += 1
       }
       if (best == Int.MaxValue) go = false
       else {
-        syms = mergePass(syms, model.lefts(best), model.rights(best))
+        // one leftmost non-overlapping pass of merge `best`
+        val l = model.leftInt(best)
+        val r = model.rightInt(best)
+        val o = model.outInt(best)
+        val out = new Array[Int](syms.length)
+        var n = 0
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == l && syms(p + 1) == r) {
+            out(n) = o; n += 1; p += 2
+          } else {
+            out(n) = syms(p); n += 1; p += 1
+          }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
         cur = best
         go = syms.length > 1
       }
@@ -853,26 +950,66 @@ object Bpe {
     syms
   }
 
+  /** String-array face of [[applyInts]] — the spec-level entry point.
+    * Symbols the model never interned (possible only for caller-built
+    * arrays, never for [[byteSymbolArray]] output) get LOCAL negative
+    * sentinels: they can match no merge pair (all interned pairs are
+    * non-negative) and pass through verbatim, without mutating the
+    * shared model. */
+  def applySequential(syms0: Array[String],
+      model: MergeModel): Array[String] = {
+    val ints = new Array[Int](syms0.length)
+    var extra: scala.collection.mutable.ArrayBuffer[String] = null
+    var i = 0
+    while (i < syms0.length) {
+      val known = model.symToInt.get(syms0(i))
+      if (known != null) ints(i) = known.intValue()
+      else {
+        if (extra == null)
+          extra = new scala.collection.mutable.ArrayBuffer[String](4)
+        extra += syms0(i)
+        ints(i) = -extra.length // sentinel −1, −2, …
+      }
+      i += 1
+    }
+    applyInts(ints, model).map { x =>
+      if (x >= 0) model.intToSym(x) else extra(-x - 1)
+    }
+  }
+
+  /** The word's UTF-8 bytes as interned symbol ints (bases are
+    * interned 0–255 in byte order, so this IS the byte array). */
+  private def byteSymbolInts(word: String): Array[Int] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    out
+  }
+
   /** Kernel entry: byte-BPE SYMBOLS of one word under a blob model. */
   def wordByteSymbolsBlob(word: String, blobRef: AnyRef,
-      blobStr: => String): Array[String] =
-    applySequential(byteSymbolArray(word), modelForBlob(blobRef, blobStr))
+      blobStr: => String): Array[String] = {
+    val model = modelForBlob(blobRef, blobStr)
+    applyInts(byteSymbolInts(word), model).map(model.intToSym)
+  }
 
   /** Kernel entry: byte-BPE TOKEN IDS of one word under a blob model —
-    * [[byteVocab]]'s assignment, total by construction (every symbol
-    * the kernel can produce is a base byte or a merge output). */
+    * [[byteVocab]]'s assignment (or the blob's id-override section),
+    * total by construction (every symbol the kernel can produce is a
+    * base byte or a merge output). */
   def wordByteIdsBlob(word: String, blobRef: AnyRef,
       blobStr: => String): Array[Long] = {
     val model = modelForBlob(blobRef, blobStr)
-    val syms = applySequential(byteSymbolArray(word), model)
+    val syms = applyInts(byteSymbolInts(word), model)
     val out = new Array[Long](syms.length)
     var i = 0
     while (i < syms.length) {
-      val id = model.ids.get(syms(i))
-      if (id == null) throw new IllegalStateException(
-        s"byte-BPE symbol without a vocab id: '${syms(i)}' — impossible " +
-          "for kernel-produced symbols; the blob is corrupt")
-      out(i) = id.longValue()
+      val id = model.idOf(syms(i))
+      if (id < 0L) throw new IllegalStateException(
+        s"byte-BPE symbol without a vocab id: '${model.intToSym(syms(i))}'" +
+          " — impossible for kernel-produced symbols; the blob is corrupt")
+      out(i) = id
       i += 1
     }
     out
