@@ -1038,6 +1038,21 @@ object SparkEntry {
         graft.text.Gpt2Artifacts.load(adir))
         .orderBy("doc_id")
     }),
+    // HuggingFace tokenizer.json round trip: train, export ONE json
+    // artifact, load it back (merges + the file's own vocab ids),
+    // serve ids under the loaded model — bit-identical to
+    // bpe_byte_pretok_encode_ids, so that oracle is the gate
+    "bpe_hf_roundtrip_encode_ids" -> ((s, dir) => {
+      val jpath = tmpIndexDir("hftokjson", dir) + "/tokenizer.json"
+      graft.text.Gpt2Artifacts.exportTokenizerJson(
+        graft.text.Bpe.trainBytes(
+          graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+            "text", 256), 24), jpath)
+      () => graft.text.Gpt2Artifacts.encodeDocsIds(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        graft.text.Gpt2Artifacts.loadTokenizerJson(jpath))
+        .orderBy("doc_id")
+    }),
     // Trained unigram-LM vocabulary persisted once, encoding served
     // from it — stored (piece, score) longs ARE what the kernel
     // applies, so serve output is bit-identical to tokenize_unigram
@@ -1748,6 +1763,23 @@ object SparkEntry {
       TextDedup.softDedupWeightsFromPartials(
         docsT.filter(col("doc_id") % 7 =!= 0), "text", "doc_id",
         s.read.parquet(pDir))
+        .orderBy("doc_id")
+    }),
+    // Soft dedup APPLIED: deterministic weighted sampling at the
+    // 1/n_copies weights (Muennighoff repeat-weighting as an actual
+    // downsampler) — in expectation one surviving copy per duplicate
+    // group, membership a pure key hash, no deterministic content loss
+    // (testdata texts are all-distinct at gate SF, so the corpus
+    // plants one extra re-keyed copy of every 5th doc to exercise
+    // sub-1.0 weights)
+    "dedup_soft_sample" -> ((s, dir) => {
+      val base = Demo.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.Sampling.byWeight(
+        TextDedup.softDedupWeights(corpus, "text", "doc_id"),
+        "doc_id", "weight")
         .orderBy("doc_id")
     }),
     // Exact dedup on the CANONICALIZED key — normalize_text composed
@@ -2688,6 +2720,8 @@ object SparkEntry {
     // vocab.bpe + encoder.json round trip; same oracle as the ids path)
     "bpe_gpt2_roundtrip_encode_ids" -> ((s, dir) =>
       buildServe("bpe_gpt2_roundtrip_encode_ids")(s, dir)()),
+    "bpe_hf_roundtrip_encode_ids" -> ((s, dir) =>
+      buildServe("bpe_hf_roundtrip_encode_ids")(s, dir)()),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -3557,6 +3591,7 @@ object SparkEntry {
     // the growing-partials twin must weigh identically (additive counts)
     "dedup_soft_weights_incremental" -> DedupOracles.softWeights,
     "dedup_soft_weights_delete" -> DedupOracles.softWeightsSurvivors,
+    "dedup_soft_sample" -> DedupOracles.softSample,
     "dedup_exact_normalized" -> DedupOracles.exactNormalized,
     "dedup_ngram_pairs" -> DedupOracles.ngramPairs,
     "dedup_eval_report" -> DedupOracles.evalReport,
@@ -3617,6 +3652,7 @@ object SparkEntry {
       graft.text.Bpe.oracleBytePretokCompressionSql(24, 256),
     "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "bpe_gpt2_roundtrip_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
+    "bpe_hf_roundtrip_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "pack_sequences_byte" -> graft.text.Bpe.oracleBytePretokPackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),

@@ -37,6 +37,26 @@ SELECT d.doc_id, g.n AS n_copies,
 FROM documents d JOIN g ON md5(d.text) = g.h
 ORDER BY d.doc_id"""
 
+  /** Replay of `Sampling.byWeight` over the soft-dedup weights: keep
+    * doc iff md5-bucket(doc_id) < floor(weight · 10⁴) — in expectation
+    * one surviving copy per duplicate group, never a deterministic
+    * drop of content. Testdata documents are all-distinct at the gate
+    * SF, so the corpus plants one extra copy of every 5th doc
+    * (re-keyed +10000) to exercise sub-1.0 weights. */
+  val softSample: String = """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+g AS (SELECT md5(text) AS h, count(*) AS n FROM corpus GROUP BY 1),
+w AS (SELECT d.doc_id, g.n AS n_copies,
+    round(CAST(1.0 AS DOUBLE) / g.n, 6) AS weight
+  FROM corpus d JOIN g ON md5(d.text) = g.h)
+SELECT doc_id, n_copies, weight FROM w
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+    AS BIGINT) % 10000 AS BIGINT)
+  < CAST(floor(weight * 10000) AS BIGINT)
+ORDER BY doc_id"""
+
   /** [[softWeights]] over the post-deletion survivor corpus — the gate
     * for the tombstone-epoch deletion path: weights served from grown
     * partials + a negative-count compensation epoch must equal a batch

@@ -28,6 +28,22 @@ object Sampling {
     df.filter(bucket(col(keyCol)) < (fraction * 10000).toLong)
 
   /**
+   * Deterministic PER-ROW WEIGHTED sample: keep each row with
+   * probability `weightCol` (∈ [0, 1]) — membership a pure function of
+   * the key hash, so runs and engines agree. The consumer of
+   * `TextDedup.softDedupWeights`: sampling a soft-deduped corpus at
+   * its 1/n_copies weights yields in expectation ONE surviving copy
+   * per duplicate group while never deterministically discarding
+   * content (Muennighoff repeat-weighting, applied). Threshold =
+   * floor(weight × 10⁴) against the shared md5 bucket — all-integer
+   * comparison, oracle-replayable. weight ≥ 1 always keeps; ≤ 0 never.
+   */
+  def byWeight(df: DataFrame, keyCol: String,
+      weightCol: String): DataFrame =
+    df.filter(bucket(col(keyCol)) <
+      floor(col(weightCol) * 10000).cast("long"))
+
+  /**
    * Deterministic stratified sample: a per-stratum fraction (e.g. keep
    * 40% of one language, 10% of the rest — corpus rebalancing).
    * Membership is still a pure function of the key, so strata stay

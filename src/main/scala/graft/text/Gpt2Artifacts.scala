@@ -140,6 +140,91 @@ object Gpt2Artifacts {
     Model(merges, ids.result())
   }
 
+  // ------------------------------------------- HuggingFace tokenizer.json
+
+  /** Write the SAME model as a single HuggingFace `tokenizer.json`
+    * (the de-facto interchange file modern training stacks consume):
+    * `model.type = "BPE"`, `model.vocab` (token → id, GPT-2 alphabet),
+    * `model.merges` ("left right" strings), plus the ByteLevel
+    * pre_tokenizer/decoder stanzas that declare the byte-level
+    * lineage. Minimal but valid — loaders that only read
+    * `model.vocab`/`model.merges` (most do) round-trip it. */
+  def exportTokenizerJson(merges: Seq[Merge], path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    val byteLevel = {
+      val n = mapper.createObjectNode()
+      n.put("type", "ByteLevel")
+      n.put("add_prefix_space", false)
+      n.put("trim_offsets", true)
+      n.put("use_regex", true)
+      n
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "pre_tokenizer", byteLevel)
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "decoder", byteLevel.deepCopy())
+    val model = mapper.createObjectNode()
+    model.put("type", "BPE")
+    val vocab = mapper.createObjectNode()
+    Bpe.byteVocab(merges).foreach { case (id, sym) =>
+      vocab.put(symToGpt2(sym), id)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val ms = mapper.createArrayNode()
+    merges.foreach(m =>
+      ms.add(symToGpt2(m.left) + " " + symToGpt2(m.right)))
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges", ms)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(root))
+  }
+
+  /** Load a HuggingFace `tokenizer.json`: `model.merges` in file order
+    * (both shapes — `"l r"` strings and `["l","r"]` pairs — occur in
+    * published files), ids from `model.vocab` (the FILE's assignment).
+    * Entries outside the GPT-2 byte alphabet (added/special tokens)
+    * are skipped with the same documented semantics as
+    * `encoder.json`. */
+  def loadTokenizerJson(path: String): Model = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    val model = root.get("model")
+    require(model != null && model.get("vocab") != null &&
+      model.get("merges") != null,
+      s"not a BPE tokenizer.json: $path")
+    val mergesNode = model.get("merges")
+    val merges = (0 until mergesNode.size()).map { rank =>
+      val e = mergesNode.get(rank)
+      val (lg, rg) =
+        if (e.isArray) (e.get(0).asText(), e.get(1).asText())
+        else {
+          val t = e.asText()
+          val sp = t.indexOf(' ')
+          require(sp > 0 && t.indexOf(' ', sp + 1) < 0,
+            s"malformed merge entry: '$t'")
+          (t.substring(0, sp), t.substring(sp + 1))
+        }
+      val l = gpt2ToSym(lg)
+      val r = gpt2ToSym(rg)
+      require(l.isDefined && r.isDefined,
+        s"merge entry outside the GPT-2 byte alphabet: '$lg $rg'")
+      Merge(rank, l.get, r.get, 0L)
+    }
+    val ids = Map.newBuilder[String, Long]
+    val it = model.get("vocab").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      gpt2ToSym(e.getKey) match {
+        case Some(sym) => ids += sym -> e.getValue.asLong()
+        case None => () // added/special token — documented out of scope
+      }
+    }
+    Model(merges, ids.result())
+  }
+
   /** Serve token IDS under a LOADED model through the kernel — the
     * file's own id assignment rides the blob's id-override section.
     * Output schema matches [[Bpe.encodeDocsBytesPretokIds]] (same

@@ -101,6 +101,43 @@ class Gpt2ArtifactsSpec extends SparkSpec {
       direct.map(_.getString(2)).toSeq) // different ids
   }
 
+  test("tokenizer.json round-trips and serves bit-identically; pair-shaped merges load too") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val dir = tmp("hfjson")
+    val jpath = s"$dir/tokenizer.json"
+    Gpt2Artifacts.exportTokenizerJson(merges, jpath)
+    val m = Gpt2Artifacts.loadTokenizerJson(jpath)
+    assert(m.merges.map(x => (x.rank, x.left, x.right)) ==
+      merges.map(x => (x.rank, x.left, x.right)))
+    assert(m.symToId == Bpe.byteVocab(merges).map(_.swap).toMap)
+    val direct = Bpe.encodeDocsBytesPretokIdsKernel(docs, "text",
+      "doc_id", merges).orderBy("doc_id").collect()
+    val viaJson = Gpt2Artifacts.encodeDocsIds(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+    direct.zip(viaJson).foreach { case (a, b) => assert(a == b) }
+    // newer HF files ship merges as ["l","r"] PAIRS — rewrite and reload
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(jpath)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val model = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val pairs = mapper.createArrayNode()
+    val it = model.get("merges").elements()
+    while (it.hasNext) {
+      val t = it.next().asText()
+      val sp = t.indexOf(' ')
+      val pair = mapper.createArrayNode()
+      pair.add(t.substring(0, sp)); pair.add(t.substring(sp + 1))
+      pairs.add(pair)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges", pairs)
+    java.nio.file.Files.write(java.nio.file.Paths.get(jpath),
+      mapper.writeValueAsBytes(root))
+    val m2 = Gpt2Artifacts.loadTokenizerJson(jpath)
+    assert(m2.merges == m.merges && m2.symToId == m.symToId)
+  }
+
   test("interop at production size: 32k-merge table round-trips") {
     var state = 99172645463325252L
     def next(): Int = {

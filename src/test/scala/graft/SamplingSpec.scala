@@ -22,6 +22,34 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(k / n - 0.5) < 0.1, s"got ${k / n}")
   }
 
+  test("byWeight: kept rate tracks per-row weights; 1.0 always keeps, 0.0 never; hash-stable") {
+    import spark.implicits._
+    val df = (0L until 4000L).map { i =>
+      (i, if (i % 4 == 0) 1.0 else if (i % 4 == 1) 0.0
+          else if (i % 4 == 2) 0.5 else 0.25)
+    }.toDF("doc_id", "weight")
+    val kept = Sampling.byWeight(df, "doc_id", "weight")
+    val byW = kept.groupBy("weight").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byW(1.0) == 1000L)                 // weight 1 → all kept
+    assert(!byW.contains(0.0))                // weight 0 → none kept
+    assert(math.abs(byW(0.5) / 1000.0 - 0.5) < 0.1)
+    assert(math.abs(byW(0.25) / 1000.0 - 0.25) < 0.1)
+    // membership is a pure key hash — stable under repartitioning
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.byWeight(df.repartition(13), "doc_id", "weight")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // composed with soft-dedup weights: expected mass ≈ distinct count
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val w = graft.dedup.TextDedup.softDedupWeights(corpus, "text", "doc_id")
+    val survivors = Sampling.byWeight(w, "doc_id", "weight").count().toDouble
+    val distinct = corpus.select("text").distinct().count().toDouble
+    assert(math.abs(survivors / distinct - 1.0) < 0.15,
+      s"$survivors vs $distinct")
+  }
+
   test("split partitions the keys disjointly and exhaustively") {
     val out = Sampling.split(docs, "doc_id", 0.7, 0.2, 0.1)
     assert(out.count() == docs.count())
