@@ -333,7 +333,15 @@ object ScaleSoak {
     "ann_index_reindex_serve",
     // tombstone-epoch delete + survivors serve: the incremental
     // soft-dedup shape plus one negative epoch — digest-grain merge
-    "dedup_soft_weights_delete")
+    "dedup_soft_weights_delete",
+    // sketch GATES: one (grouped) sketch aggregate + a broadcast
+    // threshold join + a map-side filter — must stay corpus-flat like
+    // approx_quantile_scores
+    "curate_top_fraction_sketch",
+    "curate_top_fraction_sketch_by_lang",
+    // weighted sampling over soft-dedup weights: the digest-agg shape
+    // plus a map-side hash filter — must inherit dedup_soft_weights' α
+    "dedup_soft_sample")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
