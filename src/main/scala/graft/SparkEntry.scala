@@ -72,11 +72,23 @@ object SparkEntry {
           e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
         size() > 8
     }
-    def get(s: SparkSession, dir: String)(f: => V): V = synchronized {
+    // The training closure f runs OUTSIDE the lock: a full model fit
+    // is many Spark jobs, and holding the single map lock across it
+    // would serialize unrelated fits in concurrent sessions (round-14
+    // advice). Two threads missing the same key may both fit — the
+    // trainers are deterministic, so the duplicate is identical and
+    // last-put-wins changes no result (same reasoning as eviction).
+    def get(s: SparkSession, dir: String)(f: => V): V = {
       val key = (s, dir)
-      val hit = map.get(key)
+      val hit = synchronized(map.get(key))
       if (hit != null) hit
-      else { val v = f; map.put(key, v); v }
+      else {
+        val v = f
+        synchronized {
+          val raced = map.get(key)
+          if (raced != null) raced else { map.put(key, v); v }
+        }
+      }
     }
     def put(key: (SparkSession, String), v: V): Unit = synchronized {
       map.put(key, v)

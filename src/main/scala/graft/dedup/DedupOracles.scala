@@ -38,11 +38,13 @@ FROM documents d JOIN g ON md5(d.text) = g.h
 ORDER BY d.doc_id"""
 
   /** Replay of `Sampling.byWeight` over the soft-dedup weights: keep
-    * doc iff md5-bucket(doc_id) < floor(weight · 10⁴) — in expectation
-    * one surviving copy per duplicate group, never a deterministic
-    * drop of content. Testdata documents are all-distinct at the gate
-    * SF, so the corpus plants one extra copy of every 5th doc
-    * (re-keyed +10000) to exercise sub-1.0 weights. */
+    * doc iff md5-bucket(doc_id) < max(floor(weight · 10⁴), 1 for
+    * positive weight) — in expectation one surviving copy per
+    * duplicate group, never a deterministic drop of content (the ≥ 1
+    * clamp is what keeps sub-10⁻⁴ weights alive — round-14 advice).
+    * Testdata documents are all-distinct at the gate SF, so the
+    * corpus plants one extra copy of every 5th doc (re-keyed +10000)
+    * to exercise sub-1.0 weights. */
   val softSample: String = """WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -54,7 +56,8 @@ w AS (SELECT d.doc_id, g.n AS n_copies,
 SELECT doc_id, n_copies, weight FROM w
 WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
     AS BIGINT) % 10000 AS BIGINT)
-  < CAST(floor(weight * 10000) AS BIGINT)
+  < greatest(CAST(floor(weight * 10000) AS BIGINT),
+             CASE WHEN weight > 0 THEN 1 ELSE 0 END)
 ORDER BY doc_id"""
 
   /** [[softWeights]] over the post-deletion survivor corpus — the gate

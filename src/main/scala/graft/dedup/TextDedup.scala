@@ -98,7 +98,11 @@ object TextDedup {
     * registers CANNOT be un-maxed — no compensation epoch exists for
     * an idempotent max — so deletion there is REBUILD-ONLY (drop the
     * partials dir, re-sketch the surviving corpus); that contract is
-    * documented on the HLL aggregate itself. */
+    * documented on the HLL aggregate itself. The bottom-k quantile
+    * partials ([[graft.streaming.StreamingQuantile]]) are in the same
+    * rebuild-only class for a different structural reason — an epoch's
+    * TRUNCATED sample discarded the rows a deleted entry crowded out,
+    * so no epoch can refill the slot; contract documented there. */
   def softDedupDeletePartial(deleted: DataFrame,
       textCol: String): DataFrame =
     softDedupPartial(deleted, textCol)

@@ -77,6 +77,18 @@ final class QuantileSample(val k: Int) extends Serializable {
     }
   }
 
+  /** Multiset union keeping the k smallest. PRECONDITION: the inputs
+    * must cover DISJOINT row sets — merge does not dedupe, so a row
+    * presented twice (the same epoch read twice, a sketch merged with
+    * itself) contributes two sample slots and biases the estimate
+    * toward its value. The epoch-partial layout satisfies this by
+    * construction (each `batch_id` partition is written exactly once,
+    * idempotent overwrite on replay); a caller merging arbitrary
+    * partials owns the disjointness. Dedup is deliberately NOT built
+    * in: collapsing exact (h, v) collisions would also collapse
+    * genuinely distinct rows that collide (distinct keys, equal value,
+    * 60-bit hash collision), silently breaking the `ORDER BY hash,
+    * value LIMIT k` oracle replay. */
   def merge(o: QuantileSample): Unit = {
     val it = o.heap.iterator()
     while (it.hasNext) { val e = it.next(); offerEntry(e.h, e.v) }

@@ -1011,7 +1011,12 @@ object GraftFunctions {
 
   /** Merge collected [[quantile_sketch_partial]] arrays IN-PLAN:
     * flatten → (h, v) sort → first k → values. Bit-equal to the batch
-    * [[quantile_sketch]] over the union of the partial inputs. */
+    * [[quantile_sketch]] over the union of the partial inputs.
+    * PRECONDITION: the partials must cover DISJOINT row sets — no
+    * dedup happens here, so a row presented through two partials
+    * occupies two sample slots and biases the estimate (see
+    * [[QuantileSample.merge]]; the epoch-partition discipline provides
+    * disjointness by construction). */
   def quantile_merge(partials: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     transform(slice(array_sort(flatten(partials)), 1, k),

@@ -36,12 +36,20 @@ object Sampling {
    * per duplicate group while never deterministically discarding
    * content (Muennighoff repeat-weighting, applied). Threshold =
    * floor(weight × 10⁴) against the shared md5 bucket — all-integer
-   * comparison, oracle-replayable. weight ≥ 1 always keeps; ≤ 0 never.
+   * comparison, oracle-replayable — CLAMPED to ≥ 1 for positive
+   * weights: without the clamp any weight < 10⁻⁴ floors to threshold
+   * 0 and the whole duplicate group is deterministically dropped
+   * (boilerplate duplicated > 10⁴× is routine at corpus scale —
+   * round-14 advice), contradicting the never-discard contract. Under
+   * the clamp a sub-grain weight keeps at the 10⁻⁴ floor rate instead
+   * (slight over-sampling of extreme duplicates; never extinction).
+   * weight ≥ 1 always keeps; ≤ 0 never.
    */
   def byWeight(df: DataFrame, keyCol: String,
       weightCol: String): DataFrame =
     df.filter(bucket(col(keyCol)) <
-      floor(col(weightCol) * 10000).cast("long"))
+      greatest(floor(col(weightCol) * 10000).cast("long"),
+        when(col(weightCol) > 0, 1L).otherwise(0L)))
 
   /**
    * Deterministic stratified sample: a per-stratum fraction (e.g. keep

@@ -18,6 +18,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * twice; and because an element of the global bottom-k is in its
  * epoch's bottom-k, the merged sample EQUALS the single batch sketch
  * over the full history — the batch query's oracle is the gate.
+ * (Disjoint epochs are also what licenses the merge itself — see the
+ * precondition on [[graft.functions.QuantileSample.merge]].)
+ *
+ * DELETION CONTRACT (right-to-be-forgotten): REBUILD-ONLY — the
+ * [[StreamingApproxDistinct]] precedent, for the same structural
+ * reason. An epoch partial is a TRUNCATED bottom-k: rows outside the
+ * k smallest were discarded at commit time, so no compensation epoch
+ * can re-surface them. A deleted row may occupy an epoch's bottom-k —
+ * filtering its (h, v) entry out of the partials leaves the slot
+ * empty instead of refilling it with the survivor it crowded out, so
+ * the merged sample under-represents survivors near the boundary and
+ * the estimate biases high. Unlike the additive layouts (BM25 df,
+ * soft-dedup counts), there is no negative-tombstone path: to forget
+ * items, drop the partials directory and re-sketch the surviving
+ * corpus (one pass; the sketch is deterministic, so the rebuild is
+ * reproducible). Pinned by `StreamingQuantileSpec`'s deletion spec.
  *
  * Scale shape: each epoch commits ≤ k (h, v) pairs per group (16·k
  * bytes); serving folds epochs × k rows per group — epoch-count work,

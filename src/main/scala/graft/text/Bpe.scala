@@ -690,8 +690,13 @@ object Bpe {
   /** [[mergeBlob]] with an explicit symbol-to-id section (after U+0003):
     * the transport for EXTERNALLY-LOADED vocabularies
     * ([[Gpt2Artifacts.load]]) whose id assignment differs from
-    * [[byteVocab]]'s -- the override entries replace the derived ids,
-    * so a published tokenizer serves ITS OWN ids. */
+    * [[byteVocab]]'s. The section is AUTHORITATIVE, not an overlay:
+    * a kernel-producible symbol the map does not cover serves no id —
+    * [[wordByteIdsBlob]] throws on it — rather than silently falling
+    * back to the derived assignment (which can collide with the
+    * file's real id for a different token). A complete artifact
+    * (every base byte + every merge output mapped — what
+    * export/published files carry) never hits the guard. */
   def mergeBlobWithIds(merges: Seq[Merge],
       symToId: Map[String, Long]): String =
     mergeBlob(merges) + BlobSect +
@@ -830,7 +835,15 @@ object Bpe {
         (e.substring(0, i), e.substring(i + 1))
       }
     val model = new MergeModel(entries)
-    if (sect >= 0) { // external id assignment overrides byteVocab's
+    if (sect >= 0) { // external id assignment REPLACES byteVocab's
+      // The id section is authoritative: every interned symbol the
+      // file's vocab does NOT cover must read −1, not the derived
+      // default — a byteVocab-derived fallback id can collide with the
+      // file's real assignment of a DIFFERENT token, so a trimmed or
+      // partial external vocab would serve silently wrong ids instead
+      // of hitting wordByteIdsBlob's corrupt-blob guard (round-14
+      // advice).
+      java.util.Arrays.fill(model.idOf, -1L)
       val idPart = b.substring(sect + 1)
       if (idPart.nonEmpty) idPart.split(BlobEntry).foreach { e =>
         val i = e.indexOf(BlobField.toInt)
@@ -904,7 +917,10 @@ object Bpe {
    * ints: no per-probe allocation), INDEPENDENT of the merge count.
    * This is the serving path that survives a production 50k-merge
    * table; the fold is `numMerges` nested replaces and dies at
-   * analysis time.
+   * analysis time. The quadratic is in the INPUT length — the serving
+   * entry points call [[applyIntsBounded]], which chunks overlong
+   * pretokens at [[MaxPretokenBytes]] so per-document work stays
+   * linear.
    */
   private[Bpe] def applyInts(syms0: Array[Int],
       model: MergeModel): Array[Int] = {
@@ -987,21 +1003,67 @@ object Bpe {
     out
   }
 
-  /** Kernel entry: byte-BPE SYMBOLS of one word under a blob model. */
+  /**
+   * PER-PRETOKEN WORK BOUND (round-14 verdict — the tokenizer's last
+   * open scale axis, the INPUT axis): [[applyInts]] is O(len²)
+   * primitive probes per pretoken, and crawl corpora contain megabyte
+   * unbroken letter/number runs (minified JS, base64 blobs) that GPT-2
+   * pretokenization emits as ONE pretoken — a single pathological
+   * document would wedge a task for ~10¹² probes. Pretokens longer
+   * than this many BYTES are split into fixed chunks before the
+   * kernel and each chunk encoded independently, capping the work at
+   * O(len · MaxPretokenBytes) — linear in the document.
+   *
+   * Semantics of the bound (the HF `max_input_chars_per_word`
+   * convention, applied to byte-BPE): merges never span a chunk
+   * boundary, so a > 16 KiB unbroken run tokenizes as its chunks'
+   * independent encodings. No published vocabulary carries a merge
+   * output anywhere near 2¹⁴ bytes (GPT-2/HF byte-BPE tokens top out
+   * around 10²), so for real models the boundary can only interrupt a
+   * merge that would not exist — the divergence is confined to
+   * adversarial/synthetic tables, and EVERY sub-bound pretoken (all of
+   * testdata, all published-vocab text) encodes bit-identically to the
+   * unbounded fold. Pinned by `BpeKernelSpec`'s overlong-run specs.
+   */
+  val MaxPretokenBytes: Int = 1 << 14
+
+  /** [[applyInts]] in ≤ [[MaxPretokenBytes]]-symbol chunks — the
+    * bounded kernel the serving entry points call. Sub-bound inputs
+    * (the overwhelming case) take the untouched single-chunk path. */
+  private[Bpe] def applyIntsBounded(syms0: Array[Int],
+      model: MergeModel): Array[Int] = {
+    if (syms0.length <= MaxPretokenBytes) applyInts(syms0, model)
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](
+        syms0.length / 2)
+      var off = 0
+      while (off < syms0.length) {
+        val end = math.min(off + MaxPretokenBytes, syms0.length)
+        out ++= applyInts(
+          java.util.Arrays.copyOfRange(syms0, off, end), model)
+        off = end
+      }
+      out.toArray
+    }
+  }
+
+  /** Kernel entry: byte-BPE SYMBOLS of one word under a blob model
+    * (work bounded per [[MaxPretokenBytes]]). */
   def wordByteSymbolsBlob(word: String, blobRef: AnyRef,
       blobStr: => String): Array[String] = {
     val model = modelForBlob(blobRef, blobStr)
-    applyInts(byteSymbolInts(word), model).map(model.intToSym)
+    applyIntsBounded(byteSymbolInts(word), model).map(model.intToSym)
   }
 
   /** Kernel entry: byte-BPE TOKEN IDS of one word under a blob model —
     * [[byteVocab]]'s assignment (or the blob's id-override section),
     * total by construction (every symbol the kernel can produce is a
-    * base byte or a merge output). */
+    * base byte or a merge output); work bounded per
+    * [[MaxPretokenBytes]]. */
   def wordByteIdsBlob(word: String, blobRef: AnyRef,
       blobStr: => String): Array[Long] = {
     val model = modelForBlob(blobRef, blobStr)
-    val syms = applyInts(byteSymbolInts(word), model)
+    val syms = applyIntsBounded(byteSymbolInts(word), model)
     val out = new Array[Long](syms.length)
     var i = 0
     while (i < syms.length) {

@@ -114,8 +114,14 @@ object Gpt2Artifacts {
     val d = Paths.get(dir)
     val lines = new String(
       Files.readAllBytes(d.resolve("vocab.bpe")), UTF_8).split("\n")
+    // Skip ONLY the '#version' header (HF tokenizers' convention;
+    // gpt2/encoder.py skips exactly the first line). '#' is byte 0x23
+    // of the GPT-2 alphabet, so REAL merge lines start with '#'
+    // (published vocab.bpe files contain e.g. '# #') — a blanket
+    // '#'-prefix filter would silently drop them and shift every
+    // later rank (round-14 advice).
     val merges = lines.iterator
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .zipWithIndex.map { case (l, rank) =>
         val sp = l.indexOf(' ')
         require(sp > 0 && l.indexOf(' ', sp + 1) < 0,

@@ -227,6 +227,92 @@ class BpeKernelSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown token id"))
   }
 
+  // ------------------------------------------ input-axis work bound
+
+  test("overlong unbroken runs encode in bounded time via fixed chunks (input-axis bound)") {
+    // Crawl corpora contain megabyte unbroken runs (minified JS,
+    // base64) that GPT-2 pretokenization emits as ONE pretoken; the
+    // unbounded kernel is O(len²) per pretoken (round-14 verdict —
+    // the tokenizer's last open scale axis). The serving entry points
+    // chunk at MaxPretokenBytes, so per-document work is linear.
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val blob = Bpe.mergeBlob(merges)
+    val model = Bpe.modelForBlob(blob, blob)
+    val run = "ab" * 1500000 // one 3 MB unbroken pretoken
+    val t0 = System.nanoTime()
+    val got = Bpe.wordByteSymbolsBlob(run, blob, blob)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"bounded kernel took $secs s on a 3 MB run")
+    // semantics: each MaxPretokenBytes-byte chunk encoded independently
+    val hexSyms = run.getBytes("UTF-8").map(b => f"${b & 0xff}%02X")
+    val expected = hexSyms.grouped(Bpe.MaxPretokenBytes)
+      .flatMap(ch => Bpe.applySequential(ch.toArray, model)).toArray
+    assert(got.sameElements(expected))
+    // the no-unk round trip survives chunking
+    assert(Bpe.decodeByteSymbols(got.toSeq) == run)
+    // ids path uses the same bound
+    val ids = Bpe.wordByteIdsBlob(run, blob, blob)
+    assert(ids.length == got.length)
+  }
+
+  test("chunk boundary semantics: merges never span chunks; sub-bound inputs are untouched") {
+    import Bpe.Merge
+    // aa, then aa+a — a 3-byte output whose final merge can straddle an
+    // even chunk boundary, making the documented divergence visible
+    val merges = Seq(Merge(0, "61", "61", 0L), Merge(1, "6161", "61", 0L))
+    val blobClean = Bpe.mergeBlob(merges)
+    val model = Bpe.modelForBlob(blobClean, blobClean)
+    val bound = Bpe.MaxPretokenBytes
+    // exactly at the bound: single chunk — bit-identical to unbounded
+    val atBound = "a" * bound
+    val unb = Bpe.applySequential(
+      atBound.getBytes("UTF-8").map(b => f"${b & 0xff}%02X"), model)
+    assert(Bpe.wordByteSymbolsBlob(atBound, blobClean, blobClean)
+      .sameElements(unb))
+    // one past the bound: the final (aa, a) merge would span the
+    // boundary — bounded output keeps the chunks independent
+    val over = "a" * (bound + 1)
+    val bounded = Bpe.wordByteSymbolsBlob(over, blobClean, blobClean)
+    assert(bounded.length == bound / 2 + 1)
+    assert(bounded.take(bound / 2).forall(_ == "6161") &&
+      bounded.last == "61")
+    val unbounded = Bpe.applySequential(
+      over.getBytes("UTF-8").map(b => f"${b & 0xff}%02X"), model)
+    // the unbounded fold WOULD have merged across the boundary — the
+    // divergence is real, confined to >16 KiB unbroken runs, and
+    // documented on MaxPretokenBytes
+    assert(unbounded.last == "616161" && !bounded.sameElements(unbounded))
+    // round trip still exact
+    assert(Bpe.decodeByteSymbols(bounded.toSeq) == over)
+  }
+
+  // ---------------------------------------- blob id-section coverage
+
+  test("a trimmed external id section refuses to serve instead of guessing ids") {
+    import Bpe.Merge
+    val merges = Seq(Merge(0, "61", "61", 0L))
+    val fullIds = Bpe.byteVocab(merges).map(_.swap).toMap
+    // complete artifact: serves the FILE's ids (shifted to prove the
+    // override is honored, not the derived assignment)
+    val shifted = fullIds.map { case (s, i) => (s, i + 1000L) }
+    val okBlob = Bpe.mergeBlobWithIds(merges, shifted)
+    assert(Bpe.wordByteIdsBlob("aa", okBlob, okBlob).toSeq == Seq(1256L))
+    // trimmed artifact missing the merge output: the derived default
+    // (256) could collide with the file's real id for ANOTHER token —
+    // the guard must fire, not silently fall back (round-14 advice)
+    val noMerge = Bpe.mergeBlobWithIds(merges, shifted - "6161")
+    intercept[IllegalStateException] {
+      Bpe.wordByteIdsBlob("aa", noMerge, noMerge)
+    }
+    // trimmed artifact missing a base byte symbol: same refusal
+    val noBase = Bpe.mergeBlobWithIds(merges, shifted - "62")
+    intercept[IllegalStateException] {
+      Bpe.wordByteIdsBlob("b", noBase, noBase)
+    }
+    // symbols the word never produces don't trip the guard
+    assert(Bpe.wordByteIdsBlob("aa", noBase, noBase).toSeq == Seq(1256L))
+  }
+
   test("blob round-trip and memoization") {
     val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
     val blob = Bpe.mergeBlob(merges)

@@ -54,6 +54,29 @@ class Gpt2ArtifactsSpec extends SparkSpec {
     assert(m.symToId == Bpe.byteVocab(merges).map(_.swap).toMap)
   }
 
+  test("'#'-leading merge lines round-trip: only the #version header is skipped") {
+    // '#' is byte 0x23 of the GPT-2 alphabet, so real published
+    // vocab.bpe files contain merge lines starting with '#' (GPT-2's
+    // own file has '# #' — the '##' token). A blanket '#'-prefix
+    // filter would silently drop them and shift every later rank
+    // (round-14 advice).
+    val merges = Seq(Merge(0, "23", "23", 0L), Merge(1, "2323", "23", 0L),
+      Merge(2, "61", "62", 0L))
+    val dir = tmp("hash")
+    Gpt2Artifacts.export(merges, dir)
+    val lines = new String(Files.readAllBytes(
+      Paths.get(dir, "vocab.bpe")), "UTF-8").split("\n")
+    assert(lines.head == "#version: 0.2")
+    assert(lines(1) == "# #" && lines(2) == "## #")
+    val m = Gpt2Artifacts.load(dir)
+    assert(m.merges.map(x => (x.rank, x.left, x.right)) ==
+      merges.map(x => (x.rank, x.left, x.right)))
+    // the loaded table actually serves the '#' merges: '###' is one token
+    assert(Bpe.encodeWordBytesKernel("###", m.merges).toSeq == Seq("232323"))
+    val blob = Bpe.mergeBlobWithIds(m.merges, m.symToId)
+    assert(Bpe.wordByteIdsBlob("###", blob, blob).toSeq == Seq(257L))
+  }
+
   test("loaded model serves bit-identically to the trained one (ids path)") {
     val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
     val dir = tmp("serve")

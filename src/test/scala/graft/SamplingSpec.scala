@@ -50,6 +50,24 @@ class SamplingSpec extends SparkSpec {
       s"$survivors vs $distinct")
   }
 
+  test("byWeight: sub-10⁻⁴ weights survive at the grain floor instead of deterministic extinction") {
+    import spark.implicits._
+    // weight 1/20000 floors to threshold 0 without the clamp — a
+    // duplicate group with n_copies > 10⁴ (routine boilerplate at
+    // corpus scale) would be deterministically erased, contradicting
+    // the never-discard contract (round-14 advice). With the clamp the
+    // group keeps at the 10⁻⁴ floor rate.
+    val n = 100000L
+    val tiny = (0L until n).map(i => (i, 1.0 / 20000)).toDF("doc_id", "weight")
+    val kept = Sampling.byWeight(tiny, "doc_id", "weight").count()
+    assert(kept > 0, "sub-grain weights must never be extinguished")
+    assert(kept < n / 2000, s"clamp keeps ~1e-4, got $kept of $n")
+    // zero and negative weights still never keep
+    val dead = (0L until 1000L).map(i => (i, if (i % 2 == 0) 0.0 else -0.5))
+      .toDF("doc_id", "weight")
+    assert(Sampling.byWeight(dead, "doc_id", "weight").count() == 0)
+  }
+
   test("split partitions the keys disjointly and exhaustively") {
     val out = Sampling.split(docs, "doc_id", 0.7, 0.2, 0.1)
     assert(out.count() == docs.count())
