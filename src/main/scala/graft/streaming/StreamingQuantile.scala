@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * soft-dedup counts), there is no negative-tombstone path: to forget
  * items, drop the partials directory and re-sketch the surviving
  * corpus (one pass; the sketch is deterministic, so the rebuild is
- * reproducible). Pinned by `StreamingQuantileSpec`'s deletion spec.
+ * reproducible). Pinned by `QuantileSketchSpec`'s deletion spec.
  *
  * Scale shape: each epoch commits ≤ k (h, v) pairs per group (16·k
  * bytes); serving folds epochs × k rows per group — epoch-count work,

@@ -138,6 +138,46 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("deletion contract is rebuild-only: filtering tombstones out of truncated partials biases; re-sketching survivors is exact") {
+    // An epoch partial is a TRUNCATED bottom-k: rows outside the k
+    // smallest were discarded at commit time, so no compensation epoch
+    // can re-surface the survivors a deleted row crowded out
+    // (StreamingQuantile's documented contract).
+    val k = 16
+    // value ↔ key is a bijection (v = i, key = "k<i>"), so a partial
+    // entry identifies its row exactly
+    val rows = (0 until 100).map(i => (s"k$i", i.toDouble))
+      .toDF("key", "score")
+    val epochA = rows.filter(col("score") < 50)
+    val epochB = rows.filter(col("score") >= 50)
+    def partialRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.agg(GraftFunctions
+        .quantile_sketch_partial(col("score"), col("key"), k).as("p"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    val pA = partialRows(epochA)
+    assert(pA.size == k) // truncation actually bit (50 rows → 16 kept)
+    // delete exactly the rows epoch A retained: their (h, v) entries
+    // vanish from the partial, but the rows they crowded out were
+    // already discarded at commit time
+    val deletedHashes = pA.map(_._1).toSet
+    val deletedKeys = pA.map(e => s"k${e._2.toInt}").toSet
+    val filteredMerged = (pA.filterNot(e => deletedHashes(e._1)) ++
+      partialRows(epochB)).sorted.take(k).map(_._2)
+    // ground truth: a fresh sketch over the SURVIVING corpus
+    val survA = epochA.filter(!col("key").isin(deletedKeys.toSeq: _*))
+    val batchSurv = partialRows(survA.unionByName(epochB)).map(_._2)
+    // naive tombstone filtering loses epoch A's survivors entirely —
+    // the merged sample under-represents them and the estimate biases
+    assert(filteredMerged != batchSurv,
+      "tombstone filtering of truncated partials must NOT equal a survivor rebuild")
+    // the supported path — drop the partials, re-sketch survivors —
+    // merges to the survivor batch sketch exactly (bottom-k union)
+    val rebuiltMerged = (partialRows(survA) ++ partialRows(epochB))
+      .sorted.take(k).map(_._2)
+    assert(rebuiltMerged == batchSurv)
+  }
+
   test("k bounds are enforced") {
     val e = intercept[Exception] {
       scored.agg(GraftFunctions
