@@ -1065,6 +1065,31 @@ object SparkEntry {
         graft.text.Gpt2Artifacts.loadTokenizerJson(jpath))
         .orderBy("doc_id")
     }),
+    // SPECIAL-TOKEN round trip (round-14 verdict ask #2): train, export
+    // tokenizer.json WITH an added_tokens special, load it back, serve
+    // a corpus with PLANTED special markers through the text-level
+    // kernel — specials split first (never merge across) and emit the
+    // file's own id; segments pretokenize + byte-encode in-kernel.
+    // Oracle replays the split/interleave segment by segment.
+    "bpe_specials_roundtrip_encode_ids" -> ((s, dir) => {
+      val jpath = tmpIndexDir("hfspecials", dir) + "/tokenizer.json"
+      graft.text.Gpt2Artifacts.exportTokenizerJson(
+        graft.text.Bpe.trainBytes(
+          graft.text.Bpe.pretokenSample(Demo.table(s, dir, "documents"),
+            "text", 256), 24), jpath,
+        specials = Seq("<|endoftext|>"))
+      () => {
+        val model = graft.text.Gpt2Artifacts.loadTokenizerJson(jpath)
+        val planted = Demo.table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("<|endoftext|>"))
+              .otherwise(lit("")),
+            col("text"), lit("<|endoftext|>"), col("text")).as("text"))
+        graft.text.Gpt2Artifacts.encodeDocsIdsSpecials(
+          planted, "text", "doc_id", model)
+          .orderBy("doc_id")
+      }
+    }),
     // Trained unigram-LM vocabulary persisted once, encoding served
     // from it — stored (piece, score) longs ARE what the kernel
     // applies, so serve output is bit-identical to tokenize_unigram
@@ -2734,6 +2759,8 @@ object SparkEntry {
       buildServe("bpe_gpt2_roundtrip_encode_ids")(s, dir)()),
     "bpe_hf_roundtrip_encode_ids" -> ((s, dir) =>
       buildServe("bpe_hf_roundtrip_encode_ids")(s, dir)()),
+    "bpe_specials_roundtrip_encode_ids" -> ((s, dir) =>
+      buildServe("bpe_specials_roundtrip_encode_ids")(s, dir)()),
     // Training-data ops: unigram-LM (SentencePiece) tokenizer trained
     // in-engine by deterministic Viterbi-EM over a bounded type sample
     // — the third tokenizer family (wordpiece, BPE, unigram). The
@@ -3665,6 +3692,9 @@ object SparkEntry {
     "bpe_byte_pretok_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "bpe_gpt2_roundtrip_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
     "bpe_hf_roundtrip_encode_ids" -> graft.text.Bpe.oracleBytePretokEncodeIdsSql(24, 256),
+    "bpe_specials_roundtrip_encode_ids" ->
+      graft.text.Bpe.oracleBytePretokSpecialsEncodeIdsSql(24, 256,
+        "<|endoftext|>"),
     "pack_sequences_trained" -> graft.text.Bpe.oraclePackSql(24, 256, 512),
     "pack_sequences_byte" -> graft.text.Bpe.oracleBytePretokPackSql(24, 256, 512),
     "bpe_encode_from_model" -> graft.text.Bpe.oracleEncodeSql(24, 256),

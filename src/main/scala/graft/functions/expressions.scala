@@ -76,6 +76,13 @@ object TokenizerAdapters extends Serializable {
   def bpeByteIds(word: UTF8String, blob: UTF8String): ArrayData =
     ArrayData.toArrayData(
       graft.text.Bpe.wordByteIdsBlob(word.toString, blob, blob.toString))
+
+  /** TEXT-level byte-BPE ids with special-token support
+    * ([[graft.text.Bpe.textIdsBlob]]): specials split first and emit
+    * their own ids, segments pretokenize + encode in the kernel. */
+  def bpeTextIds(text: UTF8String, blob: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.Bpe.textIdsBlob(text.toString, blob, blob.toString))
 }
 
 /** Text canonicalization kernel — the C4/CCNet-style normalization a
@@ -948,6 +955,19 @@ object GraftFunctions {
     col(StaticInvoke(TokenizerAdapters.getClass,
       ArrayType(LongType, containsNull = false), "bpeByteIds",
       Seq(expr(word), expr(blob)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** TEXT-level byte-BPE ids with SPECIAL-TOKEN support — the verbatim
+    * serving path for published tokenizers ([[graft.text.Bpe.textIdsBlob]]
+    * under a [[graft.text.Bpe.mergeBlobWithSpecials]] blob): specials
+    * split first and emit their section ids, the text between them
+    * pretokenizes (GPT-2 regex, in-kernel) and encodes through the
+    * bounded byte kernel. One StaticInvoke per document. */
+  def bpe_text_ids(text: Column, blob: Column): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "bpeTextIds",
+      Seq(expr(text), expr(blob)),
       inputTypes = Seq(StringType, StringType),
       propagateNull = true, returnNullable = false))
 

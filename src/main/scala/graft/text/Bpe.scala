@@ -704,6 +704,27 @@ object Bpe {
         .map { case (s, i) => s + BlobField + i }
         .mkString(BlobEntry.toString)
 
+  /** [[mergeBlobWithIds]] with a third section carrying SPECIAL TOKENS
+    * (`<|endoftext|>`-class markers): raw special string ␁ id, joined
+    * by ␂. Specials are matched on the TEXT before pretokenization
+    * ([[textIdsBlob]]) — they never merge across, and their ids come
+    * from this section, not from the byte vocab. Special strings must
+    * not contain the blob separators or the symbol brackets (control
+    * chars — no published special does). */
+  def mergeBlobWithSpecials(merges: Seq[Merge],
+      symToId: Map[String, Long],
+      specials: Seq[(String, Long)]): String = {
+    specials.foreach { case (sp, _) =>
+      require(sp.nonEmpty && !sp.exists(c =>
+        c == BlobField || c == BlobEntry || c == BlobSect ||
+          c == Open || c == Close),
+        s"special token contains a reserved control character: '$sp'")
+    }
+    mergeBlobWithIds(merges, symToId) + BlobSect +
+      specials.map { case (sp, i) => sp + BlobField + i }
+        .mkString(BlobEntry.toString)
+  }
+
   /** The 256 two-hex-digit byte symbols, interned once. */
   private val HexPair: Array[String] =
     Array.tabulate(256)(b => f"$b%02X")
@@ -811,6 +832,11 @@ object Bpe {
     }
     /** interned int → symbol string. */
     private[Bpe] val intToSym: Array[String] = symsBuf.toArray
+    /** Special tokens (blob section 3), LONGEST-FIRST — the match
+      * precedence of [[textIdsBlob]] (ties by string for determinism).
+      * Set once by [[parseBlob]]; empty for ordinary models. */
+    private[Bpe] var specialStrs: Array[String] = Array.empty
+    private[Bpe] var specialIds: Array[Long] = Array.empty
     /** [[byteVocab]] id per interned symbol (−1 = no id; bases first,
       * merge outputs after — later-rank duplicates overwrite, exactly
       * `byteVocab(merges).toMap`); blob id-override section replaces. */
@@ -826,8 +852,9 @@ object Bpe {
   }
 
   private def parseBlob(b: String): MergeModel = {
-    val sect = b.indexOf(BlobSect.toInt)
-    val mergePart = if (sect < 0) b else b.substring(0, sect)
+    // sections: merges [␃ ids [␃ specials]]
+    val parts = b.split(BlobSect.toString, -1)
+    val mergePart = parts(0)
     val entries =
       if (mergePart.isEmpty) Array.empty[(String, String)]
       else mergePart.split(BlobEntry).map { e =>
@@ -835,7 +862,7 @@ object Bpe {
         (e.substring(0, i), e.substring(i + 1))
       }
     val model = new MergeModel(entries)
-    if (sect >= 0) { // external id assignment REPLACES byteVocab's
+    if (parts.length > 1) { // external id assignment REPLACES byteVocab's
       // The id section is authoritative: every interned symbol the
       // file's vocab does NOT cover must read −1, not the derived
       // default — a byteVocab-derived fallback id can collide with the
@@ -844,7 +871,7 @@ object Bpe {
       // of hitting wordByteIdsBlob's corrupt-blob guard (round-14
       // advice).
       java.util.Arrays.fill(model.idOf, -1L)
-      val idPart = b.substring(sect + 1)
+      val idPart = parts(1)
       if (idPart.nonEmpty) idPart.split(BlobEntry).foreach { e =>
         val i = e.indexOf(BlobField.toInt)
         val sym = e.substring(0, i)
@@ -855,6 +882,14 @@ object Bpe {
         if (known != null)
           model.idOf(known.intValue()) = e.substring(i + 1).toLong
       }
+    }
+    if (parts.length > 2 && parts(2).nonEmpty) { // special tokens
+      val sp = parts(2).split(BlobEntry).map { e =>
+        val i = e.indexOf(BlobField.toInt)
+        (e.substring(0, i), e.substring(i + 1).toLong)
+      }.sortBy { case (s, _) => (-s.length, s) } // longest-first
+      model.specialStrs = sp.map(_._1)
+      model.specialIds = sp.map(_._2)
     }
     model
   }
@@ -1063,18 +1098,95 @@ object Bpe {
   def wordByteIdsBlob(word: String, blobRef: AnyRef,
       blobStr: => String): Array[Long] = {
     val model = modelForBlob(blobRef, blobStr)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.max(4, word.length))
+    appendWordIds(word, model, out)
+    out.toArray
+  }
+
+  /** [[Gpt2Pretok]] compiled once — the kernel-side pretokenizer of
+    * [[textIdsBlob]]. java.util.regex successive `find()` is exactly
+    * `regexp_extract_all`'s semantics (same engine), so the streams
+    * agree with the Column [[pretokens]] path by construction. */
+  private val Gpt2PretokPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(Gpt2Pretok)
+
+  /** Ids of one pretoken appended to `out` — the shared tail of
+    * [[wordByteIdsBlob]] and [[textIdsBlob]] (bounded kernel + the
+    * id-coverage guard). */
+  private def appendWordIds(word: String, model: MergeModel,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
     val syms = applyIntsBounded(byteSymbolInts(word), model)
-    val out = new Array[Long](syms.length)
     var i = 0
     while (i < syms.length) {
       val id = model.idOf(syms(i))
       if (id < 0L) throw new IllegalStateException(
         s"byte-BPE symbol without a vocab id: '${model.intToSym(syms(i))}'" +
           " — impossible for kernel-produced symbols; the blob is corrupt")
-      out(i) = id
+      out += id
       i += 1
     }
-    out
+  }
+
+  /**
+   * TEXT-level id kernel with SPECIAL-TOKEN support (round-14 verdict
+   * ask #2 — serving a published tokenizer VERBATIM on real corpora):
+   * the text is first split on the model's special tokens (leftmost
+   * occurrence wins; at equal positions the LONGEST special — the HF
+   * added-token precedence), each special emits its own id from the
+   * blob's specials section, and the text BETWEEN specials goes
+   * through GPT-2 pretokenization + the bounded byte-BPE kernel.
+   * Specials never merge across — a special is a hard segment
+   * boundary, exactly `tokenizers`' added-token semantics.
+   *
+   * Pretokenization happens IN the kernel (same Java regex the Column
+   * path compiles to), so one StaticInvoke serves the whole document;
+   * marker-bracket carriers are dropped exactly as [[pretokens]] does.
+   * Models without specials degrade to pretokenize + encode — the
+   * plain [[encodeDocsBytesPretokIdsKernel]] stream.
+   */
+  def textIdsBlob(text: String, blobRef: AnyRef,
+      blobStr: => String): Array[Long] = {
+    val model = modelForBlob(blobRef, blobStr)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.max(16, text.length / 3))
+    val specials = model.specialStrs
+    def encodeSegment(seg: CharSequence): Unit = {
+      val m = Gpt2PretokPattern.matcher(seg)
+      while (m.find()) {
+        val w = m.group()
+        if (w.indexOf(Open.toInt) < 0 && w.indexOf(Close.toInt) < 0)
+          appendWordIds(w, model, out)
+      }
+    }
+    if (specials.isEmpty) encodeSegment(text)
+    else {
+      var pos = 0
+      while (pos < text.length) {
+        // earliest special occurrence from pos; specials are stored
+        // longest-first, so `<` keeps the longer match on position ties
+        var bestIdx = -1
+        var bestSp = -1
+        var s = 0
+        while (s < specials.length) {
+          val idx = text.indexOf(specials(s), pos)
+          if (idx >= 0 && (bestIdx < 0 || idx < bestIdx)) {
+            bestIdx = idx; bestSp = s
+          }
+          s += 1
+        }
+        if (bestIdx < 0) {
+          encodeSegment(text.subSequence(pos, text.length))
+          pos = text.length
+        } else {
+          if (bestIdx > pos)
+            encodeSegment(text.subSequence(pos, bestIdx))
+          out += model.specialIds(bestSp)
+          pos = bestIdx + specials(bestSp).length
+        }
+      }
+    }
+    out.toArray
   }
 
   /** [[encodeWordBytes]] through the kernel structures — the driver
@@ -1188,8 +1300,12 @@ object Bpe {
     "('''s', '''t', '''re', '''ve', '''m', '''ll', '''d')"
   private val oLetterRun = """^\p{L}+$"""
 
-  private val oPretoks: String = {
-    val p0 = s"regexp_extract_all(text, '$oPretokRe')"
+  private val oPretoks: String = oPretoksOf("text")
+
+  /** [[oPretoks]] over an arbitrary source expression (the specials
+    * oracle pretokenizes SEGMENTS between special markers). */
+  private def oPretoksOf(src: String): String = {
+    val p0 = s"regexp_extract_all($src, '$oPretokRe')"
     s"""flatten(list_transform($p0, (x, i) ->
       CASE
         WHEN regexp_matches(x, '$oWsRun') AND length(x) >= 2
@@ -1437,6 +1553,63 @@ SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
   coalesce(a.h, md5('')) AS ids_md5
 FROM documents d LEFT JOIN ia a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id"""
+
+  /** Oracle for [[Gpt2Artifacts.encodeDocsIdsSpecials]] over a corpus
+    * with PLANTED special markers: each document becomes
+    * `[special if doc_id%3=0] ‖ text ‖ special ‖ text`; the oracle
+    * replays training (shared CTEs), splits each planted text on the
+    * special literal, pretokenizes and byte-encodes every SEGMENT
+    * independently (specials never merge across — the kernel's hard
+    * segment boundary), and interleaves the special's id (= 256 +
+    * achieved merge count, the export assignment) between segments.
+    * Digest order is (segment, pretoken, symbol) — document order. */
+  def oracleBytePretokSpecialsEncodeIdsSql(numMerges: Int, topK: Int,
+      special: String): String = {
+    require(!special.contains("'"), "special must be SQL-literal-safe")
+    val sp = special
+    s"""WITH RECURSIVE ${trainCtes(numMerges, topK, byteSealSql, oPretoks)},
+corpus AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '$sp' ELSE '' END
+      || text || '$sp' || text AS ptext
+  FROM documents),
+seg AS (SELECT doc_id, generate_subscripts(ss, 1) AS sp,
+          unnest(ss) AS segt, len(ss) AS nseg
+        FROM (SELECT doc_id, string_split(ptext, '$sp') AS ss FROM corpus)),
+dws AS (SELECT doc_id, sp, generate_subscripts(ws2, 1) AS wpos,
+          unnest(ws2) AS word
+        FROM (SELECT doc_id, sp,
+                list_filter(${oPretoksOf("segt")},
+                  x -> strpos(x, chr(30)) = 0 AND strpos(x, chr(31)) = 0)
+                  AS ws2
+              FROM seg)),
+es(doc_id, sp, wpos, sym, k) AS (
+  SELECT doc_id, sp, wpos, ${byteSealSql("word")}, 0 FROM dws
+  UNION ALL
+  SELECT es.doc_id, es.sp, es.wpos,
+    replace(sym, '$O' || lhs || '$C$O' || rhs || '$C',
+                 '$O' || lhs || rhs || '$C'), k + 1
+  FROM es JOIN allm ON allm.rank = es.k),
+fins AS (SELECT doc_id, sp, wpos,
+           string_split(trim(sym, '$O$C'), '$C$O') AS syms
+         FROM es WHERE k = (SELECT count(*) FROM allm)),
+$vocabCtes,
+sy AS (SELECT doc_id, sp, wpos, generate_subscripts(syms, 1) AS ip,
+         unnest(syms) AS sym FROM fins),
+im AS (SELECT sy.doc_id, sy.sp, sy.wpos, sy.ip, vocab.id
+       FROM sy JOIN vocab USING (sym)),
+spc AS (SELECT doc_id, sp, 2147483647 AS wpos, 0 AS ip,
+          CAST(256 + (SELECT count(*) FROM allm) AS BIGINT) AS id
+        FROM seg WHERE sp < nseg),
+tok AS (SELECT * FROM im UNION ALL SELECT * FROM spc),
+ia AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         md5(string_agg(CAST(id AS VARCHAR), ' '
+           ORDER BY sp, wpos, ip)) AS h
+       FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n, 0) AS n_bpe_tokens,
+  coalesce(a.h, md5('')) AS ids_md5
+FROM documents d LEFT JOIN ia a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+  }
 
   /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]
     * (shard = lang): the encode chain's per-document counts feed the

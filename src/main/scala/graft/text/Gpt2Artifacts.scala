@@ -25,15 +25,25 @@ import org.apache.spark.sql.DataFrame
  * bit-identically to `m` (spec + the oracle-gated
  * `bpe_gpt2_roundtrip_encode_ids` query).
  *
- * Out of scope: special tokens (`<|endoftext|>`) — they are not byte
- * sequences; encoder.json entries that don't decode under the GPT-2
- * alphabet are skipped on load with this documented semantics.
+ * SPECIAL TOKENS (round-14 verdict ask #2): `<|endoftext|>`-class
+ * markers are carried on [[Model.specials]] and served VERBATIM —
+ * encode splits on them first (they never merge across, the HF
+ * added-token semantics) and emits the file's id for each occurrence
+ * ([[encodeDocsIdsSpecials]] / [[graft.text.Bpe.textIdsBlob]]).
+ * `tokenizer.json` round-trips them through `added_tokens`; the GPT-2
+ * two-file format declares no specials in-band (encoder.py hardcodes
+ * them), so [[load]] takes the special STRINGS as a parameter and
+ * resolves their ids from encoder.json. encoder.json entries that
+ * don't decode under the GPT-2 byte alphabet are still skipped on
+ * load (they are unreachable as byte sequences).
  */
 object Gpt2Artifacts {
 
   /** A loaded tokenizer: merges in rank order (pairCount is 0 — the
-    * interchange formats carry no counts) + the FILE's id assignment. */
-  final case class Model(merges: Seq[Merge], symToId: Map[String, Long])
+    * interchange formats carry no counts) + the FILE's id assignment
+    * + its special tokens (raw string → id). */
+  final case class Model(merges: Seq[Merge], symToId: Map[String, Long],
+      specials: Seq[(String, Long)] = Nil)
 
   // ------------------------------------------ byte ↔ unicode alphabet
 
@@ -86,8 +96,12 @@ object Gpt2Artifacts {
   // ------------------------------------------------------------ export
 
   /** Write `vocab.bpe` + `encoder.json` for a trained merge table, ids
-    * per [[Bpe.byteVocab]]. Files are UTF-8 text. */
-  def export(merges: Seq[Merge], dir: String): Unit = {
+    * per [[Bpe.byteVocab]]; `specials` (if any) appended to
+    * encoder.json at the next free ids in list order — GPT-2's own
+    * convention (`<|endoftext|>` is the LAST id, 50256). Files are
+    * UTF-8 text. */
+  def export(merges: Seq[Merge], dir: String,
+      specials: Seq[String] = Nil): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val bpe = new java.lang.StringBuilder("#version: 0.2\n")
@@ -103,14 +117,22 @@ object Gpt2Artifacts {
     Bpe.byteVocab(merges).foreach { case (id, sym) =>
       obj.put(symToGpt2(sym), id)
     }
+    val base = 256L + merges.size
+    specials.zipWithIndex.foreach { case (sp, i) =>
+      obj.put(sp, base + i) // raw — specials are their own rendering
+    }
     Files.write(d.resolve("encoder.json"), mapper.writeValueAsBytes(obj))
   }
 
   // ------------------------------------------------------------ import
 
   /** Load `vocab.bpe` + `encoder.json` from `dir`. Merge ranks follow
-    * file order; ids follow the FILE's assignment (not re-derived). */
-  def load(dir: String): Model = {
+    * file order; ids follow the FILE's assignment (not re-derived).
+    * The GPT-2 format declares no specials in-band (encoder.py
+    * hardcodes `<|endoftext|>`), so the caller names them via
+    * `specialTokens`; each must be an encoder.json entry, whose id is
+    * served for the special. */
+  def load(dir: String, specialTokens: Seq[String] = Nil): Model = {
     val d = Paths.get(dir)
     val lines = new String(
       Files.readAllBytes(d.resolve("vocab.bpe")), UTF_8).split("\n")
@@ -135,15 +157,23 @@ object Gpt2Artifacts {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val tree = mapper.readTree(Files.readAllBytes(d.resolve("encoder.json")))
     val ids = Map.newBuilder[String, Long]
+    val raw = Map.newBuilder[String, Long]
     val it = tree.fields()
     while (it.hasNext) {
       val e = it.next()
+      raw += e.getKey -> e.getValue.asLong()
       gpt2ToSym(e.getKey) match {
         case Some(sym) => ids += sym -> e.getValue.asLong()
-        case None => () // special token — documented out of scope
+        case None => () // not a byte sequence — reachable only as a special
       }
     }
-    Model(merges, ids.result())
+    val rawMap = raw.result()
+    val specials = specialTokens.map { sp =>
+      val id = rawMap.getOrElse(sp, throw new IllegalArgumentException(
+        s"special token '$sp' not present in encoder.json"))
+      sp -> id
+    }
+    Model(merges, ids.result(), specials)
   }
 
   // ------------------------------------------- HuggingFace tokenizer.json
@@ -155,10 +185,30 @@ object Gpt2Artifacts {
     * pre_tokenizer/decoder stanzas that declare the byte-level
     * lineage. Minimal but valid — loaders that only read
     * `model.vocab`/`model.merges` (most do) round-trip it. */
-  def exportTokenizerJson(merges: Seq[Merge], path: String): Unit = {
+  def exportTokenizerJson(merges: Seq[Merge], path: String,
+      specials: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    if (specials.nonEmpty) {
+      // the HF `added_tokens` stanza: specials at the next free ids in
+      // list order, flagged `special` (and also present in model.vocab
+      // below — the published gpt2 tokenizer.json carries both)
+      val arr = mapper.createArrayNode()
+      val base = 256L + merges.size
+      specials.zipWithIndex.foreach { case (sp, i) =>
+        val n = mapper.createObjectNode()
+        n.put("id", base + i)
+        n.put("content", sp)
+        n.put("single_word", false)
+        n.put("lstrip", false)
+        n.put("rstrip", false)
+        n.put("normalized", false)
+        n.put("special", true)
+        arr.add(n)
+      }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("added_tokens", arr)
+    }
     val byteLevel = {
       val n = mapper.createObjectNode()
       n.put("type", "ByteLevel")
@@ -177,6 +227,9 @@ object Gpt2Artifacts {
     Bpe.byteVocab(merges).foreach { case (id, sym) =>
       vocab.put(symToGpt2(sym), id)
     }
+    specials.zipWithIndex.foreach { case (sp, i) =>
+      vocab.put(sp, 256L + merges.size + i)
+    }
     model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
     val ms = mapper.createArrayNode()
     merges.foreach(m =>
@@ -190,10 +243,13 @@ object Gpt2Artifacts {
 
   /** Load a HuggingFace `tokenizer.json`: `model.merges` in file order
     * (both shapes — `"l r"` strings and `["l","r"]` pairs — occur in
-    * published files), ids from `model.vocab` (the FILE's assignment).
-    * Entries outside the GPT-2 byte alphabet (added/special tokens)
-    * are skipped with the same documented semantics as
-    * `encoder.json`. */
+    * published files), ids from `model.vocab` (the FILE's assignment),
+    * SPECIALS from the top-level `added_tokens` array (every added
+    * token splits-and-serves-its-own-id — the HF encode semantics;
+    * `special: false` added tokens behave identically here since
+    * normalization is not in this pipeline). vocab entries outside the
+    * GPT-2 byte alphabet are skipped (unreachable as byte
+    * sequences). */
   def loadTokenizerJson(path: String): Model = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(Files.readAllBytes(Paths.get(path)))
@@ -225,10 +281,17 @@ object Gpt2Artifacts {
       val e = it.next()
       gpt2ToSym(e.getKey) match {
         case Some(sym) => ids += sym -> e.getValue.asLong()
-        case None => () // added/special token — documented out of scope
+        case None => () // not a byte sequence — reachable only as a special
       }
     }
-    Model(merges, ids.result())
+    val added = root.get("added_tokens")
+    val specials =
+      if (added == null || !added.isArray) Nil
+      else (0 until added.size()).map { i =>
+        val n = added.get(i)
+        n.get("content").asText() -> n.get("id").asLong()
+      }
+    Model(merges, ids.result(), specials)
   }
 
   /** Serve token IDS under a LOADED model through the kernel — the
@@ -241,6 +304,24 @@ object Gpt2Artifacts {
     val b = lit(Bpe.mergeBlobWithIds(model.merges, model.symToId))
     val ids = flatten(transform(Bpe.pretokens(col(textCol)),
       w => graft.functions.GraftFunctions.bpe_byte_ids(w, b)))
+    docs.select(col(idCol).as("doc_id"),
+      size(ids).cast("long").as("n_bpe_tokens"),
+      md5(array_join(transform(ids, i => i.cast("string")), " "))
+        .as("ids_md5"))
+  }
+
+  /** [[encodeDocsIds]] honoring the model's SPECIAL TOKENS — the
+    * verbatim serving path for published tokenizers on real corpora:
+    * specials split first and emit the file's own ids
+    * ([[graft.text.Bpe.textIdsBlob]]); a model without specials
+    * produces the identical stream to [[encodeDocsIds]]. Same output
+    * schema (doc_id, n_bpe_tokens, ids_md5). */
+  def encodeDocsIdsSpecials(docs: DataFrame, textCol: String,
+      idCol: String, model: Model): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = lit(Bpe.mergeBlobWithSpecials(model.merges, model.symToId,
+      model.specials))
+    val ids = graft.functions.GraftFunctions.bpe_text_ids(col(textCol), b)
     docs.select(col(idCol).as("doc_id"),
       size(ids).cast("long").as("n_bpe_tokens"),
       md5(array_join(transform(ids, i => i.cast("string")), " "))

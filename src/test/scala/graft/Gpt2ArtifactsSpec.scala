@@ -161,6 +161,89 @@ class Gpt2ArtifactsSpec extends SparkSpec {
     assert(m2.merges == m.merges && m2.symToId == m.symToId)
   }
 
+  test("special tokens round-trip through tokenizer.json and split-first on encode") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val jpath = tmp("specials") + "/tokenizer.json"
+    Gpt2Artifacts.exportTokenizerJson(merges, jpath,
+      specials = Seq("<|endoftext|>"))
+    val m = Gpt2Artifacts.loadTokenizerJson(jpath)
+    val eot = 256L + merges.size
+    assert(m.specials == Seq("<|endoftext|>" -> eot))
+    val blob = Bpe.mergeBlobWithSpecials(m.merges, m.symToId, m.specials)
+    val flat = Bpe.mergeBlobWithIds(m.merges, m.symToId)
+    // independent expectation: split on the special by hand, pretokenize
+    // each segment with the same public regex, encode word by word
+    def expected(text: String): Seq[Long] = {
+      val parts = text.split(java.util.regex.Pattern.quote("<|endoftext|>"), -1)
+      val p = java.util.regex.Pattern.compile(Bpe.Gpt2Pretok)
+      parts.zipWithIndex.flatMap { case (seg, i) =>
+        val segIds = {
+          val mt = p.matcher(seg)
+          val b = Seq.newBuilder[Long]
+          while (mt.find()) b ++= Bpe.wordByteIdsBlob(mt.group(), flat, flat)
+          b.result()
+        }
+        if (i < parts.length - 1) segIds :+ eot else segIds
+      }.toSeq
+    }
+    // adjacency torture: specials against contractions, whitespace,
+    // string start/end, back-to-back specials, empty text
+    val cases = Seq(
+      "he's ok<|endoftext|>'s next",
+      "<|endoftext|>leading",
+      "trailing<|endoftext|>",
+      "a <|endoftext|> b",
+      "two<|endoftext|><|endoftext|>in a row",
+      "  <|endoftext|>'ll we go",
+      "<|endoftext|>",
+      "",
+      "no specials at all")
+    cases.foreach { t =>
+      assert(Bpe.textIdsBlob(t, blob, blob).toSeq == expected(t),
+        s"text '$t'")
+    }
+    // a model WITHOUT specials degrades to the plain pretok-id stream
+    val plain = Gpt2Artifacts.Model(m.merges, m.symToId)
+    val a = Gpt2Artifacts.encodeDocsIdsSpecials(docs, "text", "doc_id", plain)
+      .orderBy("doc_id").collect()
+    val b = Gpt2Artifacts.encodeDocsIds(docs, "text", "doc_id", plain)
+      .orderBy("doc_id").collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("special tokens: longest match wins at the same position") {
+    import Bpe.Merge
+    val merges = Seq(Merge(0, "61", "62", 0L))
+    val ids = Bpe.byteVocab(merges).map(_.swap).toMap
+    val specials = Seq("[X]" -> 500L, "[X][Y]" -> 501L, "[Y]" -> 502L)
+    val blob = Bpe.mergeBlobWithSpecials(merges, ids, specials)
+    def enc(t: String) = Bpe.textIdsBlob(t, blob, blob).toSeq
+    // "[X][Y]" is matched as ONE special (longest-first), not [X]+[Y]
+    assert(enc("[X][Y]") == Seq(501L))
+    // a lone [X] still matches, and a non-composable tail falls through
+    // to plain byte encoding
+    assert(enc("[X][Z]") == 500L +: enc("[Z]"))
+    // leftmost-LONGEST: after [Y] at 0, position 3 matches the full
+    // [X][Y] — the longer special wins there too
+    assert(enc("[Y][X][Y]") == Seq(502L, 501L))
+    // but a LEFTMOST shorter match beats a longer one further right
+    assert(enc("[X]z[X][Y]") == Seq(500L) ++ enc("z") ++ Seq(501L))
+  }
+
+  test("GPT-2 two-file format: caller-named specials resolve ids from encoder.json") {
+    val merges = Bpe.trainBytes(Bpe.pretokenSample(docs, "text", 256), 24)
+    val dir = tmp("gpt2spec")
+    Gpt2Artifacts.export(merges, dir, specials = Seq("<|endoftext|>"))
+    val m = Gpt2Artifacts.load(dir, Seq("<|endoftext|>"))
+    assert(m.specials == Seq("<|endoftext|>" -> (256L + merges.size)))
+    // naming a special the file does not carry refuses
+    intercept[IllegalArgumentException] {
+      Gpt2Artifacts.load(dir, Seq("<|missing|>"))
+    }
+    // unnamed specials load as before (back-compat)
+    assert(Gpt2Artifacts.load(dir).specials.isEmpty)
+  }
+
   test("interop at production size: 32k-merge table round-trips") {
     var state = 99172645463325252L
     def next(): Int = {
