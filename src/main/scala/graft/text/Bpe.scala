@@ -1611,6 +1611,80 @@ FROM documents d LEFT JOIN ia a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id"""
   }
 
+  /**
+   * Oracle for the RELEASE-MART capstone (`corpus_release` — round-14
+   * verdict ask #5): ONE composed query replaying the full
+   * training-data release path end to end —
+   *
+   *   quality gate (≥ 10 whitespace tokens) → soft-dedup 1/n_copies
+   *   weights over the planted-duplicate corpus → the clamped
+   *   deterministic weighted sample (`Sampling.byWeight`) → byte-BPE
+   *   token counts under the TRAINED table (pretok byte encode chain)
+   *   → per-language `packCounted` (seq id / offset / boundary at
+   *   `seqBudget`) → global `shardByTokenBudget` (release shard at
+   *   `shardBudget`).
+   *
+   * Every stage reuses the exact fragment its standalone oracle is
+   * gated by (softSample's group/clamp SQL, the pretok encode CTEs,
+   * the pack window) — the composition, not the pieces, is what this
+   * oracle newly proves. Duplicates are planted as in
+   * `dedup_soft_sample` (every 5th doc re-keyed +10000) so sub-1.0
+   * weights are exercised.
+   */
+  def oracleCorpusReleaseSql(numMerges: Int, topK: Int,
+      seqBudget: Int, shardBudget: Int): String =
+    s"""WITH RECURSIVE ${trainCtes(numMerges, topK, byteSealSql, oPretoks)},
+rcorpus AS (SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 5 = 0),
+rqual AS (SELECT * FROM rcorpus WHERE len($oToks) >= 10),
+rg AS (SELECT md5(text) AS h, count(*) AS n FROM rqual GROUP BY 1),
+rw AS (SELECT d.doc_id, d.lang, d.text, g.n AS n_copies,
+         round(CAST(1.0 AS DOUBLE) / g.n, 6) AS weight
+       FROM rqual d JOIN rg g ON md5(d.text) = g.h),
+rsamp AS (SELECT * FROM rw
+  WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      AS BIGINT) % 10000 AS BIGINT)
+    < greatest(CAST(floor(weight * 10000) AS BIGINT),
+               CASE WHEN weight > 0 THEN 1 ELSE 0 END)),
+rdw AS (SELECT doc_id, generate_subscripts(ws2, 1) AS wpos,
+          unnest(ws2) AS word
+        FROM (SELECT doc_id,
+                list_filter(${oPretoksOf("text")},
+                  x -> strpos(x, chr(30)) = 0 AND strpos(x, chr(31)) = 0)
+                  AS ws2
+              FROM rsamp)),
+re(doc_id, wpos, sym, k) AS (
+  SELECT doc_id, wpos, ${byteSealSql("word")}, 0 FROM rdw
+  UNION ALL
+  SELECT re.doc_id, re.wpos,
+    replace(sym, '$O' || lhs || '$C$O' || rhs || '$C',
+                 '$O' || lhs || rhs || '$C'), k + 1
+  FROM re JOIN allm ON allm.rank = re.k),
+rfin AS (SELECT doc_id, wpos,
+           string_split(trim(sym, '$O$C'), '$C$O') AS syms
+         FROM re WHERE k = (SELECT count(*) FROM allm)),
+ragg AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
+         FROM rfin GROUP BY doc_id),
+rcnt AS (SELECT s.doc_id, s.lang, s.n_copies, s.weight,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens
+         FROM rsamp s LEFT JOIN ragg a ON s.doc_id = a.doc_id),
+rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS lstart,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok
+        FROM rcnt)
+SELECT doc_id, lang AS shard, n_copies, weight, n_tokens,
+  CAST(lstart // $seqBudget AS BIGINT) AS seq_id,
+  CAST(lstart % $seqBudget AS BIGINT) AS seq_offset,
+  lstart % $seqBudget + n_tokens > $seqBudget AS spans_boundary,
+  start_tok,
+  CAST(start_tok // $shardBudget AS BIGINT) AS release_shard
+FROM rpp ORDER BY doc_id"""
+
   /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]
     * (shard = lang): the encode chain's per-document counts feed the
     * per-shard exclusive prefix sum and budget cuts. */
