@@ -341,7 +341,20 @@ object ScaleSoak {
     "curate_top_fraction_sketch_by_lang",
     // weighted sampling over soft-dedup weights: the digest-agg shape
     // plus a map-side hash filter — must inherit dedup_soft_weights' α
-    "dedup_soft_sample")
+    "dedup_soft_sample",
+    // ── round-15 additions ──
+    // release-mart capstone: quality gate → soft-dedup sample → trained
+    // BPE counts (kernel) → per-lang pack window → global two-phase
+    // token sharding — the composed mart must stay near-linear (the
+    // windows are per-shard / per-bucket, never one global partition)
+    "corpus_release",
+    // specials text kernel: ONE StaticInvoke per document (split +
+    // pretokenize + bounded byte kernel in-JVM) — must track the
+    // bpe_byte_pretok_encode kernel row
+    "bpe_specials_serve",
+    // production-shape PQ codebook (m=8, ksub=256): the 16384-double
+    // literal + 2048-cell argmin per row — map-side, corpus-linear
+    "pq_encode_256")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -358,7 +371,8 @@ object ScaleSoak {
     "ann_index_incremental_serve" -> "ann_index_incremental",
     "bm25_index_incremental_serve" -> "bm25_index_incremental",
     "search_hybrid_rrf_incremental_serve" -> "search_hybrid_rrf_incremental",
-    "ann_index_reindex_serve" -> "ann_index_reindex")
+    "ann_index_reindex_serve" -> "ann_index_reindex",
+    "bpe_specials_serve" -> "bpe_specials_roundtrip_encode_ids")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,
@@ -370,7 +384,10 @@ object ScaleSoak {
     * full-range 64-bit hashes overflows under ANSI mode, xor cannot. */
   private val DigestQueries = Set(
     "c4_line_filter", "normalize_documents", "gopher_repetition",
-    "tokenize_unigram", "embed_pca_project", "extract_html_text")
+    "tokenize_unigram", "embed_pca_project", "extract_html_text",
+    // pure map-side projection (doc_id, count, digest) — count() would
+    // prune the specials text kernel entirely (the r9 caveat)
+    "bpe_specials_serve")
 
   private def digestAction(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))
