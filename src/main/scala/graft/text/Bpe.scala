@@ -1161,15 +1161,28 @@ object Bpe {
     }
     if (specials.isEmpty) encodeSegment(text)
     else {
+      // Per-special next-occurrence memo: indexOf re-runs only after
+      // the cached occurrence is consumed or passed, so total scan
+      // work is O(nSpecials × len) for ANY segment count — without it
+      // a document with many special occurrences re-scans the tail
+      // once per segment per absent special (the same input-axis
+      // hazard class as the pretoken bound).
+      val nextIdx = new Array[Int](specials.length)
+      var s = 0
+      while (s < specials.length) {
+        nextIdx(s) = text.indexOf(specials(s)); s += 1
+      }
       var pos = 0
       while (pos < text.length) {
-        // earliest special occurrence from pos; specials are stored
+        // earliest cached occurrence at/after pos; specials are stored
         // longest-first, so `<` keeps the longer match on position ties
         var bestIdx = -1
         var bestSp = -1
-        var s = 0
+        s = 0
         while (s < specials.length) {
-          val idx = text.indexOf(specials(s), pos)
+          if (nextIdx(s) >= 0 && nextIdx(s) < pos)
+            nextIdx(s) = text.indexOf(specials(s), pos)
+          val idx = nextIdx(s)
           if (idx >= 0 && (bestIdx < 0 || idx < bestIdx)) {
             bestIdx = idx; bestSp = s
           }

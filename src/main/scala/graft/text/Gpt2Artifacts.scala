@@ -310,6 +310,43 @@ object Gpt2Artifacts {
         .as("ids_md5"))
   }
 
+  /** Inverse of the id stream under a LOADED model — the decode every
+    * serving stack needs for inspection/round-trips, honoring the
+    * FILE's id assignment AND its specials: byte-sequence ids
+    * concatenate their UTF-8 bytes, special ids emit their special
+    * string verbatim. `decode(encode(text))` round-trips any text
+    * without marker-bracket carriers (the encode-side filter) — the
+    * specials twin of [[Bpe.decodeIds]]. Driver-side (inspection
+    * path); unknown ids throw (a corrupt stream, not decodable
+    * content). */
+  def decodeIds(ids: Seq[Long], model: Model): String = {
+    // a well-formed artifact assigns ids injectively; defend with a
+    // deterministic min-pick rather than map-order luck
+    val symById = model.symToId.groupBy(_._2)
+      .map { case (i, g) => i -> g.keys.min }
+    val specialById = model.specials.groupBy(_._2)
+      .map { case (i, g) => i -> g.map(_._1).min }
+    val hex = new java.lang.StringBuilder
+    val out = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (hex.length > 0) {
+        out.append(Bpe.decodeByteSymbols(Seq(hex.toString)))
+        hex.setLength(0)
+      }
+    ids.foreach { i =>
+      specialById.get(i) match {
+        case Some(sp) => flush(); out.append(sp)
+        case None => symById.get(i) match {
+          case Some(sym) => hex.append(sym)
+          case None => throw new IllegalArgumentException(
+            s"unknown token id $i")
+        }
+      }
+    }
+    flush()
+    out.toString
+  }
+
   /** [[encodeDocsIds]] honoring the model's SPECIAL TOKENS — the
     * verbatim serving path for published tokenizers on real corpora:
     * specials split first and emit the file's own ids

@@ -199,8 +199,11 @@ class Gpt2ArtifactsSpec extends SparkSpec {
       "",
       "no specials at all")
     cases.foreach { t =>
-      assert(Bpe.textIdsBlob(t, blob, blob).toSeq == expected(t),
-        s"text '$t'")
+      val ids = Bpe.textIdsBlob(t, blob, blob).toSeq
+      assert(ids == expected(t), s"text '$t'")
+      // decode inverts the stream under the loaded model, specials
+      // emitted verbatim — byte-exact round trip
+      assert(Gpt2Artifacts.decodeIds(ids, m) == t, s"decode of '$t'")
     }
     // a model WITHOUT specials degrades to the plain pretok-id stream
     val plain = Gpt2Artifacts.Model(m.merges, m.symToId)
