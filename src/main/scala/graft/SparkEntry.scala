@@ -2278,23 +2278,33 @@ object SparkEntry {
       val merges = graft.text.Bpe.trainBytes(
         graft.text.Bpe.pretokenSample(docs, "text", 256), 24)
       // three consumers (pack window, shard scan, final join) — one
-      // materialization of the counted sample
+      // materialization of the counted sample. ids_md5 is the
+      // TOKENIZER-IDS END STATE: the released row carries the digest
+      // of the exact id stream a trainer would read, so packing counts
+      // and content are pinned together under one oracle.
+      val blob = lit(graft.text.Bpe.mergeBlob(merges))
+      val relIds = flatten(transform(graft.text.Bpe.pretokens(col("text")),
+        w => graft.functions.GraftFunctions.bpe_byte_ids(w, blob)))
       val counted = graft.operators.Materialized(
         sampled.join(quality.select("doc_id", "lang", "text"), "doc_id")
           .select(col("doc_id"), col("lang"), col("n_copies"),
+            col("weight"), relIds.as("__ids"))
+          .select(col("doc_id"), col("lang"), col("n_copies"),
             col("weight"),
-            graft.text.Bpe.tokenCountColBytesPretokKernel("text", merges)
-              .cast("long").as("n_tokens")))
+            size(col("__ids")).cast("long").as("n_tokens"),
+            md5(array_join(transform(col("__ids"),
+              i => i.cast("string")), " ")).as("ids_md5")))
       val packed = graft.text.SequencePacking.packCounted(counted,
         col("n_tokens"), "doc_id", 512, "lang")
       val sharded = graft.text.SequencePacking.shardByTokenBudget(counted,
         col("n_tokens"), "doc_id", shardBudget = 4096L)
       packed
-        .join(counted.select("doc_id", "n_copies", "weight"), "doc_id")
+        .join(counted.select("doc_id", "n_copies", "weight", "ids_md5"),
+          "doc_id")
         .join(sharded.select(col("doc_id"), col("start_tok"),
           col("shard").as("release_shard")), "doc_id")
         .select(col("doc_id"), col("shard"), col("n_copies"),
-          col("weight"), col("n_tokens"), col("seq_id"),
+          col("weight"), col("n_tokens"), col("ids_md5"), col("seq_id"),
           col("seq_offset"), col("spans_boundary"), col("start_tok"),
           col("release_shard"))
         .orderBy("doc_id")

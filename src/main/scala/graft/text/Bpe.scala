@@ -1632,7 +1632,9 @@ ORDER BY d.doc_id"""
    *   quality gate (≥ 10 whitespace tokens) → soft-dedup 1/n_copies
    *   weights over the planted-duplicate corpus → the clamped
    *   deterministic weighted sample (`Sampling.byWeight`) → byte-BPE
-   *   token counts under the TRAINED table (pretok byte encode chain)
+   *   token counts AND the tokenizer-ids end state (`ids_md5` — the
+   *   digest of the exact vocab-id stream a trainer would read, via
+   *   the pretok byte encode chain + byteVocab id join)
    *   → per-language `packCounted` (seq id / offset / boundary at
    *   `seqBudget`) → global `shardByTokenBudget` (release shard at
    *   `shardBudget`).
@@ -1677,12 +1679,20 @@ re(doc_id, wpos, sym, k) AS (
 rfin AS (SELECT doc_id, wpos,
            string_split(trim(sym, '$O$C'), '$C$O') AS syms
          FROM re WHERE k = (SELECT count(*) FROM allm)),
-ragg AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
-         FROM rfin GROUP BY doc_id),
+$vocabCtes,
+rsy AS (SELECT doc_id, wpos, generate_subscripts(syms, 1) AS sp,
+          unnest(syms) AS sym FROM rfin),
+rim AS (SELECT rsy.doc_id, rsy.wpos, rsy.sp, vocab.id
+        FROM rsy JOIN vocab USING (sym)),
+ragg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+           md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wpos, sp))
+             AS h
+         FROM rim GROUP BY doc_id),
 rcnt AS (SELECT s.doc_id, s.lang, s.n_copies, s.weight,
-           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.h, md5('')) AS ids_md5
          FROM rsamp s LEFT JOIN ragg a ON s.doc_id = a.doc_id),
-rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens,
+rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens, ids_md5,
           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
             PRECEDING), 0) AS BIGINT) AS lstart,
@@ -1690,7 +1700,7 @@ rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS start_tok
         FROM rcnt)
-SELECT doc_id, lang AS shard, n_copies, weight, n_tokens,
+SELECT doc_id, lang AS shard, n_copies, weight, n_tokens, ids_md5,
   CAST(lstart // $seqBudget AS BIGINT) AS seq_id,
   CAST(lstart % $seqBudget AS BIGINT) AS seq_offset,
   lstart % $seqBudget + n_tokens > $seqBudget AS spans_boundary,
