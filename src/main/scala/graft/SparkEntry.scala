@@ -2691,6 +2691,15 @@ object SparkEntry {
       graft.text.SequencePacking.pack(Demo.table(s, dir, "documents"),
         "text", "doc_id", budget = 512, shardCol = "lang")
         .orderBy("doc_id")),
+    // SPLIT-ACROSS packing: one row per (document, sequence) fragment —
+    // the GPT-style chop-at-every-boundary formulation (packSplit); a
+    // spanning document appears in each sequence it crosses with its
+    // in-sequence and in-document offsets
+    "pack_fragments" -> ((s, dir) =>
+      graft.text.SequencePacking.packSplit(Demo.table(s, dir, "documents"),
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        budget = 512, shardCol = "lang")
+        .orderBy("doc_id", "seq_id")),
     // Training-data ops: BPE vocabulary induction trained in-engine
     // (Sennrich 2016 merge learning; bounded top-256 type sample,
     // deterministic count-desc/lexicographic argmax) — the oracle
@@ -3741,6 +3750,7 @@ object SparkEntry {
     "gopher_repetition" -> TextOracles.gopherRepetition,
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
+    "pack_fragments" -> TextOracles.packFragments,
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),

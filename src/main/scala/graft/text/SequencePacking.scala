@@ -79,6 +79,73 @@ object SequencePacking {
   }
 
   /**
+   * SPLIT-ACROSS packing — the other half of the packing semantics:
+   * where [[packCounted]] assigns each document to the sequence it
+   * STARTS in (trainers then mask or spill the overflow),
+   * `packSplit` emits one row per (document, sequence) FRAGMENT —
+   * the GPT-style formulation where the concatenated shard stream is
+   * chopped at every `budget` boundary and a document spanning k
+   * boundaries appears in k+1 consecutive sequences. Per fragment:
+   * the sequence id, the offset inside that sequence where the
+   * fragment lands (`seq_offset`), the offset inside the DOCUMENT
+   * where the fragment begins (`doc_offset` — what a loader seeks to
+   * when re-reading the doc's token stream), the fragment length, and
+   * the document's total fragment count (`n_frags` — 1 for non-spanning
+   * docs). Invariants (spec-pinned): per-doc `sum(frag_len) =
+   * n_tokens`; fragments tile the doc contiguously (`doc_offset` of
+   * fragment i+1 = `doc_offset + frag_len` of fragment i); per
+   * (shard, seq_id) `sum(frag_len) = budget` for every sequence
+   * except each shard's last.
+   *
+   * Zero-token documents are dropped (they contribute no tokens to
+   * any sequence — same contract as a trainer's empty-document
+   * filter); gate emptiness upstream (quality filters already do).
+   *
+   * Scale: the per-shard window is [[packCounted]]'s; the explode is
+   * map-side (each doc expands to ceil(n/budget)+1 ≤ rows) — no new
+   * shuffle, no global window.
+   */
+  def packSplit(docs: DataFrame, countExpr: org.apache.spark.sql.Column,
+      idCol: String, budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val b = lit(budget.toLong)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segStart = greatest(col("start_tok"), col("seq_id") * b)
+    val segEnd = least(col("start_tok") + col("n_tokens"),
+      (col("seq_id") + lit(1L)) * b)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        countExpr.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("__last",
+        expr(s"(start_tok + n_tokens - 1) DIV $budget"))
+      .withColumn("n_frags",
+        col("__last") - expr(s"start_tok DIV $budget") + lit(1L))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start_tok DIV $budget"), col("__last"))))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("seq_id"),
+        (segStart - col("seq_id") * b).as("seq_offset"),
+        (segStart - col("start_tok")).as("doc_offset"),
+        (segEnd - segStart).as("frag_len"),
+        col("n_frags"))
+  }
+
+  /** [[packSplit]] with the derived hash-shard default (see 4-arg
+    * [[pack]]). */
+  def packSplit(docs: DataFrame, countExpr: org.apache.spark.sql.Column,
+      idCol: String, budget: Int): DataFrame = {
+    val shards =
+      math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    packSplit(
+      docs.withColumn("_auto_shard",
+        pmod(xxhash64(col(idCol)), lit(shards.toLong))),
+      countExpr, idCol, budget, "_auto_shard")
+  }
+
+  /**
    * Token-budget OUTPUT SHARDING in one global concatenation order:
    * assign every document a `shard` such that each shard holds
    * ~`shardBudget` tokens of the id-ordered corpus stream — the layout

@@ -176,6 +176,64 @@ class SequencePackingSpec extends SparkSpec {
     assert(rows((1L, 1L)) == expect)
   }
 
+  test("packSplit: fragments tile each doc and fill every non-final sequence") {
+    import org.apache.spark.sql.functions._
+    // counts 4, 13, 3 in shard a → starts 0, 4, 17; budget 10.
+    // doc 2 crosses boundaries at 10 — fragments (seq0: 6), (seq1: 7);
+    // doc 3 sits wholly in seq 1 (offsets 7..9).
+    val d = docs((1L, "a", "w w w w"),
+      (2L, "a", Seq.fill(13)("w").mkString(" ")), (3L, "a", "w w w"))
+    val out = SequencePacking.packSplit(d,
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        budget = 10, shardCol = "shard")
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 4L, 1L),   // doc 1: seq 0, seq_off 0, doc_off 0, len 4
+      (2L, 0L, 4L, 0L, 6L, 2L),   // doc 2 head: fills seq 0 to the brim
+      (2L, 1L, 0L, 6L, 7L, 2L),   // doc 2 tail: seq 1 from doc token 6
+      (3L, 1L, 7L, 0L, 3L, 1L)))  // doc 3: after doc 2's tail
+  }
+
+  test("packSplit invariants vs packCounted at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val d = Demo.table(spark, sf(), "documents")
+    val cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+    val frags = SequencePacking.packSplit(d, cnt, "doc_id", 512, "lang")
+    // per-doc: fragments sum to n_tokens and tile contiguously from 0
+    val perDoc = frags.groupBy("doc_id")
+      .agg(first("n_tokens").as("n"), sum("frag_len").as("s"),
+        count(lit(1)).as("k"), first("n_frags").as("nf"),
+        min("doc_offset").as("lo"),
+        max(col("doc_offset") + col("frag_len")).as("hi"))
+    assert(perDoc.filter(col("s") =!= col("n") || col("k") =!= col("nf")
+      || col("lo") =!= 0L || col("hi") =!= col("n")).count() == 0)
+    // per (shard, seq): every sequence except each shard's last holds
+    // exactly 512 tokens
+    val perSeq = frags.groupBy("shard", "seq_id")
+      .agg(sum("frag_len").as("tok"))
+    val lastSeq = frags.groupBy("shard").agg(max("seq_id").as("last"))
+    assert(perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") < col("last") && col("tok") =!= 512L)
+      .count() == 0)
+    // consistency with packCounted: a doc's FIRST fragment lands exactly
+    // where packCounted assigns the doc, and spanning == n_frags > 1
+    val assigned = SequencePacking.packCounted(d, cnt, "doc_id", 512, "lang")
+    val firstFrag = frags.filter(col("doc_offset") === 0L)
+      .select(col("doc_id"), col("seq_id").as("f_seq"),
+        col("seq_offset").as("f_off"), col("n_frags"))
+    assert(assigned.join(firstFrag, "doc_id")
+      .filter(col("seq_id") =!= col("f_seq")
+        || col("seq_offset") =!= col("f_off")
+        || (col("spans_boundary") =!= (col("n_frags") > 1L))).count() == 0)
+    // zero-token docs are dropped
+    assert(frags.count() ==
+      assigned.filter(col("n_tokens") > 0).join(
+        frags.groupBy("doc_id").agg(first("n_frags").as("nf")), "doc_id")
+        .agg(sum("nf")).head().getLong(0))
+  }
+
   test("pack matches the engine-side oracle formulation at sf0.001") {
     val d = Demo.table(spark, sf(), "documents")
     val out = SequencePacking.pack(d, "text", "doc_id", 512, "lang")
