@@ -899,7 +899,8 @@ r AS (SELECT d.doc_id, d.lang,
                        WHEN 'fr' THEN 0.2 ELSE 0.0 END) / cn) AS rate
       FROM documents d JOIN counts ON d.lang = cls CROSS JOIN tot)
 SELECT lang, count(*) AS n FROM r
-WHERE $sampleBucket < CAST(floor(rate * 10000) AS BIGINT)
+WHERE $sampleBucket < greatest(CAST(floor(rate * 10000) AS BIGINT),
+  CASE WHEN rate > 0 THEN 1 ELSE 0 END)
 GROUP BY lang ORDER BY lang"""
 
   /** Mirrors Sampling.byTemperature(outFraction 0.3, τ 0.5): per-class
@@ -919,7 +920,9 @@ r AS (SELECT d.doc_id, d.lang,
             / CAST(wsum AS DOUBLE) / CAST(cn AS DOUBLE)) AS rate
       FROM documents d JOIN w ON d.lang = cls CROSS JOIN nrm)
 SELECT lang, count(*) AS n FROM r
-WHERE $sampleBucket < CAST(floor(rate * CAST(10000 AS DOUBLE)) AS BIGINT)
+WHERE $sampleBucket < greatest(
+  CAST(floor(rate * CAST(10000 AS DOUBLE)) AS BIGINT),
+  CASE WHEN rate > 0 THEN 1 ELSE 0 END)
 GROUP BY lang ORDER BY lang"""
 
   /** Mirrors Sampling.repeatByFactor(en 2.5 / de 1.0 / fr 0.25): ⌊f⌋

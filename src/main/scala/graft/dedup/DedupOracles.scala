@@ -351,7 +351,8 @@ rated AS (SELECT d.doc_id, d.lang, d.toks,
           FROM decon d JOIN cnts ON d.lang = cnts.cls CROSS JOIN tot),
 mixed AS (SELECT doc_id, lang, toks FROM rated
           WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
-                < CAST(floor(rate * 10000) AS BIGINT))"""
+                < greatest(CAST(floor(rate * 10000) AS BIGINT),
+                           CASE WHEN rate > 0 THEN 1 ELSE 0 END))"""
 
   private def finishCtes(rel: String): String =
     s"""${mixedCtes(rel)},

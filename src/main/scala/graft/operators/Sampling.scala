@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
  * The hash is the engine's shared md5-prefix construction
  * (`conv(substr(md5(key),1,15),16,10)`, cf. TextDedup.strHash) bucketed
  * mod 10000, so a DuckDB oracle reproduces membership bit-for-bit.
+ *
+ * GRAIN CONTRACT: every keep decision quantizes its rate at the 10⁻⁴
+ * bucket grain — `floor(rate × 10⁴)` is the integer threshold. For
+ * operators whose rate is an EXPLICIT caller fraction ([[sampled]],
+ * [[stratified]], [[split]], [[repeatByFactor]]'s fractional part) a
+ * sub-grain value is a caller-visible constant that floors to "keep
+ * nothing (extra)" — documented, not corrected. For operators whose
+ * rate is DERIVED from the data ([[byWeight]] from duplicate counts,
+ * [[byMixture]]/[[byTemperature]] from class counts) the threshold is
+ * CLAMPED to ≥ 1 grain whenever the rate is positive: at corpus scale
+ * a derived rate can silently cross the grain (a 10⁴×-duplicated
+ * boilerplate group, a billion-row class under a 0.1% share) and
+ * flooring to zero would deterministically ERASE content the caller
+ * asked to keep — extinction is a contract violation, 10⁻⁴-floor
+ * over-sampling is not.
  */
 object Sampling {
 
@@ -23,7 +38,9 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("long") % 10000
 
-  /** Deterministic sample: rows whose key hashes below `fraction`. */
+  /** Deterministic sample: rows whose key hashes below `fraction`
+    * (an EXPLICIT fraction — quantized at the 10⁻⁴ grain, so
+    * `fraction < 10⁻⁴` keeps nothing; see the object doc). */
   def sampled(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(bucket(col(keyCol)) < (fraction * 10000).toLong)
 
@@ -55,7 +72,8 @@ object Sampling {
    * Deterministic stratified sample: a per-stratum fraction (e.g. keep
    * 40% of one language, 10% of the rest — corpus rebalancing).
    * Membership is still a pure function of the key, so strata stay
-   * consistent across runs and engines.
+   * consistent across runs and engines. Fractions are EXPLICIT —
+   * 10⁻⁴-grain quantized, not clamped (object doc).
    */
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
       fractions: Map[String, Double],
@@ -78,7 +96,9 @@ object Sampling {
    * a pure hash of the key — stable across runs, engines, partitionings.
    * A target that exceeds a class's population caps at keeping the whole
    * class (the mix then under-weights it — the standard behavior when a
-   * requested mixture is infeasible).
+   * requested mixture is infeasible). Derived-rate clamp (see the
+   * object doc): a positive rate keeps at least the 10⁻⁴ floor rate —
+   * a huge class under a small share is thinned, never erased.
    */
   def byMixture(df: DataFrame, keyCol: String, classCol: String,
       targetShares: Map[String, Double],
@@ -95,7 +115,8 @@ object Sampling {
       .withColumn("__rate", least(lit(1.0),
         lit(outFraction) * col("__total") * share / col("__n")))
       .filter(bucket(col(keyCol)) <
-        floor(col("__rate") * 10000).cast("long"))
+        greatest(floor(col("__rate") * 10000).cast("long"),
+          when(col("__rate") > 0, 1L).otherwise(0L)))
       .drop("__cls", "__n", "__total", "__rate")
   }
 
@@ -113,6 +134,9 @@ object Sampling {
    *
    * Scale: map-side only — a filter and a bounded explode, no shuffle,
    * no state; the explode multiplies rows by at most ⌈max factor⌉.
+   * Factors are EXPLICIT — the fractional part is 10⁻⁴-grain
+   * quantized, not clamped (object doc): frac(f) < 10⁻⁴ never emits
+   * the extra copy (⌊f⌋ copies always do).
    */
   def repeatByFactor(df: DataFrame, keyCol: String, classCol: String,
       factors: Map[String, Double],
@@ -156,7 +180,10 @@ object Sampling {
    * Scale: one map-combined count per class reduced to a broadcast
    * relation + a 2-long-column normalizer row; membership stays a pure
    * hash of the key — no corpus shuffle, stable across runs, engines
-   * and partitionings.
+   * and partitionings. Derived-rate clamp (see the object doc): a
+   * positive rate keeps at least the 10⁻⁴ floor rate — a dominant
+   * class whose flattened share crosses the grain (many singleton
+   * strata inflating the normalizer) is thinned, never erased.
    */
   def byTemperature(df: DataFrame, keyCol: String, classCol: String,
       outFraction: Double, tau: Double = 0.5): DataFrame = {
@@ -177,7 +204,8 @@ object Sampling {
         lit(outFraction) * col("__total") * col("__w") / col("__wsum") /
           col("__n")))
       .filter(bucket(col(keyCol)) <
-        floor(col("__rate") * 10000).cast("long"))
+        greatest(floor(col("__rate") * 10000).cast("long"),
+          when(col("__rate") > 0, 1L).otherwise(0L)))
       .drop("__cls", "__n", "__w", "__wsum", "__total", "__rate")
   }
 

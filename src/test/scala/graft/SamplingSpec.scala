@@ -68,6 +68,57 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.byWeight(dead, "doc_id", "weight").count() == 0)
   }
 
+  // ids whose md5 bucket is 0 — the rows a ≥1-grain threshold is
+  // guaranteed to keep; planted into sub-grain classes below so
+  // survival is asserted deterministically, not probabilistically.
+  private def bucketZeroIds(n: Int): Seq[Long] =
+    spark.range(1000000)
+      .filter(Sampling.bucket(col("id")) === 0L)
+      .limit(n).collect().map(Long2long).toSeq
+
+  test("byMixture: a sub-grain derived rate thins the class instead of erasing it") {
+    import spark.implicits._
+    // minor class: share 1e-9 over 20000 rows → rate ≈ 5e-10, floors to
+    // threshold 0 — without the derived-rate clamp the ENTIRE class the
+    // caller asked to keep would vanish from the mix.
+    val planted = bucketZeroIds(5)
+    assert(planted.size == 5)
+    val minor = (planted ++ (0 until 20000 - planted.size)
+      .map(i => 2000000L + i)).map((_, "minor"))
+    val major = (0 until 20000).map(i => (3000000L + i, "major"))
+    val d = (minor ++ major).toDF("id", "cls")
+    val out = Sampling.byMixture(d, "id", "cls",
+      Map("minor" -> 1e-9, "major" -> 1.0), outFraction = 0.5)
+    val keptMinor = out.filter($"cls" === "minor")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(planted.forall(keptMinor), s"planted bucket-0 rows must survive")
+    // the clamp keeps at the 1e-4 floor rate — thinned, not erased
+    assert(keptMinor.size < 20000 / 1000, s"kept ${keptMinor.size}")
+    // every survivor cleared the 1-grain threshold: bucket 0 exactly
+    assert(d.filter($"id".isin(keptMinor.toSeq: _*))
+      .filter(Sampling.bucket($"id") =!= 0L).count() == 0)
+  }
+
+  test("byTemperature: a sub-grain flattened rate thins the head class instead of erasing it") {
+    import spark.implicits._
+    // 20000 singleton classes inflate the √-weight normalizer so the
+    // head class (2/3 of the corpus) flattens to rate ≈ 7e-5 — without
+    // the clamp the dominant class would be deterministically erased.
+    val planted = bucketZeroIds(5)
+    val head = (planted ++ (0 until 40000 - planted.size)
+      .map(i => 2000000L + i)).map((_, "head"))
+    val tails = (0 until 20000).map(i => (3000000L + i, s"t$i"))
+    val d = (head ++ tails).toDF("id", "cls")
+    val out = Sampling.byTemperature(d, "id", "cls",
+      outFraction = 0.005, tau = 0.5)
+    val keptHead = out.filter($"cls" === "head")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(planted.forall(keptHead), "planted bucket-0 rows must survive")
+    assert(keptHead.size < 40000 / 1000, s"kept ${keptHead.size}")
+    assert(d.filter($"id".isin(keptHead.toSeq: _*))
+      .filter(Sampling.bucket($"id") =!= 0L).count() == 0)
+  }
+
   test("split partitions the keys disjointly and exhaustively") {
     val out = Sampling.split(docs, "doc_id", 0.7, 0.2, 0.1)
     assert(out.count() == docs.count())
