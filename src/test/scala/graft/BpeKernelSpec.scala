@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.Bpe
+import graft.text.{Bpe, Gpt2Artifacts}
 import graft.text.Bpe.Merge
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,32 @@ class BpeKernelSpec extends SparkSpec {
     val viaIds = Bpe.encodeDocsBytesPretokIdsKernel(df, "text", "doc_id",
       merges).orderBy("doc_id").collect()
     assert(viaIds.length == 64 && viaIds.forall(_.getLong(1) > 0))
+
+    // SPECIALS AT PRODUCTION SIZE: the text kernel splits on the
+    // special and serves each segment through the 32k table — the
+    // segment-interleave semantics is merge-count-independent, proven
+    // at the size real artifacts ship
+    val symToId = Bpe.byteVocab(merges).map(_.swap).toMap
+    val eot = 256L + merges.size
+    val spBlob = Bpe.mergeBlobWithSpecials(merges, symToId,
+      Seq("<|endoftext|>" -> eot))
+    val flat = Bpe.mergeBlobWithIds(merges, symToId)
+    val segs = bigSample.take(16).map(_._1)
+    val text = segs.mkString("<|endoftext|>")
+    val ids = Bpe.textIdsBlob(text, spBlob, spBlob).toSeq
+    val p = java.util.regex.Pattern.compile(Bpe.Gpt2Pretok)
+    def segIds(seg: String): Seq[Long] = {
+      val mt = p.matcher(seg)
+      val b = Seq.newBuilder[Long]
+      while (mt.find()) b ++= Bpe.wordByteIdsBlob(mt.group(), flat, flat)
+      b.result()
+    }
+    assert(ids == segs.map(segIds).reduce((a, b) => a ++ (eot +: b)))
+    assert(ids.count(_ == eot) == segs.size - 1)
+    // specials-aware decode inverts the stream under the 32k model
+    val model = Gpt2Artifacts.Model(merges, symToId,
+      Seq("<|endoftext|>" -> eot))
+    assert(Gpt2Artifacts.decodeIds(ids, model) == text)
   }
 
   test("the replace fold refuses production-size tables with a named limit") {
