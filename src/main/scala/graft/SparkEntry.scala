@@ -2700,6 +2700,16 @@ object SparkEntry {
         graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
         budget = 512, shardCol = "lang")
         .orderBy("doc_id", "seq_id")),
+    // Per-sequence assembly manifest over the split fragments: the
+    // ordered doc_id:doc_offset:frag_len recipe a trainer's loader
+    // executes, one row per (shard, sequence)
+    "pack_manifest" -> ((s, dir) =>
+      graft.text.SequencePacking.sequenceManifest(
+        graft.text.SequencePacking.packSplit(
+          Demo.table(s, dir, "documents"),
+          graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+          budget = 512, shardCol = "lang"))
+        .orderBy("shard", "seq_id")),
     // Training-data ops: BPE vocabulary induction trained in-engine
     // (Sennrich 2016 merge learning; bounded top-256 type sample,
     // deterministic count-desc/lexicographic argmax) — the oracle
@@ -3751,6 +3761,7 @@ object SparkEntry {
     "chunk_documents" -> TextOracles.chunkDocuments,
     "pack_sequences" -> TextOracles.packSequences,
     "pack_fragments" -> TextOracles.packFragments,
+    "pack_manifest" -> TextOracles.packManifest,
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),

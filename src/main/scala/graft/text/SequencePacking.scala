@@ -133,6 +133,32 @@ object SequencePacking {
         col("n_frags"))
   }
 
+  /**
+   * Per-sequence ASSEMBLY MANIFEST over [[packSplit]] fragments: one
+   * row per (shard, seq_id) with the ordered fragment recipe a
+   * trainer's loader executes — `manifest` is the `;`-joined list of
+   * `doc_id:doc_offset:frag_len` triples in in-sequence order (each
+   * triple: read the doc's token stream from `doc_offset`, take
+   * `frag_len`), plus the roll-ups (`n_docs` fragments, `n_tokens`
+   * total — `budget` for every sequence except each shard's last).
+   * The string form (not array<struct>) keeps the row portable and
+   * oracle-hashable; the triples are unambiguous because ids and
+   * offsets are integers.
+   *
+   * Scale: one hash aggregation keyed (shard, seq_id) — the natural
+   * write grain; rows are bounded by budget/min-fragment-size triples.
+   */
+  def sequenceManifest(frags: DataFrame): DataFrame =
+    frags.groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("frag_len").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seq_offset"),
+            col("doc_id"), col("doc_offset"), col("frag_len")))),
+          f => concat_ws(":", f("doc_id"), f("doc_offset"),
+            f("frag_len"))), ";").as("manifest"))
+
   /** [[packSplit]] with the derived hash-shard default (see 4-arg
     * [[pack]]). */
   def packSplit(docs: DataFrame, countExpr: org.apache.spark.sql.Column,

@@ -834,18 +834,19 @@ packed AS (SELECT doc_id, shard, n_tokens,
 SELECT doc_id, shard, n_tokens, seq_id, seq_offset, spans_boundary
 FROM packed ORDER BY doc_id"""
 
-  /** Mirrors `SequencePacking.packSplit` (budget 512, shard = lang):
-    * the same per-shard prefix sum, then one row per (doc, sequence)
-    * fragment via generate_series over the crossed sequence ids;
-    * offsets/lengths are the window-intersection arithmetic. */
-  val packFragments: String = s"""WITH $packCte,
+  /** The packSplit fragment relation (budget 512, shard = lang): the
+    * same per-shard prefix sum as [[packCte]], then one row per
+    * (doc, sequence) fragment via generate_series over the crossed
+    * sequence ids; offsets/lengths are the window-intersection
+    * arithmetic. */
+  private val fragCtes = s"""$packCte,
 f AS (SELECT doc_id, shard, n_tokens, start_tok,
         CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
           AS BIGINT) AS n_frags,
         unnest(generate_series(start_tok // 512,
           (start_tok + n_tokens - 1) // 512)) AS seq_id
-      FROM p WHERE n_tokens > 0)
-SELECT doc_id, shard, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+      FROM p WHERE n_tokens > 0),
+fr AS (SELECT doc_id, shard, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
   CAST(greatest(start_tok, seq_id * 512) - seq_id * 512 AS BIGINT)
     AS seq_offset,
   CAST(greatest(start_tok, seq_id * 512) - start_tok AS BIGINT)
@@ -853,7 +854,24 @@ SELECT doc_id, shard, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
   CAST(least(start_tok + n_tokens, (seq_id + 1) * 512)
     - greatest(start_tok, seq_id * 512) AS BIGINT) AS frag_len,
   n_frags
-FROM f ORDER BY doc_id, seq_id"""
+FROM f)"""
+
+  /** Mirrors `SequencePacking.packSplit` (budget 512, shard = lang). */
+  val packFragments: String = s"""WITH $fragCtes
+SELECT doc_id, shard, n_tokens, seq_id, seq_offset, doc_offset,
+  frag_len, n_frags
+FROM fr ORDER BY doc_id, seq_id"""
+
+  /** Mirrors `SequencePacking.sequenceManifest` over the packSplit
+    * fragments: the `;`-joined `doc_id:doc_offset:frag_len` recipe in
+    * in-sequence order plus the per-sequence roll-ups. */
+  val packManifest: String = s"""WITH $fragCtes
+SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(frag_len) AS BIGINT) AS n_tokens,
+  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+    CAST(doc_offset AS VARCHAR) || ':' || CAST(frag_len AS VARCHAR),
+    ';' ORDER BY seq_offset) AS manifest
+FROM fr GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
   val packSequenceStats: String = s"""WITH $packCte
 SELECT shard, seq_id, count(*) AS n_docs,

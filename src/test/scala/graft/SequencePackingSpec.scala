@@ -196,6 +196,35 @@ class SequencePackingSpec extends SparkSpec {
       (3L, 1L, 7L, 0L, 3L, 1L)))  // doc 3: after doc 2's tail
   }
 
+  test("sequenceManifest: ordered assembly recipe per sequence") {
+    import org.apache.spark.sql.functions._
+    // same corpus as the packSplit case: counts 4, 13, 3; budget 10
+    val d = docs((1L, "a", "w w w w"),
+      (2L, "a", Seq.fill(13)("w").mkString(" ")), (3L, "a", "w w w"))
+    val m = SequencePacking.sequenceManifest(
+        SequencePacking.packSplit(d,
+          graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+          budget = 10, shardCol = "shard"))
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(m.toSeq == Seq(
+      (0L, 2L, 10L, "1:0:4;2:0:6"),   // doc1 whole + doc2's head fill seq 0
+      (1L, 2L, 10L, "2:6:7;3:0:3")))  // doc2's tail from token 6, then doc3
+    // at corpus scale: every manifest's triples tile its sequence —
+    // parse back and check lengths sum to n_tokens, in offset order
+    val corpus = Demo.table(spark, sf(), "documents")
+    val mm = SequencePacking.sequenceManifest(
+      SequencePacking.packSplit(corpus,
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        512, "lang")).collect()
+    assert(mm.nonEmpty)
+    mm.foreach { r =>
+      val triples = r.getString(4).split(";").map(_.split(":").map(_.toLong))
+      assert(triples.length == r.getLong(2))
+      assert(triples.map(_(2)).sum == r.getLong(3))
+    }
+  }
+
   test("packSplit invariants vs packCounted at sf0.001") {
     import org.apache.spark.sql.functions._
     val d = Demo.table(spark, sf(), "documents")
