@@ -105,11 +105,15 @@ object LogisticRegression {
       val zs = feats.join(broadcast(wc), Seq("cell"), "left")
         .groupBy("doc_id", "y")
         .agg(sum(coalesce(col("w"), zeroDec).cast(Dec28)).as("zsum"))
-      val errs = zs.crossJoin(broadcast(wb))
+      // two consumers (per-cell gradient join + intercept roll-up):
+      // materialize the per-doc error once instead of re-running the
+      // z-sum chain down both branches (exact decimals — values
+      // identical either way)
+      val errs = Materialized(zs.crossJoin(broadcast(wb))
         .select(col("doc_id"),
           (round(lit(1.0) / (lit(1.0) +
             exp(-(col("b").cast("double") + col("zsum").cast("double")))), 6)
-            .cast(Dec) - col("y")).cast(Dec).as("err"))
+            .cast(Dec) - col("y")).cast(Dec).as("err")))
       // gradient: per-cell and intercept sums of the exact decimal errs
       val gc = feats.join(errs, "doc_id")
         .groupBy("cell").agg(sum(col("err").cast(Dec28)).as("g"))
@@ -339,13 +343,15 @@ object LogisticRegression {
       featFrameMulti(docs, textCol, idCol, labelCol, buckets)
         .filter(col("_bk") < trainBuckets)
         .select("doc_id", "y", "cell"))
-    val n = feats.select("doc_id").distinct().count()
+    // ONE bounded job for both fixed-cost scalars: the training-doc
+    // count (baked into the step literal) and the class alphabet
+    // (≤ maxClasses strings by the guard above), sorted so the initial
+    // model — and every downstream plan — is deterministic
+    val meta = feats.agg(countDistinct(col("doc_id")),
+      sort_array(collect_set(col("y")))).head()
+    val n = meta.getLong(0)
     require(n > 0, "no training documents with at least one gram")
-    // the class alphabet: a BOUNDED collect (K distinct labels),
-    // sorted so the initial model — and every downstream plan — is
-    // deterministic
-    val classes = feats.select("y").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
+    val classes = meta.getSeq[String](1)
     require(classes.size >= 2,
       s"softmax needs at least 2 classes, got ${classes.size}")
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -364,10 +370,16 @@ object LogisticRegression {
       val wc = w.filter(col("cell") >= 0)
       val wb = w.filter(col("cell") === -1)
         .select(col("cls"), col("w").as("b"))
-      val errs = softmaxProbs(softmaxLogits(feats, w))
+      // two gradient consumers (per-cell join + intercept roll-up) —
+      // materialize the error frame once per iteration instead of
+      // re-running the whole logits/softmax chain (broadcast join +
+      // doc-grain aggregation + two windows) down both branches; the
+      // frame is (train docs × K) rows of exact decimals, so values
+      // are bit-identical either way
+      val errs = Materialized(softmaxProbs(softmaxLogits(feats, w))
         .select(col("doc_id"), col("cls"),
           (col("p") - when(col("y") === col("cls"), 1L).otherwise(0L))
-            .cast(Dec).as("err"))
+            .cast(Dec).as("err")))
       val gc = feats.join(errs, "doc_id")
         .groupBy("cell", "cls").agg(sum(col("err").cast(Dec28)).as("g"))
       val gb = errs.groupBy("cls").agg(sum(col("err").cast(Dec28)).as("g"))
