@@ -354,7 +354,14 @@ object ScaleSoak {
     "bpe_specials_serve",
     // production-shape PQ codebook (m=8, ksub=256): the 16384-double
     // literal + 2048-cell argmin per row — map-side, corpus-linear
-    "pq_encode_256")
+    "pq_encode_256",
+    // split-across packing: packCounted's per-shard window plus a
+    // map-side explode of ≤ ceil(n/budget)+1 fragments per doc — must
+    // inherit pack_sequences' α (no new shuffle)
+    "pack_fragments",
+    // sequence assembly manifest: the fragment shapes + ONE hash
+    // aggregation keyed (shard, seq_id) — the natural write grain
+    "pack_manifest")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
