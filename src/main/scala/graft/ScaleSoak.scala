@@ -361,7 +361,11 @@ object ScaleSoak {
     "pack_fragments",
     // sequence assembly manifest: the fragment shapes + ONE hash
     // aggregation keyed (shard, seq_id) — the natural write grain
-    "pack_manifest")
+    "pack_manifest",
+    // epoch-shuffled packing: same per-shard window with a hash sort
+    // key — must track pack_sequences' α (the sort is per-shard either
+    // way; only the key changes)
+    "pack_sequences_epoch")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -2700,6 +2700,16 @@ object SparkEntry {
         graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
         budget = 512, shardCol = "lang")
         .orderBy("doc_id", "seq_id")),
+    // Epoch-shuffled packing: the same budget cuts over a per-epoch
+    // deterministic hash order (trainers reshuffle between epochs;
+    // the order key is the engine's shared md5-prefix hash, so each
+    // epoch's packing is individually reproducible)
+    "pack_sequences_epoch" -> ((s, dir) =>
+      graft.text.SequencePacking.packShuffled(
+        Demo.table(s, dir, "documents"),
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        budget = 512, shardCol = "lang", epoch = 1L)
+        .orderBy("doc_id")),
     // Per-sequence assembly manifest over the split fragments: the
     // ordered doc_id:doc_offset:frag_len recipe a trainer's loader
     // executes, one row per (shard, sequence)
@@ -3762,6 +3772,7 @@ object SparkEntry {
     "pack_sequences" -> TextOracles.packSequences,
     "pack_fragments" -> TextOracles.packFragments,
     "pack_manifest" -> TextOracles.packManifest,
+    "pack_sequences_epoch" -> TextOracles.packSequencesEpoch,
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),

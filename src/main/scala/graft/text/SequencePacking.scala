@@ -79,6 +79,48 @@ object SequencePacking {
   }
 
   /**
+   * Deterministic EPOCH-SHUFFLE ordering key: the engine's shared
+   * md5-prefix hash over `epoch ‖ ':' ‖ id` — a pure function of
+   * (epoch, key), so the shuffled order is stable across runs,
+   * engines, cluster sizes and partitionings (the same portability
+   * argument as `Sampling.bucket`), and DIFFERENT per epoch. Trainers
+   * reshuffle the corpus between epochs; packing in raw id order
+   * every epoch feeds documents in the same neighborhoods each pass.
+   */
+  def epochOrderKey(idCol: org.apache.spark.sql.Column,
+      epoch: Long): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(epoch.toString), lit(":"),
+      idCol.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /**
+   * [[packCounted]] under the EPOCH-SHUFFLED order: the per-shard
+   * stream is concatenated in ([[epochOrderKey]], doc_id) order —
+   * hash first, id as the total-order tie-break — then cut every
+   * `budget` tokens exactly as [[packCounted]] does. Same output
+   * schema; same scale shape (the window's sort key changes, nothing
+   * else). Each epoch value yields a different, individually
+   * reproducible packing of the same corpus.
+   */
+  def packShuffled(docs: DataFrame,
+      countExpr: org.apache.spark.sql.Column, idCol: String,
+      budget: Int, shardCol: String, epoch: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        countExpr.cast("long").as("n_tokens"),
+        epochOrderKey(col(idCol), epoch).as("__ord"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("__ord").as("ord"),
+        expr(s"start_tok DIV $budget").as("seq_id"),
+        (col("start_tok") % budget).as("seq_offset"),
+        (col("start_tok") % budget + col("n_tokens") > budget)
+          .as("spans_boundary"))
+  }
+
+  /**
    * SPLIT-ACROSS packing — the other half of the packing semantics:
    * where [[packCounted]] assigns each document to the sequence it
    * STARTS in (trainers then mask or spill the overflow),

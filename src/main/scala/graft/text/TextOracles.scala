@@ -873,6 +873,26 @@ SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
     ';' ORDER BY seq_offset) AS manifest
 FROM fr GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
+  /** Mirrors `SequencePacking.packShuffled` (budget 512, shard = lang,
+    * epoch 1): the shared md5-prefix order key over '1:' ‖ doc_id, the
+    * per-shard prefix sum in (ord, doc_id) order, same budget cuts. */
+  val packSequencesEpoch: String = raw"""WITH t AS (
+  SELECT doc_id, lang AS shard, CAST(len($toks) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS ord
+  FROM documents),
+p AS (SELECT doc_id, shard, n_tokens, ord,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+          ORDER BY ord, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_tok
+      FROM t)
+SELECT doc_id, shard, n_tokens, ord,
+  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+  CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+  start_tok % 512 + n_tokens > 512 AS spans_boundary
+FROM p ORDER BY doc_id"""
+
   val packSequenceStats: String = s"""WITH $packCte
 SELECT shard, seq_id, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -196,6 +196,42 @@ class SequencePackingSpec extends SparkSpec {
       (3L, 1L, 7L, 0L, 3L, 1L)))  // doc 3: after doc 2's tail
   }
 
+  test("packShuffled: epoch-deterministic reshuffle of the packing order") {
+    import org.apache.spark.sql.functions._
+    val d = Demo.table(spark, sf(), "documents")
+    val cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+    def run(epoch: Long) =
+      SequencePacking.packShuffled(d, cnt, "doc_id", 512, "lang", epoch)
+    val e1 = run(1L).orderBy("doc_id").collect()
+    // covers every doc exactly once with the same counts as id-order
+    // packing — only the order (and therefore cuts) differ
+    val idOrder = SequencePacking.packCounted(d, cnt, "doc_id", 512, "lang")
+      .orderBy("doc_id").collect()
+    assert(e1.length == idOrder.length)
+    e1.zip(idOrder).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(2) == b.getLong(2))
+    }
+    // the budget invariant holds in any order
+    assert(e1.forall(r => r.getLong(5) >= 0 && r.getLong(5) < 512))
+    // per-shard: seq ids are the prefix cuts of the ORD order — walk
+    // the shard stream in (ord, doc_id) order and recompute
+    e1.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(r => (r.getLong(3), r.getLong(0))).foreach { r =>
+        assert(r.getLong(4) == acc / 512, s"doc ${r.getLong(0)}")
+        assert(r.getLong(5) == acc % 512)
+        acc += r.getLong(2)
+      }
+    }
+    // different epochs yield genuinely different orders
+    val e2 = run(2L).orderBy("doc_id").collect()
+    assert(e1.map(_.getLong(3)).toSeq != e2.map(_.getLong(3)).toSeq)
+    // determinism across partitionings
+    val again = SequencePacking.packShuffled(d.repartition(13), cnt,
+      "doc_id", 512, "lang", 1L).orderBy("doc_id").collect()
+    assert(e1.sameElements(again))
+  }
+
   test("sequenceManifest: ordered assembly recipe per sequence") {
     import org.apache.spark.sql.functions._
     // same corpus as the packSplit case: counts 4, 13, 3; budget 10
