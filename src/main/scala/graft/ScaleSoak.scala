@@ -365,7 +365,12 @@ object ScaleSoak {
     // epoch-shuffled packing: same per-shard window with a hash sort
     // key — must track pack_sequences' α (the sort is per-shard either
     // way; only the key changes)
-    "pack_sequences_epoch")
+    "pack_sequences_epoch",
+    // the release mart's loader artifact: the shared counted sample
+    // (persisted once per session+dir) through packSplit + the
+    // manifest agg — corpus_release's shapes plus the fragment
+    // explode and one (shard, seq) aggregation
+    "corpus_release_manifest")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -42,6 +42,41 @@ object SparkEntry {
     }
   }
 
+  /** The RELEASE-MART counted sample, shared by `corpus_release` and
+    * `corpus_release_manifest` (one persist per session+dir): the
+    * planted-duplicate corpus through the quality gate (≥10 tokens) →
+    * soft-dedup 1/n_copies weights → the clamped deterministic
+    * weighted sample → byte-BPE token counts under the TRAINED table
+    * (kernel serving path) + `ids_md5`, the TOKENIZER-IDS END STATE —
+    * the digest of the exact id stream a trainer would read, pinning
+    * packing counts and content together under one oracle. */
+  private def releaseCounted(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "release_counted") {
+      val docs = Demo.table(s, dir, "documents")
+      val corpus = docs.select("doc_id", "lang", "text").unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+            col("text")))
+      val quality = corpus.filter(
+        graft.text.TextAnalysis.tokenCount(col("text")) >= 10)
+      val sampled = graft.operators.Sampling.byWeight(
+        graft.dedup.TextDedup.softDedupWeights(quality, "text", "doc_id"),
+        "doc_id", "weight")
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(docs, "text", 256), 24)
+      val blob = lit(graft.text.Bpe.mergeBlob(merges))
+      val relIds = flatten(transform(graft.text.Bpe.pretokens(col("text")),
+        w => graft.functions.GraftFunctions.bpe_byte_ids(w, blob)))
+      sampled.join(quality.select("doc_id", "lang", "text"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_copies"),
+          col("weight"), relIds.as("__ids"))
+        .select(col("doc_id"), col("lang"), col("n_copies"),
+          col("weight"),
+          size(col("__ids")).cast("long").as("n_tokens"),
+          md5(array_join(transform(col("__ids"),
+            i => i.cast("string")), " ")).as("ids_md5"))
+    }
+
   /** Corpus sizes feeding size-derived parameters (semdedup nlist):
     * counted ONCE per (session, dir) instead of once per query
     * invocation — at corpus scale the derivation pass should not be
@@ -2265,35 +2300,7 @@ object SparkEntry {
     // packing → global token-budget release shards. Each stage is
     // individually gated elsewhere; this gate proves the COMPOSITION.
     "corpus_release" -> ((s, dir) => {
-      val docs = Demo.table(s, dir, "documents")
-      val corpus = docs.select("doc_id", "lang", "text").unionByName(
-        docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
-            col("text")))
-      val quality = corpus.filter(
-        graft.text.TextAnalysis.tokenCount(col("text")) >= 10)
-      val sampled = graft.operators.Sampling.byWeight(
-        TextDedup.softDedupWeights(quality, "text", "doc_id"),
-        "doc_id", "weight")
-      val merges = graft.text.Bpe.trainBytes(
-        graft.text.Bpe.pretokenSample(docs, "text", 256), 24)
-      // three consumers (pack window, shard scan, final join) — one
-      // materialization of the counted sample. ids_md5 is the
-      // TOKENIZER-IDS END STATE: the released row carries the digest
-      // of the exact id stream a trainer would read, so packing counts
-      // and content are pinned together under one oracle.
-      val blob = lit(graft.text.Bpe.mergeBlob(merges))
-      val relIds = flatten(transform(graft.text.Bpe.pretokens(col("text")),
-        w => graft.functions.GraftFunctions.bpe_byte_ids(w, blob)))
-      val counted = graft.operators.Materialized(
-        sampled.join(quality.select("doc_id", "lang", "text"), "doc_id")
-          .select(col("doc_id"), col("lang"), col("n_copies"),
-            col("weight"), relIds.as("__ids"))
-          .select(col("doc_id"), col("lang"), col("n_copies"),
-            col("weight"),
-            size(col("__ids")).cast("long").as("n_tokens"),
-            md5(array_join(transform(col("__ids"),
-              i => i.cast("string")), " ")).as("ids_md5")))
+      val counted = releaseCounted(s, dir)
       val packed = graft.text.SequencePacking.packCounted(counted,
         col("n_tokens"), "doc_id", 512, "lang")
       val sharded = graft.text.SequencePacking.shardByTokenBudget(counted,
@@ -2309,6 +2316,17 @@ object SparkEntry {
           col("release_shard"))
         .orderBy("doc_id")
     }),
+    // The release mart's LOADER ARTIFACT: the same counted sample
+    // split-packed per language (packSplit — spanning docs chopped at
+    // every 512-token boundary) and rolled into per-sequence assembly
+    // manifests: the ordered doc_id:doc_offset:frag_len recipe a
+    // trainer executes. Composition gate for the round's new packing
+    // ops against the full release path.
+    "corpus_release_manifest" -> ((s, dir) =>
+      graft.text.SequencePacking.sequenceManifest(
+        graft.text.SequencePacking.packSplit(releaseCounted(s, dir),
+          col("n_tokens"), "doc_id", budget = 512, shardCol = "lang"))
+        .orderBy("shard", "seq_id")),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -3760,6 +3778,8 @@ object SparkEntry {
     "corpus_pipeline_weighted" -> DedupOracles.corpusPipelineWeighted,
     "corpus_release" ->
       graft.text.Bpe.oracleCorpusReleaseSql(24, 256, 512, 4096),
+    "corpus_release_manifest" ->
+      graft.text.Bpe.oracleCorpusReleaseManifestSql(24, 256, 512),
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -1648,7 +1648,61 @@ ORDER BY d.doc_id"""
    */
   def oracleCorpusReleaseSql(numMerges: Int, topK: Int,
       seqBudget: Int, shardBudget: Int): String =
-    s"""WITH RECURSIVE ${trainCtes(numMerges, topK, byteSealSql, oPretoks)},
+    s"""WITH RECURSIVE ${releaseCountedCtes(numMerges, topK)},
+rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens, ids_md5,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS lstart,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok
+        FROM rcnt)
+SELECT doc_id, lang AS shard, n_copies, weight, n_tokens, ids_md5,
+  CAST(lstart // $seqBudget AS BIGINT) AS seq_id,
+  CAST(lstart % $seqBudget AS BIGINT) AS seq_offset,
+  lstart % $seqBudget + n_tokens > $seqBudget AS spans_boundary,
+  start_tok,
+  CAST(start_tok // $shardBudget AS BIGINT) AS release_shard
+FROM rpp ORDER BY doc_id"""
+
+  /** Oracle for `corpus_release_manifest`: the shared release-counted
+    * chain, split-packed per language (the packSplit fragment
+    * arithmetic) and rolled into per-sequence assembly manifests (the
+    * sequenceManifest aggregation) — the loader artifact of the
+    * release mart under one composed oracle. */
+  def oracleCorpusReleaseManifestSql(numMerges: Int, topK: Int,
+      seqBudget: Int): String =
+    s"""WITH RECURSIVE ${releaseCountedCtes(numMerges, topK)},
+mpp AS (SELECT doc_id, lang AS shard, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM rcnt),
+mf AS (SELECT doc_id, shard, n_tokens, start_tok,
+         unnest(generate_series(start_tok // $seqBudget,
+           (start_tok + n_tokens - 1) // $seqBudget)) AS seq_id
+       FROM mpp WHERE n_tokens > 0),
+mfr AS (SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(start_tok, seq_id * $seqBudget) - seq_id * $seqBudget
+    AS BIGINT) AS seq_offset,
+  CAST(greatest(start_tok, seq_id * $seqBudget) - start_tok AS BIGINT)
+    AS doc_offset,
+  CAST(least(start_tok + n_tokens, (seq_id + 1) * $seqBudget)
+    - greatest(start_tok, seq_id * $seqBudget) AS BIGINT) AS frag_len
+FROM mf)
+SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(frag_len) AS BIGINT) AS n_tokens,
+  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+    CAST(doc_offset AS VARCHAR) || ':' || CAST(frag_len AS VARCHAR),
+    ';' ORDER BY seq_offset) AS manifest
+FROM mfr GROUP BY shard, seq_id ORDER BY shard, seq_id"""
+
+  /** The shared release-mart CTE chain (through `rcnt` — the counted
+    * sample with soft-dedup metadata, kernel token counts and the
+    * ids_md5 end state); see [[oracleCorpusReleaseSql]] for the
+    * stage-by-stage story. */
+  private def releaseCountedCtes(numMerges: Int, topK: Int): String =
+    s"""${trainCtes(numMerges, topK, byteSealSql, oPretoks)},
 rcorpus AS (SELECT doc_id, lang, text FROM documents
   UNION ALL
   SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 5 = 0),
@@ -1691,22 +1745,7 @@ ragg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
 rcnt AS (SELECT s.doc_id, s.lang, s.n_copies, s.weight,
            CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
            coalesce(a.h, md5('')) AS ids_md5
-         FROM rsamp s LEFT JOIN ragg a ON s.doc_id = a.doc_id),
-rpp AS (SELECT doc_id, lang, n_copies, weight, n_tokens, ids_md5,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
-            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-            PRECEDING), 0) AS BIGINT) AS lstart,
-          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT) AS start_tok
-        FROM rcnt)
-SELECT doc_id, lang AS shard, n_copies, weight, n_tokens, ids_md5,
-  CAST(lstart // $seqBudget AS BIGINT) AS seq_id,
-  CAST(lstart % $seqBudget AS BIGINT) AS seq_offset,
-  lstart % $seqBudget + n_tokens > $seqBudget AS spans_boundary,
-  start_tok,
-  CAST(start_tok // $shardBudget AS BIGINT) AS release_shard
-FROM rpp ORDER BY doc_id"""
+         FROM rsamp s LEFT JOIN ragg a ON s.doc_id = a.doc_id)"""
 
   /** Oracle for `SequencePacking.packCounted` driven by [[tokenCountCol]]
     * (shard = lang): the encode chain's per-document counts feed the
