@@ -370,7 +370,11 @@ object ScaleSoak {
     // (persisted once per session+dir) through packSplit + the
     // manifest agg — corpus_release's shapes plus the fragment
     // explode and one (shard, seq) aggregation
-    "corpus_release_manifest")
+    "corpus_release_manifest",
+    // assembled-sequence content gate: per-doc kernel ids exploded to
+    // token grain, doc_id-joined to fragments, digested per sequence —
+    // the loader's real materialization cost, linear in corpus tokens
+    "corpus_release_sequences")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

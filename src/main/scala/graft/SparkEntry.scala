@@ -2327,6 +2327,43 @@ object SparkEntry {
         graft.text.SequencePacking.packSplit(releaseCounted(s, dir),
           col("n_tokens"), "doc_id", budget = 512, shardCol = "lang"))
         .orderBy("shard", "seq_id")),
+    // The release mart's DEEPEST end-state gate: reassemble each packed
+    // sequence's ACTUAL token stream — per-doc kernel ids exploded to
+    // token grain, joined to their packSplit fragments, laid out at
+    // their in-sequence positions — and digest it per (shard, seq_id).
+    // This is the content a trainer reads from sequence k, verified
+    // token-for-token (counts and recipes are gated above; this gates
+    // the assembled bytes). Token-grain join keyed on doc_id — linear
+    // in corpus tokens, the loader's real materialization cost.
+    "corpus_release_sequences" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents")
+      val counted = releaseCounted(s, dir)
+      val merges = graft.text.Bpe.trainBytes(
+        graft.text.Bpe.pretokenSample(docs, "text", 256), 24)
+      val blob = lit(graft.text.Bpe.mergeBlob(merges))
+      val corpus = docs.select("doc_id", "lang", "text").unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+            col("text")))
+      val ids = counted.select("doc_id").join(corpus, "doc_id")
+        .select(col("doc_id"),
+          posexplode(flatten(transform(
+            graft.text.Bpe.pretokens(col("text")),
+            w => graft.functions.GraftFunctions.bpe_byte_ids(w, blob)))))
+        .toDF("doc_id", "pos", "id")
+      val frags = graft.text.SequencePacking.packSplit(counted,
+        col("n_tokens"), "doc_id", budget = 512, shardCol = "lang")
+      frags.join(ids, "doc_id")
+        .filter(col("pos") >= col("doc_offset") &&
+          col("pos") < col("doc_offset") + col("frag_len"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(array_sort(collect_list(struct(
+            (col("seq_offset") + col("pos") - col("doc_offset")).as("sp"),
+            col("id")))), f => f("id").cast("string")), " "))
+            .as("seq_ids_md5"))
+        .orderBy("shard", "seq_id")
+    }),
     // Training-data ops: SimHash fingerprints
     "dedup_simhash" -> ((s, dir) =>
       TextDedup.simhash(Demo.table(s, dir, "documents"), "text", "doc_id")
@@ -3780,6 +3817,8 @@ object SparkEntry {
       graft.text.Bpe.oracleCorpusReleaseSql(24, 256, 512, 4096),
     "corpus_release_manifest" ->
       graft.text.Bpe.oracleCorpusReleaseManifestSql(24, 256, 512),
+    "corpus_release_sequences" ->
+      graft.text.Bpe.oracleCorpusReleaseSequencesSql(24, 256, 512),
     "dedup_simhash" -> DedupOracles.simhash,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "text_analysis" -> TextOracles.analysis,

@@ -1697,6 +1697,45 @@ SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
     ';' ORDER BY seq_offset) AS manifest
 FROM mfr GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
+  /** Oracle for `corpus_release_sequences`: the shared release chain,
+    * each sampled document's id stream positioned (row_number over the
+    * (wpos, sp) document order), fragments from the packSplit
+    * arithmetic, tokens laid at `seq_offset + pos − doc_offset` inside
+    * their sequence, digested per (shard, seq_id) — the assembled
+    * sequence CONTENT, token for token. */
+  def oracleCorpusReleaseSequencesSql(numMerges: Int, topK: Int,
+      seqBudget: Int): String =
+    s"""WITH RECURSIVE ${releaseCountedCtes(numMerges, topK)},
+rtok AS (SELECT doc_id, id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wpos, sp) - 1
+             AS pos
+         FROM rim),
+mpp AS (SELECT doc_id, lang AS shard, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM rcnt),
+mf AS (SELECT doc_id, shard, n_tokens, start_tok,
+         unnest(generate_series(start_tok // $seqBudget,
+           (start_tok + n_tokens - 1) // $seqBudget)) AS seq_id
+       FROM mpp WHERE n_tokens > 0),
+mfr AS (SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(start_tok, seq_id * $seqBudget) - seq_id * $seqBudget
+    AS BIGINT) AS seq_offset,
+  CAST(greatest(start_tok, seq_id * $seqBudget) - start_tok AS BIGINT)
+    AS doc_offset,
+  CAST(least(start_tok + n_tokens, (seq_id + 1) * $seqBudget)
+    - greatest(start_tok, seq_id * $seqBudget) AS BIGINT) AS frag_len
+FROM mf),
+sj AS (SELECT mfr.shard, mfr.seq_id,
+         mfr.seq_offset + t.pos - mfr.doc_offset AS sp, t.id
+       FROM mfr JOIN rtok t ON t.doc_id = mfr.doc_id
+       WHERE t.pos >= mfr.doc_offset
+         AND t.pos < mfr.doc_offset + mfr.frag_len)
+SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY sp)) AS seq_ids_md5
+FROM sj GROUP BY shard, seq_id ORDER BY shard, seq_id"""
+
   /** The shared release-mart CTE chain (through `rcnt` — the counted
     * sample with soft-dedup metadata, kernel token counts and the
     * ids_md5 end state); see [[oracleCorpusReleaseSql]] for the
