@@ -374,7 +374,11 @@ object ScaleSoak {
     // assembled-sequence content gate: per-doc kernel ids exploded to
     // token grain, doc_id-joined to fragments, digested per sequence —
     // the loader's real materialization cost, linear in corpus tokens
-    "corpus_release_sequences")
+    "corpus_release_sequences",
+    // incremental epoch packing: batch window over epoch 0 + append
+    // windows over later epochs against the broadcast O(shards) carry
+    // — incremental cost must track epoch size, not corpus size
+    "pack_sequences_incremental")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

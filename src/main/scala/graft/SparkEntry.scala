@@ -2755,6 +2755,21 @@ object SparkEntry {
         graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
         budget = 512, shardCol = "lang")
         .orderBy("doc_id", "seq_id")),
+    // Incremental epoch packing: docs ≤ 250 batch-packed, the rest
+    // APPENDED onto the carried per-shard totals — the output must be
+    // bit-identical to packing the whole corpus at once (the shared
+    // pack_sequences oracle IS the gate, the bm25_index_incremental
+    // convention)
+    "pack_sequences_incremental" -> ((s, dir) => {
+      val d = Demo.table(s, dir, "documents")
+      def cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+      val p0 = graft.text.SequencePacking.packCounted(
+        d.filter(col("doc_id") <= 250), cnt, "doc_id", 512, "lang")
+      val p1 = graft.text.SequencePacking.packCountedAppend(
+        d.filter(col("doc_id") > 250), cnt, "doc_id", 512, "lang",
+        graft.text.SequencePacking.packTotals(p0))
+      p0.unionByName(p1).orderBy("doc_id")
+    }),
     // Epoch-shuffled packing: the same budget cuts over a per-epoch
     // deterministic hash order (trainers reshuffle between epochs;
     // the order key is the engine's shared md5-prefix hash, so each
@@ -3832,6 +3847,9 @@ object SparkEntry {
     "pack_fragments" -> TextOracles.packFragments,
     "pack_manifest" -> TextOracles.packManifest,
     "pack_sequences_epoch" -> TextOracles.packSequencesEpoch,
+    // incremental ≡ batch: the grown packing must replay the ONE-SHOT
+    // window oracle bit-for-bit
+    "pack_sequences_incremental" -> TextOracles.packSequences,
     "shard_token_budget" -> TextOracles.shardTokenBudget,
     "bpe_train_merges" -> graft.text.Bpe.oracleTrainSql(24, 256),
     "bpe_encode" -> graft.text.Bpe.oracleEncodeSql(24, 256),

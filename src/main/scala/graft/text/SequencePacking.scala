@@ -79,6 +79,64 @@ object SequencePacking {
   }
 
   /**
+   * Per-shard CARRY STATE for incremental packing: the running token
+   * total and the highest packed id, rolled up from a [[packCounted]]
+   * output (or a previous [[packCountedAppend]] union). One row per
+   * shard — broadcastable at any corpus size.
+   */
+  def packTotals(packed: DataFrame): DataFrame =
+    packed.groupBy("shard").agg(
+      sum(col("n_tokens")).as("base_tok"),
+      max(col("doc_id")).as("max_id"))
+
+  /**
+   * INCREMENTAL epoch packing: pack a NEW batch of documents onto the
+   * running per-shard totals from previous epochs ([[packTotals]]) —
+   * the growing-corpus discipline applied to packing: because the
+   * stream order is doc_id and appended ids are strictly greater,
+   * every already-written sequence assignment is PRESERVED and the
+   * new docs continue exactly where the stream left off
+   * (incremental ≡ batch, bit for bit — the gate).
+   *
+   * APPEND-ONLY CONTRACT, enforced in-plan: a new doc whose id is ≤
+   * its shard's `max_id` would rewrite history (its insertion shifts
+   * every later start offset) — such rows raise deterministically
+   * (the [[shardByTokenBudget]] raise idiom) instead of silently
+   * producing a packing that disagrees with the batch replay. Shards
+   * unseen in the carry state start at offset 0.
+   *
+   * Scale: one broadcast join against the O(shards) carry relation +
+   * the same per-shard window as [[packCounted]] over ONLY the new
+   * epoch's rows — incremental cost tracks epoch size, not corpus
+   * size.
+   */
+  def packCountedAppend(docs: DataFrame,
+      countExpr: org.apache.spark.sql.Column, idCol: String,
+      budget: Int, shardCol: String, totals: DataFrame): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the guard rides inside the base expression so it cannot be
+    // pruned: any violating row poisons the offset it contributes to
+    val base = when(col("max_id").isNotNull && col("doc_id") <= col("max_id"),
+        expr("raise_error('packCountedAppend requires appended doc ids " +
+          "to exceed the shard''s packed max_id — an insertion would " +
+          "rewrite already-written sequences; rebuild instead')")
+          .cast("long"))
+      .otherwise(coalesce(col("base_tok"), lit(0L)))
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        countExpr.cast("long").as("n_tokens"))
+      .join(broadcast(totals), Seq("shard"), "left")
+      .withColumn("start_tok",
+        base + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start_tok DIV $budget").as("seq_id"),
+        (col("start_tok") % budget).as("seq_offset"),
+        (col("start_tok") % budget + col("n_tokens") > budget)
+          .as("spans_boundary"))
+  }
+
+  /**
    * Deterministic EPOCH-SHUFFLE ordering key: the engine's shared
    * md5-prefix hash over `epoch ‖ ':' ‖ id` — a pure function of
    * (epoch, key), so the shuffled order is stable across runs,

@@ -196,6 +196,47 @@ class SequencePackingSpec extends SparkSpec {
       (3L, 1L, 7L, 0L, 3L, 1L)))  // doc 3: after doc 2's tail
   }
 
+  test("packCountedAppend: incremental ≡ batch; insertions raise; new shards start at 0") {
+    import org.apache.spark.sql.functions._
+    val d = Demo.table(spark, sf(), "documents")
+    def cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+    val batch = SequencePacking.packCounted(d, cnt, "doc_id", 512, "lang")
+      .orderBy("doc_id").collect()
+    // grow in THREE epochs — each appends onto the carried totals
+    val cuts = Seq(150L, 350L)
+    val e0 = SequencePacking.packCounted(
+      d.filter(col("doc_id") <= cuts.head), cnt, "doc_id", 512, "lang")
+    val grown = cuts.zip(cuts.tail :+ Long.MaxValue).foldLeft(e0) {
+      case (acc, (lo, hi)) =>
+        acc.unionByName(SequencePacking.packCountedAppend(
+          d.filter(col("doc_id") > lo && col("doc_id") <= hi), cnt,
+          "doc_id", 512, "lang", SequencePacking.packTotals(acc)))
+    }
+    assert(grown.orderBy("doc_id").collect().sameElements(batch))
+    // an id at or below the shard's packed max raises (history rewrite)
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((10L, "a", "w w"), (20L, "a", "w w w")).toDF("doc_id", "shard", "text")
+    val packedTiny = SequencePacking.pack(tiny, "text", "doc_id", 10, "shard")
+    val bad = Seq((15L, "a", "w")).toDF("doc_id", "shard", "text")
+    val ex = intercept[Exception] {
+      SequencePacking.packCountedAppend(bad,
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 10,
+        "shard", SequencePacking.packTotals(packedTiny)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rewrite")), s"got $ex")
+    // a shard unseen in the carry state starts at offset 0
+    val fresh = Seq((30L, "b", "w w w w")).toDF("doc_id", "shard", "text")
+    val out = SequencePacking.packCountedAppend(fresh,
+      graft.text.TextAnalysis.tokenCount(col("text")), "doc_id", 10,
+      "shard", SequencePacking.packTotals(packedTiny))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((30L, 0L, 0L)))
+  }
+
   test("packShuffled: epoch-deterministic reshuffle of the packing order") {
     import org.apache.spark.sql.functions._
     val d = Demo.table(spark, sf(), "documents")
