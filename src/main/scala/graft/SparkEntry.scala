@@ -1138,6 +1138,23 @@ object SparkEntry {
         maxPieceLen = 8)
         .orderBy("doc_id")
     }),
+    // HF Unigram tokenizer.json round trip: export the trained vocab
+    // in the `tokenizers` Unigram shape, load it back, serve through
+    // the Viterbi kernel — micro-unit scores recover EXACTLY, so the
+    // freshly-trained oracle is the gate (the bpe_hf_roundtrip
+    // convention for the second tokenizer family)
+    "tokenize_unigram_hf_roundtrip" -> ((s, dir) => {
+      val jpath = tmpIndexDir("unigramjson", dir) + "/tokenizer.json"
+      graft.text.UnigramArtifacts.exportTokenizerJson(
+        graft.text.UnigramLm.train(s, Demo.table(s, dir, "documents"),
+          "text", topK = 256, seedSize = 256, maxPieceLen = 8,
+          emIters = 3), jpath)
+      () => graft.text.UnigramLm.encodeDocs(
+        Demo.table(s, dir, "documents"), "text", "doc_id",
+        graft.text.UnigramArtifacts.loadTokenizerJson(jpath),
+        maxPieceLen = 8)
+        .orderBy("doc_id")
+    }),
     // Fitted PCA model persisted once (micro weights + integer mean),
     // projection served from it — the stored integers ARE what the
     // projection kernel multiplies, so serve output is bit-identical
@@ -2937,6 +2954,8 @@ object SparkEntry {
     // vocabulary — bit-identical to tokenize_unigram (same oracle)
     "tokenize_unigram_from_model" -> ((s, dir) =>
       buildServe("tokenize_unigram_from_model")(s, dir)()),
+    "tokenize_unigram_hf_roundtrip" -> ((s, dir) =>
+      buildServe("tokenize_unigram_hf_roundtrip")(s, dir)()),
     // Training-data ops: PCA over the embedding column (fixed-iteration
     // orthogonal iteration on the exact-integer scatter matrix) — the
     // trained counterpart of the JL random projection; the oracle
@@ -3878,6 +3897,7 @@ object SparkEntry {
     "tokenize_unigram_vocab" -> graft.text.UnigramLm.oracleVocabSql(256, 256, 8, 3),
     "tokenize_unigram" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "tokenize_unigram_from_model" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
+    "tokenize_unigram_hf_roundtrip" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "embed_pca_components" -> graft.embeddings.PcaOracles.componentsSql(4, 32),
     "embed_pca_eigenvalues" -> graft.embeddings.PcaOracles.eigenvaluesSql(4, 32),
     "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),

@@ -181,6 +181,70 @@ class UnigramLmSpec extends SparkSpec {
     assert(UnigramLm.wordPiecesBlob("ab", blobOf(mA), 8).toSeq === Seq("ab"))
   }
 
+  test("HF tokenizer.json round trip: scores recover exactly, serving bit-identical") {
+    import graft.text.UnigramArtifacts
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = UnigramLm.train(spark, docs, "text",
+      topK = 128, seedSize = 128, maxPieceLen = 8, emIters = 2)
+    val jpath = java.nio.file.Files
+      .createTempDirectory("unigram_json").toString + "/tokenizer.json"
+    UnigramArtifacts.exportTokenizerJson(model, jpath)
+    val loaded = UnigramArtifacts.loadTokenizerJson(jpath)
+    // micro-unit scores recover EXACTLY through the double round trip
+    assert(loaded.map(e => e.piece -> e.scoreU).sortBy(_._1) ===
+      model.map(e => e.piece -> e.scoreU).sortBy(_._1))
+    assert(UnigramArtifacts.maxPieceLen(loaded) <= 8)
+    val fresh = UnigramLm.encodeDocs(docs, "text", "doc_id", model, 8)
+      .orderBy("doc_id").collect().toSeq
+    val served = UnigramLm.encodeDocs(docs, "text", "doc_id", loaded, 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(served === fresh)
+  }
+
+  test("HF tokenizer.json foreign file: hand-written vocab segments as its logprobs dictate") {
+    import graft.text.UnigramArtifacts
+    // a vocab the engine never trained: "ab" beats "a"+"b" iff its
+    // logprob exceeds the sum — both directions exercised
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def write(pairs: Seq[(String, Double)]): String = {
+      val root = mapper.createObjectNode()
+      val m = mapper.createObjectNode()
+      m.put("type", "Unigram")
+      val vocab = mapper.createArrayNode()
+      pairs.foreach { case (p, lp) =>
+        val pair = mapper.createArrayNode()
+        pair.add(p); pair.add(lp); vocab.add(pair)
+      }
+      m.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("model", m)
+      val f = java.nio.file.Files
+        .createTempDirectory("foreign_json").toString + "/tokenizer.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        mapper.writeValueAsBytes(root))
+      f
+    }
+    val whole = UnigramArtifacts.loadTokenizerJson(
+      write(Seq("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0)))
+    assert(UnigramLm.segment("ab",
+      whole.map(e => e.piece -> e.scoreU).toMap, 8).toSeq === Seq("ab"))
+    val split = UnigramArtifacts.loadTokenizerJson(
+      write(Seq("ab" -> -5.0, "a" -> -2.0, "b" -> -2.0)))
+    assert(UnigramLm.segment("ab",
+      split.map(e => e.piece -> e.scoreU).toMap, 8).toSeq === Seq("a", "b"))
+    // a non-Unigram model type refuses instead of mis-serving
+    val bpePath = write(Seq("x" -> -1.0)).replace("tokenizer", "t2")
+    val root = mapper.createObjectNode()
+    val m2 = mapper.createObjectNode(); m2.put("type", "BPE")
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", m2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(bpePath),
+      mapper.writeValueAsBytes(root))
+    val e = intercept[IllegalArgumentException] {
+      UnigramArtifacts.loadTokenizerJson(bpePath)
+    }
+    assert(e.getMessage.contains("Unigram"))
+  }
+
   test("single-code-point coverage pieces survive pruning at floor score") {
     val docs = Seq((1L, "aaa aaa aaa bca")).toDF("doc_id", "text")
     val model = UnigramLm.train(spark, docs, "text",
