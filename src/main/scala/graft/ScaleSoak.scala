@@ -375,6 +375,9 @@ object ScaleSoak {
     // token grain, doc_id-joined to fragments, digested per sequence —
     // the loader's real materialization cost, linear in corpus tokens
     "corpus_release_sequences",
+    // epoch-shuffled split packing: the pack_fragments shapes with the
+    // hash sort key — must track pack_fragments' α
+    "pack_fragments_epoch",
     // incremental epoch packing: batch window over epoch 0 + append
     // windows over later epochs against the broadcast O(shards) carry
     // — incremental cost must track epoch size, not corpus size

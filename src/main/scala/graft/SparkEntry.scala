@@ -2797,6 +2797,14 @@ object SparkEntry {
         graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
         budget = 512, shardCol = "lang", epoch = 1L)
         .orderBy("doc_id")),
+    // Epoch-shuffled SPLIT packing — reshuffle then chop, the
+    // combination trainers actually run between epochs
+    "pack_fragments_epoch" -> ((s, dir) =>
+      graft.text.SequencePacking.packSplitShuffled(
+        Demo.table(s, dir, "documents"),
+        graft.text.TextAnalysis.tokenCount(col("text")), "doc_id",
+        budget = 512, shardCol = "lang", epoch = 1L)
+        .orderBy("doc_id", "seq_id")),
     // Per-sequence assembly manifest over the split fragments: the
     // ordered doc_id:doc_offset:frag_len recipe a trainer's loader
     // executes, one row per (shard, sequence)
@@ -3866,6 +3874,7 @@ object SparkEntry {
     "pack_fragments" -> TextOracles.packFragments,
     "pack_manifest" -> TextOracles.packManifest,
     "pack_sequences_epoch" -> TextOracles.packSequencesEpoch,
+    "pack_fragments_epoch" -> TextOracles.packFragmentsEpoch,
     // incremental ≡ batch: the grown packing must replay the ONE-SHOT
     // window oracle bit-for-bit
     "pack_sequences_incremental" -> TextOracles.packSequences,

@@ -179,6 +179,44 @@ object SequencePacking {
   }
 
   /**
+   * [[packSplit]] under the EPOCH-SHUFFLED order — the combination
+   * real trainers run (reshuffle between epochs, then chop at every
+   * boundary): the per-shard stream concatenates in
+   * ([[epochOrderKey]], doc_id) order and fragments exactly as
+   * [[packSplit]] does. Output adds `ord` (the order key) so the
+   * in-sequence layout is reproducible downstream.
+   */
+  def packSplitShuffled(docs: DataFrame,
+      countExpr: org.apache.spark.sql.Column, idCol: String,
+      budget: Int, shardCol: String, epoch: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val b = lit(budget.toLong)
+    val w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segStart = greatest(col("start_tok"), col("seq_id") * b)
+    val segEnd = least(col("start_tok") + col("n_tokens"),
+      (col("seq_id") + lit(1L)) * b)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        countExpr.cast("long").as("n_tokens"),
+        epochOrderKey(col(idCol), epoch).as("__ord"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("__last",
+        expr(s"(start_tok + n_tokens - 1) DIV $budget"))
+      .withColumn("n_frags",
+        col("__last") - expr(s"start_tok DIV $budget") + lit(1L))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start_tok DIV $budget"), col("__last"))))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("__ord").as("ord"), col("seq_id"),
+        (segStart - col("seq_id") * b).as("seq_offset"),
+        (segStart - col("start_tok")).as("doc_offset"),
+        (segEnd - segStart).as("frag_len"),
+        col("n_frags"))
+  }
+
+  /**
    * SPLIT-ACROSS packing — the other half of the packing semantics:
    * where [[packCounted]] assigns each document to the sequence it
    * STARTS in (trainers then mask or spill the overflow),

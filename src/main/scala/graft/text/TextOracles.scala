@@ -893,6 +893,36 @@ SELECT doc_id, shard, n_tokens, ord,
   start_tok % 512 + n_tokens > 512 AS spans_boundary
 FROM p ORDER BY doc_id"""
 
+  /** Mirrors `SequencePacking.packSplitShuffled` (budget 512, shard =
+    * lang, epoch 1): the epoch order key, the per-shard prefix in
+    * (ord, doc_id) order, then the packSplit fragment arithmetic. */
+  val packFragmentsEpoch: String = raw"""WITH te AS (
+  SELECT doc_id, lang AS shard, CAST(len($toks) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS ord
+  FROM documents),
+pe AS (SELECT doc_id, shard, n_tokens, ord,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+          ORDER BY ord, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_tok
+      FROM te),
+fe AS (SELECT doc_id, shard, n_tokens, ord, start_tok,
+        CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+          AS BIGINT) AS n_frags,
+        unnest(generate_series(start_tok // 512,
+          (start_tok + n_tokens - 1) // 512)) AS seq_id
+      FROM pe WHERE n_tokens > 0)
+SELECT doc_id, shard, n_tokens, ord, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(start_tok, seq_id * 512) - seq_id * 512 AS BIGINT)
+    AS seq_offset,
+  CAST(greatest(start_tok, seq_id * 512) - start_tok AS BIGINT)
+    AS doc_offset,
+  CAST(least(start_tok + n_tokens, (seq_id + 1) * 512)
+    - greatest(start_tok, seq_id * 512) AS BIGINT) AS frag_len,
+  n_frags
+FROM fe ORDER BY doc_id, seq_id"""
+
   val packSequenceStats: String = s"""WITH $packCte
 SELECT shard, seq_id, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

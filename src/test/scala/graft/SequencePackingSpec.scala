@@ -273,6 +273,36 @@ class SequencePackingSpec extends SparkSpec {
     assert(e1.sameElements(again))
   }
 
+  test("packSplitShuffled: fragments tile the epoch-shuffled stream") {
+    import org.apache.spark.sql.functions._
+    val d = Demo.table(spark, sf(), "documents")
+    val cnt = graft.text.TextAnalysis.tokenCount(col("text"))
+    val frags = SequencePacking.packSplitShuffled(d, cnt, "doc_id",
+      512, "lang", epoch = 1L)
+    // per-doc tiling invariants hold under any order
+    val perDoc = frags.groupBy("doc_id")
+      .agg(first("n_tokens").as("n"), sum("frag_len").as("s"),
+        count(lit(1)).as("k"), first("n_frags").as("nf"))
+    assert(perDoc.filter(col("s") =!= col("n") || col("k") =!= col("nf"))
+      .count() == 0)
+    // sequences fill to the budget except each shard's last
+    val perSeq = frags.groupBy("shard", "seq_id")
+      .agg(sum("frag_len").as("tok"))
+    val lastSeq = frags.groupBy("shard").agg(max("seq_id").as("last"))
+    assert(perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") < col("last") && col("tok") =!= 512L)
+      .count() == 0)
+    // consistency with packShuffled: first fragment lands where the
+    // assign-to-start formulation puts the doc
+    val assigned = SequencePacking.packShuffled(d, cnt, "doc_id", 512,
+      "lang", 1L).select(col("doc_id"), col("seq_id").as("a_seq"),
+        col("seq_offset").as("a_off"))
+    assert(frags.filter(col("doc_offset") === 0L)
+      .join(assigned, "doc_id")
+      .filter(col("seq_id") =!= col("a_seq")
+        || col("seq_offset") =!= col("a_off")).count() == 0)
+  }
+
   test("sequenceManifest: ordered assembly recipe per sequence") {
     import org.apache.spark.sql.functions._
     // same corpus as the packSplit case: counts 4, 13, 3; budget 10
