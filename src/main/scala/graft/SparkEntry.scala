@@ -1155,6 +1155,53 @@ object SparkEntry {
         maxPieceLen = 8)
         .orderBy("doc_id")
     }),
+    // Trained WordPiece vocabulary persisted as a standard BERT
+    // vocab.txt, greedy serving from the registered file — WordPiece
+    // inference needs ONLY the vocabulary (not the merge order), so
+    // the persisted piece list IS the model; the oracle replays the
+    // likelihood-scored training AND the greedy segmentation under the
+    // DERIVED vocab (no baked-in literals)
+    "tokenize_wordpiece" -> ((s, dir) => {
+      val model = graft.text.WordPiece.trainModel(
+        Demo.table(s, dir, "documents"), "text", topK = 256,
+        numMerges = 24)
+      // base name is the registry key — keep it unique per sf dir
+      val path = tmpIndexDir("wpvocab", dir) + "/wordpiece-" +
+        java.lang.Integer.toHexString(dir.hashCode) + ".vocab.txt"
+      graft.text.WordPiece.writeVocabTxt(model, path)
+      val name = graft.text.VocabRegistry.register(s, path)
+      () => Demo.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.wordpiece_tokens(col("text"),
+            name).as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          md5(array_join(col("__p"), " ")).as("pieces_md5"))
+        .orderBy("doc_id")
+    }),
+    // HF WordPiece tokenizer.json round trip: export the trained model
+    // in the `tokenizers` WordPiece shape, load it back, serve TOKEN
+    // IDS through the text-level kernel (HF model unk semantics) — ids
+    // are integers on both sides, so the freshly-trained oracle is the
+    // gate (the bpe_hf_roundtrip convention for the third family)
+    "wordpiece_hf_roundtrip_encode_ids" -> ((s, dir) => {
+      val jpath = tmpIndexDir("wpjson", dir) + "/tokenizer.json"
+      graft.text.WordPieceArtifacts.exportTokenizerJson(
+        graft.text.WordPiece.trainModel(Demo.table(s, dir, "documents"),
+          "text", topK = 256, numMerges = 24), jpath)
+      () => {
+        val loaded = graft.text.WordPieceArtifacts.loadTokenizerJson(jpath)
+        Demo.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.wordpiece_ids(col("text"),
+              lit(loaded.blob)).as("__ids"))
+          .select(col("doc_id"),
+            size(col("__ids")).cast("long").as("n_pieces"),
+            md5(array_join(transform(col("__ids"),
+              i => i.cast("string")), " ")).as("ids_md5"))
+          .orderBy("doc_id")
+      }
+    }),
     // Fitted PCA model persisted once (micro weights + integer mean),
     // projection served from it — the stored integers ARE what the
     // projection kernel multiplies, so serve output is bit-identical
@@ -2964,6 +3011,26 @@ object SparkEntry {
       buildServe("tokenize_unigram_from_model")(s, dir)()),
     "tokenize_unigram_hf_roundtrip" -> ((s, dir) =>
       buildServe("tokenize_unigram_hf_roundtrip")(s, dir)()),
+    // WordPiece TRAINING (likelihood-scored merges — the third
+    // tokenizer family's trainer, completing {BPE, Unigram, WordPiece}
+    // × {train, serve, artifact interop}): the oracle replays every
+    // merge step's pair/symbol counts and IEEE-double score argmax
+    "wordpiece_train_merges" -> ((s, dir) =>
+      graft.text.WordPiece.trainedMergesDf(s,
+        Demo.table(s, dir, "documents"), "text", topK = 256,
+        numMerges = 24)
+        .orderBy("rank")),
+    // The trained vocabulary under the BERT id convention ([UNK] = 0,
+    // alphabet in byte order, then merge outputs by rank)
+    "wordpiece_vocab" -> ((s, dir) =>
+      graft.text.WordPiece.trainedVocabDf(s,
+        Demo.table(s, dir, "documents"), "text", topK = 256,
+        numMerges = 24)
+        .orderBy("id")),
+    "tokenize_wordpiece" -> ((s, dir) =>
+      buildServe("tokenize_wordpiece")(s, dir)()),
+    "wordpiece_hf_roundtrip_encode_ids" -> ((s, dir) =>
+      buildServe("wordpiece_hf_roundtrip_encode_ids")(s, dir)()),
     // Training-data ops: PCA over the embedding column (fixed-iteration
     // orthogonal iteration on the exact-integer scatter matrix) — the
     // trained counterpart of the JL random projection; the oracle
@@ -3907,6 +3974,11 @@ object SparkEntry {
     "tokenize_unigram" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "tokenize_unigram_from_model" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
     "tokenize_unigram_hf_roundtrip" -> graft.text.UnigramLm.oracleEncodeSql(256, 256, 8, 3),
+    "wordpiece_train_merges" -> graft.text.WordPiece.oracleTrainSql(24, 256),
+    "wordpiece_vocab" -> graft.text.WordPiece.oracleVocabSql(24, 256),
+    "tokenize_wordpiece" -> graft.text.WordPiece.oracleEncodeSql(24, 256),
+    "wordpiece_hf_roundtrip_encode_ids" ->
+      graft.text.WordPiece.oracleEncodeIdsSql(24, 256),
     "embed_pca_components" -> graft.embeddings.PcaOracles.componentsSql(4, 32),
     "embed_pca_eigenvalues" -> graft.embeddings.PcaOracles.eigenvaluesSql(4, 32),
     "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),

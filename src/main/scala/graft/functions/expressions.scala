@@ -51,6 +51,16 @@ object TokenizerAdapters extends Serializable {
         graft.text.VocabRegistry.get(vocabName.toString))
         .map(UTF8String.fromString))
 
+  /** TEXT-level WordPiece id serving under a vocab+id blob
+    * ([[graft.text.WordPiece.blobOf]]) — greedy longest-match with the
+    * HF model's exact unk semantics; the blob is a plan literal,
+    * reference-keyed in the per-thread memo and only stringified on a
+    * miss ([[graft.text.WordPiece.textIdsBlob]]). */
+  def wordpieceTextIds(text: UTF8String, blob: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.text.WordPiece.textIdsBlob(
+        if (text == null) null else text.toString, blob, blob.toString))
+
   /** Unigram-LM Viterbi segmentation of one word — the model blob is a
     * string LITERAL riding the plan (cluster-safe; no side files),
     * parsed once per JVM and memoized ([[graft.text.UnigramLm]]). */
@@ -918,6 +928,17 @@ object GraftFunctions {
     col(StaticInvoke(TokenizerAdapters.getClass,
       ArrayType(StringType, containsNull = false), "wordpieceTokensVocab",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(vocabName))),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true, returnNullable = false))
+
+  /** TEXT-level WordPiece TOKEN IDS of a document column under a
+    * trained/loaded vocab+id blob ([[graft.text.WordPiece.blobOf]]) —
+    * one codegen'd kernel call per document, HF WordPiece model unk
+    * semantics (over-long or greedy-failed words → one unk id). */
+  def wordpiece_ids(text: Column, blob: Column): Column =
+    col(StaticInvoke(TokenizerAdapters.getClass,
+      ArrayType(LongType, containsNull = false), "wordpieceTextIds",
+      Seq(expr(text), expr(blob)),
       inputTypes = Seq(StringType, StringType),
       propagateNull = true, returnNullable = false))
 
