@@ -179,6 +179,56 @@ class WordPieceSpec extends SparkSpec {
     assert(e3.getMessage.contains("unk_token"))
   }
 
+  // Deterministic synthetic vocabulary large enough to train ≥32k
+  // merges (the BpeKernelSpec.bigSample discipline — xorshift64,
+  // fixed seed).
+  private def bigSample: Seq[(String, Long)] = {
+    var state = 88172645463325252L
+    def next(): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 33) % 26).toInt
+    }
+    (0 until 13000).map { i =>
+      val w = new String(Array.fill(9)(('a' + next()).toChar))
+      (w, 1L + (i % 5))
+    }.distinct.groupBy(_._1).map { case (w, g) => (w, g.head._2) }
+      .toSeq.sortBy(_._1)
+  }
+
+  test("incremental trainer ≡ reference on the course, corpus, and synthetic samples") {
+    assert(WordPiece.trainIncremental(course, 8) ==
+      WordPiece.trainReference(course, 8))
+    val real = WordPiece.wordSample(docs, "text", 256)
+    assert(WordPiece.trainIncremental(real, 24) ==
+      WordPiece.trainReference(real, 24))
+    val sub = bigSample.take(1500)
+    assert(WordPiece.trainIncremental(sub, 500) ==
+      WordPiece.trainReference(sub, 500))
+  }
+
+  test("32k-merge production vocabulary trains fast (BERT-class model axis)") {
+    val t0 = System.nanoTime()
+    val merges = WordPiece.trainIncremental(bigSample, 32768)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 32768,
+      s"vocabulary too small: trained ${merges.size} merges")
+    info(f"trained 32768 merges in $trainSec%.1f s")
+    assert(trainSec < 120.0, "incremental trainer should be fast")
+    // ranks are dense, score components positive, vocab serves
+    assert(merges.map(_.rank) == (0 until 32768))
+    assert(merges.forall(m => m.pairCount > 0 && m.leftCount >= m.pairCount
+      && m.rightCount >= m.pairCount))
+    val model = WordPiece.modelOf(bigSample, merges)
+    assert(model.pieces.length > 26 * 2)
+    // every training word round-trips through greedy serving
+    bigSample.take(200).foreach { case (w, _) =>
+      val seg = Tokenizer.wordPieces(w, model.vocab)
+      assert(!seg.contains(Tokenizer.Unk))
+      assert(seg.map(p => if (p.startsWith("##")) p.drop(2) else p)
+        .mkString == w)
+    }
+  }
+
   test("score comparison is exact where counts are sub-2^26 and ties break (cnt, lhs, rhs)") {
     // two pairs with EQUAL scores: (a,##b) 2/(2·2) and (c,##d) 3/(3·4)
     // → 0.5 vs 0.25 — unequal; build a true tie instead:
