@@ -381,7 +381,16 @@ object ScaleSoak {
     // incremental epoch packing: batch window over epoch 0 + append
     // windows over later epochs against the broadcast O(shards) carry
     // — incremental cost must track epoch size, not corpus size
-    "pack_sequences_incremental")
+    "pack_sequences_incremental",
+    // WordPiece training: one explode + hash agg to the bounded type
+    // sample, driver heap loop corpus-size-independent — must ladder
+    // like bpe_train_merges / tokenize_unigram_vocab
+    "wordpiece_train_merges",
+    // WordPiece id serving from the loaded tokenizer.json: ONE greedy
+    // longest-match StaticInvoke per document (LINEAR in word length —
+    // no chunking bound needed, unlike the BPE merge kernel), model
+    // blob as a plan literal; digest action (pure projection)
+    "wordpiece_ids_serve")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(
@@ -399,7 +408,8 @@ object ScaleSoak {
     "bm25_index_incremental_serve" -> "bm25_index_incremental",
     "search_hybrid_rrf_incremental_serve" -> "search_hybrid_rrf_incremental",
     "ann_index_reindex_serve" -> "ann_index_reindex",
-    "bpe_specials_serve" -> "bpe_specials_roundtrip_encode_ids")
+    "bpe_specials_serve" -> "bpe_specials_roundtrip_encode_ids",
+    "wordpiece_ids_serve" -> "wordpiece_hf_roundtrip_encode_ids")
 
   /** Queries whose registered plan is a pure map-side projection: under
     * a `count()` action Catalyst prunes the kernel expressions entirely,
@@ -414,7 +424,9 @@ object ScaleSoak {
     "tokenize_unigram", "embed_pca_project", "extract_html_text",
     // pure map-side projection (doc_id, count, digest) — count() would
     // prune the specials text kernel entirely (the r9 caveat)
-    "bpe_specials_serve")
+    "bpe_specials_serve",
+    // same shape: count() would prune the wordpiece ids kernel
+    "wordpiece_ids_serve")
 
   private def digestAction(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))

@@ -3031,6 +3031,25 @@ object SparkEntry {
       buildServe("tokenize_wordpiece")(s, dir)()),
     "wordpiece_hf_roundtrip_encode_ids" -> ((s, dir) =>
       buildServe("wordpiece_hf_roundtrip_encode_ids")(s, dir)()),
+    // BYTES PER PIECE by language for the trained WordPiece vocab —
+    // the compression metric next to the BPE family's
+    // tokenizer_compression_by_lang and DemoVocab fertility, so all
+    // three trained families report the same tokenizer-eval mart
+    "wordpiece_compression_by_lang" -> ((s, dir) => {
+      val docsT = Demo.table(s, dir, "documents")
+      val model = graft.text.WordPiece.trainModel(docsT, "text",
+        topK = 256, numMerges = 24)
+      docsT.select(col("lang"),
+        octet_length(col("text")).cast("long").as("b"),
+        size(graft.functions.GraftFunctions.wordpiece_ids(col("text"),
+          lit(graft.text.WordPiece.blob(model)))).cast("long").as("t"))
+        .groupBy("lang")
+        .agg(sum(col("b")).as("n_bytes"), sum(col("t")).as("n_pieces"))
+        .select(col("lang"), col("n_bytes"), col("n_pieces"),
+          (expr("(2 * n_bytes * 10000 + n_pieces) DIV (2 * n_pieces)")
+            / 10000.0).as("bytes_per_piece"))
+        .orderBy("lang")
+    }),
     // Training-data ops: PCA over the embedding column (fixed-iteration
     // orthogonal iteration on the exact-integer scatter matrix) — the
     // trained counterpart of the JL random projection; the oracle
@@ -3979,6 +3998,8 @@ object SparkEntry {
     "tokenize_wordpiece" -> graft.text.WordPiece.oracleEncodeSql(24, 256),
     "wordpiece_hf_roundtrip_encode_ids" ->
       graft.text.WordPiece.oracleEncodeIdsSql(24, 256),
+    "wordpiece_compression_by_lang" ->
+      graft.text.WordPiece.oracleCompressionSql(24, 256),
     "embed_pca_components" -> graft.embeddings.PcaOracles.componentsSql(4, 32),
     "embed_pca_eigenvalues" -> graft.embeddings.PcaOracles.eigenvaluesSql(4, 32),
     "embed_pca_project" -> graft.embeddings.PcaOracles.projectSql(4, 32),

@@ -762,6 +762,32 @@ SELECT d.doc_id, coalesce(p.n, 0) AS n_pieces,
 FROM documents d LEFT JOIN docp p USING (doc_id)
 ORDER BY d.doc_id"""
 
+  /** Oracle for the per-language BYTES-PER-PIECE compression report —
+    * the [[Bpe.oracleBytePretokCompressionSql]] metric for this
+    * family: per-document piece counts under the trained vocab joined
+    * to UTF-8 byte lengths, ratio via the repo's exact half-up
+    * integer-division idiom. */
+  def oracleCompressionSql(numMerges: Int, topK: Int,
+      maxChars: Int = DefaultMaxChars): String =
+    s"""WITH RECURSIVE ${trainCtes(numMerges, topK)},
+$vocabCtes,
+$segCtes,
+wpn AS (SELECT word,
+          CASE WHEN length(word) > $maxChars OR bad THEN 1 ELSE np END AS np
+        FROM wseg),
+docp AS (SELECT d.doc_id, CAST(sum(w.np) AS BIGINT) AS n
+         FROM dw d JOIN wpn w USING (word) GROUP BY d.doc_id),
+pt AS (SELECT d.doc_id, d.lang, CAST(strlen(d.text) AS BIGINT) AS b,
+         CAST(coalesce(p.n, 0) AS BIGINT) AS t
+       FROM documents d LEFT JOIN docp p USING (doc_id)),
+g AS (SELECT lang, CAST(sum(b) AS BIGINT) AS n_bytes,
+        CAST(sum(t) AS BIGINT) AS n_pieces
+      FROM pt GROUP BY 1)
+SELECT lang, n_bytes, n_pieces,
+  ((2 * n_bytes * 10000 + n_pieces) // (2 * n_pieces)) / 10000.0
+    AS bytes_per_piece
+FROM g ORDER BY lang"""
+
   /** Oracle for the ID serving query (HF model semantics: over-long or
     * greedy-failed words are ONE unk id): (doc_id, n_pieces, ids_md5). */
   def oracleEncodeIdsSql(numMerges: Int, topK: Int,
