@@ -390,7 +390,11 @@ object ScaleSoak {
     // longest-match StaticInvoke per document (LINEAR in word length —
     // no chunking bound needed, unlike the BPE merge kernel), model
     // blob as a plan literal; digest action (pure projection)
-    "wordpiece_ids_serve")
+    "wordpiece_ids_serve",
+    // type-2 SCD fold: per epoch ONE key-partitioned full-outer join
+    // (open slice × snapshot) + a map-side ≤2-row emission — no global
+    // window, so the 3-epoch history must ladder linearly in keys
+    "scd2_documents_history")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -1352,6 +1352,72 @@ object SparkEntry {
       val (ex, inc) = mergeSides(s, dir)
       Merge.patch(ex, inc, Seq("abn_clean")).orderBy("abn_clean")
     }),
+    // Type-2 SCD history over three deterministic snapshot epochs of
+    // the customer dimension (planted changes / deletes / inserts /
+    // reappearances): two sequential Scd2.merge epochs, each ONE
+    // key-partitioned full-outer join + a map-side ≤2-row emission.
+    // The oracle derives the SAME history directly from the three
+    // snapshot states (per-key change-point windows), so the
+    // epoch-by-epoch engine fold is checked against a closed form.
+    "scd2_customer_history" -> ((s, dir) => {
+      val c = Demo.table(s, dir, "customer")
+      val news = c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_nationkey").cast("long").as("nat"),
+          lit("NEWSEG").as("seg"))
+      val s0 = c.select(col("c_custkey").as("k"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"))
+      val s1 = c.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("nat"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .unionByName(news)
+      val s2 = c.filter(col("c_custkey") % 11 =!= 0 ||
+          col("c_custkey") % 22 === 0)
+        .select(col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("nat"),
+          when(col("c_custkey") % 7 === 0 && col("c_custkey") % 14 =!= 0,
+            lit("MOVED")).otherwise(col("c_mktsegment")).as("seg"))
+        .unionByName(news)
+      val h0 = graft.operators.Scd2.init(s0, Seq("k"), Seq("nat", "seg"), 0L)
+      val h1 = graft.operators.Scd2.merge(h0, s1, Seq("k"),
+        Seq("nat", "seg"), 1L)
+      val h2 = graft.operators.Scd2.merge(h1, s2, Seq("k"),
+        Seq("nat", "seg"), 2L)
+      graft.operators.Scd2.withCurrentFlag(h2).orderBy("k", "valid_from")
+    }),
+    // The same 3-epoch SCD2 fold keyed on the documents corpus (lang +
+    // source as the tracked attributes) — the soak-laddered twin: the
+    // corpus table grows with the replication factor, so this row
+    // prices the per-epoch key join at scale
+    "scd2_documents_history" -> ((s, dir) => {
+      val d = Demo.table(s, dir, "documents")
+      def attrs(seg: org.apache.spark.sql.Column) = Seq(
+        seg.as("lang2"), col("source"))
+      val news = d.filter(col("doc_id") % 13 === 0)
+        .select(Seq((col("doc_id") + 1000000000L).as("k")) ++
+          attrs(lit("new")): _*)
+      val s0 = d.select(Seq(col("doc_id").as("k")) ++
+        attrs(col("lang")): _*)
+      val s1 = d.filter(col("doc_id") % 11 =!= 0)
+        .select(Seq(col("doc_id").as("k")) ++
+          attrs(when(col("doc_id") % 7 === 0, lit("xx"))
+            .otherwise(col("lang"))): _*)
+        .unionByName(news)
+      val s2 = d.filter(col("doc_id") % 11 =!= 0 ||
+          col("doc_id") % 22 === 0)
+        .select(Seq(col("doc_id").as("k")) ++
+          attrs(when(col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0,
+            lit("xx")).otherwise(col("lang"))): _*)
+        .unionByName(news)
+      val ac = Seq("lang2", "source")
+      val h0 = graft.operators.Scd2.init(s0, Seq("k"), ac, 0L)
+      val h1 = graft.operators.Scd2.merge(h0, s1, Seq("k"), ac, 1L)
+      val h2 = graft.operators.Scd2.merge(h1, s2, Seq("k"), ac, 2L)
+      graft.operators.Scd2.withCurrentFlag(h2).orderBy("k", "valid_from")
+    }),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
       // dbt-style checks + a source-freshness line over the events feed
@@ -3852,6 +3918,86 @@ object SparkEntry {
     "match_features_ratios" -> OracleSql.matchFeaturesRatios,
     "etl_match_by_method" -> OracleSql.matchesByMethod,
     "merge_upsert" -> OracleSql.mergeUpsert,
+    // closed-form SCD2 history: per-key change-point detection over
+    // the (key × epoch) grid, valid_to = the next change/absence epoch
+    "scd2_customer_history" -> """WITH news AS (
+  SELECT c_custkey + 1000000 AS k, CAST(c_nationkey AS BIGINT) AS nat,
+    'NEWSEG' AS seg
+  FROM customer WHERE c_custkey % 13 = 0),
+s0 AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+         c_mktsegment AS seg FROM customer),
+s1 AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS seg
+       FROM customer WHERE c_custkey % 11 <> 0
+       UNION ALL SELECT * FROM news),
+s2 AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+         CASE WHEN c_custkey % 7 = 0 AND c_custkey % 14 <> 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS seg
+       FROM customer WHERE c_custkey % 11 <> 0 OR c_custkey % 22 = 0
+       UNION ALL SELECT * FROM news),
+grid AS (
+  SELECT 0 AS epoch, k, nat, seg FROM s0
+  UNION ALL SELECT 1, k, nat, seg FROM s1
+  UNION ALL SELECT 2, k, nat, seg FROM s2),
+ks AS (SELECT DISTINCT k FROM grid),
+fgrid AS (SELECT e.epoch, ks.k, g.nat, g.seg,
+            g.k IS NOT NULL AS present
+          FROM ks CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+          LEFT JOIN grid g ON g.k = ks.k AND g.epoch = e.epoch),
+marked AS (SELECT *,
+    CASE WHEN present AND (
+      lag(present) OVER w IS NULL OR NOT lag(present) OVER w
+      OR lag(nat) OVER w IS DISTINCT FROM nat
+      OR lag(seg) OVER w IS DISTINCT FROM seg) THEN 1 ELSE 0 END AS starts
+  FROM fgrid WINDOW w AS (PARTITION BY k ORDER BY epoch)),
+ends AS (SELECT *,
+    min(CASE WHEN NOT present OR starts = 1 THEN epoch END)
+      OVER (PARTITION BY k ORDER BY epoch
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vto
+  FROM marked)
+SELECT k, nat, seg, CAST(epoch AS BIGINT) AS valid_from,
+  CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
+FROM ends WHERE starts = 1
+ORDER BY k, valid_from""",
+    "scd2_documents_history" -> """WITH news AS (
+  SELECT doc_id + 1000000000 AS k, 'new' AS lang2, source
+  FROM documents WHERE doc_id % 13 = 0),
+s0 AS (SELECT doc_id AS k, lang AS lang2, source FROM documents),
+s1 AS (SELECT doc_id AS k,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2, source
+       FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL SELECT * FROM news),
+s2 AS (SELECT doc_id AS k,
+         CASE WHEN doc_id % 7 = 0 AND doc_id % 14 <> 0 THEN 'xx'
+              ELSE lang END AS lang2, source
+       FROM documents WHERE doc_id % 11 <> 0 OR doc_id % 22 = 0
+       UNION ALL SELECT * FROM news),
+grid AS (
+  SELECT 0 AS epoch, k, lang2, source FROM s0
+  UNION ALL SELECT 1, k, lang2, source FROM s1
+  UNION ALL SELECT 2, k, lang2, source FROM s2),
+ks AS (SELECT DISTINCT k FROM grid),
+fgrid AS (SELECT e.epoch, ks.k, g.lang2, g.source,
+            g.k IS NOT NULL AS present
+          FROM ks CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+          LEFT JOIN grid g ON g.k = ks.k AND g.epoch = e.epoch),
+marked AS (SELECT *,
+    CASE WHEN present AND (
+      lag(present) OVER w IS NULL OR NOT lag(present) OVER w
+      OR lag(lang2) OVER w IS DISTINCT FROM lang2
+      OR lag(source) OVER w IS DISTINCT FROM source) THEN 1 ELSE 0 END
+      AS starts
+  FROM fgrid WINDOW w AS (PARTITION BY k ORDER BY epoch)),
+ends AS (SELECT *,
+    min(CASE WHEN NOT present OR starts = 1 THEN epoch END)
+      OVER (PARTITION BY k ORDER BY epoch
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vto
+  FROM marked)
+SELECT k, lang2, source, CAST(epoch AS BIGINT) AS valid_from,
+  CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
+FROM ends WHERE starts = 1
+ORDER BY k, valid_from""",
     "merge_patch" -> OracleSql.mergePatch,
     "etl_quality_report" -> OracleSql.qualityReport,
     "etl_golden_dim" -> OracleSql.goldenDim,
