@@ -351,6 +351,35 @@ object SparkEntry {
     * clustering query, the keeper-only corpus query and keep-longest
     * (the iterative label-propagation loop is the expensive part).
     * Components are identical to labeling over the pair frame. */
+  /** The 3-epoch planted-snapshot SCD2 fold over documents — shared by
+    * the history, as-of, and delta queries (the snapshot plant rules
+    * are mirrored verbatim in the oracles). */
+  private def scd2DocsHistory(s: SparkSession, dir: String): DataFrame = {
+    val d = Demo.table(s, dir, "documents")
+    def attrs(seg: org.apache.spark.sql.Column) = Seq(
+      seg.as("lang2"), col("source"))
+    val news = d.filter(col("doc_id") % 13 === 0)
+      .select(Seq((col("doc_id") + 1000000000L).as("k")) ++
+        attrs(lit("new")): _*)
+    val s0 = d.select(Seq(col("doc_id").as("k")) ++
+      attrs(col("lang")): _*)
+    val s1 = d.filter(col("doc_id") % 11 =!= 0)
+      .select(Seq(col("doc_id").as("k")) ++
+        attrs(when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("lang"))): _*)
+      .unionByName(news)
+    val s2 = d.filter(col("doc_id") % 11 =!= 0 ||
+        col("doc_id") % 22 === 0)
+      .select(Seq(col("doc_id").as("k")) ++
+        attrs(when(col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0,
+          lit("xx")).otherwise(col("lang"))): _*)
+      .unionByName(news)
+    val ac = Seq("lang2", "source")
+    val h0 = graft.operators.Scd2.init(s0, Seq("k"), ac, 0L)
+    val h1 = graft.operators.Scd2.merge(h0, s1, Seq("k"), ac, 1L)
+    graft.operators.Scd2.merge(h1, s2, Seq("k"), ac, 2L)
+  }
+
   private def ccLabelsDf(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "cc_labels")(
       graft.dedup.ConnectedComponents.label(
@@ -1392,32 +1421,16 @@ object SparkEntry {
     // source as the tracked attributes) — the soak-laddered twin: the
     // corpus table grows with the replication factor, so this row
     // prices the per-epoch key join at scale
-    "scd2_documents_history" -> ((s, dir) => {
-      val d = Demo.table(s, dir, "documents")
-      def attrs(seg: org.apache.spark.sql.Column) = Seq(
-        seg.as("lang2"), col("source"))
-      val news = d.filter(col("doc_id") % 13 === 0)
-        .select(Seq((col("doc_id") + 1000000000L).as("k")) ++
-          attrs(lit("new")): _*)
-      val s0 = d.select(Seq(col("doc_id").as("k")) ++
-        attrs(col("lang")): _*)
-      val s1 = d.filter(col("doc_id") % 11 =!= 0)
-        .select(Seq(col("doc_id").as("k")) ++
-          attrs(when(col("doc_id") % 7 === 0, lit("xx"))
-            .otherwise(col("lang"))): _*)
-        .unionByName(news)
-      val s2 = d.filter(col("doc_id") % 11 =!= 0 ||
-          col("doc_id") % 22 === 0)
-        .select(Seq(col("doc_id").as("k")) ++
-          attrs(when(col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0,
-            lit("xx")).otherwise(col("lang"))): _*)
-        .unionByName(news)
-      val ac = Seq("lang2", "source")
-      val h0 = graft.operators.Scd2.init(s0, Seq("k"), ac, 0L)
-      val h1 = graft.operators.Scd2.merge(h0, s1, Seq("k"), ac, 1L)
-      val h2 = graft.operators.Scd2.merge(h1, s2, Seq("k"), ac, 2L)
-      graft.operators.Scd2.withCurrentFlag(h2).orderBy("k", "valid_from")
-    }),
+    "scd2_documents_history" -> ((s, dir) =>
+      graft.operators.Scd2.withCurrentFlag(scd2DocsHistory(s, dir))
+        .orderBy("k", "valid_from")),
+    // Time-travel read over the folded history: AS OF epoch 1 must
+    // reconstruct snapshot 1 EXACTLY — the oracle IS the snapshot-1
+    // definition (no history logic at all), so this gate pins the
+    // whole close/insert/delete fold from the outside
+    "scd2_asof_snapshot" -> ((s, dir) =>
+      graft.operators.Scd2.asOf(scd2DocsHistory(s, dir), 1L)
+        .orderBy("k")),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
       // dbt-style checks + a source-freshness line over the events feed
@@ -2219,6 +2232,17 @@ object SparkEntry {
       ccLabelsDf(s, dir)
         .withColumn("is_keeper", col("component") === col("node"))
         .orderBy("node")),
+    // Leakage-safe train/val split: the split key is the NEAR-DUP
+    // COMPONENT, not the document — every member of a near-duplicate
+    // cluster lands on the same side by construction, so eval rows can
+    // never leak a training row's near-copy (the contamination mode a
+    // per-doc hash split has). 90/10 by the shared md5 bucket.
+    "split_leakage_safe" -> ((s, dir) =>
+      ccLabelsDf(s, dir)
+        .select(col("node").as("doc_id"), col("component"),
+          when(graft.operators.Sampling.bucket(col("component")) < 9000,
+            lit("train")).otherwise(lit("val")).as("split"))
+        .orderBy("doc_id")),
     // Training-data ops: the dedup END STATE — the corpus with one
     // keeper (min doc id) per near-duplicate cluster
     "dedup_corpus" -> ((s, dir) =>
@@ -3998,6 +4022,16 @@ SELECT k, lang2, source, CAST(epoch AS BIGINT) AS valid_from,
   CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
 FROM ends WHERE starts = 1
 ORDER BY k, valid_from""",
+    // the as-of gate needs NO history logic: snapshot 1's definition
+    // IS the expected output of asOf(history, 1)
+    "scd2_asof_snapshot" -> """WITH news AS (
+  SELECT doc_id + 1000000000 AS k, 'new' AS lang2, source
+  FROM documents WHERE doc_id % 13 = 0),
+s1 AS (SELECT doc_id AS k,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2, source
+       FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL SELECT * FROM news)
+SELECT k, lang2, source FROM s1 ORDER BY k""",
     "merge_patch" -> OracleSql.mergePatch,
     "etl_quality_report" -> OracleSql.qualityReport,
     "etl_golden_dim" -> OracleSql.goldenDim,
@@ -4061,6 +4095,21 @@ ORDER BY k, valid_from""",
     "dedup_eval_overlap" -> DedupOracles.evalOverlap,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
+    // components replay + the shared md5 bucket on the COMPONENT id
+    "split_leakage_safe" -> s"""WITH RECURSIVE
+pairs AS (${DedupOracles.minhashLshPairs}),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node),
+lbl AS (SELECT node AS doc_id, min(comp) AS component FROM walk
+        GROUP BY node)
+SELECT doc_id, component,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+      AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS split
+FROM lbl ORDER BY doc_id""",
     "dedup_corpus" -> DedupOracles.corpusKeepers,
     "dedup_keep_longest" -> DedupOracles.keepLongest,
     "dedup_simhash_pairs_chunked" -> DedupOracles.simhashPairs,

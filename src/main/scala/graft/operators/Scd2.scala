@@ -88,4 +88,16 @@ object Scd2 {
   /** `is_current` presentation flag (open version ⇔ NULL `valid_to`). */
   def withCurrentFlag(historyDf: DataFrame): DataFrame =
     historyDf.withColumn("is_current", col("valid_to").isNull)
+
+  /** Time-travel read: the dimension AS OF `epoch` — versions whose
+    * validity interval covers it (`valid_from ≤ epoch < valid_to`,
+    * open = unbounded). The reconstruction contract: over a history
+    * folded from full snapshots with `closeMissing = true`, `asOf(e)`
+    * equals snapshot `e` EXACTLY — the oracle-gated property that
+    * pins the whole fold (a map-side filter; partition pruning applies
+    * when the history is stored partitioned by `valid_to IS NULL`). */
+  def asOf(history: DataFrame, epoch: Long): DataFrame =
+    history.filter(col("valid_from") <= epoch &&
+      (col("valid_to").isNull || col("valid_to") > epoch))
+      .drop("valid_from", "valid_to")
 }

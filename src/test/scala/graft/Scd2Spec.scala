@@ -103,6 +103,27 @@ class Scd2Spec extends SparkSpec {
     assert(flagged.filter(!$"is_current" && $"valid_to".isNull).count() == 0)
   }
 
+  test("asOf reconstructs every fed snapshot exactly") {
+    val snaps = Seq(
+      snap(1L -> "a", 2L -> "b"),            // epoch 0
+      snap(1L -> "A", 3L -> "c"),            // epoch 1: change, delete, insert
+      snap(1L -> "A", 2L -> "b2", 3L -> "c")) // epoch 2: reappear changed
+    val h = snaps.zipWithIndex.drop(1).foldLeft(
+      Scd2.init(snaps.head, K, A, 0L)) { case (acc, (sn, e)) =>
+        Scd2.merge(acc, sn, K, A, e.toLong)
+      }
+    snaps.zipWithIndex.foreach { case (sn, e) =>
+      val got = Scd2.asOf(h, e.toLong).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = sn.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"asOf($e)")
+    }
+    // beyond the last epoch: still the latest snapshot
+    val latest = Scd2.asOf(h, 99L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "A"), (2L, "b2"), (3L, "c")))
+  }
+
   test("multi-column keys and attributes merge on the full key") {
     val h0 = Scd2.init(Seq((1L, "x", "a", 10L), (1L, "y", "b", 20L))
       .toDF("k", "k2", "seg", "v"), Seq("k", "k2"), Seq("seg", "v"), 0L)
