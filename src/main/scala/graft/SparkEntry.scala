@@ -1431,6 +1431,32 @@ object SparkEntry {
     "scd2_asof_snapshot" -> ((s, dir) =>
       graft.operators.Scd2.asOf(scd2DocsHistory(s, dir), 1L)
         .orderBy("k")),
+    // Graph centrality over the REAL purchase graph (customer↔supplier
+    // through orders⋈lineitem, both directions): 10 fixed iterations
+    // of exact micro-unit PageRank — the oracle unrolls every
+    // iteration as a join+agg CTE over the same integer update, so
+    // ranks are checked bit-for-bit, not approximately
+    "pagerank_purchase_graph" -> ((s, dir) => {
+      val li = Demo.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val ord = Demo.table(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val cs = li.join(ord, "ok")
+        .select((col("ck") * 2).as("cn"), (col("sk") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(cs.select(col("sn").as("src"), col("cn").as("dst")))
+      val nodes = Demo.table(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"))
+        .unionAll(Demo.table(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node")))
+      graft.operators.PageRank.ranksMicro(nodes, edges, iters = 10)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("node DIV 2").as("entity_id"), col("rank_u"))
+        .orderBy("node")
+    }),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
       // dbt-style checks + a source-freshness line over the events feed
@@ -2243,6 +2269,25 @@ object SparkEntry {
           when(graft.operators.Sampling.bucket(col("component")) < 9000,
             lit("train")).otherwise(lit("val")).as("split"))
         .orderBy("doc_id")),
+    // The audit row behind that guarantee: over ALL near-dup pairs,
+    // component-keyed splitting crosses ZERO pairs while the naive
+    // per-doc hash split's cross count is the measured leak
+    "split_leakage_report" -> ((s, dir) => {
+      val labels = ccLabelsDf(s, dir)
+      def side(c: org.apache.spark.sql.Column) =
+        when(graft.operators.Sampling.bucket(c) < 9000, lit("train"))
+          .otherwise(lit("val"))
+      lshPairsDf(s, dir)
+        .join(labels.select(col("node").as("doc_a"),
+          col("component").as("comp_a")), "doc_a")
+        .join(labels.select(col("node").as("doc_b"),
+          col("component").as("comp_b")), "doc_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(side(col("comp_a")) =!= side(col("comp_b")), 1L)
+            .otherwise(0L)).as("n_cross_component"),
+          sum(when(side(col("doc_a")) =!= side(col("doc_b")), 1L)
+            .otherwise(0L)).as("n_cross_perdoc"))
+    }),
     // Training-data ops: the dedup END STATE — the corpus with one
     // keeper (min doc id) per near-duplicate cluster
     "dedup_corpus" -> ((s, dir) =>
@@ -4022,6 +4067,21 @@ SELECT k, lang2, source, CAST(epoch AS BIGINT) AS valid_from,
   CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
 FROM ends WHERE starts = 1
 ORDER BY k, valid_from""",
+    // unrolled exact-integer PageRank replay over the same graph
+    "pagerank_purchase_graph" -> s"""WITH li AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+cs AS (SELECT DISTINCT ck * 2 AS cn, sk * 2 + 1 AS sn
+       FROM li JOIN o USING (ok)),
+edges AS (SELECT cn AS src, sn AS dst FROM cs
+          UNION ALL SELECT sn, cn FROM cs),
+nodes AS (SELECT c_custkey * 2 AS node FROM customer
+          UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+${graft.operators.PageRank.oracleRanksCtes(10)}
+SELECT node,
+  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+  node // 2 AS entity_id, r AS rank_u
+FROM r10 ORDER BY node""",
     // the as-of gate needs NO history logic: snapshot 1's definition
     // IS the expected output of asOf(history, 1)
     "scd2_asof_snapshot" -> """WITH news AS (
@@ -4110,6 +4170,35 @@ SELECT doc_id, component,
   CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
       AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS split
 FROM lbl ORDER BY doc_id""",
+    "split_leakage_report" -> s"""WITH RECURSIVE
+pairs AS (${DedupOracles.minhashLshPairs}),
+e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.u, w.comp FROM walk w JOIN e2 ON e2.v = w.node),
+lbl AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+sided AS (SELECT p.doc_a, p.doc_b, la.component AS comp_a,
+            lb.component AS comp_b
+          FROM pairs p JOIN lbl la ON la.node = p.doc_a
+          JOIN lbl lb ON lb.node = p.doc_b),
+bkt AS (SELECT *,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(comp_a AS VARCHAR)), 1, 15))
+        AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS sca,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(comp_b AS VARCHAR)), 1, 15))
+        AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS scb,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))
+        AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS sda,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))
+        AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'val' END AS sdb
+  FROM sided)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(coalesce(sum(CASE WHEN sca <> scb THEN 1 ELSE 0 END), 0)
+    AS BIGINT) AS n_cross_component,
+  CAST(coalesce(sum(CASE WHEN sda <> sdb THEN 1 ELSE 0 END), 0)
+    AS BIGINT) AS n_cross_perdoc
+FROM bkt""",
     "dedup_corpus" -> DedupOracles.corpusKeepers,
     "dedup_keep_longest" -> DedupOracles.keepLongest,
     "dedup_simhash_pairs_chunked" -> DedupOracles.simhashPairs,
