@@ -394,7 +394,12 @@ object ScaleSoak {
     // type-2 SCD fold: per epoch ONE key-partitioned full-outer join
     // (open slice × snapshot) + a map-side ≤2-row emission — no global
     // window, so the 3-epoch history must ladder linearly in keys
-    "scd2_documents_history")
+    "scd2_documents_history",
+    // iterative graph centrality: 10 rounds of (edges ⋈ ranks on src +
+    // dst agg + node left join), rank frame localCheckpoint'ed per
+    // round — each round is edge-proportional, so the ladder must be
+    // linear in the near-dup edge set (which grows with docs)
+    "pagerank_dedup_graph")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -1457,6 +1457,21 @@ object SparkEntry {
           expr("node DIV 2").as("entity_id"), col("rank_u"))
         .orderBy("node")
     }),
+    // The same exact-integer ranks over the corpus NEAR-DUP graph
+    // (MinHash-LSH pairs, symmetrized): centrality inside duplicate
+    // clusters — a canonical-document signal — and the soak-laddered
+    // PageRank row (the document graph grows with the corpus)
+    "pagerank_dedup_graph" -> ((s, dir) => {
+      val pairs = lshPairsDf(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"),
+          col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst")))
+      graft.operators.PageRank.ranksMicro(
+        Demo.table(s, dir, "documents").select(col("doc_id").as("node")),
+        edges, iters = 10)
+        .orderBy("node")
+    }),
     // §5 dbt data-quality layer as one report row
     "etl_quality_report" -> ((s, dir) =>
       // dbt-style checks + a source-freshness line over the events feed
@@ -4082,6 +4097,13 @@ SELECT node,
   CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
   node // 2 AS entity_id, r AS rank_u
 FROM r10 ORDER BY node""",
+    "pagerank_dedup_graph" -> s"""WITH pairs AS (
+${DedupOracles.minhashLshPairs}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT doc_id AS node FROM documents),
+${graft.operators.PageRank.oracleRanksCtes(10)}
+SELECT node, r AS rank_u FROM r10 ORDER BY node""",
     // the as-of gate needs NO history logic: snapshot 1's definition
     // IS the expected output of asOf(history, 1)
     "scd2_asof_snapshot" -> """WITH news AS (
