@@ -399,7 +399,12 @@ object ScaleSoak {
     // dst agg + node left join), rank frame localCheckpoint'ed per
     // round — each round is edge-proportional, so the ladder must be
     // linear in the near-dup edge set (which grows with docs)
-    "pagerank_dedup_graph")
+    "pagerank_dedup_graph",
+    // incremental components fold: 3 star-contraction runs over (label
+    // stars ∪ epoch edges) — per-epoch work proportional to labeled
+    // nodes + epoch edges, so the fold must ladder like the one-shot
+    // dedup_components (which it must bit-equal)
+    "dedup_components_incremental")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

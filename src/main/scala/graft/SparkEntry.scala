@@ -2303,6 +2303,24 @@ object SparkEntry {
           sum(when(side(col("doc_a")) =!= side(col("doc_b")), 1L)
             .otherwise(0L)).as("n_cross_perdoc"))
     }),
+    // Incremental clustering: the LSH pair set split into 3 hash
+    // epochs, folded by labelIncremental (prior labels ride as star
+    // edges; historical pairs never revisited) — must BIT-EQUAL the
+    // one-shot batch labels, so the unchanged components oracle is the
+    // gate (the bm25_index_incremental convention for the graph op)
+    "dedup_components_incremental" -> ((s, dir) => {
+      val docs = Demo.table(s, dir, "documents").select(col("doc_id"))
+      val pairs = lshPairsDf(s, dir)
+      def epoch(e: Int) =
+        pairs.filter((col("doc_a") + col("doc_b")) % 3 === e)
+      val l0 = graft.dedup.ConnectedComponents.label(
+        docs, epoch(0), "doc_a", "doc_b")
+      val l2 = (1 until 3).foldLeft(l0)((acc, e) =>
+        graft.dedup.ConnectedComponents.labelIncremental(
+          acc, docs, epoch(e), "doc_a", "doc_b"))
+      l2.withColumn("is_keeper", col("component") === col("node"))
+        .orderBy("node")
+    }),
     // Training-data ops: the dedup END STATE — the corpus with one
     // keeper (min doc id) per near-duplicate cluster
     "dedup_corpus" -> ((s, dir) =>
@@ -4177,6 +4195,9 @@ SELECT k, lang2, source FROM s1 ORDER BY k""",
     "dedup_eval_overlap" -> DedupOracles.evalOverlap,
     "dedup_minhash_lsh" -> DedupOracles.minhashLshPairs,
     "dedup_components" -> DedupOracles.components,
+    // incremental ≡ batch: the label fold must replay the ONE-SHOT
+    // components oracle bit-for-bit
+    "dedup_components_incremental" -> DedupOracles.components,
     // components replay + the shared md5 bucket on the COMPONENT id
     "split_leakage_safe" -> s"""WITH RECURSIVE
 pairs AS (${DedupOracles.minhashLshPairs}),

@@ -124,4 +124,31 @@ object ConnectedComponents {
       .withColumn("component", col("node"))
     touched.unionByName(isolated)
   }
+
+  /**
+   * INCREMENTAL labeling — fold a new edge epoch into existing labels
+   * without revisiting historical edges: prior labels compress each
+   * old component into a STAR (node → component edges preserve old
+   * connectivity exactly, and min-label roots keep the global-minimum
+   * property), so labeling the union (label stars ∪ new epoch edges)
+   * over the grown node set equals the batch labels over ALL edges
+   * ever seen — the `incremental ≡ batch` contract, gated by the
+   * unchanged batch oracle. Per-epoch cost is proportional to
+   * (labeled nodes + epoch edges), NOT the historical edge count —
+   * at 100 TB the daily increment relabels against the O(corpus)
+   * label relation instead of re-deriving O(history) candidate pairs.
+   */
+  def labelIncremental(prevLabels: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val labelEdges = prevLabels
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(aCol), col("component").as(bCol))
+    val nodes = prevLabels.select("node")
+      .unionByName(newNodes.select(col(newNodes.columns.head).as("node")))
+      .distinct()
+    label(nodes,
+      labelEdges.unionByName(newEdges.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+  }
 }

@@ -511,6 +511,41 @@ class DedupSpec extends SparkSpec {
     assert(k.toSeq === e.toSeq) // same values, same order
   }
 
+  test("incremental components ≡ batch under epoch merges and any epoch order") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val nodes = (0L until 12L).toDF("node")
+    // chain 0-1-2-3, pair 4-5, triangle 6-7-8; 9..11 isolated.
+    // epochs deliberately MERGE previously separate components:
+    // e0 leaves {0,1} {2,3} apart, e1 bridges them via (1,2)
+    val e0 = Seq((0L, 1L), (2L, 3L), (6L, 7L))
+    val e1 = Seq((1L, 2L), (4L, 5L))
+    val e2 = Seq((7L, 8L), (6L, 8L))
+    def edges(p: Seq[(Long, Long)]) = p.toDF("doc_a", "doc_b")
+    val batch = graft.dedup.ConnectedComponents.label(
+      nodes, edges(e0 ++ e1 ++ e2), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(3L) == 0L && batch(5L) == 4L && batch(8L) == 6L &&
+      batch(11L) == 11L)
+    for (order <- Seq(Seq(e0, e1, e2), Seq(e2, e1, e0), Seq(e1, e0, e2))) {
+      val l0 = graft.dedup.ConnectedComponents.label(
+        nodes, edges(order.head), "doc_a", "doc_b")
+      val folded = order.tail.foldLeft(l0)((acc, ep) =>
+        graft.dedup.ConnectedComponents.labelIncremental(
+          acc, nodes, edges(ep), "doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded == batch, s"epoch order $order")
+    }
+    // node GROWTH: an epoch can introduce new nodes with its edges
+    val l0 = graft.dedup.ConnectedComponents.label(
+      (0L until 6L).toDF("node"), edges(e0), "doc_a", "doc_b")
+    val grown = graft.dedup.ConnectedComponents.labelIncremental(
+      l0, (0L until 12L).toDF("node"), edges(e1 ++ e2), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grown == batch)
+  }
+
   test("simhash: identical text → identical fingerprint; hamming 0 pairs found") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("doc_id", "text")
