@@ -351,6 +351,27 @@ object SparkEntry {
     * clustering query, the keeper-only corpus query and keep-longest
     * (the iterative label-propagation loop is the expensive part).
     * Components are identical to labeling over the pair frame. */
+  /** The customer↔supplier purchase graph (orders ⋈ lineitem, both
+    * directions; node = custkey·2 / suppkey·2+1) — shared by the
+    * centrality and personalized-walk queries. */
+  private def purchaseGraph(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val li = Demo.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val ord = Demo.table(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val cs = li.join(ord, "ok")
+      .select((col("ck") * 2).as("cn"), (col("sk") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(cs.select(col("sn").as("src"), col("cn").as("dst")))
+    val nodes = Demo.table(s, dir, "customer")
+      .select((col("c_custkey") * 2).as("node"))
+      .unionAll(Demo.table(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).as("node")))
+    (nodes, edges)
+  }
+
   /** The 3-epoch planted-snapshot SCD2 fold over documents — shared by
     * the history, as-of, and delta queries (the snapshot plant rules
     * are mirrored verbatim in the oracles). */
@@ -1437,20 +1458,25 @@ object SparkEntry {
     // iteration as a join+agg CTE over the same integer update, so
     // ranks are checked bit-for-bit, not approximately
     "pagerank_purchase_graph" -> ((s, dir) => {
-      val li = Demo.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val ord = Demo.table(s, dir, "orders")
-        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-      val cs = li.join(ord, "ok")
-        .select((col("ck") * 2).as("cn"), (col("sk") * 2 + 1).as("sn"))
-        .distinct()
-      val edges = cs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionAll(cs.select(col("sn").as("src"), col("cn").as("dst")))
-      val nodes = Demo.table(s, dir, "customer")
-        .select((col("c_custkey") * 2).as("node"))
-        .unionAll(Demo.table(s, dir, "supplier")
-          .select((col("s_suppkey") * 2 + 1).as("node")))
+      val (nodes, edges) = purchaseGraph(s, dir)
       graft.operators.PageRank.ranksMicro(nodes, edges, iters = 10)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("node DIV 2").as("entity_id"), col("rank_u"))
+        .orderBy("node")
+    }),
+    // PERSONALIZED PageRank: teleport mass restricted to one nation's
+    // suppliers — ranks measure graph PROXIMITY to that seed set (the
+    // related-entity retrieval signal), not global centrality; same
+    // exact integer update, bit-checked by the seeded oracle replay
+    "ppr_purchase_neighborhood" -> ((s, dir) => {
+      val (nodes, edges) = purchaseGraph(s, dir)
+      val seeds = Demo.table(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.operators.PageRank.ranksMicro(nodes, edges, iters = 10,
+        seeds = Some(seeds))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -4111,6 +4137,22 @@ edges AS (SELECT cn AS src, sn AS dst FROM cs
 nodes AS (SELECT c_custkey * 2 AS node FROM customer
           UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
 ${graft.operators.PageRank.oracleRanksCtes(10)}
+SELECT node,
+  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+  node // 2 AS entity_id, r AS rank_u
+FROM r10 ORDER BY node""",
+    "ppr_purchase_neighborhood" -> s"""WITH li AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+cs AS (SELECT DISTINCT ck * 2 AS cn, sk * 2 + 1 AS sn
+       FROM li JOIN o USING (ok)),
+edges AS (SELECT cn AS src, sn AS dst FROM cs
+          UNION ALL SELECT sn, cn FROM cs),
+nodes AS (SELECT c_custkey * 2 AS node FROM customer
+          UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+          WHERE s_nationkey = 0),
+${graft.operators.PageRank.oracleRanksCtes(10, personalized = true)}
 SELECT node,
   CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
   node // 2 AS entity_id, r AS rank_u

@@ -54,6 +54,28 @@ class PageRankSpec extends SparkSpec {
     assert(r(3L) == 150000L + 85L * 333333L / 100L)
   }
 
+  test("personalized walk: teleport mass stays with the seeds; unreachable nodes rank 0") {
+    // path 1 -> 2 -> 3, seed {1}; 4 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val r = PageRank.ranksMicro(nodes, edges, 3,
+      seeds = Some(Seq(1L).toDF("node")))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // seed keeps its base every iteration (nothing points at it)
+    assert(r(1L) == 150000L)
+    // nodes NOT reachable from a seed get exactly 0 — no damping floor
+    assert(r(4L) == 0L)
+    // proximity ordering: 2 (one hop) above 3 (two hops)
+    assert(r(2L) > r(3L) && r(3L) > 0L)
+    // hand-check r(2): i1 = 0 + 85%*10^6 = 850000; i2 = 85%*150000 =
+    // 127500; i3 stays 127500 (1's rank is 150000 from i1 on)
+    assert(r(2L) == 127500L)
+    // global walk over the same graph gives 4 the damping floor
+    val g = PageRank.ranksMicro(nodes, edges, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(g(4L) == 150000L)
+  }
+
   test("deterministic across runs and partitionings") {
     val nodes = (0L until 200L)
     val edges = nodes.flatMap(i => Seq(i -> ((i * 7 + 1) % 200),
