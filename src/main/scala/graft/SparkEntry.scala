@@ -1971,6 +1971,35 @@ object SparkEntry {
         Demo.table(s, dir, "events").select("user_id", "ts", "value"),
         "user_id", "ts", "value", gapMs = 1800000L)
         .orderBy("key", "session_start")),
+    // Ordered funnel analysis: view → click → purchase, each step
+    // strictly after the previous step's FIRST occurrence and within
+    // ONE HOUR of it (the windowed greedy first-reachable convention —
+    // unbounded ordering is vacuous on a year-long dense stream) —
+    // three conditional min-aggs chained by key joins, no window over
+    // the event stream; per-step user counts + half-up 4-dp rates
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = Demo.table(s, dir, "events")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val counts = ev.agg(countDistinct("user_id").as("n_users"))
+        .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+        .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel")))
+      counts.select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        (expr("(2 * n_view_click * 10000 + n_view) DIV (2 * n_view)")
+          / 10000.0).as("click_rate"),
+        (expr("(2 * n_full_funnel * 10000 + n_view_click) DIV " +
+          "(2 * n_view_click)") / 10000.0).as("purchase_rate"))
+    }),
     // §1.2 JSON map + §2.4: JSON extraction + time-bucketed agg
     "events_json_hourly" -> ((s, dir) =>
       Demo.table(s, dir, "events")
@@ -4218,6 +4247,28 @@ SELECT k, lang2, source FROM s1 ORDER BY k""",
     "levenshtein_names" -> OracleSql.levenshteinNames,
     "latest_event_per_user" -> OracleSql.latestEventPerUser,
     "sessionize_events" -> OracleSql.sessionizeEvents,
+    "funnel_conversion" -> """WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1
+         AND e.ts <= t1.t1 + INTERVAL 1 HOUR GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+         AND e.ts <= t2.t2 + INTERVAL 1 HOUR GROUP BY 1),
+c AS (SELECT
+  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_view_click,
+  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_full_funnel)
+SELECT n_users, n_view, n_view_click, n_full_funnel,
+  ((2 * n_view_click * 10000 + n_view) // (2 * n_view)) / 10000.0
+    AS click_rate,
+  ((2 * n_full_funnel * 10000 + n_view_click) // (2 * n_view_click))
+    / 10000.0 AS purchase_rate
+FROM c""",
     "asof_purchase_click" -> OracleSql.asofPurchaseClick,
     "asof_native_purchase_click" -> OracleSql.asofPurchaseClick,
     "asof_forward_purchase_click" -> OracleSql.asofForwardPurchaseClick,
