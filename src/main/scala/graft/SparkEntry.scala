@@ -372,10 +372,11 @@ object SparkEntry {
     (nodes, edges)
   }
 
-  /** The 3-epoch planted-snapshot SCD2 fold over documents — shared by
-    * the history, as-of, and delta queries (the snapshot plant rules
-    * are mirrored verbatim in the oracles). */
-  private def scd2DocsHistory(s: SparkSession, dir: String): DataFrame = {
+  /** The 3 planted snapshot epochs of the documents dimension —
+    * shared by the batch fold, the as-of read, and the streaming fold
+    * (the plant rules are mirrored verbatim in the oracles). */
+  private def scd2DocsSnapshots(s: SparkSession,
+      dir: String): Seq[DataFrame] = {
     val d = Demo.table(s, dir, "documents")
     def attrs(seg: org.apache.spark.sql.Column) = Seq(
       seg.as("lang2"), col("source"))
@@ -395,10 +396,18 @@ object SparkEntry {
         attrs(when(col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0,
           lit("xx")).otherwise(col("lang"))): _*)
       .unionByName(news)
+    Seq(s0, s1, s2)
+  }
+
+  /** The 3-epoch batch SCD2 fold over [[scd2DocsSnapshots]]. */
+  private def scd2DocsHistory(s: SparkSession, dir: String): DataFrame = {
+    val snaps = scd2DocsSnapshots(s, dir)
     val ac = Seq("lang2", "source")
-    val h0 = graft.operators.Scd2.init(s0, Seq("k"), ac, 0L)
-    val h1 = graft.operators.Scd2.merge(h0, s1, Seq("k"), ac, 1L)
-    graft.operators.Scd2.merge(h1, s2, Seq("k"), ac, 2L)
+    snaps.zipWithIndex.drop(1).foldLeft(
+      graft.operators.Scd2.init(snaps.head, Seq("k"), ac, 0L)) {
+      case (acc, (sn, e)) =>
+        graft.operators.Scd2.merge(acc, sn, Seq("k"), ac, e.toLong)
+    }
   }
 
   private def ccLabelsDf(s: SparkSession, dir: String): DataFrame =
@@ -1452,6 +1461,21 @@ object SparkEntry {
     "scd2_asof_snapshot" -> ((s, dir) =>
       graft.operators.Scd2.asOf(scd2DocsHistory(s, dir), 1L)
         .orderBy("k")),
+    // The STREAMING fold of the same epochs through the persisted
+    // layout (append-only closed partitions + atomic open-set pointer)
+    // — must bit-equal the batch fold, so the unchanged
+    // scd2_documents_history oracle is the gate
+    "scd2_streaming_history" -> ((s, dir) => {
+      val path = tmpIndexDir("scd2hist", dir)
+      val ac = Seq("lang2", "source")
+      scd2DocsSnapshots(s, dir).zipWithIndex.foreach { case (sn, e) =>
+        graft.streaming.StreamingScd2.processBatch(sn, e.toLong,
+          Seq("k"), ac, path)
+      }
+      graft.operators.Scd2.withCurrentFlag(
+        graft.streaming.StreamingScd2.history(s, path))
+        .orderBy("k", "valid_from")
+    }),
     // Graph centrality over the REAL purchase graph (customer↔supplier
     // through orders⋈lineitem, both directions): 10 fixed iterations
     // of exact micro-unit PageRank — the oracle unrolls every
@@ -4063,6 +4087,48 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Closed-form SCD2 history over the planted documents snapshots —
+    * shared by the batch-fold and streaming-fold gates (streaming must
+    * bit-equal batch, so one oracle serves both). */
+  private val oracleSqlDocsScd2Ref: String = """WITH news AS (
+  SELECT doc_id + 1000000000 AS k, 'new' AS lang2, source
+  FROM documents WHERE doc_id % 13 = 0),
+s0 AS (SELECT doc_id AS k, lang AS lang2, source FROM documents),
+s1 AS (SELECT doc_id AS k,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2, source
+       FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL SELECT * FROM news),
+s2 AS (SELECT doc_id AS k,
+         CASE WHEN doc_id % 7 = 0 AND doc_id % 14 <> 0 THEN 'xx'
+              ELSE lang END AS lang2, source
+       FROM documents WHERE doc_id % 11 <> 0 OR doc_id % 22 = 0
+       UNION ALL SELECT * FROM news),
+grid AS (
+  SELECT 0 AS epoch, k, lang2, source FROM s0
+  UNION ALL SELECT 1, k, lang2, source FROM s1
+  UNION ALL SELECT 2, k, lang2, source FROM s2),
+ks AS (SELECT DISTINCT k FROM grid),
+fgrid AS (SELECT e.epoch, ks.k, g.lang2, g.source,
+            g.k IS NOT NULL AS present
+          FROM ks CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+          LEFT JOIN grid g ON g.k = ks.k AND g.epoch = e.epoch),
+marked AS (SELECT *,
+    CASE WHEN present AND (
+      lag(present) OVER w IS NULL OR NOT lag(present) OVER w
+      OR lag(lang2) OVER w IS DISTINCT FROM lang2
+      OR lag(source) OVER w IS DISTINCT FROM source) THEN 1 ELSE 0 END
+      AS starts
+  FROM fgrid WINDOW w AS (PARTITION BY k ORDER BY epoch)),
+ends AS (SELECT *,
+    min(CASE WHEN NOT present OR starts = 1 THEN epoch END)
+      OVER (PARTITION BY k ORDER BY epoch
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vto
+  FROM marked)
+SELECT k, lang2, source, CAST(epoch AS BIGINT) AS valid_from,
+  CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
+FROM ends WHERE starts = 1
+ORDER BY k, valid_from"""
+
   def oracleSql: Map[String, String] = Map(
     "etl_clean_web" -> OracleSql.cleanWeb,
     "etl_clean_abr" -> OracleSql.cleanAbr,
@@ -4117,44 +4183,9 @@ SELECT k, nat, seg, CAST(epoch AS BIGINT) AS valid_from,
   CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
 FROM ends WHERE starts = 1
 ORDER BY k, valid_from""",
-    "scd2_documents_history" -> """WITH news AS (
-  SELECT doc_id + 1000000000 AS k, 'new' AS lang2, source
-  FROM documents WHERE doc_id % 13 = 0),
-s0 AS (SELECT doc_id AS k, lang AS lang2, source FROM documents),
-s1 AS (SELECT doc_id AS k,
-         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2, source
-       FROM documents WHERE doc_id % 11 <> 0
-       UNION ALL SELECT * FROM news),
-s2 AS (SELECT doc_id AS k,
-         CASE WHEN doc_id % 7 = 0 AND doc_id % 14 <> 0 THEN 'xx'
-              ELSE lang END AS lang2, source
-       FROM documents WHERE doc_id % 11 <> 0 OR doc_id % 22 = 0
-       UNION ALL SELECT * FROM news),
-grid AS (
-  SELECT 0 AS epoch, k, lang2, source FROM s0
-  UNION ALL SELECT 1, k, lang2, source FROM s1
-  UNION ALL SELECT 2, k, lang2, source FROM s2),
-ks AS (SELECT DISTINCT k FROM grid),
-fgrid AS (SELECT e.epoch, ks.k, g.lang2, g.source,
-            g.k IS NOT NULL AS present
-          FROM ks CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
-          LEFT JOIN grid g ON g.k = ks.k AND g.epoch = e.epoch),
-marked AS (SELECT *,
-    CASE WHEN present AND (
-      lag(present) OVER w IS NULL OR NOT lag(present) OVER w
-      OR lag(lang2) OVER w IS DISTINCT FROM lang2
-      OR lag(source) OVER w IS DISTINCT FROM source) THEN 1 ELSE 0 END
-      AS starts
-  FROM fgrid WINDOW w AS (PARTITION BY k ORDER BY epoch)),
-ends AS (SELECT *,
-    min(CASE WHEN NOT present OR starts = 1 THEN epoch END)
-      OVER (PARTITION BY k ORDER BY epoch
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vto
-  FROM marked)
-SELECT k, lang2, source, CAST(epoch AS BIGINT) AS valid_from,
-  CAST(vto AS BIGINT) AS valid_to, vto IS NULL AS is_current
-FROM ends WHERE starts = 1
-ORDER BY k, valid_from""",
+    "scd2_documents_history" -> oracleSqlDocsScd2Ref,
+    // streaming fold ≡ batch fold: the same closed-form oracle
+    "scd2_streaming_history" -> oracleSqlDocsScd2Ref,
     // unrolled exact-integer PageRank replay over the same graph
     "pagerank_purchase_graph" -> s"""WITH li AS (
   SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
