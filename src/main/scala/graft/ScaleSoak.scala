@@ -404,7 +404,11 @@ object ScaleSoak {
     // stars ∪ epoch edges) — per-epoch work proportional to labeled
     // nodes + epoch edges, so the fold must ladder like the one-shot
     // dedup_components (which it must bit-equal)
-    "dedup_components_incremental")
+    "dedup_components_incremental",
+    // exact triangle enumeration: two endpoint-keyed joins + a semi
+    // probe — work is wedge-bounded (Σ deg² over the near-dup graph),
+    // which stays linear while replica clusters keep bounded degree
+    "graph_triangles")
 
   /** Ladder name → buildServe key for the serve-only rows. */
   private val ServeOnly: Map[String, String] = Map(

@@ -1507,6 +1507,14 @@ object SparkEntry {
           expr("node DIV 2").as("entity_id"), col("rank_u"))
         .orderBy("node")
     }),
+    // Graph cohesion over the near-dup graph: exact triangles + local
+    // clustering — clique-like clusters are true duplicate families,
+    // chain-shaped ones are borderline matches worth auditing
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Triangles.nodeMetrics(
+        Demo.table(s, dir, "documents").select(col("doc_id")),
+        lshPairsDf(s, dir).select("doc_a", "doc_b"))
+        .orderBy("node")),
     // The same exact-integer ranks over the corpus NEAR-DUP graph
     // (MinHash-LSH pairs, symmetrized): centrality inside duplicate
     // clusters — a canonical-document signal — and the soak-laddered
@@ -4217,6 +4225,32 @@ SELECT node,
   CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
   node // 2 AS entity_id, r AS rank_u
 FROM r10 ORDER BY node""",
+    "graph_triangles" -> s"""WITH pairs AS (
+${DedupOracles.minhashLshPairs}),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+        greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b),
+tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1 JOIN e e2 ON e1.b = e2.a
+         WHERE EXISTS (SELECT 1 FROM e e3
+                       WHERE e3.a = e1.a AND e3.b = e2.b)),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM (SELECT unnest([x, y, z]) AS node FROM tris) GROUP BY 1),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1)
+SELECT d.doc_id AS node,
+  coalesce(deg.degree, 0) AS degree,
+  coalesce(pn.triangles, 0) AS triangles,
+  CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+    ((2 * (2 * coalesce(pn.triangles, 0)) * 10000
+      + deg.degree * (deg.degree - 1))
+     // (2 * deg.degree * (deg.degree - 1))) / 10000.0
+  ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN deg ON deg.node = d.doc_id
+LEFT JOIN pn ON pn.node = d.doc_id
+ORDER BY node""",
     "pagerank_dedup_graph" -> s"""WITH pairs AS (
 ${DedupOracles.minhashLshPairs}),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
