@@ -22,8 +22,25 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
  * partitioned loaders scale linearly until the DB write path saturates).
  * Batches are ordered within a partition; the template must be
  * idempotent (true upsert) so task retries are safe.
+ *
+ * EMBEDDED-Derby caveat: same-JVM connections executing MERGE batches
+ * concurrently can deadlock INSIDE Derby's storage engine (page vs
+ * container-handle monitors — a JVM-level deadlock jstack reports, not
+ * a SQL lock timeout Derby can break; observed live between two
+ * executor tasks). Embedded URLs therefore serialize partition batches
+ * through a JVM-global lock: correctness-neutral (partitions were
+ * unordered anyway), and the parallelism claim above is about REMOTE
+ * databases, where each executor JVM talks to an external server and
+ * the lock never spans JVMs. Client/server Derby (`jdbc:derby://…`)
+ * is remote and unaffected.
  */
 object JdbcSink {
+
+  /** JVM-global mutex for embedded-Derby partition writes. */
+  private object EmbeddedDerbyLock
+
+  private def isEmbeddedDerby(url: String): Boolean =
+    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
 
   /**
    * Write `df` through `sql`. `colOrder` maps the statement's `?`
@@ -39,25 +56,29 @@ object JdbcSink {
     require(idx.forall(_ >= 0), s"unknown column in colOrder: $colOrder")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val conn = connect(url, props)
-        try {
-          conn.setAutoCommit(false)
-          val stmt = conn.prepareStatement(sql)
+        def run(): Unit = {
+          val conn = connect(url, props)
           try {
-            var n = 0
-            rows.foreach { r =>
-              var p = 0
-              while (p < idx.length) {
-                stmt.setObject(p + 1, r.get(idx(p)))
-                p += 1
+            conn.setAutoCommit(false)
+            val stmt = conn.prepareStatement(sql)
+            try {
+              var n = 0
+              rows.foreach { r =>
+                var p = 0
+                while (p < idx.length) {
+                  stmt.setObject(p + 1, r.get(idx(p)))
+                  p += 1
+                }
+                stmt.addBatch()
+                n += 1
+                if (n % batchSize == 0) { stmt.executeBatch(); conn.commit() }
               }
-              stmt.addBatch()
-              n += 1
-              if (n % batchSize == 0) { stmt.executeBatch(); conn.commit() }
-            }
-            if (n % batchSize != 0) { stmt.executeBatch(); conn.commit() }
-          } finally stmt.close()
-        } finally conn.close()
+              if (n % batchSize != 0) { stmt.executeBatch(); conn.commit() }
+            } finally stmt.close()
+          } finally conn.close()
+        }
+        if (isEmbeddedDerby(url)) EmbeddedDerbyLock.synchronized(run())
+        else run()
       }
     }
   }
