@@ -47,7 +47,11 @@ object PageRank {
     require(iters > 0, "iters must be positive")
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    val e = edges.join(outdeg, "src")
+    // computed once, joined by every iteration: without the checkpoint
+    // each of the `iters` contribution joins re-derives the edge frame
+    // AND the out-degree aggregation from source (round-15
+    // optimization; values unchanged — the frame is deterministic)
+    val e = edges.join(outdeg, "src").localCheckpoint()
     // base/init frame: computed once, reused by every iteration
     val nb = (seeds match {
       case Some(sd) =>

@@ -67,30 +67,41 @@ object StreamingBm25Index {
     * doc_id, tf, dl) — the rebuild path's grain minus the denormalized
     * df (merge-on-read derives it; see the object doc). */
   def postingsRows(batch: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame = {
-    val toksArr = TextDedup.tokens(col(textCol))
-    batch.select(col(idCol).as("doc_id"), toksArr.as("toks"))
+      buckets: Int): DataFrame =
+    postingsFromToks(batch.select(col(idCol).as("doc_id"),
+      TextDedup.tokens(col(textCol)).as("toks")), buckets)
+
+  private def postingsFromToks(toks: DataFrame, buckets: Int): DataFrame =
+    toks
       .select(col("doc_id"), explode(col("toks")).as("term"),
         size(col("toks")).cast("long").as("dl"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-  }
 
   /** One micro-batch: raw docs to `corpusDir`, postings to `indexDir`
     * (bucket-sub-partitioned for query pruning), then the epoch's
     * 1-row (n_docs, sum_dl, buckets) stats partial to `statsDir` —
     * each idempotently replacing its own `batch_id` partition.
     * Documents with zero tokens yield no postings but DO count in the
-    * stats partial (the rebuild path's n_docs counts them too). */
+    * stats partial (the rebuild path's n_docs counts them too).
+    * The batch is tokenized ONCE into a materialized (doc_id, toks)
+    * frame feeding the postings write, the stats partial and the
+    * emptiness guard — the former shape tokenized the batch for the
+    * postings and AGAIN for the stats, plus a third scan for
+    * `isEmpty` (round-15 optimization; rows identical — tokenization
+    * is deterministic). */
   def processBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, buckets: Int, indexDir: String, corpusDir: String,
       statsDir: String): Unit = {
     require(buckets > 0, "bucket count must be positive")
-    if (batch.isEmpty) return
-    GrowingIndex.commit(batch, postingsRows(batch, textCol, idCol, buckets),
+    val toks = graft.operators.Materialized(
+      batch.select(col(idCol).as("doc_id"),
+        TextDedup.tokens(col(textCol)).as("toks")))
+    if (toks.isEmpty) return
+    GrowingIndex.commit(batch, postingsFromToks(toks, buckets),
       batchId, corpusDir, indexDir, indexSubCols = Seq("bucket"))
-    batch.select(size(TextDedup.tokens(col(textCol))).cast("long").as("dl"))
+    toks.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("buckets", lit(buckets))
       .withColumn("batch_id", lit(batchId))

@@ -428,13 +428,17 @@ object LanguageModel {
     * a distinct type, so caching the per-level relations too holds
     * ~5 corpus-sized frames at once and OOMs; everything below is left
     * lazy and Spark's exchange reuse dedups the identical aggregation
-    * subplans among a level's consumers), the distinct-gram relation
-    * `g5` (occurrence count c5) and the type-count relations m4/m3/m2,
-    * each derived DIRECTLY from the stream: N1+ at level k is
-    * `countDistinct` of the level-(k+1) key — e.g. distinct w₂..w₅
-    * preceding (w₃w₄w₅) ≡ distinct k4 per k3. Context keys ride along
-    * in the grouping (each is a function of the level key, so the
-    * groups are unchanged). */
+    * subplans among a level's consumers), the distinct-5-gram relation
+    * `g5` (occurrence count c5, EVERY derived level/context key riding
+    * along — each is a function of the 5-gram, so the groups are
+    * unchanged) and the type-count relations m4/m3/m2. Restructured in
+    * the round-15 optimization pass: the corpus stream is aggregated
+    * ONCE (to `g5`) and every level relation derives from that
+    * vocab-sized frame instead of re-aggregating the stream — N1+ at
+    * level k is `countDistinct` of the level-(k+1) key over rows
+    * already distinct in the 5-gram, value-identical to the former
+    * stream-side countDistinct (e.g. m4's distinct-k5 count per
+    * (k4,c4k) is a plain `count` of distinct-k5 rows). */
   private def kn5Relations(docs: DataFrame, textCol: String, idCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = (1 to 5).map(k => col(s"w$k"))
@@ -449,12 +453,12 @@ object LanguageModel {
       gramKey(w.drop(3): _*).as("k2"),
       gramKey(w(3)).as("c2k"),
       gramKey(w(4)).as("k1")))
-    val g5 = gsk.groupBy("k5", "c5k").agg(count(lit(1)).as("c5"))
-    val m4 = gsk.groupBy("k4", "c4k")
-      .agg(countDistinct(col("k5")).as("k4c"))
-    val m3 = gsk.groupBy("k3", "c3k")
+    val g5 = gsk.groupBy("k5", "c5k", "k4", "c4k", "k3", "c3k", "k2",
+      "c2k", "k1").agg(count(lit(1)).as("c5"))
+    val m4 = g5.groupBy("k4", "c4k").agg(count(lit(1)).as("k4c"))
+    val m3 = g5.groupBy("k3", "c3k")
       .agg(countDistinct(col("k4")).as("k3c"))
-    val m2 = gsk.groupBy("k2", "c2k", "k1")
+    val m2 = g5.groupBy("k2", "c2k", "k1")
       .agg(countDistinct(col("k3")).as("k2c"))
     (gsk, g5, m4, m3, m2)
   }
@@ -534,19 +538,26 @@ object LanguageModel {
       col("tot4") + gamma("v", "b", "tot4") * p3
     val p5 = greatest(col("c5") - dOf(col("c5"), "u"), lit(0.0)) /
       col("tot5") + gamma("u", "a", "tot5") * p4
-    // every join is a single-long key join at the stream's own columns;
-    // the relations' derivation keys are projected away first. All nine
-    // relation sides are merge-hinted (sort-merge join): they are
-    // vocab-sized — up to corpus-sized at high dup-free scale — and the
-    // static planner's post-aggregation size guesses otherwise elect
-    // driver broadcasts that cannot build at 100× (observed: broadcast
-    // OOM on the soak's 500k-doc leg), while shuffle_hash's per-task
-    // hash builds cannot acquire execution memory with 32 concurrent
-    // tasks × 9 joins (also observed). SMJ sorts and SPILLS — the only
-    // join that degrades gracefully here; the 1-row totals/discount
-    // frames below stay explicit broadcasts
+    // Restructured in the round-15 optimization pass: the per-5-gram
+    // log-probability is assembled on the VOCAB-sized distinct-5-gram
+    // relation (g5 carries every level/context key), and the corpus
+    // stream joins the finished model ONCE on k5 — the former shape
+    // shuffled the accumulating corpus stream through all nine level
+    // joins; this one shuffles it once into the model join and once
+    // into the per-doc aggregation, with identical per-row values
+    // (every joined column is keyed by a function of the 5-gram, so
+    // the match multiset per stream row is unchanged). All relation
+    // sides are merge-hinted (sort-merge join): they are vocab-sized —
+    // up to corpus-sized at high dup-free scale — and the static
+    // planner's post-aggregation size guesses otherwise elect driver
+    // broadcasts that cannot build at 100× (observed: broadcast OOM on
+    // the soak's 500k-doc leg), while shuffle_hash's per-task hash
+    // builds cannot acquire execution memory with 32 concurrent tasks
+    // × 9 joins (also observed). SMJ sorts and SPILLS — the only join
+    // that degrades gracefully here; the 1-row totals/discount frames
+    // stay explicit broadcasts
     def sh(df: DataFrame): DataFrame = df.hint("merge")
-    gsk.join(sh(g5.select("k5", "c5")), Seq("k5"))
+    val model = g5
       .join(sh(ctx5), Seq("c5k"))
       .join(sh(m4.select("k4", "k4c")), Seq("k4"))
       .join(sh(ctx4), Seq("c4k"))
@@ -558,8 +569,9 @@ object LanguageModel {
       .crossJoin(broadcast(tot1))
       .crossJoin(broadcast(d5)).crossJoin(broadcast(d4))
       .crossJoin(broadcast(d3)).crossJoin(broadcast(d2))
-      .select(col("doc_id"),
-        round(log(p5), 6).cast("decimal(28,6)").as("lp"))
+      .select(col("k5"), round(log(p5), 6).cast("decimal(28,6)").as("lp"))
+    gsk.select("doc_id", "k5").join(sh(model), Seq("k5"))
+      .select(col("doc_id"), col("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_5grams"),
         (sum(col("lp")) * 1000000).cast("long").as("s_micro"))

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.operators.{Materialized, Sampling}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -37,15 +37,35 @@ import org.apache.spark.sql.functions._
  *  - the step η·g/n is one double expression rounded to 6 dp and
  *    SUBTRACTED in decimal (never re-rounding the accumulated weight).
  *
- * Scale shape: the feature relation is one map-side projection +
- * explode of a bounded-alphabet array; each GD iteration is two
- * broadcast joins against the ≤ `buckets`+1-row weight table and two
- * hash aggregations (per-doc z, per-cell gradient) — shuffle keys are
- * 8-byte doc ids / cell ids, cost linear in corpus grams per
- * iteration, and the model is broadcastable at ANY corpus size. The
- * train/test split is the deterministic md5 bucket
- * ([[Sampling.bucket]]); documents with zero grams are excluded (no
- * evidence, matching [[Dsir.importanceWeights]]).
+ * Scale shape (restructured in the round-15 optimization pass; values
+ * bit-identical — see the micro-unit note below): the feature relation
+ * is ONE doc-grain map-side projection (doc_id, y, distinct-cell
+ * array), materialized once; each GD iteration is ONE map-side pass
+ * over it — the ≤ `buckets`+1-row model rides IN the plan as an array
+ * literal of exact micro-units (the model is collected per iteration
+ * anyway, as a LocalRelation), z/σ/err are computed in-row, and the
+ * gradient is a single partial-aggregated hash aggregation over the
+ * exploded cells (a `-2` sentinel cell carries the intercept gradient
+ * in the same pass). The previous shape paid, per iteration, a
+ * broadcast join + doc-grain aggregation + a checkpoint + a doc_id
+ * join + two aggregations (~6 exchanges); this one pays ONE exchange
+ * of (cell, err) pairs. Gradient shuffle keys are 8-byte cell ids,
+ * cost linear in corpus grams per iteration, and the model is
+ * plan-literal-sized at ANY corpus size.
+ *
+ * Micro-unit equivalence: a DECIMAL(18,6) weight is exactly k/10⁶ for
+ * integer k, so in-row sums run on LONG micro-units. Every boundary to
+ * double replays the decimal semantics exactly: for a scale-6 decimal
+ * with |unscaled| < 2⁵², `Decimal.toDouble` IS `(double)unscaled/1e6`
+ * (java.math.BigDecimal.doubleValue's fast path), and both sides of
+ * the equivalence are correctly-rounded conversions of the same
+ * rational — per-doc |z| is bounded by buckets · iters · step ≈ 10¹⁰
+ * micro-units, far under 2⁵² at any corpus size. The descent's
+ * per-iteration weight-update expressions (`delta`, the decimal
+ * subtraction) are unchanged. The train/test split is the
+ * deterministic md5 bucket ([[Sampling.bucket]]); documents with zero
+ * grams are excluded (no evidence, matching [[Dsir.importanceWeights]]).
+ * Documents are assumed id-unique (the library-wide doc grain).
  */
 object LogisticRegression {
 
@@ -53,17 +73,93 @@ object LogisticRegression {
   private val Dec28 = "decimal(28,6)"
   private def zeroDec: Column = lit(0).cast(Dec)
 
-  /** Exploded PRESENCE features: one row per (doc, distinct cell),
-    * with the binary label and split bucket riding along. */
+  /** Doc-grain PRESENCE features: (doc_id, y, _bk, cells) with `cells`
+    * the DISTINCT hashed gram cells (each ∈ [0, buckets)) — one row per
+    * document, gram-bearing documents only. */
   private def featFrame(docs: DataFrame, textCol: String, idCol: String,
       label: Column, buckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         when(label, 1L).otherwise(0L).as("y"),
-        Dsir.gramCells(col(textCol), buckets).as("cells"),
+        Dsir.gramCells(col(textCol), buckets).as("cells0"),
         Sampling.bucket(col(idCol)).as("_bk"))
-      .filter(size(col("cells")) > 0)
+      .filter(size(col("cells0")) > 0)
       .select(col("doc_id"), col("y"), col("_bk"),
-        explode(array_distinct(col("cells"))).as("cell"))
+        array_distinct(col("cells0")).as("cells"))
+
+  /** w · 10⁶ as an exact long — DECIMAL(18,6) values are integer
+    * micro-units by construction. */
+  private def microOf(d: java.math.BigDecimal): Long =
+    d.movePointRight(6).longValueExact()
+
+  /** Σ_{c ∈ cells} wMicro(c) as one in-row fold — the exact decimal
+    * z-sum in long micro-units (cells ∈ [0, buckets) by construction,
+    * so the dense array lookup covers every cell; absent weights are
+    * the 0 the old left-join coalesced). */
+  private def zSumMicro(wMicro: Array[Long]): Column = {
+    val wLit = typedLit(wMicro.toSeq)
+    aggregate(col("cells"), lit(0L),
+      (acc, c) => acc + element_at(wLit, (c + lit(1L)).cast("int")))
+  }
+
+  /** The 6-dp sigmoid column of the model (b, z) — byte-identical to
+    * `round(1/(1+exp(-(b::double + zsum::double))), 6)::decimal(18,6)`
+    * over the exact decimals (see the micro-unit note in the object
+    * doc). `zm` is the micro-unit z-sum column. */
+  private def sigmoid6(bDouble: Double, zm: Column): Column =
+    round(lit(1.0) / (lit(1.0) +
+      exp(-(lit(bDouble) + zm.cast("double") / lit(1e6)))), 6).cast(Dec)
+
+  /** Dense per-class micro-unit weights collected from a bounded
+    * weight frame: (classes present as intercept rows in UTF-8-byte
+    * order when `sortClasses`, per-class intercepts, buckets×K cell
+    * weights). Rows with cells outside [0, buckets) or classes without
+    * an intercept row are ignored — exactly the rows the previous
+    * join-shaped scoring could never match. */
+  private def collectSoftmax(weights: DataFrame, buckets: Int)
+      : (Seq[String], Array[Long], IndexedSeq[Seq[Long]]) = {
+    val rows = weights.select(col("cell"), col("cls"), col("w")).collect()
+    val classes = utf8Sorted(
+      rows.filter(r => !r.isNullAt(0) && r.getLong(0) == -1L)
+        .map(_.getString(1)).toSeq.distinct)
+    val idx = classes.zipWithIndex.toMap
+    val k = classes.size
+    val b = new Array[Long](k)
+    val w = Array.fill(buckets * math.max(k, 1))(0L)
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(2)) {
+        val cell = r.getLong(0)
+        idx.get(r.getString(1)).foreach { ki =>
+          val m = microOf(r.getDecimal(2))
+          if (cell == -1L) b(ki) = m
+          else if (cell >= 0 && cell < buckets) w(cell.toInt * k + ki) = m
+        }
+      }
+    }
+    val nested = (0 until buckets)
+      .map(i => (0 until k).map(ki => w(i * k + ki)): Seq[Long])
+    (classes, b, nested)
+  }
+
+  /** Ascending by UTF-8 bytes — the comparison Spark's string ordering
+    * (UTF8String binary order) uses, so serve-side class ordering
+    * matches the engine's `orderBy(cls)` tie-break exactly. */
+  private def utf8Sorted(xs: Seq[String]): Seq[String] = {
+    val cmp = new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    xs.sorted(Ordering.comparatorToOrdering(cmp))
+  }
 
   /**
    * The trained model: `(cell, w)` rows with `cell = -1` holding the
@@ -78,11 +174,11 @@ object LogisticRegression {
     require(iters > 0, s"iters must be positive, got $iters")
     val spark = docs.sparkSession
     // the corpus-sized relation every iteration re-reads: materialized
-    // once (feeds 2 joins × iters consumers)
+    // once at DOC grain (one array row per document)
     val feats = Materialized(
       featFrame(docs, textCol, idCol, label, buckets)
         .filter(col("_bk") < trainBuckets)
-        .select("doc_id", "y", "cell"))
+        .select("doc_id", "y", "cells"))
     // n = train docs with ≥1 gram; a driver SCALAR (one bounded count),
     // baked into the step expression as a literal
     val n = feats.select("doc_id").distinct().count()
@@ -92,32 +188,38 @@ object LogisticRegression {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("w",
         org.apache.spark.sql.types.DecimalType(18, 6), nullable = true)))
-    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    def local(rows: Seq[Row]): DataFrame =
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
-    var w: DataFrame = local(Seq(org.apache.spark.sql.Row(-1L,
-      new java.math.BigDecimal("0.000000"))))
+    var rows: Seq[Row] = Seq(Row(-1L, new java.math.BigDecimal("0.000000")))
+    var w: DataFrame = local(rows)
     for (_ <- 1 to iters) {
+      // the bounded model as driver values (it IS a LocalRelation):
+      // intercept double via BigDecimal.doubleValue — the same
+      // conversion `cast(b as double)` performs — and dense micro-unit
+      // cell weights
+      val bD = rows.find(_.getLong(0) == -1L).get.getDecimal(1).doubleValue
+      val wMicro = new Array[Long](buckets)
+      rows.foreach { r =>
+        val cell = r.getLong(0)
+        if (cell >= 0 && cell < buckets) wMicro(cell.toInt) = microOf(r.getDecimal(1))
+      }
+      // ONE map-side pass: z and σ in-row, err = p − y (exact decimal),
+      // gradient over exploded cells with the −2 sentinel carrying the
+      // intercept roll-up — a single partial-aggregated exchange
+      val grads = feats
+        .select(concat(col("cells"), array(lit(-2L))).as("cs"), col("y"),
+          zSumMicro(wMicro).as("__zm"))
+        .select(col("cs"),
+          (sigmoid6(bD, col("__zm")) - col("y")).cast(Dec).as("err"))
+        .select(explode(col("cs")).as("cell"), col("err"))
+        .groupBy("cell").agg(sum(col("err").cast(Dec28)).as("g"))
+      val gc = grads.filter(col("cell") >= 0)
+      val gb = grads.filter(col("cell") === -2).select(col("g"))
+      // the weight-update expressions are UNCHANGED from the join-shaped
+      // trainer — same decimal subtraction, same 6-dp step rounding
       val wc = w.filter(col("cell") >= 0)
       val wb = w.filter(col("cell") === -1).select(col("w").as("b"))
-      // z_d = b + Σ_{g∈d} w_g — exact decimal sum (presence features:
-      // no multiplication, no rounding); unseen cells contribute 0
-      val zs = feats.join(broadcast(wc), Seq("cell"), "left")
-        .groupBy("doc_id", "y")
-        .agg(sum(coalesce(col("w"), zeroDec).cast(Dec28)).as("zsum"))
-      // two consumers (per-cell gradient join + intercept roll-up):
-      // materialize the per-doc error once instead of re-running the
-      // z-sum chain down both branches (exact decimals — values
-      // identical either way)
-      val errs = Materialized(zs.crossJoin(broadcast(wb))
-        .select(col("doc_id"),
-          (round(lit(1.0) / (lit(1.0) +
-            exp(-(col("b").cast("double") + col("zsum").cast("double")))), 6)
-            .cast(Dec) - col("y")).cast(Dec).as("err")))
-      // gradient: per-cell and intercept sums of the exact decimal errs
-      val gc = feats.join(errs, "doc_id")
-        .groupBy("cell").agg(sum(col("err").cast(Dec28)).as("g"))
-      val gb = errs.agg(sum(col("err").cast(Dec28)).as("g"))
       def delta: Column =
         round(lit(step) * col("g").cast("double") / lit(n), 6).cast(Dec)
       val newC = gc.join(broadcast(wc), Seq("cell"), "left")
@@ -137,29 +239,49 @@ object LogisticRegression {
       // identical (exact decimals). Rows sorted by cell so the literal
       // relation — and therefore every downstream plan — is
       // deterministic.
-      val rows = newC.unionByName(newB).collect().sortBy(_.getLong(0))
-      w = local(rows.toSeq)
+      rows = newC.unionByName(newB).collect().sortBy(_.getLong(0)).toSeq
+      w = local(rows)
     }
     w
   }
 
-  /** Score `docs` (every document with ≥1 gram in the given split
-    * slice) against a weight table from [[trainWeights]]. Output:
-    * (doc_id, label_true, prob, label_pred), prob the 6-dp sigmoid. */
-  private def score(feats: DataFrame, weights: DataFrame): DataFrame = {
-    val wc = weights.filter(col("cell") >= 0)
-    val wb = weights.filter(col("cell") === -1).select(col("w").as("b"))
-    feats.join(broadcast(wc), Seq("cell"), "left")
-      .groupBy("doc_id", "y")
-      .agg(sum(coalesce(col("w"), zeroDec).cast(Dec28)).as("zsum"))
-      .crossJoin(broadcast(wb))
-      .withColumn("p",
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(col("b").cast("double") + col("zsum").cast("double")))), 6)
-          .cast(Dec))
-      .select(col("doc_id"), col("y").as("label_true"),
-        col("p").cast("double").as("prob"),
-        when(col("p") >= 0.5, 1L).otherwise(0L).as("label_pred"))
+  /** Score `feats` (doc-grain rows from [[featFrame]]) against a
+    * weight table from [[trainWeights]] — a pure map-side projection:
+    * the bounded model is collected (≤ buckets+1 rows by construction)
+    * and rides in the plan as a micro-unit array literal; z, σ and the
+    * gate are in-row. Output: (doc_id, label_true, prob, label_pred),
+    * prob the 6-dp sigmoid — bit-identical to the former join-shaped
+    * scoring (micro-unit note in the object doc). */
+  private def score(feats: DataFrame, weights: DataFrame,
+      buckets: Int): DataFrame = {
+    val rows = weights.select(col("cell"), col("w")).collect()
+    val bOpt = rows.find(r => !r.isNullAt(0) && r.getLong(0) == -1L &&
+      !r.isNullAt(1))
+    bOpt match {
+      case None =>
+        // no intercept row: the former crossJoin against an empty
+        // intercept relation produced zero rows — preserve that
+        feats.select(col("doc_id"), col("y").as("label_true"),
+          lit(0.0).as("prob"), lit(0L).as("label_pred"))
+          .filter(lit(false))
+      case Some(bRow) =>
+        val bD = bRow.getDecimal(1).doubleValue
+        val wMicro = new Array[Long](buckets)
+        rows.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val cell = r.getLong(0)
+            if (cell >= 0 && cell < buckets)
+              wMicro(cell.toInt) = microOf(r.getDecimal(1))
+          }
+        }
+        feats
+          .select(col("doc_id"), col("y"), zSumMicro(wMicro).as("__zm"))
+          .select(col("doc_id"), col("y"),
+            sigmoid6(bD, col("__zm")).as("p"))
+          .select(col("doc_id"), col("y").as("label_true"),
+            col("p").cast("double").as("prob"),
+            when(col("p") >= 0.5, 1L).otherwise(0L).as("label_pred"))
+    }
   }
 
   /** Train on the `bucket(id) < trainBuckets` slice, predict the rest. */
@@ -178,8 +300,8 @@ object LogisticRegression {
       trainBuckets: Long = 8000): DataFrame =
     score(
       featFrame(docs, textCol, idCol, label, buckets)
-        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
-      weights)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cells"),
+      weights, buckets)
 
   /**
    * Calibration mart — the classifier-QA report a curation team reads
@@ -192,8 +314,9 @@ object LogisticRegression {
    * frac_positive per bin; systematic gaps mean the 0.5 gate is
    * mistuned. All means are integer micro-unit arithmetic (the
    * engine-exact rounding discipline), so the oracle replays the
-   * report bit-for-bit. One broadcast-model join + one bounded
-   * (`bins`-row) aggregation — mart-sized output at any corpus size.
+   * report bit-for-bit. One plan-literal-model projection + one
+   * bounded (`bins`-row) aggregation — mart-sized output at any
+   * corpus size.
    */
   def calibrationReport(docs: DataFrame, textCol: String, idCol: String,
       label: Column, weights: DataFrame, buckets: Int = 256,
@@ -232,62 +355,53 @@ object LogisticRegression {
       trainBuckets: Long = 8000): DataFrame =
     score(
       featFrame(docs, textCol, idCol, label, buckets)
-        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
-      docs.sparkSession.read.parquet(path))
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cells"),
+      docs.sparkSession.read.parquet(path), buckets)
 
   // ------------------------------------------------- multiclass softmax
 
-  /** Exploded presence features with a STRING class label (the
-    * multiclass sibling of [[featFrame]]): one row per (doc, distinct
-    * cell) with the raw label and split bucket riding along. */
+  /** Doc-grain presence features with a STRING class label (the
+    * multiclass sibling of [[featFrame]]): (doc_id, y, _bk, cells) —
+    * one row per labeled gram-bearing document. */
   private def featFrameMulti(docs: DataFrame, textCol: String,
       idCol: String, labelCol: String, buckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("string").as("y"),
-        Dsir.gramCells(col(textCol), buckets).as("cells"),
+        Dsir.gramCells(col(textCol), buckets).as("cells0"),
         Sampling.bucket(col(idCol)).as("_bk"))
-      .filter(col("y").isNotNull && size(col("cells")) > 0)
+      .filter(col("y").isNotNull && size(col("cells0")) > 0)
       .select(col("doc_id"), col("y"), col("_bk"),
-        explode(array_distinct(col("cells"))).as("cell"))
+        array_distinct(col("cells0")).as("cells"))
 
-  /** Dense per-(doc, class) logits under a weight table: z_{d,c} =
-    * b_c + Σ_{g∈d} w_{g,c}, everything exact decimal. `feats` is
-    * (doc_id, y, cell); output (doc_id, y, cls, zt DECIMAL(28,6)).
-    * The densification (every training doc gets a row for EVERY class,
-    * even classes none of its cells carry weights for yet) is what
-    * makes the softmax denominator complete. */
-  private def softmaxLogits(feats: DataFrame, weights: DataFrame): DataFrame = {
-    val wc = weights.filter(col("cell") >= 0)
-    val wb = weights.filter(col("cell") === -1)
-      .select(col("cls"), col("w").as("b"))
-    val zs = feats.join(broadcast(wc), Seq("cell"))
-      .groupBy("doc_id", "cls")
-      .agg(sum(col("w").cast(Dec28)).as("zs"))
-    feats.select("doc_id", "y").distinct()
-      .crossJoin(broadcast(wb))
-      .join(zs, Seq("doc_id", "cls"), "left")
-      .select(col("doc_id"), col("y"), col("cls"),
-        (col("b").cast(Dec28) + coalesce(col("zs"), lit(0).cast(Dec28)))
-          .cast(Dec28).as("zt"))
-  }
-
-  /** Softmax probabilities from [[softmaxLogits]] output — the engine-
-    * exact discipline: z_max per doc over exact decimals, one exp per
-    * (doc, class) of the exact decimal difference rounded to 6 dp, the
-    * denominator an exact decimal sum, the probability one division
-    * rounded to 6 dp. Output adds `p DECIMAL(18,6)`. */
-  private def softmaxProbs(logits: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy("doc_id")
-    logits
-      .withColumn("e",
-        round(exp((col("zt") - max(col("zt")).over(wDoc)).cast("double")), 6)
-          .cast(Dec))
-      .withColumn("den", sum(col("e").cast(Dec28)).over(wDoc))
-      .withColumn("p",
-        round(col("e").cast("double") / col("den").cast("double"), 6)
-          .cast(Dec))
-      .drop("e", "den")
+  /** The in-row softmax chain over a plan-literal model: appends
+    * `__p` — the array of per-class 6-dp probabilities in `classes`
+    * order. Each stage binds its intermediate so every expression is
+    * evaluated once per document, exactly as the former per-level
+    * window/join chain did: z (exact micro-units) → z_max (exact
+    * comparison) → e = round(exp(Δz), 6) → den (exact decimal sum) →
+    * p = round(e/den, 6). */
+  private def withSoftmaxProbs(feats: DataFrame, classes: Seq[String],
+      bMicro: Array[Long], wNested: IndexedSeq[Seq[Long]]): DataFrame = {
+    val k = classes.size
+    val bLit = typedLit(bMicro.toSeq)
+    val wLit = typedLit(wNested)
+    val zeroK = typedLit(Seq.fill(k)(0L))
+    val ztArr = aggregate(col("cells"), bLit,
+      (acc, c) => zip_with(acc,
+        coalesce(element_at(wLit, (c + lit(1L)).cast("int")), zeroK),
+        (a, b) => a + b))
+    feats
+      .withColumn("__zt", ztArr)
+      .withColumn("__zmax", array_max(col("__zt")))
+      .withColumn("__e", transform(col("__zt"), z =>
+        round(exp(((z - col("__zmax")).cast("double")) / lit(1e6)), 6)
+          .cast(Dec)))
+      .withColumn("__den", aggregate(col("__e"), lit(0).cast(Dec28),
+        (a, x) => (a + x).cast(Dec28)))
+      .withColumn("__p", transform(col("__e"), e =>
+        round(e.cast("double") / col("__den").cast("double"), 6)
+          .cast(Dec)))
+      .drop("__zt", "__zmax", "__e", "__den")
   }
 
   /**
@@ -305,14 +419,20 @@ object LogisticRegression {
    * rounded to 6 dp; the denominator is an exact decimal sum over the
    * bounded class set; the probability and the step are each one
    * double expression rounded to 6 dp — every iteration replays
-   * bit-for-bit as oracle CTEs.
+   * bit-for-bit as oracle CTEs. (The round-15 optimization pass moved
+   * the per-iteration logits/softmax/gradient chain in-row over the
+   * doc-grain feature frame with the model as a plan literal of exact
+   * micro-units — same values, see the object doc; the weight-update
+   * expressions are unchanged.)
    *
-   * Scale shape: per iteration one broadcast join against the
-   * ≤ buckets·K + K-row model, two windows over the (train docs × K)
-   * frame partitioned by the 8-byte doc id, one doc_id join and two
-   * hash aggregations — cost linear in corpus grams × K, and the model
-   * is broadcastable at any corpus size (the [[Classifier.nbPredictHashed]]
-   * bound with a discriminative objective).
+   * Scale shape: per iteration ONE map-side pass over the doc-grain
+   * feature frame (z/softmax/err in-row against the ≤ buckets·K + K
+   * entry plan-literal model) and one partial-aggregated (cell, cls)
+   * hash aggregation — the −2 sentinel cell carries the per-class
+   * intercept gradient in the same exchange. Cost linear in corpus
+   * grams × K per iteration, and the model is plan-literal-sized at
+   * any corpus size (the [[Classifier.nbPredictHashed]] bound with a
+   * discriminative objective).
    */
   def trainSoftmaxWeights(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, buckets: Int = 256, iters: Int = 12,
@@ -342,7 +462,7 @@ object LogisticRegression {
     val feats = Materialized(
       featFrameMulti(docs, textCol, idCol, labelCol, buckets)
         .filter(col("_bk") < trainBuckets)
-        .select("doc_id", "y", "cell"))
+        .select("doc_id", "y", "cells"))
     // ONE bounded job for both fixed-cost scalars: the training-doc
     // count (baked into the step literal) and the class alphabet
     // (≤ maxClasses strings by the guard above), sorted so the initial
@@ -354,6 +474,9 @@ object LogisticRegression {
     val classes = meta.getSeq[String](1)
     require(classes.size >= 2,
       s"softmax needs at least 2 classes, got ${classes.size}")
+    val k = classes.size
+    val clsIdx = classes.zipWithIndex.toMap
+    val classesLit = typedLit(classes)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -361,28 +484,47 @@ object LogisticRegression {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("w",
         org.apache.spark.sql.types.DecimalType(18, 6), nullable = true)))
-    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    def local(rows: Seq[Row]): DataFrame =
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
-    var w: DataFrame = local(classes.map(c => org.apache.spark.sql.Row(
-      -1L, c, new java.math.BigDecimal("0.000000"))))
+    var rows: Seq[Row] = classes.map(c => Row(
+      -1L, c, new java.math.BigDecimal("0.000000")))
+    var w: DataFrame = local(rows)
     for (_ <- 1 to iters) {
+      // dense micro-unit model from the collected rows (class set is
+      // constant across iterations: intercept gradients cover every
+      // class every iteration)
+      val bMicro = new Array[Long](k)
+      val wFlat = new Array[Long](buckets * k)
+      rows.foreach { r =>
+        val cell = r.getLong(0)
+        val ki = clsIdx(r.getString(1))
+        val m = microOf(r.getDecimal(2))
+        if (cell == -1L) bMicro(ki) = m
+        else if (cell >= 0 && cell < buckets) wFlat(cell.toInt * k + ki) = m
+      }
+      val wNested = (0 until buckets)
+        .map(i => (0 until k).map(ki => wFlat(i * k + ki)): Seq[Long])
+      // ONE map-side pass: probabilities in-row, per-class err array,
+      // gradient over exploded (cell | −2 sentinel) × class — a single
+      // partial-aggregated (cell, cls) exchange per iteration
+      val grads = withSoftmaxProbs(feats, classes, bMicro, wNested)
+        .select(concat(col("cells"), array(lit(-2L))).as("cs"),
+          zip_with(col("__p"), classesLit, (p, c) =>
+            (p - when(col("y") === c, 1L).otherwise(0L)).cast(Dec))
+            .as("__errs"))
+        .select(explode(col("cs")).as("cell"), col("__errs"))
+        .select(col("cell"), posexplode(col("__errs")))
+        .select(col("cell"),
+          element_at(classesLit, col("pos") + 1).as("cls"),
+          col("col").as("err"))
+        .groupBy("cell", "cls").agg(sum(col("err").cast(Dec28)).as("g"))
+      val gc = grads.filter(col("cell") >= 0)
+      val gb = grads.filter(col("cell") === -2).select(col("cls"), col("g"))
+      // weight-update expressions unchanged from the join-shaped trainer
       val wc = w.filter(col("cell") >= 0)
       val wb = w.filter(col("cell") === -1)
         .select(col("cls"), col("w").as("b"))
-      // two gradient consumers (per-cell join + intercept roll-up) —
-      // materialize the error frame once per iteration instead of
-      // re-running the whole logits/softmax chain (broadcast join +
-      // doc-grain aggregation + two windows) down both branches; the
-      // frame is (train docs × K) rows of exact decimals, so values
-      // are bit-identical either way
-      val errs = Materialized(softmaxProbs(softmaxLogits(feats, w))
-        .select(col("doc_id"), col("cls"),
-          (col("p") - when(col("y") === col("cls"), 1L).otherwise(0L))
-            .cast(Dec).as("err")))
-      val gc = feats.join(errs, "doc_id")
-        .groupBy("cell", "cls").agg(sum(col("err").cast(Dec28)).as("g"))
-      val gb = errs.groupBy("cls").agg(sum(col("err").cast(Dec28)).as("g"))
       def delta: Column =
         round(lit(step) * col("g").cast("double") / lit(n), 6).cast(Dec)
       val newC = gc.join(broadcast(wc), Seq("cell", "cls"), "left")
@@ -393,26 +535,39 @@ object LogisticRegression {
           (col("b") - delta).cast(Dec).as("w"))
       // the LocalRelation round-trip of [[trainWeights]] (bounded at
       // buckets·K + K rows), sorted by (cell, cls) for determinism
-      val rows = newC.unionByName(newB).collect()
-        .sortBy(r => (r.getLong(0), r.getString(1)))
-      w = local(rows.toSeq)
+      rows = newC.unionByName(newB).collect()
+        .sortBy(r => (r.getLong(0), r.getString(1))).toSeq
+      w = local(rows)
     }
     w
   }
 
-  /** Score `feats` (held-out docs) against a softmax weight table:
-    * argmax class with ties to the ascending class name. Output:
-    * (doc_id, label_true, label_pred, prob) — prob the 6-dp softmax of
-    * the predicted class. */
-  private def scoreSoftmax(feats: DataFrame, weights: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wRank = Window.partitionBy("doc_id")
-      .orderBy(col("p").desc, col("cls").asc)
-    softmaxProbs(softmaxLogits(feats, weights))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("y").as("label_true"),
-        col("cls").as("label_pred"), col("p").cast("double").as("prob"))
+  /** Score doc-grain `feats` (held-out docs) against a softmax weight
+    * table — a pure map-side projection: the bounded model is
+    * collected and rides in the plan as micro-unit array literals;
+    * argmax class with ties to the ascending class name (classes are
+    * UTF-8-byte sorted — Spark's own string order — so the in-row
+    * first-max matches the former `orderBy(p desc, cls asc)` ranking).
+    * Output: (doc_id, label_true, label_pred, prob) — prob the 6-dp
+    * softmax of the predicted class. */
+  private def scoreSoftmax(feats: DataFrame, weights: DataFrame,
+      buckets: Int): DataFrame = {
+    val (classes, bMicro, wNested) = collectSoftmax(weights, buckets)
+    if (classes.isEmpty)
+      // no intercept rows: the former dense crossJoin against an empty
+      // intercept relation produced zero rows — preserve that
+      feats.select(col("doc_id"), col("y").as("label_true"),
+        lit(null).cast("string").as("label_pred"), lit(0.0).as("prob"))
+        .filter(lit(false))
+    else {
+      val classesLit = typedLit(classes)
+      withSoftmaxProbs(feats, classes, bMicro, wNested)
+        .withColumn("__i",
+          array_position(col("__p"), array_max(col("__p"))).cast("int"))
+        .select(col("doc_id"), col("y").as("label_true"),
+          element_at(classesLit, col("__i")).as("label_pred"),
+          element_at(col("__p"), col("__i")).cast("double").as("prob"))
+    }
   }
 
   /** Train on the `bucket(id) < trainBuckets` slice, predict the rest. */
@@ -429,8 +584,8 @@ object LogisticRegression {
       buckets: Int = 256, trainBuckets: Long = 8000): DataFrame =
     scoreSoftmax(
       featFrameMulti(docs, textCol, idCol, labelCol, buckets)
-        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
-      weights)
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cells"),
+      weights, buckets)
 
   /** Persist the trained softmax weight table — decimals round-trip
     * parquet exactly, so serving from disk is bit-identical. */
@@ -447,6 +602,6 @@ object LogisticRegression {
       trainBuckets: Long = 8000): DataFrame =
     scoreSoftmax(
       featFrameMulti(docs, textCol, idCol, labelCol, buckets)
-        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cell"),
-      docs.sparkSession.read.parquet(path))
+        .filter(col("_bk") >= trainBuckets).select("doc_id", "y", "cells"),
+      docs.sparkSession.read.parquet(path), buckets)
 }
